@@ -1,0 +1,93 @@
+"""Spatial cell encoding: Morton (z-order) interleave/de-interleave and grid
+cell ids.
+
+The reference derives a z-order "geo-proximity key" by interleaving the digit
+bits of (lon, lat) into a base-36 string
+(``/root/reference/src/utils/getGeoProximityKey.js:8-46``) and sorts every
+stage's scan by it so consecutive rows are spatially coherent. Here the same
+idea is a vectorized uint64 Morton code; the engine's input table carries
+``phash:int64`` whose bits are exactly the Morton interleave of the image's
+(x, y) tile-grid coordinate, so ``morton_decode(phash) == (x, y)``.
+
+All functions are numpy-vectorized over whole Arrow columns (zero Python
+per-row work) — these run inside ``map_batches`` on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U = np.uint64
+
+# Magic-number bit spreading constants (public-domain "Interleave bits by
+# Binary Magic Numbers" technique, Stanford bit-twiddling hacks).
+_M1 = _U(0x5555555555555555)
+_M2 = _U(0x3333333333333333)
+_M4 = _U(0x0F0F0F0F0F0F0F0F)
+_M8 = _U(0x00FF00FF00FF00FF)
+_M16 = _U(0x0000FFFF0000FFFF)
+_M32 = _U(0x00000000FFFFFFFF)
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into the even bit positions."""
+    x = x.astype(np.uint64) & _M32
+    x = (x | (x << _U(16))) & _M16
+    x = (x | (x << _U(8))) & _M8
+    x = (x | (x << _U(4))) & _M4
+    x = (x | (x << _U(2))) & _M2
+    x = (x | (x << _U(1))) & _M1
+    return x
+
+
+def _compact1by1(x: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_part1by1`: gather even bit positions into low 32."""
+    x = x.astype(np.uint64) & _M1
+    x = (x | (x >> _U(1))) & _M2
+    x = (x | (x >> _U(2))) & _M4
+    x = (x | (x >> _U(4))) & _M8
+    x = (x | (x >> _U(8))) & _M16
+    x = (x | (x >> _U(16))) & _M32
+    return x
+
+
+def morton_encode(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two uint32 coordinate arrays into one uint64 Morton code.
+
+    Bit layout: x occupies even bits, y odd bits (matches the reference's
+    lon-first interleave order in ``getGeoProximityKey.js:8-26``).
+    """
+    return _part1by1(np.asarray(x)) | (_part1by1(np.asarray(y)) << _U(1))
+
+
+def morton_decode(code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`morton_encode`. Accepts int64 (e.g. the ``phash``
+    column) or uint64; returns (x, y) as uint32 arrays."""
+    c = np.asarray(code).astype(np.uint64)
+    x = _compact1by1(c)
+    y = _compact1by1(c >> _U(1))
+    return x.astype(np.uint32), y.astype(np.uint32)
+
+
+def morton_cell(x: np.ndarray, y: np.ndarray, cell_bits: int) -> np.ndarray:
+    """Morton code of the cell containing (x, y) at resolution
+    ``cell_bits`` (cell side = 2**cell_bits world units). Truncating the low
+    2*cell_bits bits of the full Morton code gives the same prefix ordering
+    the reference gets from its base-36 key prefix."""
+    sh = _U(cell_bits)
+    return morton_encode(
+        np.asarray(x).astype(np.uint64) >> sh,
+        np.asarray(y).astype(np.uint64) >> sh,
+    )
+
+
+def grid_cell(x: np.ndarray, y: np.ndarray, cell_size: int, grid_w: int) -> np.ndarray:
+    """Row-major grid cell id ``(y // cell_size) * grid_w + (x // cell_size)``.
+
+    Simpler than Morton and exactly expressible in ANSI SQL — used by the
+    driver-checked queries so the DuckDB oracle can reproduce it with integer
+    arithmetic; the engine-native pipeline uses :func:`morton_cell`.
+    """
+    x = np.asarray(x).astype(np.int64)
+    y = np.asarray(y).astype(np.int64)
+    return (y // cell_size) * np.int64(grid_w) + (x // cell_size)

@@ -1,0 +1,845 @@
+"""Driver-facing query registry: every implemented operator from SURVEY.md §2
+(plus the training-data-pipeline additions) as a ``(sf_dir) -> Dataset``
+callable, paired with an exact DuckDB oracle SQL string where the semantics
+are SQL-expressible.
+
+Cross-engine exactness: value aggregates are quantized per row to int64
+"cents" (``functions.numeric.cents`` ≙ ``CAST(FLOOR(x*100+0.5) AS BIGINT)``)
+so sums compare exactly regardless of reduction order; ratios are divisions of
+exact ints; timestamps are emitted as strings; ranks carry explicit unique
+tie-breakers. Column names match the SQL aliases one-for-one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.numeric import cents
+from ..sources import testdata as td
+from ..stages import ann, dedup, relational as rel, spatial, textops, windows
+from . import conflation
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rp(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _with_cents(col_expr_name: str, out: str, scale: int = 100):
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out, pa.array(cents(batch[col_expr_name].to_numpy(zero_copy_only=False), scale))
+        )
+
+    return _f
+
+
+_CTES = f"""WITH points AS ({td.POINTS_SQL}),
+cpoints AS ({td.CPOINTS_SQL}),
+tiles AS ({td.TILES_SQL})
+"""
+
+# ---------------------------------------------------------------------------
+# spatial flagship (SURVEY §2: J4/J5/J9, M4, O1)
+# ---------------------------------------------------------------------------
+
+def q_spatial_join_pairs(sf_dir: str):
+    return conflation.spatial_join_pairs(sf_dir)
+
+
+SQL_SPATIAL_JOIN_PAIRS = _CTES + """
+SELECT p.point_id, t.tile_id, t.ref_id, t.level
+FROM points p JOIN tiles t
+  ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+ AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+"""
+
+
+def q_spatial_tile_stats(sf_dir: str):
+    return conflation.tile_stats(sf_dir)
+
+
+SQL_SPATIAL_TILE_STATS = _CTES + """
+SELECT t.tile_id,
+       SUM(CAST(FLOOR(p.l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       COUNT(*) AS n_points
+FROM points p JOIN tiles t
+  ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+ AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+GROUP BY t.tile_id
+"""
+
+
+def q_knn_tiles(sf_dir: str):
+    cust = _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        td.cpoints_batch, batch_format="pyarrow", batch_size=65536
+    )
+    ref = conflation.tiles_ref(sf_dir)
+    out = spatial.knn_join(cust, ref, 3, "cx", "cy", ["c_custkey"])
+    return out.select_columns(["c_custkey", "tile_id", "knn_rank", "dist2"])
+
+
+SQL_KNN_TILES = _CTES + """
+SELECT c_custkey, tile_id, knn_rank, dist2 FROM (
+  SELECT p.c_custkey, t.tile_id,
+         (p.cx - t.cx) * (p.cx - t.cx) + (p.cy - t.cy) * (p.cy - t.cy) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.c_custkey
+           ORDER BY (p.cx - t.cx) * (p.cx - t.cx) + (p.cy - t.cy) * (p.cy - t.cy), t.tile_id
+         ) AS knn_rank
+  FROM cpoints p CROSS JOIN tiles t
+) WHERE knn_rank <= 3
+"""
+
+
+def q_tile_assign_multilevel(sf_dir: str):
+    pts = conflation.read_points(sf_dir)
+    cellped = spatial.assign_cells(pts, "px", "py", [256, 1024, 4096])
+    return rel.partial_groupby_sum(
+        cellped, ["level_size", "cell_x", "cell_y"], [], count_as="n_points"
+    )
+
+
+SQL_TILE_ASSIGN = _CTES + """
+SELECT lv.level_size, p.px // lv.level_size AS cell_x, p.py // lv.level_size AS cell_y,
+       COUNT(*) AS n_points
+FROM points p CROSS JOIN (VALUES (256), (1024), (4096)) lv(level_size)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tile_overlap_pairs(sf_dir: str):
+    tiles = td.tiles_table(sf_dir)
+    ref = ray.put(tiles)
+
+    def _corners(batch: pa.Table) -> pa.Table:
+        cx = batch["cx"].to_numpy(zero_copy_only=False)
+        cy = batch["cy"].to_numpy(zero_copy_only=False)
+        hw = batch["hw"].to_numpy(zero_copy_only=False)
+        hh = batch["hh"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_id": batch["tile_id"],
+                "x0": cx - hw,
+                "y0": cy - hh,
+                "x1": cx + hw,
+                "y1": cy + hh,
+            }
+        )
+
+    tiles_ds = ray.data.from_arrow(tiles).map_batches(
+        _corners, batch_format="pyarrow", batch_size=8192
+    )
+    return spatial.tile_overlap_pairs(tiles_ds, ref)
+
+
+SQL_TILE_OVERLAP = _CTES + """
+SELECT a.tile_id AS tile_a, b.tile_id AS tile_b,
+       (LEAST(a.cx + a.hw, b.cx + b.hw) - GREATEST(a.cx - a.hw, b.cx - b.hw))
+     * (LEAST(a.cy + a.hh, b.cy + b.hh) - GREATEST(a.cy - a.hh, b.cy - b.hh)) AS inter_area
+FROM tiles a JOIN tiles b
+  ON a.tile_id < b.tile_id
+ AND a.cx - a.hw < b.cx + b.hw AND a.cx + a.hw > b.cx - b.hw
+ AND a.cy - a.hh < b.cy + b.hh AND a.cy + a.hh > b.cy - b.hh
+"""
+
+
+def q_cell_point_counts(sf_dir: str):
+    from ..functions.cells import grid_cell
+
+    pts = conflation.read_points(sf_dir)
+
+    def _cell(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": grid_cell(
+                    batch["px"].to_numpy(zero_copy_only=False),
+                    batch["py"].to_numpy(zero_copy_only=False),
+                    1024,
+                    64,
+                )
+            }
+        )
+
+    cells = pts.map_batches(_cell, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(cells, ["cell_id"], [], count_as="n_points")
+
+
+SQL_CELL_COUNTS = _CTES + """
+SELECT (p.py // 1024) * 64 + (p.px // 1024) AS cell_id, COUNT(*) AS n_points
+FROM points p GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY §2: A3-A9, J1-J8, O2-O6, D1/D7)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    li = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty_c": cents(qty),
+                "sum_base_c": cents(price),
+                "sum_disc_c": cents(price * (1.0 - disc)),
+            }
+        )
+
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(
+        d, ["l_returnflag", "l_linestatus"], ["sum_qty_c", "sum_base_c", "sum_disc_c"],
+        count_as="n_rows",
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_c,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _revenue_per_order(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "revenue_c": cents(price * (1.0 - disc))}
+        )
+
+    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(d, ["l_orderkey"], ["revenue_c"])
+
+
+def q_order_priority_revenue(sf_dir: str):
+    rev = _revenue_per_order(sf_dir)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(rev, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"), Count(alias_name="n_orders")
+    )
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, SUM(rev.revenue_c) AS revenue_c, COUNT(*) AS n_orders
+FROM orders JOIN rev ON o_orderkey = rev.l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    rev = _revenue_per_order(sf_dir)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j1 = orders.join(rev, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
+    j2 = j1.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).set_index(
+        "n_nationkey"
+    )
+    looked = rel.broadcast_lookup(j2, ray.put(nation), "c_nationkey", {"n_name": "n_name"})
+    return looked.groupby("n_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+
+
+SQL_NATION_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+  FROM lineitem GROUP BY 1
+)
+SELECT n_name, SUM(rev.revenue_c) AS revenue_c
+FROM orders
+JOIN rev ON o_orderkey = rev.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_order_line_counts(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+    cnt = rel.partial_groupby_sum(li, ["l_orderkey"], [], count_as="n_lines")
+    orders = _rp(sf_dir, "orders", ["o_orderkey"])
+    joined = orders.join(cnt, "left_outer", 8, on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch["n_lines"], 0)
+        return pa.table({"o_orderkey": batch["o_orderkey"], "n_lines": pc.cast(n, pa.int64())})
+
+    return joined.map_batches(_fill, batch_format="pyarrow", batch_size=65536)
+
+
+SQL_ORDER_LINE_COUNTS = """
+SELECT o_orderkey, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_lines
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+) cnt ON o_orderkey = cnt.l_orderkey
+"""
+
+
+def q_customers_no_orders(sf_dir: str):
+    # Broadcast anti-join: the distinct order-customer key set is dimension-
+    # sized, so collect it once (per-batch dedup combiner inside `unique`) and
+    # filter the probe side map-side — no all-to-all shuffle. (Ray 2.49's
+    # native `left_anti` join returns empty results, so it is not used.)
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(_with_cents("c_acctbal", "acctbal_c"), batch_format="pyarrow")
+    cust = cust.select_columns(["c_custkey", "acctbal_c"])
+    recent = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))),
+        batch_format="pyarrow",
+    )
+    okeys = np.array(recent.unique("o_custkey"), dtype=np.int64)
+    return rel.anti_join_keys(cust, "c_custkey", ray.put(okeys))
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01'
+)
+"""
+
+
+def q_event_window_join(sf_dir: str):
+    wtab = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    wtab = wtab.filter(pc.equal(wtab["event_type"], "signup")).select(["event_id", "user_id", "ts"])
+    wtab = wtab.rename_columns(["window_id", "user_id", "ts"])
+    wref = ray.put(wtab)
+    probes = _rp(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    probes = probes.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "view", "purchase"]))),
+        batch_format="pyarrow",
+    )
+    joined = windows.interval_join(probes, wref, "user_id", "ts", 2 * 3600 * 1_000_000)
+    joined = joined.map_batches(_with_cents("value", "value_c"), batch_format="pyarrow")
+    return rel.partial_groupby_sum(joined, ["window_id"], ["value_c"], count_as="n_events")
+
+
+SQL_EVENT_WINDOW_JOIN = """
+SELECT w.event_id AS window_id,
+       SUM(CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT)) AS value_c,
+       COUNT(*) AS n_events
+FROM events w JOIN events p
+  ON p.user_id = w.user_id
+ AND p.ts >= w.ts AND p.ts < w.ts + INTERVAL 2 HOUR
+WHERE w.event_type = 'signup' AND p.event_type IN ('click', 'view', 'purchase')
+GROUP BY 1
+"""
+
+
+def q_price_rank_topk(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    ranked = rel.group_topk(
+        li,
+        ["l_orderkey"],
+        [("l_extendedprice", False), ("l_linenumber", True)],
+        k=2,
+        rank_col="price_rank",
+    )
+    return ranked.select_columns(["l_orderkey", "l_linenumber", "price_rank"])
+
+
+SQL_PRICE_RANK_TOPK = """
+SELECT l_orderkey, l_linenumber, price_rank FROM (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+         ) AS price_rank
+  FROM lineitem
+) WHERE price_rank <= 2
+"""
+
+
+def q_supplier_top_line(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "revenue_c": cents(price * (1.0 - disc)),
+            }
+        )
+
+    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=65536)
+    return rel.group_topk(
+        d,
+        ["l_suppkey"],
+        [("revenue_c", False), ("l_orderkey", True), ("l_linenumber", True)],
+        k=1,
+    )
+
+
+SQL_SUPPLIER_TOP_LINE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, revenue_c FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS revenue_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) DESC,
+                    l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_top_orders(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(_with_cents("o_totalprice", "totalprice_c"), batch_format="pyarrow")
+    orders = orders.select_columns(["o_orderkey", "totalprice_c"])
+    return orders.sort(["totalprice_c", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c
+FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_union_except(sf_dir: str):
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    b = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    a = cust.filter(expr="c_mktsegment == 'AUTOMOBILE'").select_columns(["c_custkey"])
+    unioned = rel.distinct(b.union(a), ["c_custkey"])
+    neg = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    neg_keys = neg.filter(pc.less(neg["c_acctbal"], 0.0))["c_custkey"].to_numpy()
+    return rel.anti_join_keys(unioned, "c_custkey", ray.put(neg_keys))
+
+
+SQL_SEGMENT_UNION_EXCEPT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def q_distinct_flag_status(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return rel.distinct(li, ["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT_FLAG_STATUS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_weighted_avg_price(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "disc_c": cents(price * (1.0 - disc)),
+                "qty_c": cents(qty),
+            }
+        )
+
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    agg = rel.partial_groupby_sum(d, ["l_returnflag"], ["disc_c", "qty_c"], count_as="n_rows")
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        w = batch["disc_c"].to_numpy(zero_copy_only=False).astype(np.float64) / batch[
+            "qty_c"
+        ].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"l_returnflag": batch["l_returnflag"], "wavg": w, "n_rows": batch["n_rows"]}
+        )
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_AVG_PRICE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS wavg,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_season_bucket(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        month = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        season = np.select(
+            [np.isin(month, (12, 1, 2)), np.isin(month, (3, 4, 5)), np.isin(month, (6, 7, 8))],
+            ["WIN", "SPR", "SUM"],
+            default="FAL",
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "season": season,
+                "qty_c": cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    agg = rel.partial_groupby_sum(d, ["l_returnflag", "season"], ["qty_c"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "season", "sum_qty_c"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEASON_BUCKET = """
+SELECT l_returnflag,
+       CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (12, 1, 2) THEN 'WIN'
+            WHEN EXTRACT(MONTH FROM l_shipdate) IN (3, 4, 5) THEN 'SPR'
+            WHEN EXTRACT(MONTH FROM l_shipdate) IN (6, 7, 8) THEN 'SUM'
+            ELSE 'FAL' END AS season,
+       SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_feed_extent(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_shipdate"])
+
+    def _i64(batch: pa.Table) -> pa.Table:
+        v = batch["l_shipdate"].cast(pa.int64())
+        return pa.table({"sd": v})
+
+    d = li.map_batches(_i64, batch_format="pyarrow", batch_size=65536)
+    res = d.aggregate(Min("sd"), Max("sd"), Count(alias_name="n_lines"))
+    fmt = lambda us: str(np.datetime64(int(us), "us").astype("datetime64[D]"))
+    return pa.table(
+        {
+            "min_shipdate": [fmt(res["min(sd)"])],
+            "max_shipdate": [fmt(res["max(sd)"])],
+            "n_lines": pa.array([res["n_lines"]], type=pa.int64()),
+        }
+    )
+
+
+SQL_FEED_EXTENT = """
+SELECT strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_shipdate,
+       COUNT(*) AS n_lines
+FROM lineitem
+"""
+
+
+def q_order_lines_concat(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return rel.group_concat(li, ["l_orderkey"], "l_linenumber", "lines")
+
+
+SQL_ORDER_LINES_CONCAT = """
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_date_order_counts(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_orderdate"])
+
+    def _i64(batch: pa.Table) -> pa.Table:
+        return pa.table({"od": pc.floor_temporal(batch["o_orderdate"], unit="day").cast(pa.int64())})
+
+    d = orders.map_batches(_i64, batch_format="pyarrow", batch_size=65536)
+    m = d.aggregate(Min("od"))["min(od)"]
+    day_us = 86400 * 1_000_000
+    in_window = d.filter(expr=f"od >= {m} and od < {m + 30 * day_us}")
+    counts = rel.partial_groupby_sum(in_window, ["od"], [], count_as="n").to_pandas()
+    lut = dict(zip(counts["od"], counts["n"]))
+    days = np.arange(30, dtype=np.int64) * day_us + m
+    return pa.table(
+        {
+            "d": [str(np.datetime64(int(u), "us").astype("datetime64[D]")) for u in days],
+            "n_orders": np.array([lut.get(u, 0) for u in days], dtype=np.int64),
+        }
+    )
+
+
+SQL_DATE_ORDER_COUNTS = """
+WITH mn AS (SELECT MIN(date_trunc('day', o_orderdate)) AS m FROM orders),
+days AS (SELECT m + x * INTERVAL 1 DAY AS day, m FROM mn,
+         (SELECT unnest(generate_series(0, 29)) AS x)),
+cnt AS (SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n
+        FROM orders GROUP BY 1)
+SELECT strftime(days.day, '%Y-%m-%d') AS d, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+FROM days LEFT JOIN cnt ON days.day = cnt.day
+"""
+
+# ---------------------------------------------------------------------------
+# stream-shaped (events)
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    return windows.sessionize(ev, "user_id", "ts", 1800)
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN p IS NOT NULL AND ts - p > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p FROM events)
+GROUP BY user_id
+"""
+
+
+def q_events_tumbling(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+    ev = windows.tumbling_window(ev, "ts")
+    ev = ev.map_batches(_with_cents("value", "value_c"), batch_format="pyarrow")
+    return rel.partial_groupby_sum(ev, ["event_type", "hour_ts"], ["value_c"], count_as="n_events")
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_c,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_distinct_users(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+    pairs = rel.distinct(ev, ["event_type", "user_id"])
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup (training-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str):
+    return textops.token_stats(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    return textops.quality_scores(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS alpha_ratio,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS digit_ratio
+FROM documents
+"""
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    hashed = textops.content_hash(docs).select_columns(["doc_id", "text_hash"])
+    return dedup.exact_dedup_groups(hashed, "text_hash", "doc_id")
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_langid(sf_dir: str):  # rows-only check (heuristic classifier, no SQL)
+    return textops.lang_id(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):  # rows-only check (winnowing, no SQL)
+    return textops.fingerprints(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_simhash(sf_dir: str):  # rows-only check
+    return dedup.simhash(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_minhash_pairs(sf_dir: str):  # rows-only check
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_candidate_pairs(sigs)
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _sim_q4(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": batch["query_id"],
+            "vec_id": batch["vec_id"],
+            "sim_rank": batch["sim_rank"],
+            "sim_q4": cents(batch["sim"].to_numpy(zero_copy_only=False), 10000),
+        }
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qtab.filter(pc.less(qtab["vec_id"], 8))
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    out = ann.cosine_topk(emb, ray.put(qtab), k=5)
+    return out.map_batches(_sim_q4, batch_format="pyarrow")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim_rank, CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS sim_q4 FROM (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS sim_rank
+  FROM sims
+) WHERE sim_rank <= 5
+"""
+
+
+def q_embedding_norms(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    norms = ann.l2_norms(emb)
+
+    def _q(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "norm_q4": cents(batch["l2_norm"].to_numpy(zero_copy_only=False), 10000),
+            }
+        )
+
+    return norms.map_batches(_q, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       CAST(FLOOR(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) AS BIGINT) AS norm_q4
+FROM embeddings
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "spatial_join_pairs": q_spatial_join_pairs,
+    "spatial_tile_stats": q_spatial_tile_stats,
+    "knn_tiles": q_knn_tiles,
+    "tile_assign_multilevel": q_tile_assign_multilevel,
+    "tile_overlap_pairs": q_tile_overlap_pairs,
+    "cell_point_counts": q_cell_point_counts,
+    "pricing_summary": q_pricing_summary,
+    "order_priority_revenue": q_order_priority_revenue,
+    "nation_revenue": q_nation_revenue,
+    "order_line_counts": q_order_line_counts,
+    "customers_no_orders": q_customers_no_orders,
+    "event_window_join": q_event_window_join,
+    "price_rank_topk": q_price_rank_topk,
+    "supplier_top_line": q_supplier_top_line,
+    "top_orders": q_top_orders,
+    "segment_union_except": q_segment_union_except,
+    "distinct_flag_status": q_distinct_flag_status,
+    "weighted_avg_price": q_weighted_avg_price,
+    "season_bucket": q_season_bucket,
+    "feed_extent": q_feed_extent,
+    "order_lines_concat": q_order_lines_concat,
+    "date_order_counts": q_date_order_counts,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "events_distinct_users": q_events_distinct_users,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_simhash": q_doc_simhash,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLE_SQL = {
+    "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
+    "spatial_tile_stats": SQL_SPATIAL_TILE_STATS,
+    "knn_tiles": SQL_KNN_TILES,
+    "tile_assign_multilevel": SQL_TILE_ASSIGN,
+    "tile_overlap_pairs": SQL_TILE_OVERLAP,
+    "cell_point_counts": SQL_CELL_COUNTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "order_line_counts": SQL_ORDER_LINE_COUNTS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "event_window_join": SQL_EVENT_WINDOW_JOIN,
+    "price_rank_topk": SQL_PRICE_RANK_TOPK,
+    "supplier_top_line": SQL_SUPPLIER_TOP_LINE,
+    "top_orders": SQL_TOP_ORDERS,
+    "segment_union_except": SQL_SEGMENT_UNION_EXCEPT,
+    "distinct_flag_status": SQL_DISTINCT_FLAG_STATUS,
+    "weighted_avg_price": SQL_WEIGHTED_AVG_PRICE,
+    "season_bucket": SQL_SEASON_BUCKET,
+    "feed_extent": SQL_FEED_EXTENT,
+    "order_lines_concat": SQL_ORDER_LINES_CONCAT,
+    "date_order_counts": SQL_DATE_ORDER_COUNTS,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+}

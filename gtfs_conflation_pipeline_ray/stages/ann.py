@@ -1,0 +1,92 @@
+"""Similarity search over an embedding column (list<float>): brute-force
+cosine top-k as the exact baseline, with the partial-top-k pattern that scales
+(per-batch local top-k → small grouped global top-k; the query matrix is
+broadcast once, never re-shipped per batch).
+
+The scale path (documented, same skeleton): LSH/IVF-bucket the vectors by a
+coarse quantizer inside ``map_batches``, route queries to their nearest
+buckets, and run this exact kernel per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if arr.num_chunks == 1:
+        flat = arr.chunk(0).values.to_numpy(zero_copy_only=False)
+        dim = len(arr.chunk(0)[0])
+        return flat.reshape(-1, dim).astype(np.float64)
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+class _CosineTopK:
+    """Actor-pool callable: holds the normalized broadcast query matrix,
+    emits per-batch local top-k (query_id, vec_id, sim) triples."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q: pa.Table = ray.get(queries_ref)
+        self.qid = q["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = _batch_matrix(q, vec_col)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, self.vec_col)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        sims = self.qm @ x.T  # (Q, B)
+        # mask self-matches so a query never returns itself
+        self_m = self.qid[:, None] == ids[None, :]
+        sims = np.where(self_m, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        ps = np.take_along_axis(sims, part, axis=1)
+        return pa.table(
+            {
+                "query_id": np.repeat(self.qid, k),
+                "vec_id": ids[part].reshape(-1),
+                "sim": ps.reshape(-1),
+            }
+        )
+
+
+def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
+                vec_col: str = "embedding", concurrency: int = 4):
+    """Exact global cosine top-k per query: per-batch local top-k (the big
+    compute, matmul per Arrow batch) then a tiny grouped global top-k with a
+    deterministic (sim desc, vec_id asc) order. Returns
+    (query_id, vec_id, sim_rank, sim)."""
+    local = vectors.map_batches(
+        _CosineTopK,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def _global(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[np.isfinite(g["sim"])]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(sim_rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return local.groupby("query_id").map_groups(_global, batch_format="pandas")
+
+
+def l2_norms(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, l2_norm) per vector — vectorized per batch."""
+
+    def _n(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        return pa.table(
+            {id_col: batch[id_col], "l2_norm": np.sqrt(np.einsum("ij,ij->i", x, x))}
+        )
+
+    return vectors.map_batches(_n, batch_format="pyarrow", batch_size=8192)

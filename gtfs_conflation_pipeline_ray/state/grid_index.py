@@ -1,0 +1,175 @@
+"""Bucketed grid spatial index over axis-aligned rectangles (pure numpy).
+
+Replaces the reference's SQLite ``geopoly`` virtual table
+(``/root/reference/src/daos/ConflationMapDAO/createTableFns.js:18-21``) and its
+polygon-overlap probes (``ConflationMapDAO/generators.js:9-47``). The index is
+built ONCE per actor in ``__init__`` from a `ray.put`-broadcast Arrow table
+(never re-shipped per batch) and probed with fully vectorized numpy — no
+Python per-row work on the hot path.
+
+Scale note: the tile/reference side of the candidate join is small relative to
+the probe side (conflation map vs. every GTFS shape segment in the reference;
+reference tiles vs. 10^12 images here), so broadcast+index beats a shuffle
+join. If the reference side ever outgrows worker memory, shard it by cell
+range and give each actor pool partition its own shard (same partitioning key
+as the probe sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate ``arange(starts[i], starts[i]+counts[i])`` without a loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    nz = counts > 0
+    first = np.flatnonzero(nz)[0]
+    out[0] = starts[first]
+    # positions where a new range begins (skip empty ranges)
+    prev_end = starts[nz][:-1] + counts[nz][:-1]
+    out[ends[nz][:-1]] = starts[nz][1:] - prev_end + 1
+    return np.cumsum(out)
+
+
+class GridIndex:
+    """Uniform-bucket index over N axis-aligned rectangles.
+
+    Parameters are plain numpy arrays so the whole index state is a handful of
+    flat buffers (cheap to hold per actor, zero-copy from Arrow).
+    """
+
+    def __init__(
+        self,
+        tile_id: np.ndarray,
+        x0: np.ndarray,
+        y0: np.ndarray,
+        x1: np.ndarray,
+        y1: np.ndarray,
+        world: int = 65536,
+        bucket_size: int = 2048,
+    ):
+        self.tile_id = np.asarray(tile_id)
+        self.x0 = np.asarray(x0, dtype=np.int64)
+        self.y0 = np.asarray(y0, dtype=np.int64)
+        self.x1 = np.asarray(x1, dtype=np.int64)
+        self.y1 = np.asarray(y1, dtype=np.int64)
+        self.world = world
+        self.bs = bucket_size
+        self.nb = (world + bucket_size - 1) // bucket_size  # buckets per axis
+
+        # Rasterize each rect onto the bucket grid -> (bucket, tile_idx) pairs.
+        bx0 = np.clip(self.x0 // self.bs, 0, self.nb - 1)
+        bx1 = np.clip(self.x1 // self.bs, 0, self.nb - 1)
+        by0 = np.clip(self.y0 // self.bs, 0, self.nb - 1)
+        by1 = np.clip(self.y1 // self.bs, 0, self.nb - 1)
+        spans_x = (bx1 - bx0 + 1).astype(np.int64)
+        spans_y = (by1 - by0 + 1).astype(np.int64)
+        reps = spans_x * spans_y
+        tidx = np.repeat(np.arange(len(self.x0), dtype=np.int64), reps)
+        # per-entry (row, col) offsets inside each rect's bucket span
+        off = _gather_ranges(np.zeros(len(reps), dtype=np.int64), reps)
+        sx = np.repeat(spans_x, reps)
+        cell_dx = off % sx
+        cell_dy = off // sx
+        bucket = (np.repeat(by0, reps) + cell_dy) * self.nb + (np.repeat(bx0, reps) + cell_dx)
+
+        order = np.argsort(bucket, kind="stable")
+        self._bucket_tiles = tidx[order]
+        counts = np.bincount(bucket, minlength=self.nb * self.nb).astype(np.int64)
+        self._bucket_start = np.concatenate(([0], np.cumsum(counts)))
+        self._bucket_count = counts
+
+    # ---- point-in-rectangle (the candidate spatial join probe) -------------
+    def query_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (point_index, tile_index) pairs where point i is inside
+        tile j (inclusive bounds, mirroring SQL BETWEEN)."""
+        px = np.asarray(px, dtype=np.int64)
+        py = np.asarray(py, dtype=np.int64)
+        b = np.clip(py // self.bs, 0, self.nb - 1) * self.nb + np.clip(
+            px // self.bs, 0, self.nb - 1
+        )
+        counts = self._bucket_count[b]
+        pt = np.repeat(np.arange(len(px), dtype=np.int64), counts)
+        cand = self._bucket_tiles[_gather_ranges(self._bucket_start[b], counts)]
+        m = (
+            (px[pt] >= self.x0[cand])
+            & (px[pt] <= self.x1[cand])
+            & (py[pt] >= self.y0[cand])
+            & (py[pt] <= self.y1[cand])
+        )
+        return pt[m], cand[m]
+
+    # ---- rect-overlap self/other probe (cospatiality candidates) ----------
+    def query_rects(
+        self, qx0: np.ndarray, qy0: np.ndarray, qx1: np.ndarray, qy1: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (query_index, tile_index) pairs whose rectangles overlap
+        with positive area (strict inequality on both axes)."""
+        qx0 = np.asarray(qx0, dtype=np.int64)
+        qy0 = np.asarray(qy0, dtype=np.int64)
+        qx1 = np.asarray(qx1, dtype=np.int64)
+        qy1 = np.asarray(qy1, dtype=np.int64)
+        bx0 = np.clip(qx0 // self.bs, 0, self.nb - 1)
+        bx1 = np.clip(qx1 // self.bs, 0, self.nb - 1)
+        by0 = np.clip(qy0 // self.bs, 0, self.nb - 1)
+        by1 = np.clip(qy1 // self.bs, 0, self.nb - 1)
+        spans = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+        qi = np.repeat(np.arange(len(qx0), dtype=np.int64), spans)
+        off = _gather_ranges(np.zeros(len(spans), dtype=np.int64), spans)
+        sx = np.repeat(bx1 - bx0 + 1, spans)
+        bucket = (np.repeat(by0, spans) + off // sx) * self.nb + (
+            np.repeat(bx0, spans) + off % sx
+        )
+        counts = self._bucket_count[bucket]
+        qq = np.repeat(qi, counts)
+        cand = self._bucket_tiles[_gather_ranges(self._bucket_start[bucket], counts)]
+        m = (
+            (qx0[qq] < self.x1[cand])
+            & (qx1[qq] > self.x0[cand])
+            & (qy0[qq] < self.y1[cand])
+            & (qy1[qq] > self.y0[cand])
+        )
+        qq, cand = qq[m], cand[m]
+        # dedup pairs that matched in multiple shared buckets
+        pair = qq * np.int64(len(self.x0)) + cand
+        _, keep = np.unique(pair, return_index=True)
+        return qq[keep], cand[keep]
+
+    # ---- exact kNN over tile centroids -------------------------------------
+    def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact k nearest tile centroids per query point by integer squared
+        distance, ties broken by tile_id ascending.
+
+        Brute-force per batch (vectorized (Q, T) distance matrix in chunks);
+        exact and deterministic. The 100 TB path swaps this for an
+        IVF/grid-pruned search keyed on the same bucket grid, falling back to
+        brute force only for boundary buckets.
+        Returns (query_index, tile_index, dist2) with per-query rank order.
+        """
+        qx = np.asarray(qx, dtype=np.int64)
+        qy = np.asarray(qy, dtype=np.int64)
+        cx = (self.x0 + self.x1) // 2
+        cy = (self.y0 + self.y1) // 2
+        n = len(self.x0)
+        k = min(k, n)
+        out_q, out_t, out_d = [], [], []
+        chunk = max(1, (1 << 22) // max(n, 1))  # ~4M int64 distance cells per chunk
+        for s in range(0, len(qx), chunk):
+            dq = (qx[s : s + chunk, None] - cx[None, :]) ** 2 + (
+                qy[s : s + chunk, None] - cy[None, :]
+            ) ** 2
+            part = np.argpartition(dq, k - 1, axis=1)[:, :k] if k < n else np.tile(
+                np.arange(n), (dq.shape[0], 1)
+            )
+            pd = np.take_along_axis(dq, part, axis=1)
+            ptid = self.tile_id[part]
+            order = np.lexsort((ptid, pd), axis=1)  # by (dist2, tile_id)
+            out_q.append(np.repeat(np.arange(s, s + dq.shape[0], dtype=np.int64), k))
+            out_t.append(np.take_along_axis(part, order, axis=1).ravel())
+            out_d.append(np.take_along_axis(pd, order, axis=1).ravel())
+        return np.concatenate(out_q), np.concatenate(out_t), np.concatenate(out_d)
