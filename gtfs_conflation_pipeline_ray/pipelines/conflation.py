@@ -38,7 +38,7 @@ def tiles_ref(sf_dir: str):
     return ray.put(td.tiles_table(sf_dir))
 
 
-def spatial_join_pairs(sf_dir: str, concurrency: int = 4):
+def spatial_join_pairs(sf_dir: str, concurrency: int | None = None):
     """Candidate point-in-tile join: (point_id, tile_id, ref_id, level)."""
     pts = read_points(sf_dir)
     joined = spatial.candidate_join(
@@ -47,7 +47,7 @@ def spatial_join_pairs(sf_dir: str, concurrency: int = 4):
     return joined.select_columns(["point_id", "tile_id", "ref_id", "level"])
 
 
-def tile_stats(sf_dir: str, concurrency: int = 4):
+def tile_stats(sf_dir: str, concurrency: int | None = None):
     """Flagship: candidate join + per-tile aggregate
     (tile_id, n_points, sum_qty_c). Pre-aggregates inside batches before the
     grouped shuffle."""

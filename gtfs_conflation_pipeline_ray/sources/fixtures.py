@@ -1,0 +1,154 @@
+"""Deterministic fixture generator for the engine's NATIVE input shape
+(BASELINE.json input_hint): a table of image + caption pairs
+
+    (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+     caption:string, phash:int64)
+
+plus the reference-side ``ref_tiles`` table for the candidate spatial join
+(≙ the reference's conflation map, FIXTURES.md F1/F2). All generation is
+seeded (seed=42) and scale-parameterized; no external data.
+
+The ``phash`` column is the Morton bit-interleave of the image's synthetic
+(x, y) tile-grid coordinate — the exact inverse of the reference's
+geo-proximity key interleave (``/root/reference/src/utils/getGeoProximityKey.js:8-26``)
+— so ``cells.morton_decode(phash) == (x, y)`` exactly.
+
+Skew/edge cases (FIXTURES.md F1): 1% of rows share one hot cell region to
+exercise salting; ~0.5% carry edge cases (1x1 images, empty caption), plus
+phash=0 and all-high-bit phash rows.
+
+Written as parquet via a format shim (Lance is the production format; the
+sandbox lacks the `lance` package).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+from ..functions.cells import morton_encode
+
+WORLD = 65536  # 2^16 x 2^16 tile-grid coordinate space
+SEED = 42
+_FMTS = ["png", "jpeg", "bmp"]
+_WS = [32, 64, 128]
+_HS = [32, 48, 64]
+_NOISE_WORDS = ["alpha", "bravo", "delta", "echo", "fox", "golf", "hotel", "india"]
+
+
+def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient + seeded noise, uint8 RGB."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.int16)
+    noise = rng.integers(-16, 17, size=(h, w, 3), dtype=np.int16)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def image_coords(n: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Synthetic (x, y) tile-grid coordinates, with a ~1% hot cell region."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, WORLD, size=n, dtype=np.int64)
+    y = rng.integers(0, WORLD, size=n, dtype=np.int64)
+    hot = rng.random(n) < 0.01
+    idx = np.arange(n, dtype=np.int64)
+    x[hot] = 12345 + (idx[hot] % 7)
+    y[hot] = 54321 + (idx[hot] % 5)
+    return x, y
+
+
+def _edge_step(n_total: int) -> int:
+    return max(n_total // max(int(n_total * 0.005), 1), 1) if n_total >= 200 else n_total + 1
+
+
+def images_table_range(lo: int, hi: int, n_total: int, seed: int = SEED,
+                       with_bytes: bool = True) -> pa.Table:
+    """Rows [lo, hi) of the fixture — shard-stable: every per-row value
+    (coords, sizes, caption, pixels) depends only on the row index and seed,
+    so any sharding produces identical content (deterministic ids, SURVEY
+    §7.6-1)."""
+    x, y = image_coords(n_total, seed)
+    x, y = x[lo:hi], y[lo:hi]
+    ph = morton_encode(x.astype(np.uint64), y.astype(np.uint64)).view(np.int64).copy()
+    ids = np.array([f"img{i:08d}" for i in range(lo, hi)], dtype=object)
+    ws = np.array([_WS[i % 3] for i in range(lo, hi)], dtype=np.int32)
+    hs = np.array([_HS[i % 3] for i in range(lo, hi)], dtype=np.int32)
+    fmts = np.array([_FMTS[i % 3] for i in range(lo, hi)], dtype=object)
+    caps = np.array(
+        [f"synthetic caption {i} {_NOISE_WORDS[(i * 7 + seed) % len(_NOISE_WORDS)]}"
+         for i in range(lo, hi)],
+        dtype=object,
+    )
+    step = _edge_step(n_total)
+    blobs = [] if with_bytes else None
+    for j, i in enumerate(range(lo, hi)):
+        if n_total > 10 and i == 7:
+            ph[j] = 0
+        elif n_total > 10 and i == 9:
+            ph[j] = np.int64(-1)
+        if i % step == 0:
+            ws[j], hs[j] = 1, 1
+            caps[j] = ""
+        if with_bytes:
+            rng = np.random.default_rng(seed + 1000 + i)  # per-row seed => shard-stable
+            blobs.append(codecs.encode(_synth_image(rng, int(ws[j]), int(hs[j])), str(fmts[j])))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "bytes": pa.array(blobs, type=pa.binary()) if with_bytes else pa.nulls(hi - lo, pa.binary()),
+            "w": pa.array(ws, type=pa.int32()),
+            "h": pa.array(hs, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": pa.array(caps, type=pa.string()),
+            "phash": pa.array(ph, type=pa.int64()),
+        }
+    )
+
+
+def images_table(n: int, seed: int = SEED, with_bytes: bool = True) -> pa.Table:
+    return images_table_range(0, n, n, seed, with_bytes)
+
+
+def ref_tiles_table(n_tiles: int, seed: int = SEED) -> pa.Table:
+    """Reference-side tile rectangles (FIXTURES.md F2)."""
+    rng = np.random.default_rng(seed + 2)
+    tid = np.arange(n_tiles, dtype=np.int64)
+    cx = rng.integers(0, WORLD, size=n_tiles, dtype=np.int64)
+    cy = rng.integers(0, WORLD, size=n_tiles, dtype=np.int64)
+    hw = rng.integers(500, 4000, size=n_tiles, dtype=np.int64)
+    hh = rng.integers(500, 4000, size=n_tiles, dtype=np.int64)
+    return pa.table(
+        {
+            "tile_id": tid,
+            "ref_id": pa.array([f"R{t}" for t in tid], type=pa.string()),
+            "level": tid % 8,
+            "cx": cx,
+            "cy": cy,
+            "hw": hw,
+            "hh": hh,
+            "length_km": (hw + hh).astype(np.float64) / 1000.0,
+        }
+    )
+
+
+def write_fixture(out_dir: str, n_images: int, n_tiles: int, seed: int = SEED,
+                  rows_per_file: int = 25000) -> None:
+    """Materialize the fixture as a multi-file parquet dataset (one file per
+    row-range shard, so reads parallelize like a real multi-shard table)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{out_dir}/images", exist_ok=True)
+    for s, lo in enumerate(range(0, n_images, rows_per_file)):
+        hi = min(lo + rows_per_file, n_images)
+        pq.write_table(images_table_range(lo, hi, n_images, seed),
+                       f"{out_dir}/images/part-{s:05d}.parquet")
+    pq.write_table(ref_tiles_table(n_tiles, seed), f"{out_dir}/ref_tiles.parquet")

@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .util import pool_size
+
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
@@ -57,7 +59,7 @@ class _CosineTopK:
 
 
 def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
-                vec_col: str = "embedding", concurrency: int = 4):
+                vec_col: str = "embedding", concurrency: int | None = None):
     """Exact global cosine top-k per query: per-batch local top-k (the big
     compute, matmul per Arrow batch) then a tiny grouped global top-k with a
     deterministic (sim desc, vec_id asc) order. Returns
@@ -67,7 +69,7 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
         fn_constructor_args=(queries_ref, k, id_col, vec_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 

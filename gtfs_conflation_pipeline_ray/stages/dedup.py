@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import text as tx
+from .util import pool_size
 
 
 def exact_dedup_groups(ds, hash_col: str, id_col: str):
@@ -36,7 +37,8 @@ def exact_dedup_groups(ds, hash_col: str, id_col: str):
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
-                       num_perm: int = 64, shingle_k: int = 3, concurrency: int = 4):
+                       num_perm: int = 64, shingle_k: int = 3,
+                       concurrency: int | None = None):
     """Per-doc MinHash signature as ``num_perm`` int64 columns ``mh{i}``
     (flat columns instead of a list column keep downstream band explosion
     zero-copy). Permutation params are built once per actor."""
@@ -57,7 +59,7 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
             return pa.table(cols)
 
     return ds.map_batches(_Sig, batch_format="pyarrow", batch_size=2048,
-                          concurrency=concurrency)
+                          concurrency=pool_size(concurrency))
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .util import pool_size
+
 
 def partial_groupby_sum(ds, keys: list[str], sums: list[str], count_as: str | None = None):
     """Per-batch partial sum/count by ``keys`` (vectorized pandas groupby per
@@ -66,7 +68,8 @@ def broadcast_lookup(ds, small_ref, on: str, mapping: dict[str, str]):
             )
             return out
 
-    return ds.map_batches(_Lookup, batch_format="pandas", batch_size=65536, concurrency=2)
+    return ds.map_batches(_Lookup, batch_format="pandas", batch_size=65536,
+                          concurrency=pool_size(2))
 
 
 def group_topk(
@@ -138,4 +141,5 @@ def anti_join_keys(ds, key_col: str, exclude_ref):
             hit = (len(self.keys) > 0) & (self.keys[idx] == v)
             return batch.filter(pa.array(~hit))
 
-    return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=65536, concurrency=2)
+    return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=65536,
+                          concurrency=pool_size(2))

@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray
 
 from ..state.grid_index import GridIndex
+from .util import pool_size
 
 
 def build_tile_index(tiles: pa.Table, world: int = 65536, bucket_size: int = 2048) -> GridIndex:
@@ -70,7 +71,8 @@ class _TileJoiner:
 
 
 def candidate_join(
-    points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str], concurrency: int = 4
+    points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
+    concurrency: int | None = None,
 ):
     """Point-in-tile candidate spatial join: one output row per (point, tile)
     containment pair. ``tiles_ref`` is a `ray.put` handle to the tile table."""
@@ -79,7 +81,7 @@ def candidate_join(
         fn_constructor_args=(tiles_ref, x_col, y_col, carry_cols),
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -107,14 +109,14 @@ class _KnnJoiner:
 
 
 def knn_join(points, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str],
-             concurrency: int = 4):
+             concurrency: int | None = None):
     """k-nearest-tile join (exact, deterministic tie-break by tile_id)."""
     return points.map_batches(
         _KnnJoiner,
         fn_constructor_args=(tiles_ref, k, x_col, y_col, carry_cols),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -179,7 +181,7 @@ class _RectOverlap:
         )
 
 
-def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency: int = 4):
+def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency: int | None = None):
     """Self spatial join of the tile set: unordered overlapping pairs with
     positive intersection area."""
     return tiles_ds.map_batches(
@@ -187,6 +189,6 @@ def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency: int = 4):
         fn_constructor_args=(tiles_ref,),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )

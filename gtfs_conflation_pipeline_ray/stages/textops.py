@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import text as tx
+from .util import pool_size
 
 
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -71,13 +72,13 @@ class _LangId:
         )
 
 
-def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int = 4):
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None):
     return ds.map_batches(
         _LangId,
         fn_constructor_args=(text_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 

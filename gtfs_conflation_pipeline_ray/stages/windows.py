@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray
 
 from ..state.grid_index import _gather_ranges
+from .util import pool_size
 
 
 def sessionize(ds, key: str, ts_col: str, gap_seconds: int, out_col: str = "n_sessions"):
@@ -91,7 +92,7 @@ class _IntervalJoiner:
 
 
 def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int,
-                  concurrency: int = 4):
+                  concurrency: int | None = None):
     """Equi(key) + range(ts in [w.ts, w.ts+len)) join; returns probe rows
     annotated with ``window_id`` (one output row per matching pair). The
     window side must carry a ``window_id`` column."""
@@ -100,6 +101,6 @@ def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int
         fn_constructor_args=(windows_ref, key, ts_col, window_len_us),
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
