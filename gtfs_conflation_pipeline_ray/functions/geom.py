@@ -1,0 +1,231 @@
+"""Planar polyline geometry kernels (numpy) — the engine's re-implementation
+of the reference's turf.js/GDAL expression library (SURVEY.md §2.8):
+length / bearing / point-on-line projection / line-slice-along / simplify /
+discrete Fréchet / Hausdorff / RMSD snap statistics.
+
+All kernels operate on (n, 2) float64 coordinate arrays in planar grid units
+(the engine's tile-grid space). They are pure and per-row/per-group — called
+from ``map_batches`` / bucketed group stages; none hold distributed state.
+
+Reference citations:
+  - length/slice: turf length / lineSliceAlong usage, e.g.
+    ``/root/reference/src/daos/GtfsNetworkDAO/loaders/index.js:31-168``
+  - snap/projection DP: ``snapGtfsStopsSequenceToGtfsShape.js:33-204``
+  - RMSD edge weights: ``buildShstMatchSubGraphsPerGtfsShapeSegment.js:17-44``
+  - Fréchet score: ``scoreChosenPaths/frechet.js:8-35``
+  - simplify (RDP): ``utils/lineStringsComparator.js:17-61``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def seg_lengths(coords: np.ndarray) -> np.ndarray:
+    """Euclidean length of each segment of an (n, 2) polyline -> (n-1,)."""
+    d = np.diff(coords, axis=0)
+    return np.hypot(d[:, 0], d[:, 1])
+
+
+def polyline_length(coords: np.ndarray) -> float:
+    return float(seg_lengths(coords).sum()) if len(coords) > 1 else 0.0
+
+
+def cum_lengths(coords: np.ndarray) -> np.ndarray:
+    """Cumulative distance along the polyline at each vertex -> (n,)."""
+    out = np.zeros(len(coords))
+    if len(coords) > 1:
+        out[1:] = np.cumsum(seg_lengths(coords))
+    return out
+
+
+def bearings(coords: np.ndarray) -> np.ndarray:
+    """Bearing (degrees, 0=+y clockwise) of each segment -> (n-1,)."""
+    d = np.diff(coords, axis=0)
+    return np.degrees(np.arctan2(d[:, 0], d[:, 1])) % 360.0
+
+
+def project_points(points: np.ndarray, line: np.ndarray):
+    """Project each point onto its nearest location on the polyline.
+
+    Vectorized over (P points x S segments) — the reference's O(S*Ps)
+    projection table (``snapGtfsStopsSequenceToGtfsShape.js:32``).
+    Returns (dist, along): perpendicular snap distance and distance-along
+    the line of the snap location, both (P,).
+    """
+    a = line[:-1]  # (S, 2)
+    ab = line[1:] - a  # (S, 2)
+    ab2 = np.maximum((ab * ab).sum(axis=1), 1e-300)
+    ap = points[:, None, :] - a[None, :, :]  # (P, S, 2)
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    d = np.hypot(*(points[:, None, :] - proj).transpose(2, 0, 1))
+    seg = np.argmin(d, axis=1)  # nearest segment per point
+    p_idx = np.arange(len(points))
+    cl = cum_lengths(line)
+    seg_len = np.sqrt(ab2)
+    along = cl[seg] + t[p_idx, seg] * seg_len[seg]
+    return d[p_idx, seg], along
+
+
+def fit_points_monotonic(points: np.ndarray, line: np.ndarray):
+    """Snap an ORDERED point sequence to the line with a no-backtracking
+    constraint: minimize total squared snap deviation subject to
+    along[i] <= along[i+1] — the reference's least-squares DP fit
+    (``snapGtfsStopsSequenceToGtfsShape.js:97-166``, O(P*S^2) there; here a
+    DP over the (P x S) candidate table, vectorized per row).
+
+    Returns (dist, along) per point under the monotonic constraint.
+    """
+    a = line[:-1]
+    ab = line[1:] - a
+    ab2 = np.maximum((ab * ab).sum(axis=1), 1e-300)
+    ap = points[:, None, :] - a[None, :, :]
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / ab2[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    d2 = ((points[:, None, :] - proj) ** 2).sum(axis=2)  # (P, S)
+    cl = cum_lengths(line)
+    along = cl[:-1][None, :] + t * np.sqrt(ab2)[None, :]  # (P, S)
+
+    P, S = d2.shape
+    # DP over candidate segments in along-order per point: sort candidates by
+    # along so "previous choice <= current choice" is a prefix-min.
+    order = np.argsort(along, axis=1, kind="stable")
+    d2s = np.take_along_axis(d2, order, axis=1)
+    alongs = np.take_along_axis(along, order, axis=1)
+    cost = d2s[0].copy()
+    choice = np.zeros((P, S), dtype=np.int64)
+    for i in range(1, P):
+        # best prefix cost of row i-1 at each of row i's along positions
+        # (searchsorted aligns the monotonic along[i-1] <= along[i] constraint)
+        prefix = np.minimum.accumulate(cost)
+        achiever = np.where(cost == prefix, np.arange(S), 0)
+        best_prefix_idx = np.maximum.accumulate(achiever)
+        pos = np.searchsorted(alongs[i - 1], alongs[i], side="right") - 1
+        feasible = pos >= 0
+        posc = np.clip(pos, 0, S - 1)
+        choice[i] = np.where(feasible, best_prefix_idx[posc], 0)
+        cost = np.where(feasible, prefix[posc], np.inf) + d2s[i]
+    # reconstruct
+    out_d = np.empty(P)
+    out_along = np.empty(P)
+    j = int(np.argmin(cost))
+    for i in range(P - 1, -1, -1):
+        out_d[i] = np.sqrt(d2s[i, j])
+        out_along[i] = alongs[i, j]
+        j = int(choice[i, j])
+    return out_d, out_along
+
+
+def line_slice_along(line: np.ndarray, start: float, end: float) -> np.ndarray:
+    """Sub-polyline between distances [start, end] along the line —
+    ≙ turf lineSliceAlong (``GtfsNetworkDAO/loaders/index.js:90-118``)."""
+    cl = cum_lengths(line)
+    total = cl[-1]
+    start = min(max(start, 0.0), total)
+    end = min(max(end, start), total)
+
+    def _point_at(dist):
+        i = int(np.searchsorted(cl, dist, side="right") - 1)
+        i = min(i, len(line) - 2)
+        seg = cl[i + 1] - cl[i]
+        t = 0.0 if seg <= 0 else (dist - cl[i]) / seg
+        return line[i] + t * (line[i + 1] - line[i])
+
+    mid_mask = (cl > start) & (cl < end)
+    pts = [np.asarray(_point_at(start))]
+    pts.extend(line[mid_mask])
+    pts.append(np.asarray(_point_at(end)))
+    return np.vstack(pts)
+
+
+def rdp_simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Ramer-Douglas-Peucker simplification (iterative stack form)."""
+    n = len(coords)
+    if n < 3:
+        return coords.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        a, b = coords[s], coords[e]
+        ab = b - a
+        ab_len = np.hypot(*ab)
+        pts = coords[s + 1 : e]
+        if ab_len < 1e-300:
+            d = np.hypot(*(pts - a).T)
+        else:
+            d = np.abs(np.cross(ab, pts - a)) / ab_len
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            keep[s + 1 + i] = True
+            stack.append((s, s + 1 + i))
+            stack.append((s + 1 + i, e))
+    return coords[keep]
+
+
+def resample(coords: np.ndarray, n_points: int) -> np.ndarray:
+    """Resample the polyline to n_points equally spaced along its length —
+    ≙ the reference's equal-point-count rebalance before shape similarity
+    (``frechet.js:12-24``)."""
+    cl = cum_lengths(coords)
+    if cl[-1] <= 0:
+        return np.repeat(coords[:1], n_points, axis=0)
+    targets = np.linspace(0.0, cl[-1], n_points)
+    idx = np.clip(np.searchsorted(cl, targets, side="right") - 1, 0, len(coords) - 2)
+    seg = np.maximum(cl[idx + 1] - cl[idx], 1e-300)
+    t = (targets - cl[idx]) / seg
+    return coords[idx] + t[:, None] * (coords[idx + 1] - coords[idx])
+
+
+def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Fréchet distance (Eiter & Mannila 1994), vectorized DP by
+    anti-diagonal-free row sweep."""
+    d = np.hypot(
+        *(a[:, None, :] - b[None, :, :]).transpose(2, 0, 1)
+    )  # (n, m)
+    n, m = d.shape
+    ca = np.empty((n, m))
+    ca[0, 0] = d[0, 0]
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+        prev = ca[i - 1]
+        row = ca[i]
+        # row[j] = max(d[i,j], min(prev[j], prev[j-1], row[j-1])) — sequential
+        for j in range(1, m):
+            row[j] = max(d[i, j], min(prev[j], prev[j - 1], row[j - 1]))
+    return float(ca[-1, -1])
+
+
+def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric discrete Hausdorff distance between vertex sets."""
+    d = np.hypot(*(a[:, None, :] - b[None, :, :]).transpose(2, 0, 1))
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+def rmsd_to_line(points: np.ndarray, line: np.ndarray) -> float:
+    """Root-mean-square snap deviation of points to the line — the
+    reference's match edge weight (``buildShstMatchSubGraphsPerGtfsShapeSegment.js:17-44``)."""
+    d, _ = project_points(points, line)
+    return float(np.sqrt((d**2).mean()))
+
+
+def snap_stats(points: np.ndarray, line: np.ndarray) -> dict:
+    """Mean/stddev/quantiles of vertex snap deviations — ≙ A10
+    (``utils/gis/getSimilarity.js:24-102``)."""
+    d, _ = project_points(points, line)
+    qs = np.quantile(d, [0.1, 0.25, 0.5, 0.75, 0.9])
+    return {
+        "mean": float(d.mean()),
+        "stddev": float(d.std()),
+        "q10": float(qs[0]),
+        "q25": float(qs[1]),
+        "median": float(qs[2]),
+        "q75": float(qs[3]),
+        "q90": float(qs[4]),
+    }

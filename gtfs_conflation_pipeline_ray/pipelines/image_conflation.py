@@ -27,7 +27,7 @@ import ray
 
 from ..functions import codecs
 from ..functions.cells import morton_cell, morton_decode
-from ..stages.util import pool_size
+from ..stages.util import cached_state, pool_size
 from ..state.checkpoint import StageCheckpoint, phash_partitions
 from ..state.grid_index import GridIndex
 
@@ -62,14 +62,10 @@ def decode_cells_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class _BestTileMatcher:
-    """Actor-pool stage: grid index over ref_tiles built once per actor;
-    per batch, emit each probe's candidate tiles AND its chosen best tile
-    (min squared centroid distance among containing tiles, tie tile_id) —
-    the scored-matching step, fully map-side (no shuffle)."""
+class _MatcherState:
+    """Per-worker matcher state: grid index over ref_tiles + payload cols."""
 
-    def __init__(self, tiles_ref):
-        t: pa.Table = ray.get(tiles_ref)
+    def __init__(self, t: pa.Table):
         cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
         cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
         hw = t["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -81,13 +77,22 @@ class _BestTileMatcher:
         self.cx, self.cy = cx, cy
         self.ref_id = t["ref_id"].to_numpy(zero_copy_only=False)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+
+def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int | None = None):
+    """decode cells → candidate join + best-tile choose, one stateless-task
+    pass (tile index broadcast once, built once per worker via cached_state).
+    Per batch: emit each probe's candidate tiles AND its chosen best tile
+    (min squared centroid distance among containing tiles, tie tile_id) —
+    the scored-matching step, fully map-side (no shuffle)."""
+
+    def _match(batch: pa.Table) -> pa.Table:
+        st: _MatcherState = cached_state(tiles_ref, _MatcherState)
         px = batch["x"].to_numpy(zero_copy_only=False)
         py = batch["y"].to_numpy(zero_copy_only=False)
-        pi, ti = self.index.query_points(px, py)
-        d2 = (px[pi] - self.cx[ti]) ** 2 + (py[pi] - self.cy[ti]) ** 2
+        pi, ti = st.index.query_points(px, py)
+        d2 = (px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2
         # best (d2, tile_id) per probe via lexsort + first-occurrence
-        tile_ids = self.index.tile_id[ti]
+        tile_ids = st.index.tile_id[ti]
         order = np.lexsort((tile_ids, d2, pi))
         pi_s, ti_s, d2_s = pi[order], tile_ids[order], d2[order]
         first = np.ones(len(pi_s), dtype=bool)
@@ -97,25 +102,15 @@ class _BestTileMatcher:
                 "image_id": batch["image_id"].take(pa.array(pi_s)),
                 "cell_id": batch["cell_id"].take(pa.array(pi_s)),
                 "tile_id": ti_s,
-                "ref_id": self.ref_id[np.asarray(ti)[order]],
+                "ref_id": st.ref_id[np.asarray(ti)[order]],
                 "dist2": d2_s,
                 "is_best": first,
             }
         )
 
-
-def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int | None = None):
-    """decode cells → candidate join + best-tile choose (one actor-pool pass)."""
     ds = read_images_meta(images_dir, phash_range)
     ds = ds.map_batches(decode_cells_batch, batch_format="pyarrow", batch_size=65536)
-    return ds.map_batches(
-        _BestTileMatcher,
-        fn_constructor_args=(tiles_ref,),
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=pool_size(concurrency),
-        num_cpus=1,
-    )
+    return ds.map_batches(_match, batch_format="pyarrow", batch_size=65536)
 
 
 class _Validator:
@@ -171,21 +166,33 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
     ck = StageCheckpoint(f"{out_dir}/matches", "matches",
                          lineage={"images": images_dir, "ref_tiles": ref_tiles_path,
                                   "cell_bits": CELL_BITS, "n_partitions": n_partitions})
-    results = []
-    for key, lo, hi in phash_partitions(n_partitions):
-        def _write(tmp_dir: str, lo=lo, hi=hi) -> int:
-            ds = match_images(images_dir, tiles_ref, (lo, hi), concurrency)
-            ds = ds.sort(["image_id", "tile_id"])  # deterministic output order
-            ds.write_parquet(tmp_dir)
-            # row count from the written files' parquet footers — no re-execution
-            import glob
-            import pyarrow.parquet as _pq
 
-            return sum(
-                _pq.ParquetFile(f).metadata.num_rows
-                for f in glob.glob(f"{tmp_dir}/*.parquet")
+    def _write(tmp_dir: str, lo, hi) -> int:
+        ds = match_images(images_dir, tiles_ref, (lo, hi), concurrency)
+        ds = ds.sort(["image_id", "tile_id"])  # deterministic output order
+        ds.write_parquet(tmp_dir)
+        # row count from the written files' parquet footers — no re-execution
+        import glob
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{tmp_dir}/*.parquet")
+        )
+
+    # Partitions run CONCURRENTLY (thread per partition; Ray Data executions
+    # share the cluster with backpressure) — a sequential partition loop pays
+    # per-execution spinup serially and wrecks scaling. Checkpoint manifest
+    # updates are thread-safe (StageCheckpoint holds a lock).
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = phash_partitions(n_partitions)
+    with ThreadPoolExecutor(max_workers=min(len(parts), 8)) as pool:
+        results = list(
+            pool.map(
+                lambda p: ck.run_partition(p[0], lambda tmp: _write(tmp, p[1], p[2])),
+                parts,
             )
-        results.append(ck.run_partition(key, _write))
+        )
 
     # global rollups over the committed matches (aggregate shuffle; small)
     import glob

@@ -238,9 +238,7 @@ def q_order_priority_revenue(sf_dir: str):
     rev = _revenue_per_order(sf_dir)
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(rev, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
-    return joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"), Count(alias_name="n_orders")
-    )
+    return rel.partial_groupby_sum(joined, ["o_orderpriority"], ["revenue_c"], count_as="n_orders")
 
 
 SQL_ORDER_PRIORITY_REVENUE = """
@@ -265,7 +263,7 @@ def q_nation_revenue(sf_dir: str):
         "n_nationkey"
     )
     looked = rel.broadcast_lookup(j2, ray.put(nation), "c_nationkey", {"n_name": "n_name"})
-    return looked.groupby("n_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    return rel.partial_groupby_sum(looked, ["n_name"], ["revenue_c"])
 
 
 SQL_NATION_REVENUE = """
@@ -639,7 +637,7 @@ FROM events GROUP BY 1, 2
 def q_events_distinct_users(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
     pairs = rel.distinct(ev, ["event_type", "user_id"])
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return rel.partial_groupby_sum(pairs, ["event_type"], [], count_as="n_users")
 
 
 SQL_EVENTS_DISTINCT_USERS = """
@@ -771,6 +769,75 @@ FROM embeddings
 """
 
 # ---------------------------------------------------------------------------
+# shape/segment kernels over event-derived polylines (SURVEY §2.8, §3.1)
+# ---------------------------------------------------------------------------
+
+def _event_shapes(sf_dir: str):
+    from ..stages import segments
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ev.map_batches(segments.event_points_batch, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def q_shape_stats(sf_dir: str):
+    from ..stages import segments
+
+    return segments.shape_stats(_event_shapes(sf_dir))
+
+
+SQL_SHAPE_STATS = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + user_id * 977) % 65536 AS ex,
+         (event_id * 69621 + 13) % 65536 AS ey
+  FROM events
+),
+o AS (
+  SELECT user_id, ex, ey,
+         lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px,
+         lag(ey) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py
+  FROM pts
+)
+SELECT user_id, COUNT(*) AS n_points,
+       CAST(COALESCE(SUM(CASE WHEN px IS NULL THEN NULL ELSE
+         CAST(FLOOR(sqrt(CAST((ex - px) * (ex - px) + (ey - py) * (ey - py) AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+       END), 0) AS BIGINT) AS length_c
+FROM o GROUP BY user_id
+"""
+
+
+def q_shape_frechet(sf_dir: str):  # rows-only (Fréchet DP, no SQL)
+    from ..stages import segments
+
+    return segments.shape_frechet_halves(_event_shapes(sf_dir))
+
+
+def q_shape_simplify(sf_dir: str):  # rows-only (RDP, no SQL)
+    from ..stages import segments
+
+    return segments.shape_simplify_stats(_event_shapes(sf_dir))
+
+
+def q_shape_slices(sf_dir: str):  # rows-only (lineSliceAlong, no SQL)
+    from ..stages import segments
+
+    return segments.shape_slices(_event_shapes(sf_dir))
+
+
+def q_shape_snap_stats(sf_dir: str):  # rows-only (quantile snap stats, no SQL)
+    from ..stages import segments
+
+    return segments.shape_snap_stats(_event_shapes(sf_dir))
+
+
+def q_stop_fit(sf_dir: str):  # rows-only (monotonic DP fit, no SQL)
+    from ..stages import segments
+
+    return segments.stop_fit(_event_shapes(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -809,6 +876,12 @@ QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
+    "shape_stats": q_shape_stats,
+    "shape_frechet": q_shape_frechet,
+    "shape_simplify": q_shape_simplify,
+    "shape_slices": q_shape_slices,
+    "shape_snap_stats": q_shape_snap_stats,
+    "stop_fit": q_stop_fit,
 }
 
 ORACLE_SQL = {
@@ -842,4 +915,5 @@ ORACLE_SQL = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "shape_stats": SQL_SHAPE_STATS,
 }

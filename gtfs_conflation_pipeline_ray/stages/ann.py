@@ -27,51 +27,43 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return np.array(arr.to_pylist(), dtype=np.float64)
 
 
-class _CosineTopK:
-    """Actor-pool callable: holds the normalized broadcast query matrix,
-    emits per-batch local top-k (query_id, vec_id, sim) triples."""
+class _QueryState:
+    """Per-worker ANN state: normalized broadcast query matrix."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q: pa.Table = ray.get(queries_ref)
+    def __init__(self, q: pa.Table, vec_col: str):
         self.qid = q["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         qm = _batch_matrix(q, vec_col)
         self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        self.k, self.id_col, self.vec_col = k, id_col, vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = _batch_matrix(batch, self.vec_col)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-        sims = self.qm @ x.T  # (Q, B)
-        # mask self-matches so a query never returns itself
-        self_m = self.qid[:, None] == ids[None, :]
-        sims = np.where(self_m, -np.inf, sims)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        ps = np.take_along_axis(sims, part, axis=1)
-        return pa.table(
-            {
-                "query_id": np.repeat(self.qid, k),
-                "vec_id": ids[part].reshape(-1),
-                "sim": ps.reshape(-1),
-            }
-        )
 
 
 def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
                 vec_col: str = "embedding", concurrency: int | None = None):
     """Exact global cosine top-k per query: per-batch local top-k (the big
-    compute, matmul per Arrow batch) then a tiny grouped global top-k with a
-    deterministic (sim desc, vec_id asc) order. Returns
-    (query_id, vec_id, sim_rank, sim)."""
-    local = vectors.map_batches(
-        _CosineTopK,
-        fn_constructor_args=(queries_ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=pool_size(concurrency),
-        num_cpus=1,
-    )
+    compute, matmul per Arrow batch; query matrix broadcast once and cached
+    per worker) then a tiny grouped global top-k with a deterministic
+    (sim desc, vec_id asc) order. Returns (query_id, vec_id, sim_rank, sim)."""
+    from .util import cached_state
+
+    def _local(batch: pa.Table) -> pa.Table:
+        st: _QueryState = cached_state(queries_ref, lambda q: _QueryState(q, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        sims = st.qm @ x.T  # (Q, B)
+        # mask self-matches so a query never returns itself
+        sims = np.where(st.qid[:, None] == ids[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        return pa.table(
+            {
+                "query_id": np.repeat(st.qid, kk),
+                "vec_id": ids[part].reshape(-1),
+                "sim": ps.reshape(-1),
+            }
+        )
+
+    local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
 
     def _global(g: pd.DataFrame) -> pd.DataFrame:
         g = g[np.isfinite(g["sim"])]

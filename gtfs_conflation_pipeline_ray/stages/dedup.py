@@ -22,18 +22,26 @@ from .util import pool_size
 
 def exact_dedup_groups(ds, hash_col: str, id_col: str):
     """Per content-hash: deterministic keeper (min id) + duplicate count.
-    Returns (hash_col, keep_<id_col>, dup_count)."""
+    Returns (hash_col, keep_<id_col>, dup_count). Bucketed-combine: the
+    min/count partials combine per batch, then per bucket — one vectorized
+    pandas groupby each, no per-group Python."""
+    from .relational import bucketed_groups
 
-    def _keep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                hash_col: [g[hash_col].iloc[0]],
-                f"keep_{id_col}": [np.int64(g[id_col].min())],
-                "dup_count": [np.int64(len(g))],
-            }
+    keep, cnt = f"keep_{id_col}", "dup_count"
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(hash_col, as_index=False, sort=False).agg(
+            **{keep: (id_col, "min"), cnt: (id_col, "size")}
+        )
+        out[cnt] = out[cnt].astype(np.int64)
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(hash_col, as_index=False, sort=False).agg(
+            **{keep: (keep, "min"), cnt: (cnt, "sum")}
         )
 
-    return ds.groupby(hash_col).map_groups(_keep, batch_format="pandas")
+    return bucketed_groups(ds, [hash_col], _final, pre_fn=_pre)
 
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -93,18 +101,33 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
 
     exploded = sig_ds.map_batches(_bands, batch_format="pyarrow", batch_size=8192)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id" if id_col == "doc_id" else id_col].unique().astype(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    # bucketed-combine over band buckets: inside each bucket, sort by
+    # (band_id, band_hash, id), find group boundaries vectorized, and emit
+    # pairs only for the (rare) buckets of size > 1.
+    from .relational import bucketed_groups, distinct
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    # distinct pairs across bands
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        bh = d[["band_id", "band_hash"]].to_numpy()
+        ids = d[id_col].to_numpy().astype(np.int64)
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (bh[1:] != bh[:-1]).any(axis=1)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        a_out, b_out = [], []
+        for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
+            members = np.unique(ids[s:e])
+            if len(members) < 2:
+                continue
+            ii, jj = np.triu_indices(len(members), k=1)
+            a_out.append(members[ii])
+            b_out.append(members[jj])
+        if not a_out:
+            return pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)})
+
+    pairs = bucketed_groups(exploded, ["band_id", "band_hash"], _pairs)
+    return distinct(pairs, ["doc_a", "doc_b"])
 
 
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):

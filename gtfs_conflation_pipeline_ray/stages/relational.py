@@ -1,22 +1,27 @@
-"""Relational stage helpers: per-batch partial aggregation, broadcast lookup
-joins, per-group top-k / rank / list-assembly.
+"""Relational stage helpers: per-batch partial aggregation, bucketed grouped
+combine, broadcast lookup joins, per-group top-k / rank / list-assembly.
 
 Reference parity (SURVEY.md §2): J1-J4/J8 equi-join chains, A1 group->list
 assembly (``group_concat`` re-assembly,
 ``/root/reference/src/daos/GtfsOsmNetworkDAO/generators.js:72-113``), O2-O5
 in-group sorts and best-first picks, D7 distinct.
 
-Scale notes:
-  - ``partial_groupby_sum`` combines inside each batch BEFORE the shuffle, so
-    the all-to-all exchange moves one row per (key, batch) instead of one per
-    input row — the pre-aggregation pattern the 100 TB path requires.
-  - Small sides are broadcast (`ray.put` once, read per actor/task), never
-    shuffled; large-large joins use ``Dataset.join`` (hash partitioned).
+Scale design — the bucketed-combine pattern:
+  Ray's built-in ``groupby().aggregate()`` / ``map_groups`` invokes Python per
+  GROUP, which collapses at high key cardinality (measured ~850 rows/s on 43k
+  groups). Every grouped operator here instead:
+    1. combines inside each batch with a vectorized pandas groupby (the
+       partial/combiner step — shrinks the shuffle to one row per key/batch),
+    2. shuffles by a LOW-cardinality deterministic bucket column
+       ``_b = row_hash(keys) % B`` (B ~ cluster CPUs, not #groups),
+    3. finishes each bucket with ONE vectorized pandas groupby.
+  The all-to-all exchange therefore moves pre-combined rows into B buckets —
+  the same partial->final plan a SQL engine runs, expressed in Ray Data.
+  Skewed group keys spread across buckets by hash; a single hot GROUP is
+  already pre-combined per batch before it ever shuffles.
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -26,25 +31,127 @@ import ray
 from .util import pool_size
 
 
-def partial_groupby_sum(ds, keys: list[str], sums: list[str], count_as: str | None = None):
-    """Per-batch partial sum/count by ``keys`` (vectorized pandas groupby per
-    batch), then the global ``groupby().aggregate`` over the (much smaller)
-    partials. Returns a Dataset with columns keys + sums (+ count_as)."""
-    from ray.data.aggregate import Sum
+def _n_buckets(requested: int | None = None) -> int:
+    if requested:
+        return requested
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        agg = {c: "sum" for c in sums}
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    """Deterministic per-row bucket from the key columns (vectorized)."""
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucketed_groups(ds, keys: list[str], final_fn, pre_fn=None, n_buckets: int | None = None):
+    """Generic grouped transform via the bucketed-combine pattern.
+
+    ``pre_fn(df) -> df`` (optional) runs per batch BEFORE the shuffle (the
+    combiner); ``final_fn(df) -> df`` runs once per bucket on the union of
+    that bucket's rows and must itself group by ``keys`` (vectorized).
+    """
+    nb = _n_buckets(n_buckets)
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        if pre_fn is not None:
+            df = pre_fn(df)
+        if len(df) == 0:
+            return df.assign(_b=np.array([], dtype=np.int64))
+        return df.assign(_b=_bucket_of(df, keys, nb))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(g.drop(columns=["_b"]))
+
+    staged = ds.map_batches(_pre, batch_format="pandas", batch_size=65536)
+    return staged.groupby("_b").map_groups(_final, batch_format="pandas")
+
+
+def partial_groupby_sum(ds, keys: list[str], sums: list[str], count_as: str | None = None,
+                        n_buckets: int | None = None):
+    """Grouped sum/count: per-batch partial sums -> bucketed final combine.
+    Returns a Dataset with columns keys + sums (+ count_as)."""
+    agg = {c: "sum" for c in sums}
+    if count_as:
+        agg[count_as] = "sum"
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
         if count_as:
             df = df.assign(**{count_as: np.int64(1)})
-            agg[count_as] = "sum"
-        out = df.groupby(keys, as_index=False, sort=False).agg(agg)
-        return out
+        return df.groupby(keys, as_index=False, sort=False, observed=True).agg(agg)
 
-    partial = ds.map_batches(_partial, batch_format="pandas", batch_size=65536)
-    aggs = [Sum(c, alias_name=c) for c in sums]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partial.groupby(keys).aggregate(*aggs)
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False, observed=True).agg(agg)
+
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets)
+
+
+def group_topk(
+    ds,
+    keys: list[str],
+    order_by: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None = None,
+    n_buckets: int | None = None,
+):
+    """Per-group top-k with a deterministic total order (always include a
+    unique tie-breaker — the reference's order-sensitive keep-rules D3-D5
+    made deterministic, SURVEY §7.6-1). Fully vectorized per bucket:
+    sort + groupby.head/cumcount, no per-group Python."""
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-local top-k is a valid combiner for top-k
+        d = df.sort_values(cols, ascending=asc, kind="mergesort")
+        return d.groupby(keys, sort=False, observed=True).head(k)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(cols, ascending=asc, kind="mergesort")
+        d = d.groupby(keys, sort=False, observed=True).head(k)
+        if rank_col:
+            d = d.sort_values(keys + cols, ascending=[True] * len(keys) + asc, kind="mergesort")
+            d[rank_col] = d.groupby(keys, sort=False, observed=True).cumcount() + 1
+        return d
+
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets)
+
+
+def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = ",",
+                 n_buckets: int | None = None):
+    """Per-group ordered string concatenation — ≙ SQLite
+    ``group_concat(... ORDER BY ...)`` list re-assembly (A1). The in-group
+    sort is explicit (the reference relied on DB scan order, SURVEY §2.9)."""
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(keys + [value_col], kind="mergesort")
+        s = d.groupby(keys, sort=False, observed=True)[value_col].agg(
+            lambda v: sep.join(map(str, v))
+        )
+        return s.rename(out_col).reset_index()
+
+    return bucketed_groups(ds, keys, _final, n_buckets=n_buckets)
+
+
+def distinct(ds, cols: list[str], n_buckets: int | None = None):
+    """Distinct tuples: per-batch dedup (combiner) then per-bucket dedup —
+    ≙ D7 / SELECT DISTINCT."""
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    return bucketed_groups(ds, cols, _final, pre_fn=_pre, n_buckets=n_buckets)
+
+
+def grouped_agg(ds, keys: list[str], final_fn, n_buckets: int | None = None):
+    """Escape hatch: arbitrary vectorized per-bucket grouped aggregation
+    (``final_fn`` sees all rows of each bucket, must group by keys)."""
+    return bucketed_groups(ds, keys, final_fn, n_buckets=n_buckets)
 
 
 def broadcast_lookup(ds, small_ref, on: str, mapping: dict[str, str]):
@@ -60,68 +167,15 @@ def broadcast_lookup(ds, small_ref, on: str, mapping: dict[str, str]):
             self.small: pd.DataFrame = ray.get(small_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = df.merge(
+            return df.merge(
                 self.small[list(mapping)].rename(columns=mapping),
                 left_on=on,
                 right_index=True,
                 how="inner",
             )
-            return out
 
     return ds.map_batches(_Lookup, batch_format="pandas", batch_size=65536,
                           concurrency=pool_size(2))
-
-
-def group_topk(
-    ds,
-    keys: list[str],
-    order_by: list[tuple[str, bool]],
-    k: int,
-    rank_col: str | None = None,
-):
-    """Per-group top-k with a deterministic total order.
-
-    ``order_by`` = [(col, ascending), ...] — always include a unique
-    tie-breaker column so results are engine-independent (the reference's
-    order-sensitive keep-rules D3-D5 made deterministic, SURVEY §7.6-1).
-    """
-    cols = [c for c, _ in order_by]
-    asc = [a for _, a in order_by]
-
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
-        if rank_col:
-            g = g.assign(**{rank_col: np.arange(1, len(g) + 1, dtype=np.int64)})
-        return g
-
-    return ds.groupby(keys).map_groups(_topk, batch_format="pandas")
-
-
-def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = ","):
-    """Per-group ordered string concatenation — ≙ SQLite
-    ``group_concat(... ORDER BY ...)`` list re-assembly (A1). The group's sort
-    is explicit (the reference relied on DB scan order, SURVEY §2.9)."""
-
-    def _concat(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value_col].to_numpy())
-        return pd.DataFrame(
-            {**{k: [g[k].iloc[0]] for k in keys}, out_col: [sep.join(map(str, v))]}
-        )
-
-    return ds.groupby(keys).map_groups(_concat, batch_format="pandas")
-
-
-def distinct(ds, cols: list[str]):
-    """Distinct tuples: per-batch dedup (combiner) then a grouped first —
-    ≙ D7 / SELECT DISTINCT."""
-
-    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df[cols].drop_duplicates()
-
-    pre = ds.map_batches(_dedup, batch_format="pandas", batch_size=65536)
-    return pre.groupby(cols).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
 
 
 def anti_join_keys(ds, key_col: str, exclude_ref):
@@ -136,9 +190,10 @@ def anti_join_keys(ds, key_col: str, exclude_ref):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             v = batch[key_col].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, v)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            hit = (len(self.keys) > 0) & (self.keys[idx] == v)
+            if len(self.keys) == 0:
+                return batch
+            idx = np.clip(np.searchsorted(self.keys, v), 0, len(self.keys) - 1)
+            hit = self.keys[idx] == v
             return batch.filter(pa.array(~hit))
 
     return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=65536,

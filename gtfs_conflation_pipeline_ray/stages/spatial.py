@@ -10,12 +10,15 @@ Reference parity (SURVEY.md §2):
   - tile assignment ≙ O1/M4 — geoprox_key spatial bucketing
     (``src/utils/getGeoProximityKey.js:8-46``)
 
-Execution model: the tile/reference side is SMALL relative to probes, so it is
-broadcast once (`ray.put`) and indexed per actor in ``__init__``
-(:class:`~..state.grid_index.GridIndex`); the probe side streams through
-``map_batches`` in zero-copy Arrow batches. No shuffle is needed for the join
-itself — only downstream aggregates shuffle, after per-batch partial
-aggregation where possible.
+Execution model: the tile/reference side is SMALL relative to probes
+(conflation map vs every shape segment in the reference), so it is broadcast
+once (`ray.put`) and indexed once per WORKER (``util.cached_state``) — the
+probe side streams through stateless ``map_batches`` tasks in zero-copy Arrow
+batches. Stateless tasks + worker-level cache beat an actor pool here: the
+index builds in milliseconds, tasks stay elastic across concurrent stage
+executions, and no CPUs are reserved away from the read/write operators. No
+shuffle happens in the join itself — only downstream aggregates shuffle,
+after per-batch partial aggregation.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ import pyarrow as pa
 import ray
 
 from ..state.grid_index import GridIndex
-from .util import pool_size
+from .util import cached_state
 
 
 def build_tile_index(tiles: pa.Table, world: int = 65536, bucket_size: int = 2048) -> GridIndex:
@@ -39,86 +42,60 @@ def build_tile_index(tiles: pa.Table, world: int = 65536, bucket_size: int = 204
     return GridIndex(tid, cx - hw, cy - hh, cx + hw, cy + hh, world=world, bucket_size=bucket_size)
 
 
-class _TileJoiner:
-    """Actor-pool callable: holds the tile GridIndex, probes each Arrow batch.
+class _TileState:
+    """Per-worker join state: grid index + payload columns."""
 
-    State (the index) is built ONCE per actor from the broadcast object-store
-    ref — the Ray-native analog of the reference's per-process shst tile cache
-    / memoized OSRM handle (``SharedStreetsMatcher/shstMatchFeatures.js:49-118``,
-    ``replaceFeaturesGeomsWithOsrmRoute.js:28-42``).
-    """
-
-    def __init__(self, tiles_ref, x_col: str, y_col: str, carry_cols: list[str]):
-        tiles: pa.Table = ray.get(tiles_ref)
+    def __init__(self, tiles: pa.Table):
         self.index = build_tile_index(tiles)
         self.ref_id = tiles["ref_id"].to_numpy(zero_copy_only=False)
         self.level = tiles["level"].to_numpy(zero_copy_only=False).astype(np.int64)
-        self.x_col, self.y_col, self.carry = x_col, y_col, carry_cols
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pi, ti = self.index.query_points(px, py)
-        cols: dict[str, object] = {}
-        for c in self.carry:
-            cols[c] = batch[c].take(pa.array(pi))
-        cols[self.x_col] = px[pi]
-        cols[self.y_col] = py[pi]
-        cols["tile_id"] = self.index.tile_id[ti]
-        cols["ref_id"] = self.ref_id[ti]
-        cols["level"] = self.level[ti]
-        return pa.table(cols)
+        self.cx = tiles["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.cy = tiles["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def candidate_join(
-    points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
-    concurrency: int | None = None,
-):
+def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
+                   concurrency=None):
     """Point-in-tile candidate spatial join: one output row per (point, tile)
-    containment pair. ``tiles_ref`` is a `ray.put` handle to the tile table."""
-    return points.map_batches(
-        _TileJoiner,
-        fn_constructor_args=(tiles_ref, x_col, y_col, carry_cols),
-        batch_format="pyarrow",
-        batch_size=32768,
-        concurrency=pool_size(concurrency),
-        num_cpus=1,
-    )
+    containment pair. ``tiles_ref`` is a `ray.put` handle to the tile table
+    (shipped once; indexed once per worker)."""
 
-
-class _KnnJoiner:
-    """Actor-pool callable: exact kNN of each probe point to tile centroids."""
-
-    def __init__(self, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str]):
-        tiles: pa.Table = ray.get(tiles_ref)
-        self.index = build_tile_index(tiles)
-        self.k, self.x_col, self.y_col, self.carry = k, x_col, y_col, carry_cols
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qx = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        qy = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        qi, ti, d2 = self.index.knn_centroids(qx, qy, self.k)
-        k = min(self.k, len(self.index.tile_id))
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, ti = st.index.query_points(px, py)
         cols: dict[str, object] = {}
-        for c in self.carry:
-            cols[c] = batch[c].take(pa.array(qi))
-        cols["tile_id"] = self.index.tile_id[ti]
-        cols["knn_rank"] = np.tile(np.arange(1, k + 1, dtype=np.int64), len(qx))
-        cols["dist2"] = d2
+        for c in carry_cols:
+            cols[c] = batch[c].take(pa.array(pi))
+        cols[x_col] = px[pi]
+        cols[y_col] = py[pi]
+        cols["tile_id"] = st.index.tile_id[ti]
+        cols["ref_id"] = st.ref_id[ti]
+        cols["level"] = st.level[ti]
         return pa.table(cols)
+
+    return points.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
 
 
 def knn_join(points, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str],
-             concurrency: int | None = None):
+             concurrency=None):
     """k-nearest-tile join (exact, deterministic tie-break by tile_id)."""
-    return points.map_batches(
-        _KnnJoiner,
-        fn_constructor_args=(tiles_ref, k, x_col, y_col, carry_cols),
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=pool_size(concurrency),
-        num_cpus=1,
-    )
+
+    def _knn(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        qx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qy = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qi, ti, d2 = st.index.knn_centroids(qx, qy, k)
+        kk = min(k, len(st.index.tile_id))
+        cols: dict[str, object] = {}
+        for c in carry_cols:
+            cols[c] = batch[c].take(pa.array(qi))
+        cols["tile_id"] = st.index.tile_id[ti]
+        cols["knn_rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(qx))
+        cols["dist2"] = d2
+        return pa.table(cols)
+
+    return points.map_batches(_knn, batch_format="pyarrow", batch_size=8192)
 
 
 def assign_cells(points, x_col: str, y_col: str, levels: list[int], world: int = 65536):
@@ -137,58 +114,33 @@ def assign_cells(points, x_col: str, y_col: str, levels: list[int], world: int =
         pxr = np.tile(px, len(lv))
         pyr = np.tile(py, len(lv))
         return pa.table(
-            {
-                "level_size": lsz,
-                "cell_x": pxr // lsz,
-                "cell_y": pyr // lsz,
-            }
+            {"level_size": lsz, "cell_x": pxr // lsz, "cell_y": pyr // lsz}
         )
 
     return points.map_batches(_assign, batch_format="pyarrow", batch_size=65536)
 
 
-class _RectOverlap:
-    """Actor-pool callable: rect-vs-tile overlap with intersection area —
-    the refine half of the filter-and-refine spatial join (≙ J5 cospatiality,
-    intersection length > threshold keep-rule,
+def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency=None):
+    """Self spatial join of the tile set: unordered overlapping pairs with
+    positive intersection area — the refine half of the filter-and-refine
+    join (≙ J5 cospatiality, intersection > threshold keep-rule,
     ``GtfsConflationMapJoinDAO/loaders.js:56,240``)."""
 
-    def __init__(self, tiles_ref):
-        tiles: pa.Table = ray.get(tiles_ref)
-        self.index = build_tile_index(tiles)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _overlap(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
         qid = batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         qx0 = batch["x0"].to_numpy(zero_copy_only=False).astype(np.int64)
         qy0 = batch["y0"].to_numpy(zero_copy_only=False).astype(np.int64)
         qx1 = batch["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
         qy1 = batch["y1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qi, ti = self.index.query_rects(qx0, qy0, qx1, qy1)
-        ix = self.index
-        ax0, ay0, ax1, ay1 = qx0[qi], qy0[qi], qx1[qi], qy1[qi]
-        bx0, by0, bx1, by1 = ix.x0[ti], ix.y0[ti], ix.x1[ti], ix.y1[ti]
-        iw = np.minimum(ax1, bx1) - np.maximum(ax0, bx0)
-        ih = np.minimum(ay1, by1) - np.maximum(ay0, by0)
-        a = qid[qi]
-        b = ix.tile_id[ti]
+        qi, ti = ix.query_rects(qx0, qy0, qx1, qy1)
+        iw = np.minimum(qx1[qi], ix.x1[ti]) - np.maximum(qx0[qi], ix.x0[ti])
+        ih = np.minimum(qy1[qi], ix.y1[ti]) - np.maximum(qy0[qi], ix.y0[ti])
+        a, b = qid[qi], ix.tile_id[ti]
         keep = a < b  # each unordered pair once, no self-pairs
         return pa.table(
-            {
-                "tile_a": a[keep],
-                "tile_b": b[keep],
-                "inter_area": (iw * ih)[keep],
-            }
+            {"tile_a": a[keep], "tile_b": b[keep], "inter_area": (iw * ih)[keep]}
         )
 
-
-def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency: int | None = None):
-    """Self spatial join of the tile set: unordered overlapping pairs with
-    positive intersection area."""
-    return tiles_ds.map_batches(
-        _RectOverlap,
-        fn_constructor_args=(tiles_ref,),
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=pool_size(concurrency),
-        num_cpus=1,
-    )
+    return tiles_ds.map_batches(_overlap, batch_format="pyarrow", batch_size=8192)

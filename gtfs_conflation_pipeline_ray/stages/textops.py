@@ -54,32 +54,20 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_q, batch_format="pyarrow", batch_size=8192)
 
 
-class _LangId:
-    """Actor-pool stage: profiles compiled once per actor in __init__."""
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None):
+    """(doc_id, lang_pred) — stateless tasks; the language profiles are
+    module-level constants (compiled at import, once per worker process)."""
 
-    def __init__(self, text_col: str, id_col: str):
-        # touch the profile dict so compilation cost is paid here, not per batch
-        self.profiles = tx._LANG_PROFILES
-        self.text_col, self.id_col = text_col, id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+    def _lang(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
         return pa.table(
             {
-                self.id_col: batch[self.id_col],
+                id_col: batch[id_col],
                 "lang_pred": pa.array(list(tx.lang_id(texts)), type=pa.string()),
             }
         )
 
-
-def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None):
-    return ds.map_batches(
-        _LangId,
-        fn_constructor_args=(text_col, id_col),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=pool_size(concurrency),
-    )
+    return ds.map_batches(_lang, batch_format="pyarrow", batch_size=4096)
 
 
 def content_hash(ds, text_col: str = "text", out_col: str = "text_hash"):

@@ -4,6 +4,51 @@ from __future__ import annotations
 
 import ray
 
+# Stabilize fsspec's http module: aiohttp is absent in this sandbox, so
+# `fsspec.implementations.http` can never import. Ray's path resolution
+# re-attempts that import on EVERY dataset creation and only catches
+# ModuleNotFoundError — two threads racing the failing import can observe a
+# partially-torn-down module and get a bare ImportError ("cannot import name
+# 'HTTPFileSystem'") that escapes Ray's handler. Registering a stub module
+# once, serially, makes every later import succeed and is semantically safe:
+# Ray only uses the class in an isinstance() check, which is False for real
+# filesystems.
+try:  # pragma: no cover - import side effect only
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    import fsspec.implementations as _fsimpl  # fsspec itself is installed
+
+    _mod = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:  # aiohttp absent; isinstance() is always False
+        pass
+
+    _mod.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _mod
+    _fsimpl.http = _mod
+
+# Worker-process-level cache for state built from broadcast object-store refs
+# (spatial indexes, sorted lookup arrays). Stateless map_batches TASKS use
+# this instead of an actor pool when the state is cheap to build (<~100ms):
+# the state is built once per worker process and shared by every task that
+# lands there — the same amortization as an actor pool, without reserving
+# CPUs (pools that reserve the whole node starve the read/write operators)
+# and without per-stage actor spinup latency. Heavy state (big models, slow
+# builds) should still use an actor pool.
+_WORKER_STATE_CACHE: dict = {}
+
+
+def cached_state(ref, builder):
+    """Build-once-per-worker state from a `ray.put` broadcast ref."""
+    st = _WORKER_STATE_CACHE.get(ref)
+    if st is None:
+        st = builder(ray.get(ref))
+        _WORKER_STATE_CACHE[ref] = st
+    return st
+
 
 def pool_size(requested: int | None = None, reserve: int = 2, cap: int = 16) -> int:
     """Actor-pool size that never starves the task operators feeding it.

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -44,6 +45,7 @@ class StageCheckpoint:
         self.manifest.setdefault("stage", stage)
         self.manifest.setdefault("lineage", lineage or {})
         self.manifest.setdefault("partitions", {})
+        self._lock = threading.Lock()  # partitions may run concurrently
 
     def _load(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -68,9 +70,10 @@ class StageCheckpoint:
         must write the partition's output under ``tmp_dir`` and return the
         row count; the directory is atomically renamed into place and the
         manifest updated only after the write succeeds."""
-        if key in self.manifest["partitions"]:
-            meta = self.manifest["partitions"][key]
-            return PartitionResult(key, meta["rows"], meta["wall_s"], skipped=True)
+        with self._lock:
+            if key in self.manifest["partitions"]:
+                meta = self.manifest["partitions"][key]
+                return PartitionResult(key, meta["rows"], meta["wall_s"], skipped=True)
         final = self.part_dir(key)
         tmp = os.path.join(self.out_dir, f".tmp-{key}-{os.getpid()}")
         if os.path.exists(tmp):
@@ -82,12 +85,13 @@ class StageCheckpoint:
         rows = write_fn(tmp)
         os.replace(tmp, final)
         wall = time.time() - t0
-        self.manifest["partitions"][key] = {
-            "rows": int(rows),
-            "wall_s": round(wall, 3),
-            "completed_at_unix": round(time.time(), 3),
-        }
-        self._save()
+        with self._lock:
+            self.manifest["partitions"][key] = {
+                "rows": int(rows),
+                "wall_s": round(wall, 3),
+                "completed_at_unix": round(time.time(), 3),
+            }
+            self._save()
         return PartitionResult(key, int(rows), wall, skipped=False)
 
 

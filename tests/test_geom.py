@@ -1,0 +1,96 @@
+"""Geometry kernel tests vs independent brute-force oracles."""
+
+import numpy as np
+
+from gtfs_conflation_pipeline_ray.functions import geom
+
+
+def _rand_line(rng, n):
+    return np.cumsum(rng.normal(0, 10, size=(n, 2)), axis=0)
+
+
+def test_length_and_cum():
+    line = np.array([[0.0, 0.0], [3.0, 4.0], [3.0, 10.0]])
+    assert geom.polyline_length(line) == 11.0
+    assert geom.cum_lengths(line).tolist() == [0.0, 5.0, 11.0]
+
+
+def test_project_points_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    line = _rand_line(rng, 20)
+    pts = rng.normal(0, 30, size=(50, 2))
+    d, along = geom.project_points(pts, line)
+    # brute force: sample densely along the line
+    dense = geom.resample(line, 20000)
+    cl_d = geom.cum_lengths(dense)
+    for i in range(50):
+        dd = np.hypot(*(dense - pts[i]).T)
+        j = np.argmin(dd)
+        assert abs(d[i] - dd[j]) < 0.05
+        assert abs(along[i] - cl_d[j]) < geom.polyline_length(line) / 1000 + 0.1
+
+
+def test_monotonic_fit_no_backtracking():
+    rng = np.random.default_rng(6)
+    line = _rand_line(rng, 30)
+    # points along the line in order, with noise
+    t = np.sort(rng.uniform(0, 1, 10))
+    cl = geom.cum_lengths(line)
+    pts = np.vstack([geom.line_slice_along(line, v * cl[-1], v * cl[-1])[0] for v in t])
+    pts += rng.normal(0, 1, pts.shape)
+    dev, along = geom.fit_points_monotonic(pts, line)
+    assert (np.diff(along) >= -1e-9).all()  # monotone
+    free_dev, _ = geom.project_points(pts, line)
+    assert (dev + 1e-9 >= free_dev).all()  # constrained >= unconstrained
+
+
+def test_monotonic_fit_handles_backtracking_candidates():
+    # U-shaped line: naive nearest-point snapping would backtrack
+    line = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    pts = np.array([[1, -1], [9, 1], [9, 9], [1, 11]], dtype=float)
+    dev, along = geom.fit_points_monotonic(pts, line)
+    assert (np.diff(along) >= 0).all()
+
+
+def test_line_slice_along():
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    sl = geom.line_slice_along(line, 2.0, 7.0)
+    assert np.allclose(sl[0], [2, 0]) and np.allclose(sl[-1], [7, 0])
+    assert abs(geom.polyline_length(sl) - 5.0) < 1e-9
+    # slices tile the line
+    total = sum(
+        geom.polyline_length(geom.line_slice_along(line, 10 * i / 3, 10 * (i + 1) / 3))
+        for i in range(3)
+    )
+    assert abs(total - 10.0) < 1e-9
+
+
+def test_rdp_keeps_endpoints_and_tolerance():
+    rng = np.random.default_rng(8)
+    line = _rand_line(rng, 100)
+    simp = geom.rdp_simplify(line, 5.0)
+    assert (simp[0] == line[0]).all() and (simp[-1] == line[-1]).all()
+    assert len(simp) <= len(line)
+    # every original vertex is within tol-ish of the simplified line
+    d, _ = geom.project_points(line, simp)
+    assert d.max() <= 5.0 + 1e-6
+
+
+def test_frechet_known_values():
+    a = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    b = a + [0.0, 3.0]
+    assert abs(geom.frechet_distance(a, b) - 3.0) < 1e-12
+    assert geom.frechet_distance(a, a) == 0.0
+    # frechet >= hausdorff always
+    rng = np.random.default_rng(9)
+    x, y = _rand_line(rng, 15), _rand_line(rng, 12)
+    assert geom.frechet_distance(x, y) >= geom.hausdorff_distance(x, y) - 1e-9
+
+
+def test_resample_preserves_endpoints():
+    rng = np.random.default_rng(10)
+    line = _rand_line(rng, 17)
+    r = geom.resample(line, 64)
+    assert len(r) == 64
+    assert np.allclose(r[0], line[0]) and np.allclose(r[-1], line[-1])
+    assert abs(geom.polyline_length(r) - geom.polyline_length(line)) < geom.polyline_length(line) * 0.05
