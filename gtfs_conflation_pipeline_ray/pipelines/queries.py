@@ -769,6 +769,190 @@ FROM embeddings
 """
 
 # ---------------------------------------------------------------------------
+# iterative re-match (T3), value distribution (A2), pivot (A7), rank (O4),
+# traffic chain (T6+J7+A3)
+# ---------------------------------------------------------------------------
+
+def q_iterative_match(sf_dir: str):
+    """Round-1 containment match; unmatched points fall back to the nearest
+    tile centroid within radius 4000 (round 2); still-unmatched dropped."""
+    pts = conflation.read_points(sf_dir)
+    out = spatial.best_tile_join(pts, conflation.tiles_ref(sf_dir), "px", "py",
+                                 ["point_id"], radius=4000)
+    return out.select_columns(["point_id", "tile_id", "dist2", "match_round"])
+
+
+SQL_ITERATIVE_MATCH = _CTES + """
+, pip AS (
+  SELECT p.point_id, t.tile_id,
+         (p.px - t.cx) * (p.px - t.cx) + (p.py - t.cy) * (p.py - t.cy) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.point_id
+           ORDER BY (p.px - t.cx) * (p.px - t.cx) + (p.py - t.cy) * (p.py - t.cy), t.tile_id
+         ) AS rn
+  FROM points p JOIN tiles t
+    ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+best1 AS (SELECT point_id, tile_id, dist2, CAST(1 AS BIGINT) AS match_round FROM pip WHERE rn = 1),
+un AS (SELECT * FROM points WHERE point_id NOT IN (SELECT point_id FROM best1)),
+knn AS (
+  SELECT point_id, tile_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY dist2, tile_id) AS rn
+  FROM (
+    SELECT p.point_id, t.tile_id,
+           (p.px - t.cx) * (p.px - t.cx) + (p.py - t.cy) * (p.py - t.cy) AS dist2
+    FROM un p CROSS JOIN tiles t
+  )
+),
+best2 AS (SELECT point_id, tile_id, dist2, CAST(2 AS BIGINT) AS match_round
+          FROM knn WHERE rn = 1 AND dist2 <= 16000000)
+SELECT * FROM best1 UNION ALL SELECT * FROM best2
+"""
+
+
+def q_value_distribution(sf_dir: str):
+    """Distribute each order's total price across its lineitems by quantity
+    share — ≙ A2 travel-time distribution over a joined path
+    (``GtfsConflationScheduleJoinDAO/loaders.js:212-263``)."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _qc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "qc": cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    d = li.map_batches(_qc, batch_format="pyarrow", batch_size=65536)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = d.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _share(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("l_orderkey", sort=False)["qc"].transform("sum").to_numpy()
+        share = g["o_totalprice"].to_numpy() * g["qc"].to_numpy() / tot.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_linenumber": g["l_linenumber"],
+                "share_c": np.floor(share * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    return rel.grouped_agg(joined, ["l_orderkey"], _share)
+
+
+SQL_VALUE_DISTRIBUTION = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(o_totalprice * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+            / SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) OVER (PARTITION BY l_orderkey)
+            * 100 + 0.5) AS BIGINT) AS share_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def q_season_pivot(sf_dir: str):
+    """Pivot the season buckets into columns — ≙ A7 AADT peak pivot
+    (``GtfsConflationScheduleJoinDAO/createTableFns.js:108-202``)."""
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        month = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        qc = cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        cols = {"l_returnflag": batch["l_returnflag"]}
+        for name, months in [("win_c", (12, 1, 2)), ("spr_c", (3, 4, 5)),
+                             ("sum_c", (6, 7, 8)), ("fal_c", (9, 10, 11))]:
+            cols[name] = np.where(np.isin(month, months), qc, 0)
+        return pa.table(cols)
+
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(d, ["l_returnflag"], ["win_c", "spr_c", "sum_c", "fal_c"])
+
+
+SQL_SEASON_PIVOT = """
+SELECT l_returnflag,
+       SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (12, 1, 2)
+                THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS win_c,
+       SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (3, 4, 5)
+                THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS spr_c,
+       SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (6, 7, 8)
+                THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS sum_c,
+       SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (9, 10, 11)
+                THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS fal_c
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_customer_order_rank(sf_dir: str):
+    """RANK() with ties per customer (≙ O4 along_idx rank toposort,
+    ``GtfsConflationMapJoinDAO/loaders.js:319-372``); keep rank <= 3."""
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(_with_cents("o_totalprice", "totalprice_c"), batch_format="pyarrow")
+    orders = orders.select_columns(["o_custkey", "o_orderkey", "totalprice_c"])
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("o_custkey", sort=False)["totalprice_c"].rank(
+            method="min", ascending=False
+        ).astype(np.int64)
+        out = g.assign(price_rank=r)
+        return out[out["price_rank"] <= 3]
+
+    return rel.grouped_agg(orders, ["o_custkey"], _rank)
+
+
+SQL_CUSTOMER_ORDER_RANK = """
+SELECT o_custkey, o_orderkey, totalprice_c, price_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC) AS price_rank
+  FROM orders
+) WHERE price_rank <= 3
+"""
+
+
+def q_traffic_rollup(sf_dir: str):
+    """TripTracker-style chain: per-user ordered segments -> best containing
+    tile of the segment start -> (tile, 5-min epoch) travel-time rollup."""
+    from ..stages import traffic
+
+    pts = _event_shapes(sf_dir)
+    return traffic.traffic_rollup(pts, conflation.tiles_ref(sf_dir))
+
+
+SQL_TRAFFIC_ROLLUP = _CTES + """
+, pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + user_id * 977) % 65536 AS ex,
+         (event_id * 69621 + 13) % 65536 AS ey
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id, ex, ey,
+         (epoch_us(ts) // 1000000) // 300 AS epoch5m,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts)) // 1000 AS tt_ms
+  FROM pts
+),
+seg2 AS (SELECT * FROM seg WHERE tt_ms IS NOT NULL),
+pip AS (
+  SELECT s.event_id, s.epoch5m, s.tt_ms, t.tile_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.event_id
+           ORDER BY (s.ex - t.cx) * (s.ex - t.cx) + (s.ey - t.cy) * (s.ey - t.cy), t.tile_id
+         ) AS rn
+  FROM seg2 s JOIN tiles t
+    ON s.ex BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND s.ey BETWEEN t.cy - t.hh AND t.cy + t.hh
+)
+SELECT tile_id, epoch5m, SUM(tt_ms) AS tt_ms, COUNT(*) AS n_segs
+FROM pip WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # shape/segment kernels over event-derived polylines (SURVEY §2.8, §3.1)
 # ---------------------------------------------------------------------------
 
@@ -876,6 +1060,11 @@ QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
+    "iterative_match": q_iterative_match,
+    "value_distribution": q_value_distribution,
+    "season_pivot": q_season_pivot,
+    "customer_order_rank": q_customer_order_rank,
+    "traffic_rollup": q_traffic_rollup,
     "shape_stats": q_shape_stats,
     "shape_frechet": q_shape_frechet,
     "shape_simplify": q_shape_simplify,
@@ -915,5 +1104,10 @@ ORACLE_SQL = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "iterative_match": SQL_ITERATIVE_MATCH,
+    "value_distribution": SQL_VALUE_DISTRIBUTION,
+    "season_pivot": SQL_SEASON_PIVOT,
+    "customer_order_rank": SQL_CUSTOMER_ORDER_RANK,
+    "traffic_rollup": SQL_TRAFFIC_ROLLUP,
     "shape_stats": SQL_SHAPE_STATS,
 }

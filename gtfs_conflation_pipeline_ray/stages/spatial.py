@@ -77,6 +77,57 @@ def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[s
     return points.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
 
 
+def best_tile_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
+                   radius: int | None = None):
+    """One row per point: the BEST matching tile — the containing tile with
+    min (squared centroid distance, tile_id); if none contains the point and
+    ``radius`` is given, fall back to the nearest tile centroid within that
+    radius (``match_round`` 1 = containment, 2 = radius fallback). Points with
+    no match are dropped.
+
+    ≙ the reference's iterative re-match driver loop (T3,
+    ``shstMatchFeatures.js:283-379``): round 1 = direct match, later rounds
+    relax geometry for the unmatched remainder — here both rounds are
+    resolved in ONE map-side pass per batch (the candidate set for a point
+    never crosses a batch boundary, so the argmin is exact)."""
+
+    def _best(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, ti = st.index.query_points(px, py)
+        d2 = (px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2
+        tid = st.index.tile_id[ti]
+        order = np.lexsort((tid, d2, pi))
+        pi_s = pi[order]
+        first = np.ones(len(pi_s), dtype=bool)
+        first[1:] = pi_s[1:] != pi_s[:-1]
+        sel_pi = pi_s[first]
+        sel_tid = tid[order][first]
+        sel_d2 = d2[order][first]
+        rounds = np.ones(len(sel_pi), dtype=np.int64)
+        if radius is not None:
+            matched = np.zeros(len(px), dtype=bool)
+            matched[sel_pi] = True
+            un = np.flatnonzero(~matched)
+            if len(un):
+                qi, ti2, d2k = st.index.knn_centroids(px[un], py[un], 1)
+                inrad = d2k <= radius * radius
+                sel_pi = np.concatenate([sel_pi, un[qi[inrad]]])
+                sel_tid = np.concatenate([sel_tid, st.index.tile_id[ti2[inrad]]])
+                sel_d2 = np.concatenate([sel_d2, d2k[inrad]])
+                rounds = np.concatenate([rounds, np.full(int(inrad.sum()), 2, dtype=np.int64)])
+        cols: dict[str, object] = {}
+        for c in carry_cols:
+            cols[c] = batch[c].take(pa.array(sel_pi))
+        cols["tile_id"] = sel_tid
+        cols["dist2"] = sel_d2
+        cols["match_round"] = rounds
+        return pa.table(cols)
+
+    return points.map_batches(_best, batch_format="pyarrow", batch_size=32768)
+
+
 def knn_join(points, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str],
              concurrency=None):
     """k-nearest-tile join (exact, deterministic tie-break by tile_id)."""
