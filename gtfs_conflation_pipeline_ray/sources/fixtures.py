@@ -140,15 +140,37 @@ def ref_tiles_table(n_tiles: int, seed: int = SEED) -> pa.Table:
     )
 
 
+def _write_shard(args) -> str:
+    import pyarrow.parquet as pq
+
+    out_dir, s, lo, hi, n_images, seed = args
+    path = f"{out_dir}/images/part-{s:05d}.parquet"
+    # small row groups: row-group-granular work units for shard-local stages
+    # and effective min/max pruning for phash-range partition reads
+    pq.write_table(images_table_range(lo, hi, n_images, seed), path,
+                   row_group_size=4096)
+    return path
+
+
 def write_fixture(out_dir: str, n_images: int, n_tiles: int, seed: int = SEED,
-                  rows_per_file: int = 25000) -> None:
+                  rows_per_file: int = 25000, parallel: bool = True) -> None:
     """Materialize the fixture as a multi-file parquet dataset (one file per
-    row-range shard, so reads parallelize like a real multi-shard table)."""
+    row-range shard, so reads parallelize like a real multi-shard table).
+    Shards generate in parallel processes — per-row seeding makes every shard
+    independent of generation order."""
     import pyarrow.parquet as pq
 
     os.makedirs(f"{out_dir}/images", exist_ok=True)
-    for s, lo in enumerate(range(0, n_images, rows_per_file)):
-        hi = min(lo + rows_per_file, n_images)
-        pq.write_table(images_table_range(lo, hi, n_images, seed),
-                       f"{out_dir}/images/part-{s:05d}.parquet")
+    jobs = [
+        (out_dir, s, lo, min(lo + rows_per_file, n_images), n_images, seed)
+        for s, lo in enumerate(range(0, n_images, rows_per_file))
+    ]
+    if parallel and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(len(jobs), os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_shard, jobs))
+    else:
+        for j in jobs:
+            _write_shard(j)
     pq.write_table(ref_tiles_table(n_tiles, seed), f"{out_dir}/ref_tiles.parquet")
