@@ -1022,6 +1022,203 @@ def q_stop_fit(sf_dir: str):  # rows-only (monotonic DP fit, no SQL)
 
 
 # ---------------------------------------------------------------------------
+# unit normalizer (M17), redundancy removal (D4), dow expansion (J10),
+# subsequence containment (D6), LSH-ANN scale path
+# ---------------------------------------------------------------------------
+
+_UNIT_FACTORS = [("ft", 3280.839895013123), ("km", 1.0), ("m", 1000.0),
+                 ("mi", 0.6213711922373339)]
+
+
+def q_unit_normalize(sf_dir: str):
+    """Mixed-unit distance normalizer: each shape reports its length in one
+    of {km, m, mi, ft}; recover the unit by argmin deviation against the
+    computed length — ≙ M17 shape_dist_traveled unit inference
+    (``/root/reference/src/daos/GeoJsonGtfsDAO/generators.js:19-94``)."""
+    from ..stages import segments
+
+    stats = segments.shape_stats(_event_shapes(sf_dir))
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        true_km = batch["length_c"].to_numpy(zero_copy_only=False) / 100.0 / 1000.0
+        # per-shape "reported" unit cycles with user_id (same CASE as the SQL)
+        fsel = np.array([f for _, f in _UNIT_FACTORS])[uid % 4]
+        reported = true_km * fsel
+        best_dev = np.full(len(uid), np.inf)
+        best_unit = np.empty(len(uid), dtype=object)
+        best_norm = np.zeros(len(uid))
+        for u, f in sorted(_UNIT_FACTORS):  # deterministic unit-name order
+            norm = reported / f
+            dev = np.abs(norm - true_km)
+            take = dev < best_dev
+            best_dev = np.where(take, dev, best_dev)
+            best_norm = np.where(take, norm, best_norm)
+            best_unit[take] = u
+        return pa.table(
+            {
+                "user_id": uid,
+                "unit": pa.array(list(best_unit), type=pa.string()),
+                "norm_km_q6": cents(best_norm, 1000000),
+            }
+        )
+
+    return stats.map_batches(_norm, batch_format="pyarrow")
+
+
+SQL_UNIT_NORMALIZE = """
+WITH o AS (
+  SELECT user_id, ex, ey,
+         lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px,
+         lag(ey) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py
+  FROM (SELECT user_id, ts, event_id,
+               (event_id * 48271 + user_id * 977) % 65536 AS ex,
+               (event_id * 69621 + 13) % 65536 AS ey FROM events)
+),
+s AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN px IS NULL THEN NULL ELSE
+           CAST(FLOOR(sqrt(CAST((ex - px) * (ex - px) + (ey - py) * (ey - py) AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+         END), 0) AS BIGINT) AS length_c
+  FROM o GROUP BY user_id
+),
+rep AS (
+  SELECT user_id, length_c / 100.0 / 1000.0 AS true_km,
+         length_c / 100.0 / 1000.0 *
+         CASE user_id % 4 WHEN 0 THEN 3280.839895013123 WHEN 1 THEN 1.0
+                          WHEN 2 THEN 1000.0 ELSE 0.6213711922373339 END AS reported
+  FROM s
+),
+cand AS (
+  SELECT user_id, u.u AS unit, rep.reported / u.f AS norm_km,
+         abs(rep.reported / u.f - rep.true_km) AS dev
+  FROM rep CROSS JOIN (VALUES ('ft', 3280.839895013123), ('km', 1.0),
+                              ('m', 1000.0), ('mi', 0.6213711922373339)) u(u, f)
+)
+SELECT user_id, unit, CAST(FLOOR(norm_km * 1000000 + 0.5) AS BIGINT) AS norm_km_q6
+FROM (SELECT user_id, unit, norm_km,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, unit) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+
+
+def q_redundant_candidates(sf_dir: str):
+    """Per probe point, drop candidate tiles whose rectangle is strictly
+    covered by another candidate's rectangle — ≙ D4 redundant-match removal
+    (``SharedStreetsMatcher/removeRedundantMatches.js:4-85``). Keep rule:
+    drop A when a candidate B contains A's rect and (area_B > area_A or
+    equal-area tie-break by smaller tile_id)."""
+    pts = conflation.read_points(sf_dir)
+    ref = conflation.tiles_ref(sf_dir)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+        from ..stages.spatial import _TileState
+
+        st: _TileState = cached_state(ref, _TileState)
+        px = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, ti = st.index.query_points(px, py)
+        order = np.lexsort((ti, pi))
+        pi, ti = pi[order], ti[order]
+        ix = st.index
+        x0, y0, x1, y1 = ix.x0[ti], ix.y0[ti], ix.x1[ti], ix.y1[ti]
+        area = (x1 - x0) * (y1 - y0)
+        tid = ix.tile_id[ti]
+        keep = np.ones(len(pi), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+        ends = np.append(starts[1:], len(pi))
+        for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
+            for a in range(s, e):
+                for b in range(s, e):
+                    if a == b:
+                        continue
+                    if (x0[b] <= x0[a] and y0[b] <= y0[a] and x1[b] >= x1[a]
+                            and y1[b] >= y1[a]
+                            and (area[b] > area[a]
+                                 or (area[b] == area[a] and tid[b] < tid[a]))):
+                        keep[a] = False
+                        break
+        return pa.table({"point_id": pid[pi[keep]], "tile_id": tid[keep]})
+
+    return pts.map_batches(_filter, batch_format="pyarrow", batch_size=32768)
+
+
+SQL_REDUNDANT_CANDIDATES = _CTES + """
+, pairs AS (
+  SELECT p.point_id, t.tile_id,
+         t.cx - t.hw AS x0, t.cy - t.hh AS y0, t.cx + t.hw AS x1, t.cy + t.hh AS y1,
+         4 * t.hw * t.hh AS area
+  FROM points p JOIN tiles t
+    ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+)
+SELECT a.point_id, a.tile_id FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.point_id = a.point_id AND b.tile_id <> a.tile_id
+    AND b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1
+    AND (b.area > a.area OR (b.area = a.area AND b.tile_id < a.tile_id))
+)
+"""
+
+
+def q_order_dow_counts(sf_dir: str):
+    """Orders per day-of-week (0=Sunday) — ≙ J10 calendar dow-membership
+    (``GtfsScheduledTrafficDAO/createTableFns.js:395-457``). dow computed
+    with engine-identical integer arithmetic (1970-01-01 = Thursday)."""
+    orders = _rp(sf_dir, "orders", ["o_orderdate"])
+
+    def _dow(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"dow": ((us // 86400000000) + 4) % 7})
+
+    d = orders.map_batches(_dow, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(d, ["dow"], [], count_as="n_orders")
+
+
+SQL_ORDER_DOW_COUNTS = """
+SELECT ((epoch_us(o_orderdate) // 86400000000) + 4) % 7 AS dow, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_doc_containment(sf_dir: str):  # rows-only (subset algorithm, no SQL)
+    """Pairs (a, b) in the same (lang, source) block where a's token SET is
+    contained in b's — ≙ D6/isSubset redundancy detection
+    (``src/utils/stringAlgorithms.js:9-60``). Blocked grouped compare."""
+    from ..functions.text import _WORD_RE
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["lang", "source"], sort=False):
+            ids = grp["doc_id"].to_numpy()
+            sets = [frozenset(w.lower() for w in _WORD_RE.findall(t)) for t in grp["text"]]
+            for i in range(len(ids)):
+                for j in range(len(ids)):
+                    if i != j and sets[i] and sets[i] <= sets[j]:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
+                             "doc_b": np.array(out_b, dtype=np.int64)})
+
+    return rel.bucketed_groups(docs, ["lang", "source"], _pairs)
+
+
+def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qtab.filter(pc.less(qtab["vec_id"], 8))
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    out = ann.lsh_topk(emb, ray.put(qtab), k=5)
+    return out.map_batches(_sim_q4, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1065,6 +1262,11 @@ QUERIES = {
     "season_pivot": q_season_pivot,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
+    "unit_normalize": q_unit_normalize,
+    "redundant_candidates": q_redundant_candidates,
+    "order_dow_counts": q_order_dow_counts,
+    "doc_containment": q_doc_containment,
+    "ann_lsh": q_ann_lsh,
     "shape_stats": q_shape_stats,
     "shape_frechet": q_shape_frechet,
     "shape_simplify": q_shape_simplify,
@@ -1109,5 +1311,8 @@ ORACLE_SQL = {
     "season_pivot": SQL_SEASON_PIVOT,
     "customer_order_rank": SQL_CUSTOMER_ORDER_RANK,
     "traffic_rollup": SQL_TRAFFIC_ROLLUP,
+    "unit_normalize": SQL_UNIT_NORMALIZE,
+    "redundant_candidates": SQL_REDUNDANT_CANDIDATES,
+    "order_dow_counts": SQL_ORDER_DOW_COUNTS,
     "shape_stats": SQL_SHAPE_STATS,
 }

@@ -92,8 +92,8 @@ SELECT p_partkey                                        AS tile_id,
        p_size % 8                                       AS level,
        (p_partkey * 40503 + p_size * 257) % 65536       AS cx,
        (p_partkey * 9973 + p_size * 101) % 65536        AS cy,
-       200 + (p_partkey % 13) * 40                      AS hw,
-       200 + (p_partkey % 7) * 60                       AS hh
+       40 + (p_partkey % 31) * 97                       AS hw,
+       40 + (p_partkey % 23) * 131                      AS hh
 FROM part
 """
 
@@ -108,8 +108,8 @@ def tiles_batch(t: pa.Table) -> pa.Table:
             "level": sz % 8,
             "cx": (pk * 40503 + sz * 257) % WORLD,
             "cy": (pk * 9973 + sz * 101) % WORLD,
-            "hw": 200 + (pk % 13) * 40,
-            "hh": 200 + (pk % 7) * 60,
+            "hw": 40 + (pk % 31) * 97,
+            "hh": 40 + (pk % 23) * 131,
         }
     )
 
