@@ -148,8 +148,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    n_lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    n_hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    n_lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # The sandbox VM's throughput drifts ~2x between runs (shared host), so
     # interleave the two levels and take the best run per level — both levels

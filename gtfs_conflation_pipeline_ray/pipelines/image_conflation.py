@@ -178,12 +178,36 @@ def validate_images(images_dir: str, concurrency: int | None = None):
     return ds.map_batches(_validate_shard, batch_format="pyarrow", batch_size=1)
 
 
+def shard_partitions(images_dir: str, n_partitions: int) -> list[tuple[str, list[str]]]:
+    """Input-shard partitioning: the sorted file list chunked into
+    ``n_partitions`` contiguous groups — "one output directory per input
+    shard". No redundant scans (each partition reads exactly its files; a
+    phash-RANGE partition over spatially-unsorted input re-reads every row
+    group per partition). Deterministic: file order is lexicographic and the
+    grouping depends only on (file list, n_partitions), which the manifest
+    pins for resume."""
+    import glob
+
+    files = sorted(glob.glob(f"{images_dir}/*.parquet"))
+    n = max(1, min(n_partitions, len(files)))
+    per = (len(files) + n - 1) // n
+    return [
+        (f"{i:04d}", files[i * per : (i + 1) * per])
+        for i in range((len(files) + per - 1) // per)
+    ]
+
+
 def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
                  n_partitions: int = 8, concurrency: int | None = None,
-                 validate: bool = False) -> dict:
-    """Checkpointed end-to-end run: per phash-range partition, write
-    ``matches/part-K`` (all candidate pairs + best flags); then global
-    tile_stats + cell_stats from the committed partitions. Returns metrics.
+                 validate: bool = False, partition_by: str = "shard") -> dict:
+    """Checkpointed end-to-end run: per partition, write ``matches/part-K``
+    (all candidate pairs + best flags); then global tile_stats + cell_stats
+    from the committed partitions. Returns metrics.
+
+    ``partition_by``: "shard" (default — input-file groups; no redundant
+    scans) or "phash" (key ranges; right when the table is laid out /
+    clustered by phash so row-group stats prune, the layout a 100 TB
+    deployment would use).
 
     Resumable: completed partitions are skipped via the manifest; outputs are
     deterministic (content-derived ordering, SURVEY §7.6-1/7)."""
@@ -192,10 +216,11 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
     tiles_ref = ray.put(pq.read_table(ref_tiles_path))
     ck = StageCheckpoint(f"{out_dir}/matches", "matches",
                          lineage={"images": images_dir, "ref_tiles": ref_tiles_path,
-                                  "cell_bits": CELL_BITS, "n_partitions": n_partitions})
+                                  "cell_bits": CELL_BITS, "n_partitions": n_partitions,
+                                  "partition_by": partition_by})
 
-    def _write(tmp_dir: str, lo, hi) -> int:
-        ds = match_images(images_dir, tiles_ref, (lo, hi), concurrency)
+    def _write(tmp_dir: str, src, phash_range) -> int:
+        ds = match_images(src, tiles_ref, phash_range, concurrency)
         ds = ds.sort(["image_id", "tile_id"])  # deterministic output order
         ds.write_parquet(tmp_dir)
         # row count from the written files' parquet footers — no re-execution
@@ -206,18 +231,22 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
             _pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{tmp_dir}/*.parquet")
         )
 
+    if partition_by == "shard":
+        jobs = [(key, files, None) for key, files in shard_partitions(images_dir, n_partitions)]
+    else:
+        jobs = [(key, images_dir, (lo, hi)) for key, lo, hi in phash_partitions(n_partitions)]
+
     # Partitions run CONCURRENTLY (thread per partition; Ray Data executions
     # share the cluster with backpressure) — a sequential partition loop pays
     # per-execution spinup serially and wrecks scaling. Checkpoint manifest
     # updates are thread-safe (StageCheckpoint holds a lock).
     from concurrent.futures import ThreadPoolExecutor
 
-    parts = phash_partitions(n_partitions)
-    with ThreadPoolExecutor(max_workers=min(len(parts), 8)) as pool:
+    with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
         results = list(
             pool.map(
-                lambda p: ck.run_partition(p[0], lambda tmp: _write(tmp, p[1], p[2])),
-                parts,
+                lambda j: ck.run_partition(j[0], lambda tmp: _write(tmp, j[1], j[2])),
+                jobs,
             )
         )
 
@@ -233,16 +262,26 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
     )
     if not part_files:
         return {"partitions": [(r.key, r.rows, r.skipped) for r in results], "match_rows": 0}
-    matches = ray.data.read_parquet(part_files)
+    # column-pruned reads (int columns only — never re-decode the string
+    # payload columns); the two rollups run concurrently
     from ..stages.relational import partial_groupby_sum
 
-    best = matches.map_batches(
-        lambda t: t.filter(t["is_best"]), batch_format="pyarrow"
-    )
-    tile_stats = partial_groupby_sum(best, ["tile_id"], [], count_as="n_images")
-    tile_stats.write_parquet(f"{out_dir}/tile_stats")
-    cell_stats = partial_groupby_sum(matches, ["cell_id"], [], count_as="n_pairs")
-    cell_stats.write_parquet(f"{out_dir}/cell_stats")
+    def _tile_stats():
+        best = ray.data.read_parquet(part_files, columns=["tile_id", "is_best"]).map_batches(
+            lambda t: t.filter(t["is_best"]).select(["tile_id"]), batch_format="pyarrow"
+        )
+        partial_groupby_sum(best, ["tile_id"], [], count_as="n_images").write_parquet(
+            f"{out_dir}/tile_stats"
+        )
+
+    def _cell_stats():
+        cells = ray.data.read_parquet(part_files, columns=["cell_id"])
+        partial_groupby_sum(cells, ["cell_id"], [], count_as="n_pairs").write_parquet(
+            f"{out_dir}/cell_stats"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f(), [_tile_stats, _cell_stats]))
     metrics = {
         "partitions": [(r.key, r.rows, r.skipped) for r in results],
         "match_rows": sum(r.rows for r in results),
