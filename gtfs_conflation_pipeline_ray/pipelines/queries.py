@@ -1218,6 +1218,57 @@ def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
+def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
+    """Chunked sequential path selection per user shape: one chosen tile per
+    ordered event point, continuity-penalized — ≙ chooseShstMatchesForShape
+    (see stages/choose.py)."""
+    from ..stages.choose import viterbi_choose
+
+    pts = _event_shapes(sf_dir)
+
+    def _seq(batch: pa.Table) -> pa.Table:
+        # sequence index inside the shape comes from (ts, event_id) order;
+        # use event_id as a deterministic sequence surrogate (monotone enough
+        # for grouping; the chooser re-sorts per shape anyway)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "seq": batch["event_id"],
+                "ex": batch["ex"],
+                "ey": batch["ey"],
+            }
+        )
+
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    return viterbi_choose(segs, conflation.tiles_ref(sf_dir), "user_id", "seq", "ex", "ey")
+
+
+def q_row_parity_counts(sf_dir: str):
+    """Data-quality counters — ≙ A8 COUNT sanity checks
+    (``RawGtfsDAO/loaders.js:87-117``): single row of global counts."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey"])
+    n_li = li.count()
+    n_ord = orders.count()
+    ok = np.array(li.unique("l_orderkey"), dtype=np.int64)
+    no_lines = rel.anti_join_keys(orders, "o_orderkey", ray.put(ok)).count()
+    return pa.table(
+        {
+            "n_lineitems": pa.array([n_li], type=pa.int64()),
+            "n_orders": pa.array([n_ord], type=pa.int64()),
+            "n_orders_wo_lines": pa.array([no_lines], type=pa.int64()),
+        }
+    )
+
+
+SQL_ROW_PARITY_COUNTS = """
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+       (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)) AS n_orders_wo_lines
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1262,6 +1313,8 @@ QUERIES = {
     "season_pivot": q_season_pivot,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
+    "choose_path": q_choose_path,
+    "row_parity_counts": q_row_parity_counts,
     "unit_normalize": q_unit_normalize,
     "redundant_candidates": q_redundant_candidates,
     "order_dow_counts": q_order_dow_counts,
@@ -1311,6 +1364,7 @@ ORACLE_SQL = {
     "season_pivot": SQL_SEASON_PIVOT,
     "customer_order_rank": SQL_CUSTOMER_ORDER_RANK,
     "traffic_rollup": SQL_TRAFFIC_ROLLUP,
+    "row_parity_counts": SQL_ROW_PARITY_COUNTS,
     "unit_normalize": SQL_UNIT_NORMALIZE,
     "redundant_candidates": SQL_REDUNDANT_CANDIDATES,
     "order_dow_counts": SQL_ORDER_DOW_COUNTS,

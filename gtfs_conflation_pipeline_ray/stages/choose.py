@@ -1,0 +1,127 @@
+"""Chunked sequential path selection — the engine's re-expression of the
+reference's `chooseShstMatchesForShape` core (SURVEY.md §3.2 Step B):
+
+The reference builds a subgraph per shape segment (nodes = match endpoints,
+edges = candidate matches weighted by len x RMSD), walks Dijkstra paths,
+then anneals thresholds and enumerates up to O(2^n) path combinations to pick
+the chain of matches that best covers the shape
+(``/root/reference/src/services/Conflation/chooseShstMatchesForShape/``:
+``buildShstMatchSubGraphsPerGtfsShapeSegment.js:17-113``,
+``createPathLineStrings.js:12-78``, ``findNonAxiomaticPaths.js:12-320``).
+
+Here the same argmax-coverage-with-continuity semantics are a per-shape
+VITERBI dynamic program: for each segment of the shape, the candidate set is
+its containing tiles; the chosen chain minimizes
+
+    sum(segment->tile squared centroid distance)
+  + switch_penalty * (#tile changes between consecutive matched segments)
+
+which preserves the reference's objective shape (prefer locally-best matches,
+penalize fragmented chains) while replacing the exponential combination
+search with an exact O(n * c^2) DP — bounded, deterministic, and safe for
+skewed shapes (candidate sets capped at MAX_CANDIDATES by (dist2, tile_id);
+SURVEY §7.6-2).
+
+Partitioning assumption: one shape = one group (bucketed by shape key); the
+DP never crosses a shape boundary. Ties resolve to the first (lowest-index)
+candidate, which is deterministic because candidates are pre-sorted by
+(dist2, tile_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .relational import bucketed_groups
+from .util import cached_state
+
+MAX_CANDIDATES = 16  # per-segment cap (deterministic: best by (dist2, tile_id))
+
+
+def _viterbi(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
+             switch_penalty: float) -> np.ndarray:
+    """Exact min-cost chain through per-step candidate sets. Returns the
+    chosen candidate VALUE per step (len == len(cand_t))."""
+    costs: list[np.ndarray] = []
+    backs: list[np.ndarray] = []
+    prev_cost: np.ndarray | None = None
+    prev_t: np.ndarray | None = None
+    for t, c in zip(cand_t, cand_c):
+        if prev_cost is None:
+            cost = c.astype(np.float64).copy()
+            back = np.full(len(t), -1, dtype=np.int64)
+        else:
+            trans = prev_cost[:, None] + np.where(
+                prev_t[:, None] == t[None, :], 0.0, switch_penalty
+            )
+            back = np.argmin(trans, axis=0)
+            cost = trans[back, np.arange(len(t))] + c
+        costs.append(cost)
+        backs.append(back)
+        prev_cost, prev_t = cost, t
+    out = np.empty(len(cand_t), dtype=np.int64)
+    j = int(np.argmin(prev_cost))
+    for k in range(len(cand_t) - 1, -1, -1):
+        out[k] = cand_t[k][j]
+        j = int(backs[k][j])
+    return out
+
+
+def viterbi_choose(segments_ds, tiles_ref, shape_col: str, seq_col: str,
+                   x_col: str, y_col: str, switch_penalty: float = 1e7):
+    """Per shape: choose one tile per segment from its candidate containment
+    set, minimizing total squared centroid distance + switch penalty per tile
+    change. Segments with no candidates are skipped by the chain (emitted
+    with tile_id = -1). Returns (shape_col, seq_col, tile_id, n_candidates).
+    """
+
+    def _choose(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values([shape_col, seq_col], kind="mergesort")
+        px = d[x_col].to_numpy().astype(np.int64)
+        py = d[y_col].to_numpy().astype(np.int64)
+        sid = d[shape_col].to_numpy()
+        seq = d[seq_col].to_numpy().astype(np.int64)
+        n = len(d)
+
+        pi, ti = ix.query_points(px, py)
+        d2 = ((px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2).astype(np.float64)
+        tids = ix.tile_id[ti]
+        order = np.lexsort((tids, d2, pi))
+        pi, tids, d2 = pi[order], tids[order], d2[order]
+
+        empty_t, empty_c = np.empty(0, np.int64), np.empty(0, np.float64)
+        cand_t: list[np.ndarray] = [empty_t] * n
+        cand_c: list[np.ndarray] = [empty_c] * n
+        if len(pi):
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.append(starts[1:], len(pi))
+            for s, e in zip(starts, ends):
+                e = min(e, s + MAX_CANDIDATES)
+                cand_t[pi[s]] = tids[s:e]
+                cand_c[pi[s]] = d2[s:e]
+
+        out_tile = np.full(n, -1, dtype=np.int64)
+        sh_starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]]) if n else []
+        sh_ends = np.append(sh_starts[1:], n) if n else []
+        for ss, se in zip(sh_starts, sh_ends):
+            idxs = [i for i in range(ss, se) if len(cand_t[i])]
+            if not idxs:
+                continue
+            chosen = _viterbi([cand_t[i] for i in idxs], [cand_c[i] for i in idxs],
+                              switch_penalty)
+            out_tile[idxs] = chosen
+        return pd.DataFrame(
+            {
+                shape_col: sid,
+                seq_col: seq,
+                "tile_id": out_tile,
+                "n_candidates": np.array([len(c) for c in cand_t], dtype=np.int64),
+            }
+        )
+
+    return bucketed_groups(segments_ds, [shape_col], _choose)

@@ -1,0 +1,87 @@
+"""Tests for the Viterbi chunked path chooser against hand-computed and
+brute-force oracles."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gtfs_conflation_pipeline_ray.stages.choose import _viterbi
+
+
+def brute_force_chain(cand_t, cand_c, penalty):
+    best, best_cost = None, np.inf
+    for combo in itertools.product(*[range(len(t)) for t in cand_t]):
+        cost = sum(cand_c[k][j] for k, j in enumerate(combo))
+        for k in range(1, len(combo)):
+            if cand_t[k][combo[k]] != cand_t[k - 1][combo[k - 1]]:
+                cost += penalty
+        if cost < best_cost:
+            best_cost = cost
+            best = [int(cand_t[k][j]) for k, j in enumerate(combo)]
+    return best, best_cost
+
+
+def test_viterbi_prefers_continuity():
+    # tile 1 slightly worse per step but continuous; tile of the day changes
+    cand_t = [np.array([1, 2]), np.array([1, 3]), np.array([1, 4])]
+    cand_c = [np.array([2.0, 1.0])] * 3
+    out = _viterbi(cand_t, cand_c, switch_penalty=10.0)
+    assert out.tolist() == [1, 1, 1]
+    # with no penalty, picks local best each step
+    out = _viterbi(cand_t, cand_c, switch_penalty=0.0)
+    assert out.tolist() == [2, 3, 4]
+
+
+def test_viterbi_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = rng.integers(1, 6)
+        cand_t = [rng.choice(10, size=rng.integers(1, 4), replace=False).astype(np.int64)
+                  for _ in range(n)]
+        cand_c = [rng.uniform(0, 5, size=len(t)) for t in cand_t]
+        out = _viterbi(cand_t, cand_c, switch_penalty=3.0)
+        want, want_cost = brute_force_chain(cand_t, cand_c, 3.0)
+        # cost of the viterbi chain must equal the brute-force optimum
+        got_cost = sum(
+            cand_c[k][list(cand_t[k]).index(out[k])] for k in range(n)
+        ) + 3.0 * sum(out[k] != out[k - 1] for k in range(1, n))
+        assert got_cost == pytest.approx(want_cost)
+
+
+def test_viterbi_choose_stage(ray_session):
+    """End-to-end over a tiny dataset: two shapes, one gap segment."""
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.choose import viterbi_choose
+
+    tiles = pa.table(
+        {
+            "tile_id": np.array([0, 1], dtype=np.int64),
+            "ref_id": ["R0", "R1"],
+            "level": np.array([0, 0], dtype=np.int64),
+            "cx": np.array([100, 500], dtype=np.int64),
+            "cy": np.array([100, 500], dtype=np.int64),
+            "hw": np.array([80, 80], dtype=np.int64),
+            "hh": np.array([80, 80], dtype=np.int64),
+        }
+    )
+    segs = pd.DataFrame(
+        {
+            "shape": ["a", "a", "a", "b"],
+            "seq": [0, 1, 2, 0],
+            "x": [90, 10000, 110, 510],  # middle point hits no tile
+            "y": [90, 10000, 110, 510],
+        }
+    )
+    ds = ray.data.from_pandas(segs)
+    out = (
+        viterbi_choose(ds, ray.put(tiles), "shape", "seq", "x", "y")
+        .to_pandas()
+        .sort_values(["shape", "seq"])
+        .reset_index(drop=True)
+    )
+    assert out["tile_id"].tolist() == [0, -1, 0, 1]
+    assert out["n_candidates"].tolist() == [1, 0, 1, 1]
