@@ -221,7 +221,15 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
 
     def _write(tmp_dir: str, src, phash_range) -> int:
         ds = match_images(src, tiles_ref, phash_range, concurrency)
-        ds = ds.sort(["image_id", "tile_id"])  # deterministic output order
+        # Local (per-block) canonical ordering instead of a global sort: the
+        # row MULTISET per partition is deterministic (content-derived), and
+        # parity/resume checks compare canonically sorted content — so the
+        # all-to-all sort shuffle buys nothing but wall time. Each written
+        # block is internally ordered by (image_id, tile_id).
+        ds = ds.map_batches(
+            lambda t: t.sort_by([("image_id", "ascending"), ("tile_id", "ascending")]),
+            batch_format="pyarrow",
+        )
         ds.write_parquet(tmp_dir)
         # row count from the written files' parquet footers — no re-execution
         import glob
@@ -242,7 +250,14 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
     # updates are thread-safe (StageCheckpoint holds a lock).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # concurrent partition jobs amortize per-execution spinup, but more
+    # in-flight executions than ~cpus/2 just thrash the scheduler
+    workers = max(1, min(len(jobs), 8, cpus // 2))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         results = list(
             pool.map(
                 lambda j: ck.run_partition(j[0], lambda tmp: _write(tmp, j[1], j[2])),
