@@ -208,6 +208,79 @@ def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
 
 
+def bearing_splits(coords: np.ndarray, max_turn_deg: float = 67.5) -> list[np.ndarray]:
+    """Split a polyline wherever the bearing change between consecutive
+    segments exceeds ``max_turn_deg`` — ≙ M9 smoothness splitter
+    (``src/utils/splitLineStringUsingSmoothness.js:12-101``). Returns the
+    list of sub-polylines (shared split vertices)."""
+    if len(coords) < 3:
+        return [coords.copy()]
+    b = bearings(coords)
+    turn = np.abs((np.diff(b) + 180.0) % 360.0 - 180.0)
+    cuts = np.flatnonzero(turn > max_turn_deg) + 1  # vertex indices
+    parts = []
+    prev = 0
+    for c in cuts:
+        parts.append(coords[prev : c + 1])
+        prev = c
+    parts.append(coords[prev:])
+    return parts
+
+
+def cospatial_intervals(a: np.ndarray, b: np.ndarray, buffer_dist: float,
+                        step: float) -> list[tuple[float, float]]:
+    """Along-line intervals of A that are cospatial with B: walk A at
+    ``step`` resolution, mark samples within ``buffer_dist`` of B, merge
+    consecutive marked samples into (start_along, end_along) intervals —
+    ≙ J5 cospatiality offsets
+    (``utils/gis/getCospatialityOfLinestrings.js:85-166``, buffered
+    intersection + offsets-along). Short islands below one step vanish, like
+    the reference's 2 m short-seg cleanup (:446-476)."""
+    total = polyline_length(a)
+    if total <= 0 or len(b) < 2:
+        return []
+    n = max(int(np.ceil(total / step)) + 1, 2)
+    samples = resample(a, n)
+    d, _ = project_points(samples, b)
+    inside = d <= buffer_dist
+    alongs = np.linspace(0.0, total, n)
+    # vectorized run extraction: starts where inside begins, ends where it stops
+    diff = np.diff(inside.astype(np.int8))
+    starts = np.flatnonzero(diff == 1) + 1
+    ends = np.flatnonzero(diff == -1)
+    if inside[0]:
+        starts = np.r_[0, starts]
+    if inside[-1]:
+        ends = np.r_[ends, n - 1]
+    return [(alongs[s], alongs[e]) for s, e in zip(starts, ends) if alongs[e] > alongs[s]]
+
+
+def merge_chains(lines: list[np.ndarray], tol: float) -> list[np.ndarray]:
+    """Greedy end-to-start geospatial merge: repeatedly join a line whose
+    start is within ``tol`` of another's end (gap bridged by concatenation)
+    — ≙ mergeLineStringsGeospatially
+    (``utils/gis/mergeLineStringsGeospatially.js:8-107``). Deterministic:
+    lines are processed in input order, joins pick the first match."""
+    parts = [l.copy() for l in lines if len(l) >= 2]
+    merged = True
+    while merged and len(parts) > 1:
+        merged = False
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if i == j:
+                    continue
+                if np.hypot(*(parts[i][-1] - parts[j][0])) <= tol:
+                    joined = np.vstack([parts[i], parts[j][1:]]) if np.hypot(
+                        *(parts[i][-1] - parts[j][0])
+                    ) == 0 else np.vstack([parts[i], parts[j]])
+                    parts = [p for k, p in enumerate(parts) if k not in (i, j)] + [joined]
+                    merged = True
+                    break
+            if merged:
+                break
+    return parts
+
+
 def rmsd_to_line(points: np.ndarray, line: np.ndarray) -> float:
     """Root-mean-square snap deviation of points to the line — the
     reference's match edge weight (``buildShstMatchSubGraphsPerGtfsShapeSegment.js:17-44``)."""

@@ -1015,6 +1015,24 @@ def q_shape_snap_stats(sf_dir: str):  # rows-only (quantile snap stats, no SQL)
     return segments.shape_snap_stats(_event_shapes(sf_dir))
 
 
+def q_shape_bearing_split(sf_dir: str):  # rows-only (smoothness splitter M9)
+    from ..stages import segments
+
+    return segments.shape_bearing_splits(_event_shapes(sf_dir))
+
+
+def q_shape_cospatiality(sf_dir: str):  # rows-only (J5 cospatial offsets)
+    from ..stages import segments
+
+    return segments.shape_cospatiality(_event_shapes(sf_dir))
+
+
+def q_shape_merge_roundtrip(sf_dir: str):  # rows-only (geospatial merge)
+    from ..stages import segments
+
+    return segments.shape_merge_roundtrip(_event_shapes(sf_dir))
+
+
 def q_stop_fit(sf_dir: str):  # rows-only (monotonic DP fit, no SQL)
     from ..stages import segments
 
@@ -1326,6 +1344,9 @@ QUERIES = {
     "shape_slices": q_shape_slices,
     "shape_snap_stats": q_shape_snap_stats,
     "stop_fit": q_stop_fit,
+    "shape_bearing_split": q_shape_bearing_split,
+    "shape_cospatiality": q_shape_cospatiality,
+    "shape_merge_roundtrip": q_shape_merge_roundtrip,
 }
 
 ORACLE_SQL = {

@@ -175,6 +175,63 @@ def shape_snap_stats(ds):
     return per_shape(ds, _fn)
 
 
+def shape_bearing_splits(ds, max_turn_deg: float = 67.5):
+    """(user_id, n_parts, longest_part_len_q2): smoothness split per shape
+    (≙ M9)."""
+
+    def _fn(uid: int, xy: np.ndarray) -> dict:
+        parts = geom.bearing_splits(xy, max_turn_deg)
+        lens = [geom.polyline_length(p) for p in parts]
+        return {
+            "user_id": uid,
+            "n_parts": np.int64(len(parts)),
+            "longest_part_len_q2": np.int64(np.floor(max(lens) * 100 + 0.5)) if lens else np.int64(0),
+        }
+
+    return per_shape(ds, _fn)
+
+
+def shape_cospatiality(ds, buffer_dist: float = 400.0, step: float = 200.0):
+    """(user_id, n_intervals, overlap_q2): cospatial along-intervals of each
+    shape against its RDP-simplified self (≙ J5 refine offsets)."""
+
+    def _fn(uid: int, xy: np.ndarray) -> dict:
+        simp = geom.rdp_simplify(xy, 1200.0)
+        iv = geom.cospatial_intervals(xy, simp, buffer_dist, step) if len(simp) >= 2 else []
+        overlap = sum(e - s for s, e in iv)
+        return {
+            "user_id": uid,
+            "n_intervals": np.int64(len(iv)),
+            "overlap_q2": np.int64(np.floor(overlap * 100 + 0.5)),
+        }
+
+    return per_shape(ds, _fn)
+
+
+def shape_merge_roundtrip(ds, n_slices: int = 3):
+    """Slice each shape into chunks, merge them back end-to-start, and report
+    part count + merged length (≙ merge kernels; a fixpoint sanity: slices of
+    a connected shape merge back to one part)."""
+
+    def _fn(uid: int, xy: np.ndarray) -> dict:
+        total = geom.polyline_length(xy)
+        if total <= 0:
+            return {"user_id": uid, "merged_parts": np.int64(0), "merged_len_q2": np.int64(0)}
+        slices = [
+            geom.line_slice_along(xy, total * i / n_slices, total * (i + 1) / n_slices)
+            for i in range(n_slices)
+        ]
+        merged = geom.merge_chains(slices, tol=1e-6)
+        mlen = sum(geom.polyline_length(p) for p in merged)
+        return {
+            "user_id": uid,
+            "merged_parts": np.int64(len(merged)),
+            "merged_len_q2": np.int64(np.floor(mlen * 100 + 0.5)),
+        }
+
+    return per_shape(ds, _fn)
+
+
 def stop_fit(ds, n_stops: int = 8):
     """Per shape: derive an ordered synthetic stop sequence (every k-th
     vertex, jittered deterministically) and fit it to the shape with the

@@ -94,3 +94,35 @@ def test_resample_preserves_endpoints():
     assert len(r) == 64
     assert np.allclose(r[0], line[0]) and np.allclose(r[-1], line[-1])
     assert abs(geom.polyline_length(r) - geom.polyline_length(line)) < geom.polyline_length(line) * 0.05
+
+
+def test_bearing_splits():
+    line = np.array([[0, 0], [10, 0], [20, 0], [20, 10], [20, 20]], dtype=float)
+    parts = geom.bearing_splits(line, 67.5)  # 90-degree turn at (20,0)
+    assert len(parts) == 2
+    assert (parts[0][-1] == parts[1][0]).all()
+    straight = np.array([[0, 0], [5, 0], [10, 0]], dtype=float)
+    assert len(geom.bearing_splits(straight, 67.5)) == 1
+
+
+def test_cospatial_intervals():
+    a = np.array([[0, 0], [100, 0]], dtype=float)
+    b = np.array([[30, 1], [60, 1]], dtype=float)  # near A between x=30..60
+    iv = geom.cospatial_intervals(a, b, buffer_dist=2.0, step=1.0)
+    assert len(iv) == 1
+    s, e = iv[0]
+    assert abs(s - 30) <= 2 and abs(e - 60) <= 2
+    # disjoint line -> no intervals
+    far = np.array([[0, 100], [100, 100]], dtype=float)
+    assert geom.cospatial_intervals(a, far, 2.0, 1.0) == []
+
+
+def test_merge_chains_roundtrip():
+    line = np.array([[0, 0], [10, 0], [20, 0], [30, 0]], dtype=float)
+    slices = [geom.line_slice_along(line, 10 * i, 10 * (i + 1)) for i in range(3)]
+    merged = geom.merge_chains(slices, tol=1e-9)
+    assert len(merged) == 1
+    assert abs(geom.polyline_length(merged[0]) - 30.0) < 1e-9
+    # disconnected pieces stay separate
+    apart = [np.array([[0, 0], [1, 0]], dtype=float), np.array([[50, 50], [51, 50]], dtype=float)]
+    assert len(geom.merge_chains(apart, tol=0.5)) == 2
