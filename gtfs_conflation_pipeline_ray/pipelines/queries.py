@@ -570,6 +570,23 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+def q_order_suppliers_concat(sf_dir: str):
+    """Per order: sorted DISTINCT supplier list (zero-padded so string order
+    equals numeric order) — ≙ A4 ``group_concat(DISTINCT trip_id)``
+    (``GtfsConflationScheduleJoinDAO/createTableFns.js:26-78``)."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    return rel.group_concat(li, ["l_orderkey"], "l_suppkey", "suppliers",
+                            distinct=True, fmt=lambda v: f"{v:05d}")
+
+
+SQL_ORDER_SUPPLIERS_CONCAT = """
+SELECT l_orderkey,
+       string_agg(DISTINCT lpad(CAST(l_suppkey AS VARCHAR), 5, '0'), ','
+                  ORDER BY lpad(CAST(l_suppkey AS VARCHAR), 5, '0')) AS suppliers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 def q_date_order_counts(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_orderdate"])
 
@@ -1313,6 +1330,7 @@ QUERIES = {
     "season_bucket": q_season_bucket,
     "feed_extent": q_feed_extent,
     "order_lines_concat": q_order_lines_concat,
+    "order_suppliers_concat": q_order_suppliers_concat,
     "date_order_counts": q_date_order_counts,
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
@@ -1371,6 +1389,7 @@ ORACLE_SQL = {
     "season_bucket": SQL_SEASON_BUCKET,
     "feed_extent": SQL_FEED_EXTENT,
     "order_lines_concat": SQL_ORDER_LINES_CONCAT,
+    "order_suppliers_concat": SQL_ORDER_SUPPLIERS_CONCAT,
     "date_order_counts": SQL_DATE_ORDER_COUNTS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,

@@ -120,16 +120,21 @@ def group_topk(
 
 
 def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = ",",
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None, distinct: bool = False,
+                 fmt=str):
     """Per-group ordered string concatenation — ≙ SQLite
-    ``group_concat(... ORDER BY ...)`` list re-assembly (A1). The in-group
-    sort is explicit (the reference relied on DB scan order, SURVEY §2.9)."""
+    ``group_concat(... ORDER BY ...)`` list re-assembly (A1); ``distinct=True``
+    gives the DISTINCT-list aggregate (A4,
+    ``GtfsConflationScheduleJoinDAO/createTableFns.js:26-78``). The in-group
+    sort is explicit (the reference relied on DB scan order, SURVEY §2.9);
+    ``fmt`` renders each value (must match the SQL representation)."""
+
+    def _concat(v):
+        vals = np.unique(v.to_numpy()) if distinct else np.sort(v.to_numpy())
+        return sep.join(fmt(x) for x in vals)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.sort_values(keys + [value_col], kind="mergesort")
-        s = d.groupby(keys, sort=False, observed=True)[value_col].agg(
-            lambda v: sep.join(map(str, v))
-        )
+        s = g.groupby(keys, sort=False, observed=True)[value_col].agg(_concat)
         return s.rename(out_col).reset_index()
 
     return bucketed_groups(ds, keys, _final, n_buckets=n_buckets)
