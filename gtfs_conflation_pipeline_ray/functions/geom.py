@@ -239,7 +239,9 @@ def cospatial_intervals(a: np.ndarray, b: np.ndarray, buffer_dist: float,
     total = polyline_length(a)
     if total <= 0 or len(b) < 2:
         return []
-    n = max(int(np.ceil(total / step)) + 1, 2)
+    # resolution-bounded: never more than 512 samples per line (the reference
+    # bounds work similarly via its 100-segment buffers + 2 m cleanup)
+    n = min(max(int(np.ceil(total / step)) + 1, 2), 512)
     samples = resample(a, n)
     d, _ = project_points(samples, b)
     inside = d <= buffer_dist

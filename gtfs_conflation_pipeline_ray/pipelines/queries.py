@@ -1147,38 +1147,48 @@ def q_redundant_candidates(sf_dir: str):
     pts = conflation.read_points(sf_dir)
     ref = conflation.tiles_ref(sf_dir)
 
+    # Key reduction: if B's rect contains A's rect, then any point inside A
+    # is inside B too — so "B is also a candidate of the point" always holds
+    # and dominance is a pure TILE-level property, computable once per worker
+    # (O(tiles x overlapping-tiles) via the grid index) instead of O(c^2)
+    # per point.
+    class _DominatedState:
+        def __init__(self, tiles: pa.Table):
+            from ..stages.spatial import _TileState
+
+            self.st = _TileState(tiles)
+            ix = self.st.index
+            qi, ti = ix.query_rects(ix.x0, ix.y0, ix.x1, ix.y1)
+            contains = (
+                (ix.x0[ti] <= ix.x0[qi]) & (ix.y0[ti] <= ix.y0[qi])
+                & (ix.x1[ti] >= ix.x1[qi]) & (ix.y1[ti] >= ix.y1[qi])
+                & (qi != ti)
+            )
+            area = (ix.x1 - ix.x0) * (ix.y1 - ix.y0)
+            strict = contains & (
+                (area[ti] > area[qi])
+                | ((area[ti] == area[qi]) & (ix.tile_id[ti] < ix.tile_id[qi]))
+            )
+            self.dominated = np.zeros(len(ix.x0), dtype=bool)
+            self.dominated[qi[strict]] = True
+
     def _filter(batch: pa.Table) -> pa.Table:
         from ..stages.util import cached_state
-        from ..stages.spatial import _TileState
 
-        st: _TileState = cached_state(ref, _TileState)
+        dom: _DominatedState = cached_state(ref, _DominatedState)
+        ix = dom.st.index
         px = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
         py = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
         pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pi, ti = st.index.query_points(px, py)
-        order = np.lexsort((ti, pi))
-        pi, ti = pi[order], ti[order]
-        ix = st.index
-        x0, y0, x1, y1 = ix.x0[ti], ix.y0[ti], ix.x1[ti], ix.y1[ti]
-        area = (x1 - x0) * (y1 - y0)
-        tid = ix.tile_id[ti]
-        keep = np.ones(len(pi), dtype=bool)
-        starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
-        ends = np.append(starts[1:], len(pi))
-        for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
-            for a in range(s, e):
-                for b in range(s, e):
-                    if a == b:
-                        continue
-                    if (x0[b] <= x0[a] and y0[b] <= y0[a] and x1[b] >= x1[a]
-                            and y1[b] >= y1[a]
-                            and (area[b] > area[a]
-                                 or (area[b] == area[a] and tid[b] < tid[a]))):
-                        keep[a] = False
-                        break
-        return pa.table({"point_id": pid[pi[keep]], "tile_id": tid[keep]})
+        pi, ti = ix.query_points(px, py)
+        keep = ~dom.dominated[ti]
+        return pa.table({"point_id": pid[pi[keep]], "tile_id": ix.tile_id[ti[keep]]})
 
-    return pts.map_batches(_filter, batch_format="pyarrow", batch_size=32768)
+    kept = pts.map_batches(_filter, batch_format="pyarrow", batch_size=32768)
+    # roll up to per-tile counts: the engine-side candidate volume is ~30
+    # pairs/point at sf0.1 — the operator is the filter; the checked output
+    # is the grouped summary
+    return rel.partial_groupby_sum(kept, ["tile_id"], [], count_as="n_kept")
 
 
 SQL_REDUNDANT_CANDIDATES = _CTES + """
@@ -1190,13 +1200,15 @@ SQL_REDUNDANT_CANDIDATES = _CTES + """
     ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
    AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
 )
-SELECT a.point_id, a.tile_id FROM pairs a
-WHERE NOT EXISTS (
-  SELECT 1 FROM pairs b
-  WHERE b.point_id = a.point_id AND b.tile_id <> a.tile_id
-    AND b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1
-    AND (b.area > a.area OR (b.area = a.area AND b.tile_id < a.tile_id))
-)
+SELECT tile_id, COUNT(*) AS n_kept FROM (
+  SELECT a.point_id, a.tile_id FROM pairs a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs b
+    WHERE b.point_id = a.point_id AND b.tile_id <> a.tile_id
+      AND b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1
+      AND (b.area > a.area OR (b.area = a.area AND b.tile_id < a.tile_id))
+  )
+) GROUP BY tile_id
 """
 
 
