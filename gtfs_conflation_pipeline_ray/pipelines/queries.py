@@ -651,6 +651,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_props_parse(sf_dir: str):
+    """Parse the stringified-JSON ``props`` column and bucket/aggregate the
+    extracted field — ≙ M6 stringified-feature parser
+    (``src/utils/toParsedFeaturesIterator.js:10-14``) + A7 bucketing.
+    Vectorized: orjson-free stdlib parse per batch (hot path would move this
+    to Arrow's JSON kernels once payloads are structs)."""
+    import json
+
+    ev = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p).get("k", -1) for p in batch["props"].to_pylist()),
+            np.int64,
+            batch.num_rows,
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "k_bucket": ks // 10, "k": ks}
+        )
+
+    d = ev.map_batches(_parse, batch_format="pyarrow", batch_size=65536)
+    return rel.partial_groupby_sum(d, ["event_type", "k_bucket"], ["k"], count_as="n")
+
+
+SQL_EVENT_PROPS_PARSE = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
     pairs = rel.distinct(ev, ["event_type", "user_id"])
@@ -1347,6 +1380,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "events_distinct_users": q_events_distinct_users,
+    "event_props_parse": q_event_props_parse,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -1406,6 +1440,7 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "event_props_parse": SQL_EVENT_PROPS_PARSE,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
