@@ -1177,51 +1177,59 @@ def q_redundant_candidates(sf_dir: str):
     (``SharedStreetsMatcher/removeRedundantMatches.js:4-85``). Keep rule:
     drop A when a candidate B contains A's rect and (area_B > area_A or
     equal-area tie-break by smaller tile_id)."""
+    from ..stages.spatial import _TileState
+
     pts = conflation.read_points(sf_dir)
-    ref = conflation.tiles_ref(sf_dir)
+    tiles = td.tiles_table(sf_dir)
 
     # Key reduction: if B's rect contains A's rect, then any point inside A
     # is inside B too — so "B is also a candidate of the point" always holds
-    # and dominance is a pure TILE-level property, computable once per worker
-    # (O(tiles x overlapping-tiles) via the grid index) instead of O(c^2)
-    # per point.
+    # and dominance is a pure TILE-level property. Compute it ONCE on the
+    # driver (O(tiles x overlapping-tiles) via the grid index) and broadcast
+    # the (tiles, dominated-bitmap) pair — per-worker rebuilds of the tile
+    # self-join were the hot spot.
+    drv = _TileState(tiles)
+    ix0 = drv.index
+    qi, ti = ix0.query_rects(ix0.x0, ix0.y0, ix0.x1, ix0.y1)
+    contains = (
+        (ix0.x0[ti] <= ix0.x0[qi]) & (ix0.y0[ti] <= ix0.y0[qi])
+        & (ix0.x1[ti] >= ix0.x1[qi]) & (ix0.y1[ti] >= ix0.y1[qi])
+        & (qi != ti)
+    )
+    area = (ix0.x1 - ix0.x0) * (ix0.y1 - ix0.y0)
+    strict = contains & (
+        (area[ti] > area[qi])
+        | ((area[ti] == area[qi]) & (ix0.tile_id[ti] < ix0.tile_id[qi]))
+    )
+    dominated = np.zeros(len(ix0.x0), dtype=bool)
+    dominated[qi[strict]] = True
+    ref = ray.put((tiles, dominated))
+
     class _DominatedState:
-        def __init__(self, tiles: pa.Table):
-            from ..stages.spatial import _TileState
-
+        def __init__(self, payload):
+            tiles, dom = payload
             self.st = _TileState(tiles)
-            ix = self.st.index
-            qi, ti = ix.query_rects(ix.x0, ix.y0, ix.x1, ix.y1)
-            contains = (
-                (ix.x0[ti] <= ix.x0[qi]) & (ix.y0[ti] <= ix.y0[qi])
-                & (ix.x1[ti] >= ix.x1[qi]) & (ix.y1[ti] >= ix.y1[qi])
-                & (qi != ti)
-            )
-            area = (ix.x1 - ix.x0) * (ix.y1 - ix.y0)
-            strict = contains & (
-                (area[ti] > area[qi])
-                | ((area[ti] == area[qi]) & (ix.tile_id[ti] < ix.tile_id[qi]))
-            )
-            self.dominated = np.zeros(len(ix.x0), dtype=bool)
-            self.dominated[qi[strict]] = True
+            self.dominated = dom
 
-    def _filter(batch: pa.Table) -> pa.Table:
+    def _filter_and_count(batch: pa.Table) -> pa.Table:
+        # combiner pushed into the probe: emit per-batch (tile_id, n_kept)
+        # partials instead of ~30 pair rows per point (the pair set never
+        # materializes; only tiny partials shuffle)
         from ..stages.util import cached_state
 
         dom: _DominatedState = cached_state(ref, _DominatedState)
         ix = dom.st.index
         px = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
         py = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pi, ti = ix.query_points(px, py)
         keep = ~dom.dominated[ti]
-        return pa.table({"point_id": pid[pi[keep]], "tile_id": ix.tile_id[ti[keep]]})
+        # bincount over tile INDEX (no sort) instead of np.unique
+        cnt = np.bincount(ti[keep], minlength=len(ix.x0))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"tile_id": ix.tile_id[nz], "n_kept": cnt[nz].astype(np.int64)})
 
-    kept = pts.map_batches(_filter, batch_format="pyarrow", batch_size=32768)
-    # roll up to per-tile counts: the engine-side candidate volume is ~30
-    # pairs/point at sf0.1 — the operator is the filter; the checked output
-    # is the grouped summary
-    return rel.partial_groupby_sum(kept, ["tile_id"], [], count_as="n_kept")
+    partials = pts.map_batches(_filter_and_count, batch_format="pyarrow", batch_size=32768)
+    return rel.partial_groupby_sum(partials, ["tile_id"], ["n_kept"])
 
 
 SQL_REDUNDANT_CANDIDATES = _CTES + """
@@ -1323,6 +1331,27 @@ def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
     return viterbi_choose(segs, conflation.tiles_ref(sf_dir), "user_id", "seq", "ex", "ey")
 
 
+def q_choose_score(sf_dir: str):  # rows-only (Viterbi + Frechet, no SQL)
+    """Score each shape's chosen tile chain against the shape (Step C)."""
+    from ..stages.choose import choose_and_score
+
+    pts = _event_shapes(sf_dir)
+
+    def _seq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "seq": batch["event_id"],
+                "ex": batch["ex"],
+                "ey": batch["ey"],
+            }
+        )
+
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    return choose_and_score(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
+                            "ex", "ey")
+
+
 def q_row_parity_counts(sf_dir: str):
     """Data-quality counters — ≙ A8 COUNT sanity checks
     (``RawGtfsDAO/loaders.js:87-117``): single row of global counts."""
@@ -1396,6 +1425,7 @@ QUERIES = {
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
     "choose_path": q_choose_path,
+    "choose_score": q_choose_score,
     "row_parity_counts": q_row_parity_counts,
     "unit_normalize": q_unit_normalize,
     "redundant_candidates": q_redundant_candidates,

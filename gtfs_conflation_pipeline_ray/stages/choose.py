@@ -125,3 +125,72 @@ def viterbi_choose(segments_ds, tiles_ref, shape_col: str, seq_col: str,
         )
 
     return bucketed_groups(segments_ds, [shape_col], _choose)
+
+
+def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
+                     x_col: str, y_col: str, switch_penalty: float = 1e7,
+                     resample_n: int = 32):
+    """Step-C analog (SURVEY §3.2): choose the tile chain per shape (Viterbi),
+    assemble the chosen tiles' centroid polyline in sequence order, and score
+    it against the shape with the discrete Fréchet distance on equal-count
+    resampled curves — ≙ ``loadChosenShstMatchesScores`` + ``frechet.js:8-35``.
+    Returns one row per shape: (shape, n_points, n_matched, frechet_q2);
+    frechet_q2 = -1 when fewer than 2 segments matched."""
+    from ..functions import geom
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values([shape_col, seq_col], kind="mergesort")
+        px = d[x_col].to_numpy().astype(np.int64)
+        py = d[y_col].to_numpy().astype(np.int64)
+        sid = d[shape_col].to_numpy()
+        n = len(d)
+
+        pi, ti = ix.query_points(px, py)
+        d2 = ((px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2).astype(np.float64)
+        tids = ix.tile_id[ti]
+        order = np.lexsort((tids, d2, pi))
+        pi, tids, d2 = pi[order], tids[order], d2[order]
+        empty_t, empty_c = np.empty(0, np.int64), np.empty(0, np.float64)
+        cand_t: list[np.ndarray] = [empty_t] * n
+        cand_c: list[np.ndarray] = [empty_c] * n
+        if len(pi):
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.append(starts[1:], len(pi))
+            for s, e in zip(starts, ends):
+                e = min(e, s + MAX_CANDIDATES)
+                cand_t[pi[s]] = tids[s:e]
+                cand_c[pi[s]] = d2[s:e]
+
+        # tile_id -> centroid lookup
+        centro = {int(t): (float(cx), float(cy))
+                  for t, cx, cy in zip(ix.tile_id, st.cx, st.cy)}
+        rows = []
+        sh_starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]]) if n else []
+        sh_ends = np.append(sh_starts[1:], n) if n else []
+        for ss, se in zip(sh_starts, sh_ends):
+            idxs = [i for i in range(ss, se) if len(cand_t[i])]
+            score = np.int64(-1)
+            if len(idxs) >= 2:
+                chosen = _viterbi([cand_t[i] for i in idxs], [cand_c[i] for i in idxs],
+                                  switch_penalty)
+                path = np.array([centro[int(t)] for t in chosen])
+                shape_xy = np.stack([px[ss:se], py[ss:se]], axis=1).astype(np.float64)
+                f = geom.frechet_distance(
+                    geom.resample(shape_xy, resample_n), geom.resample(path, resample_n)
+                )
+                score = np.int64(np.floor(f * 100 + 0.5))
+            rows.append(
+                {
+                    shape_col: sid[ss],
+                    "n_points": np.int64(se - ss),
+                    "n_matched": np.int64(len(idxs)),
+                    "frechet_q2": score,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(points_ds, [shape_col], _score)
