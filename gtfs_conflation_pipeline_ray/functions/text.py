@@ -81,11 +81,59 @@ def fnv1a64(s: str) -> int:
     return h
 
 
+def fnv1a64_batch(strs: list[str]) -> np.ndarray:
+    """FNV-1a of MANY strings at once — bit-identical to ``fnv1a64`` per
+    string, but vectorized: all utf-8 bytes land in one padded (n, maxlen)
+    uint8 matrix and the hash chain runs one numpy op per BYTE COLUMN
+    (strings are short, so ~tens of vector ops replace n Python loops)."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    maxlen = int(lens.max())
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cols = np.arange(len(buf), dtype=np.int64) - np.repeat(offs, lens)
+    mat[rows, cols] = buf
+    for j in range(maxlen):
+        act = lens > j
+        h[act] = (h[act] ^ mat[act, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def word_hashes(text: str) -> np.ndarray:
     """uint64 FNV-1a hash of each ``\\w+`` token (lowercased)."""
     return np.array(
         [fnv1a64(w.lower()) for w in _WORD_RE.findall(text)], dtype=np.uint64
     )
+
+
+def batch_shingle_hashes(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a whole batch: flat uint64 hash array + per-doc
+    offsets (len(texts)+1). Same values as ``shingle_hashes`` per doc (minus
+    the per-doc dedup/sort, which MinHash's min() makes irrelevant) — the
+    string hashing is one vectorized ``fnv1a64_batch`` call per batch instead
+    of a Python loop per shingle."""
+    shingles: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = [w.lower() for w in _WORD_RE.findall(t)]
+        if not ws:
+            counts[i] = 0
+        elif len(ws) < k:
+            shingles.append(" ".join(ws))
+            counts[i] = 1
+        else:
+            shingles.extend(" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1))
+            counts[i] = len(ws) - k + 1
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return fnv1a64_batch(shingles), offsets
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -122,6 +170,26 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     return np.min(h, axis=1)
 
 
+def minhash_batch(flat: np.ndarray, offsets: np.ndarray, a: np.ndarray,
+                  b: np.ndarray) -> np.ndarray:
+    """MinHash signatures for a whole batch at once: one (num_perm, total)
+    multiply-mod then a per-doc segmented min (``np.minimum.reduceat``).
+    Bit-identical to calling ``minhash_signature`` per doc; empty docs get
+    the all-MAX sentinel."""
+    n = len(offsets) - 1
+    sigs = np.full((n, len(a)), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat) == 0:
+        return sigs
+    x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    h = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE61
+    counts = np.diff(offsets)
+    nz = counts > 0
+    # flat is doc-contiguous, so reduceat over the non-empty doc starts
+    # segments exactly at doc boundaries
+    sigs[nz] = np.minimum.reduceat(h, offsets[:-1][nz], axis=1).T
+    return sigs
+
+
 def simhash64(hashes: np.ndarray) -> np.uint64:
     """64-bit SimHash over uint64 feature hashes (unweighted)."""
     if len(hashes) == 0:
@@ -135,13 +203,27 @@ def simhash64(hashes: np.ndarray) -> np.uint64:
     return out
 
 
+def _char_gram_hashes(s: str, k: int) -> np.ndarray:
+    """FNV-1a of every k-char-gram. ASCII fast path: byte sliding windows +
+    one vector op per gram byte (k ops total); identical values to the
+    per-gram Python loop (char slicing == byte slicing for ASCII)."""
+    if s.isascii():
+        bts = np.frombuffer(s.encode(), dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(bts, k)
+        h = np.full(win.shape[0], _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ win[:, j].astype(np.uint64)) * _FNV_PRIME
+        return h
+    return fnv1a64_batch([s[i : i + k] for i in range(len(s) - k + 1)])
+
+
 def winnow_fingerprint(text: str, k: int = 5, w: int = 8) -> int:
     """Winnowing document fingerprint (Schleimer et al. 2003): min k-gram
     char hash per window, XOR-folded to one int64-compatible value."""
     s = text.lower()
     if len(s) < k:
         return fnv1a64(s)
-    grams = np.array([fnv1a64(s[i : i + k]) for i in range(len(s) - k + 1)], dtype=np.uint64)
+    grams = _char_gram_hashes(s, k)
     if len(grams) <= w:
         sel = np.array([grams.min()], dtype=np.uint64)
     else:

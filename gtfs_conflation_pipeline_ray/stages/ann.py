@@ -18,22 +18,32 @@ import ray
 from .util import pool_size
 
 
-def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    arr = batch[col]
-    if arr.num_chunks == 1:
-        flat = arr.chunk(0).values.to_numpy(zero_copy_only=False)
-        dim = len(arr.chunk(0)[0])
-        return flat.reshape(-1, dim).astype(np.float64)
-    return np.array(arr.to_pylist(), dtype=np.float64)
+def _batch_matrix(batch: pa.Table, col: str, dim: int | None = None) -> np.ndarray:
+    """(rows, dim) float64 matrix from a list<float> column. Offset-aware
+    (``combine_chunks().flatten()`` honors slice offsets, unlike reading the
+    chunk's raw values buffer) and safe on empty batches."""
+    arr = batch[col].combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, dim or 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, len(flat) // n)
 
 
 class _QueryState:
-    """Per-worker ANN state: normalized broadcast query matrix."""
+    """Per-worker ANN state: broadcast query matrix + its L2 norms. The raw
+    (un-normalized) matrix is kept so similarity is computed as
+    dot / (|q| * |x|) — the same expression order as DuckDB's
+    ``list_cosine_similarity`` oracle (exactness across engines)."""
 
     def __init__(self, q: pa.Table, vec_col: str):
         self.qid = q["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qm = _batch_matrix(q, vec_col)
-        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.qm = _batch_matrix(q, vec_col)
+        self.qnorm = np.linalg.norm(self.qm, axis=1)
+
+    def sims_against(self, x: np.ndarray) -> np.ndarray:
+        xnorm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        return (self.qm @ x.T) / (self.qnorm[:, None] * xnorm[None, :])
 
 
 def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
@@ -47,9 +57,12 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     def _local(batch: pa.Table) -> pa.Table:
         st: _QueryState = cached_state(queries_ref, lambda q: _QueryState(q, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = _batch_matrix(batch, vec_col)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-        sims = st.qm @ x.T  # (Q, B)
+        x = _batch_matrix(batch, vec_col, dim=st.qm.shape[1])
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "sim": np.array([], dtype=np.float64)})
+        sims = st.sims_against(x)  # (Q, B), oracle expression order
         # mask self-matches so a query never returns itself
         sims = np.where(st.qid[:, None] == ids[None, :], -np.inf, sims)
         kk = min(k, sims.shape[1])
@@ -74,14 +87,35 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     return local.groupby("query_id").map_groups(_global, batch_format="pandas")
 
 
+def lsh_candidate_indices(qsig: np.ndarray, xsig: np.ndarray, n_planes: int):
+    """Per query: indices of vectors whose signature is within Hamming
+    distance 1 (multiprobe radius 1). Bucket-routed — vectors are grouped by
+    signature once (sort + searchsorted) and each query probes its own
+    signature plus the ``n_planes`` single-bit flips, so work is
+    O(Q * (n_planes+1) * bucket_size), NOT O(Q * N). Factored out so tests
+    can assert the candidate count is sub-linear."""
+    order = np.argsort(xsig, kind="stable")
+    xs = xsig[order]
+    out = []
+    for qs in qsig:
+        probes = np.concatenate(([qs], qs ^ (np.int64(1) << np.arange(n_planes))))
+        lo = np.searchsorted(xs, probes, side="left")
+        hi = np.searchsorted(xs, probes, side="right")
+        cand = np.concatenate([order[a:b] for a, b in zip(lo, hi)]) if len(probes) else order[:0]
+        out.append(np.sort(cand))
+    return out
+
+
 def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
              vec_col: str = "embedding", n_planes: int = 10, seed: int = 42):
-    """Approximate cosine top-k via random-hyperplane LSH — the documented
-    scale path: each vector lands in a sign-pattern bucket; a query only
-    scores candidates in its own bucket or buckets within Hamming distance 1
-    (multiprobe). Per batch, the candidate mask prunes the matmul; a final
-    grouped top-k merges the partials. Recall < 1 by design (approximate);
-    deterministic given the seed."""
+    """Approximate cosine top-k via random-hyperplane LSH — the scale path:
+    each vector lands in a sign-pattern bucket; a query scores ONLY the
+    candidates gathered from its own bucket and buckets within Hamming
+    distance 1 (multiprobe). The dot products are computed on the gathered
+    candidate columns alone (no full Q x N matmul), so compute is
+    proportional to the candidate count; a final grouped top-k merges the
+    per-batch partials. Recall < 1 by design (approximate); deterministic
+    given the seed."""
     from .util import cached_state
 
     def _build(q: pa.Table):
@@ -95,27 +129,28 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     def _local(batch: pa.Table) -> pa.Table:
         st, planes, qsig = cached_state(queries_ref, _build)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = _batch_matrix(batch, vec_col)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        x = _batch_matrix(batch, vec_col, dim=planes.shape[0])
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "sim": np.array([], dtype=np.float64)})
         xsig = (((x @ planes) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
-        # candidate mask: hamming(qsig, xsig) <= 1 (multiprobe radius 1)
-        ham = np.bitwise_xor(qsig[:, None], xsig[None, :])
-        popcnt = np.zeros_like(ham)
-        for b in range(n_planes):
-            popcnt += (ham >> b) & 1
-        mask = popcnt <= 1
-        sims = np.where(mask, st.qm @ x.T, -np.inf)
-        sims = np.where(st.qid[:, None] == ids[None, :], -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        ps = np.take_along_axis(sims, part, axis=1)
-        return pa.table(
-            {
-                "query_id": np.repeat(st.qid, kk),
-                "vec_id": ids[part].reshape(-1),
-                "sim": ps.reshape(-1),
-            }
-        )
+        xnorm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        qids, vids, sims = [], [], []
+        for qi, cand in enumerate(lsh_candidate_indices(qsig, xsig, n_planes)):
+            cand = cand[ids[cand] != st.qid[qi]]  # never return self
+            if len(cand) == 0:
+                continue
+            s = (x[cand] @ st.qm[qi]) / (st.qnorm[qi] * xnorm[cand])
+            kk = min(k, len(cand))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            qids.append(np.full(kk, st.qid[qi], dtype=np.int64))
+            vids.append(ids[cand[top]])
+            sims.append(s[top])
+        cat = lambda a, dt: np.concatenate(a) if a else np.array([], dtype=dt)
+        return pa.table({"query_id": cat(qids, np.int64),
+                         "vec_id": cat(vids, np.int64),
+                         "sim": cat(sims, np.float64)})
 
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
 

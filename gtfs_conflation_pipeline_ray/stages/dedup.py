@@ -57,25 +57,36 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch[text_col].to_pylist()
-            sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-            for i, t in enumerate(texts):
-                sigs[i] = tx.minhash_signature(tx.shingle_hashes(t, shingle_k), self.a, self.b)
+            # whole-batch vectorized path: one fnv1a64_batch over every
+            # shingle string + one segmented multiply-mod-min — no per-doc
+            # Python hashing loop (bit-identical signatures)
+            flat, offsets = tx.batch_shingle_hashes(texts, shingle_k)
+            sigs = tx.minhash_batch(flat, offsets, self.a, self.b)
             cols = {id_col: batch[id_col]}
             s64 = sigs.view(np.int64)
             for j in range(num_perm):
                 cols[f"mh{j}"] = s64[:, j].copy()
             return pa.table(cols)
 
-    return ds.map_batches(_Sig, batch_format="pyarrow", batch_size=2048,
+    return ds.map_batches(_Sig, batch_format="pyarrow", batch_size=1024,
                           concurrency=pool_size(concurrency))
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
-                        bands: int = 16):
+                        bands: int = 16, band_member_cap: int = 256):
     """MinHash-LSH: fold each signature into ``bands`` band-hashes, explode to
     (band_id, band_hash, id) rows, groupby band bucket → emit candidate pairs
     (a < b). The groupby is the only shuffle and moves just
-    (band_id, band_hash, id) triples — never the documents."""
+    (band_id, band_hash, id) triples — never the documents.
+
+    A degenerate band bucket (many docs with an identical band hash — e.g. a
+    corpus of empty docs) would emit O(m^2) pairs; members are capped at
+    ``band_member_cap`` per (band_id, band_hash) (keep smallest ids,
+    deterministic) and every truncation is LOGGED with the dropped count —
+    the same guard the reference puts on its O(2^n) path enumeration
+    (``findNonAxiomaticPaths.js:218-222``)."""
+    import logging
+
     rows_per_band = num_perm // bands
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -115,13 +126,22 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(d))
         a_out, b_out = [], []
+        n_dropped = 0
         for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
             members = np.unique(ids[s:e])
             if len(members) < 2:
                 continue
+            if len(members) > band_member_cap:
+                n_dropped += len(members) - band_member_cap
+                members = members[:band_member_cap]  # smallest ids, deterministic
             ii, jj = np.triu_indices(len(members), k=1)
             a_out.append(members[ii])
             b_out.append(members[jj])
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: capped %d members beyond %d per band bucket",
+                n_dropped, band_member_cap,
+            )
         if not a_out:
             return pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
         return pd.DataFrame({"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)})

@@ -31,13 +31,25 @@ import ray
 from .util import pool_size
 
 
-def _n_buckets(requested: int | None = None) -> int:
+_TARGET_ROWS_PER_BUCKET = 2_000_000
+
+
+def _n_buckets(requested: int | None = None, est_rows: int | None = None) -> int:
+    """Bucket count for the grouped-combine shuffle: at least the cluster CPU
+    count (parallelism), and scaled UP with the estimated input rows so the
+    per-bucket final combine materializes ~``_TARGET_ROWS_PER_BUCKET`` rows,
+    not dataset/CPUs (which is an OOM by design at 100x data). Callers that
+    stream a fact table pass ``est_rows`` from parquet metadata (a
+    metadata-only read, no data scan)."""
     if requested:
         return requested
     try:
-        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+        base = max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
-        return 16
+        base = 16
+    if est_rows:
+        return max(base, -(-int(est_rows) // _TARGET_ROWS_PER_BUCKET))
+    return base
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
@@ -46,14 +58,15 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def bucketed_groups(ds, keys: list[str], final_fn, pre_fn=None, n_buckets: int | None = None):
+def bucketed_groups(ds, keys: list[str], final_fn, pre_fn=None, n_buckets: int | None = None,
+                    est_rows: int | None = None):
     """Generic grouped transform via the bucketed-combine pattern.
 
     ``pre_fn(df) -> df`` (optional) runs per batch BEFORE the shuffle (the
     combiner); ``final_fn(df) -> df`` runs once per bucket on the union of
     that bucket's rows and must itself group by ``keys`` (vectorized).
     """
-    nb = _n_buckets(n_buckets)
+    nb = _n_buckets(n_buckets, est_rows)
 
     def _pre(df: pd.DataFrame) -> pd.DataFrame:
         if pre_fn is not None:
@@ -70,7 +83,7 @@ def bucketed_groups(ds, keys: list[str], final_fn, pre_fn=None, n_buckets: int |
 
 
 def partial_groupby_sum(ds, keys: list[str], sums: list[str], count_as: str | None = None,
-                        n_buckets: int | None = None):
+                        n_buckets: int | None = None, est_rows: int | None = None):
     """Grouped sum/count: per-batch partial sums -> bucketed final combine.
     Returns a Dataset with columns keys + sums (+ count_as)."""
     agg = {c: "sum" for c in sums}
@@ -85,7 +98,8 @@ def partial_groupby_sum(ds, keys: list[str], sums: list[str], count_as: str | No
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False, sort=False, observed=True).agg(agg)
 
-    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets)
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)
 
 
 def group_topk(
@@ -95,6 +109,7 @@ def group_topk(
     k: int,
     rank_col: str | None = None,
     n_buckets: int | None = None,
+    est_rows: int | None = None,
 ):
     """Per-group top-k with a deterministic total order (always include a
     unique tie-breaker — the reference's order-sensitive keep-rules D3-D5
@@ -116,12 +131,13 @@ def group_topk(
             d[rank_col] = d.groupby(keys, sort=False, observed=True).cumcount() + 1
         return d
 
-    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets)
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)
 
 
 def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = ",",
                  n_buckets: int | None = None, distinct: bool = False,
-                 fmt=str):
+                 fmt=str, est_rows: int | None = None):
     """Per-group ordered string concatenation — ≙ SQLite
     ``group_concat(... ORDER BY ...)`` list re-assembly (A1); ``distinct=True``
     gives the DISTINCT-list aggregate (A4,
@@ -137,10 +153,10 @@ def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = "
         s = g.groupby(keys, sort=False, observed=True)[value_col].agg(_concat)
         return s.rename(out_col).reset_index()
 
-    return bucketed_groups(ds, keys, _final, n_buckets=n_buckets)
+    return bucketed_groups(ds, keys, _final, n_buckets=n_buckets, est_rows=est_rows)
 
 
-def distinct(ds, cols: list[str], n_buckets: int | None = None):
+def distinct(ds, cols: list[str], n_buckets: int | None = None, est_rows: int | None = None):
     """Distinct tuples: per-batch dedup (combiner) then per-bucket dedup —
     ≙ D7 / SELECT DISTINCT."""
 
@@ -150,13 +166,15 @@ def distinct(ds, cols: list[str], n_buckets: int | None = None):
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
-    return bucketed_groups(ds, cols, _final, pre_fn=_pre, n_buckets=n_buckets)
+    return bucketed_groups(ds, cols, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)
 
 
-def grouped_agg(ds, keys: list[str], final_fn, n_buckets: int | None = None):
+def grouped_agg(ds, keys: list[str], final_fn, n_buckets: int | None = None,
+                est_rows: int | None = None):
     """Escape hatch: arbitrary vectorized per-bucket grouped aggregation
     (``final_fn`` sees all rows of each bucket, must group by keys)."""
-    return bucketed_groups(ds, keys, final_fn, n_buckets=n_buckets)
+    return bucketed_groups(ds, keys, final_fn, n_buckets=n_buckets, est_rows=est_rows)
 
 
 def broadcast_lookup(ds, small_ref, on: str, mapping: dict[str, str]):

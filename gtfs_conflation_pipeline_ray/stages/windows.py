@@ -64,26 +64,52 @@ def tumbling_window(ds, ts_col: str, out_ts_col: str = "hour_ts"):
     return ds.map_batches(_floor, batch_format="pyarrow", batch_size=65536)
 
 
-_TS_BITS = np.int64(42)  # enough for ~139 years of microseconds offsets
-
-
 class _WindowState:
     """Per-worker interval-join state: windows sorted by composite
-    (key, start_ts) for two-binary-search range probes."""
+    (dense key rank, start_ts offset) for two-binary-search range probes.
+
+    The bit budget is sized from the DATA at build time: ``ts_bits`` covers
+    the actual window timestamp span and key ranks are densified (unique
+    window keys, not raw key values), so arbitrary int64 keys are safe. If
+    rank_bits + ts_bits would overflow int64, fall back to a per-key dict of
+    sorted ts sub-arrays (still exact; one vectorized searchsorted per
+    distinct probe key)."""
 
     def __init__(self, w: pa.Table, key: str, ts_col: str):
         wk = w[key].to_numpy(zero_copy_only=False).astype(np.int64)
         wts = w[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         wid = w["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.base = np.int64(wts.min() if len(wts) else 0)
+        self.keys = np.unique(wk)
+        span = int(wts.max() - self.base) if len(wts) else 0
+        self.ts_bits = np.int64(max(int(span + 2).bit_length(), 2))
+        rank_bits = int(len(self.keys)).bit_length()
+        self.use_dict = int(self.ts_bits) + rank_bits > 62
+        if self.use_dict:
+            # exact fallback for (huge span x many keys): per-key sorted ts
+            order = np.lexsort((wts, wk))
+            wk, wts, wid = wk[order], wts[order], wid[order]
+            bounds = np.searchsorted(wk, self.keys, side="left")
+            bounds = np.append(bounds, len(wk))
+            self.per_key = {
+                int(k): (wts[bounds[i]:bounds[i + 1]], wid[bounds[i]:bounds[i + 1]])
+                for i, k in enumerate(self.keys)
+            }
+            return
         comp = self.composite(wk, wts)
         order = np.argsort(comp, kind="stable")
         self.comp, self.wid = comp[order], wid[order]
 
     def composite(self, k: np.ndarray, ts: np.ndarray) -> np.ndarray:
-        # clamp keeps out-of-range probe bounds monotonic without overflow
-        off = np.clip(ts - self.base, -1, (np.int64(1) << _TS_BITS) - 2) + 1
-        return (k << _TS_BITS) | off
+        # dense rank of the key; unseen probe keys -> sentinel -1 (matches 0)
+        r = np.searchsorted(self.keys, k)
+        rc = np.minimum(r, len(self.keys) - 1) if len(self.keys) else r * 0
+        missing = (r >= len(self.keys)) | (self.keys[rc] != k) if len(self.keys) else r == r
+        # clamp keeps out-of-range probe bounds monotonic without overflow;
+        # window offsets live in [1, span+1] strictly inside [0, 2^ts_bits-1]
+        off = np.clip(ts - self.base, -1, (np.int64(1) << self.ts_bits) - 2) + 1
+        comp = (r.astype(np.int64) << self.ts_bits) | off
+        return np.where(missing, np.int64(-1), comp)
 
 
 def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int,
@@ -102,13 +128,29 @@ def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int
         st: _WindowState = cached_state(windows_ref, lambda w: _WindowState(w, key, ts_col))
         pk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         pts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        starts = np.searchsorted(st.comp, st.composite(pk, pts - len_us), side="right")
-        ends = np.searchsorted(st.comp, st.composite(pk, pts), side="right")
-        counts = ends - starts
-        pi = np.repeat(np.arange(len(pk), dtype=np.int64), counts)
-        wi = _gather_ranges(starts, counts)
+        if st.use_dict:
+            pis, wis = [], []
+            for k in np.unique(pk):
+                sub = st.per_key.get(int(k))
+                if sub is None:
+                    continue
+                sts, swid = sub
+                rows = np.flatnonzero(pk == k)
+                s = np.searchsorted(sts, pts[rows] - len_us, side="right")
+                e = np.searchsorted(sts, pts[rows], side="right")
+                c = e - s
+                pis.append(np.repeat(rows, c))
+                wis.append(swid[_gather_ranges(s, c)])
+            pi = np.concatenate(pis) if pis else np.array([], dtype=np.int64)
+            wid = np.concatenate(wis) if wis else np.array([], dtype=np.int64)
+        else:
+            starts = np.searchsorted(st.comp, st.composite(pk, pts - len_us), side="right")
+            ends = np.searchsorted(st.comp, st.composite(pk, pts), side="right")
+            counts = ends - starts
+            pi = np.repeat(np.arange(len(pk), dtype=np.int64), counts)
+            wid = st.wid[_gather_ranges(starts, counts)]
         cols = {c: batch[c].take(pa.array(pi)) for c in batch.column_names}
-        cols["window_id"] = st.wid[wi]
+        cols["window_id"] = wid
         return pa.table(cols)
 
     return probes.map_batches(_probe, batch_format="pyarrow", batch_size=32768)

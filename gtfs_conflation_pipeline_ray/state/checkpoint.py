@@ -21,6 +21,7 @@ import os
 import shutil
 import threading
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Callable
 
@@ -65,33 +66,67 @@ class StageCheckpoint:
     def part_dir(self, key: str) -> str:
         return os.path.join(self.out_dir, f"part-{key}")
 
+    def _refresh(self) -> None:
+        """Merge partitions committed by OTHER processes (manifest on disk is
+        the source of truth; a concurrent resumer may have advanced it)."""
+        disk = self._load()
+        if disk.get("partitions"):
+            merged = dict(disk["partitions"])
+            merged.update(self.manifest["partitions"])
+            self.manifest["partitions"] = merged
+
     def run_partition(self, key: str, write_fn: Callable[[str], int]) -> PartitionResult:
         """Run one partition if not already completed. ``write_fn(tmp_dir)``
         must write the partition's output under ``tmp_dir`` and return the
         row count; the directory is atomically renamed into place and the
-        manifest updated only after the write succeeds."""
-        with self._lock:
-            if key in self.manifest["partitions"]:
-                meta = self.manifest["partitions"][key]
-                return PartitionResult(key, meta["rows"], meta["wall_s"], skipped=True)
+        manifest updated only after the write succeeds. Concurrent-safe: the
+        on-disk manifest is re-read before deciding to (re)build, an O_EXCL
+        lockfile serializes processes racing on the same partition, and the
+        tmp dir is unique per thread."""
         final = self.part_dir(key)
-        tmp = os.path.join(self.out_dir, f".tmp-{key}-{os.getpid()}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(final):  # partial from a killed run, never committed
-            shutil.rmtree(final)
-        os.makedirs(tmp, exist_ok=True)  # an empty partition writes no files
-        t0 = time.time()
-        rows = write_fn(tmp)
-        os.replace(tmp, final)
-        wall = time.time() - t0
-        with self._lock:
-            self.manifest["partitions"][key] = {
-                "rows": int(rows),
-                "wall_s": round(wall, 3),
-                "completed_at_unix": round(time.time(), 3),
-            }
-            self._save()
+        lock_path = os.path.join(self.out_dir, f".lock-{key}")
+        lock_fd = None
+        deadline = time.time() + 600.0
+        while True:
+            with self._lock:
+                self._refresh()
+                if key in self.manifest["partitions"]:
+                    meta = self.manifest["partitions"][key]
+                    return PartitionResult(key, meta["rows"], meta["wall_s"], skipped=True)
+            try:
+                lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break  # we own the partition
+            except FileExistsError:
+                if time.time() > deadline:  # stale lock from a killed run
+                    try:
+                        os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
+                else:
+                    time.sleep(0.05)
+        try:
+            tmp = os.path.join(self.out_dir, f".tmp-{key}-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+            if os.path.exists(final):  # partial from a killed run, never committed
+                shutil.rmtree(final)
+            os.makedirs(tmp, exist_ok=True)  # an empty partition writes no files
+            t0 = time.time()
+            rows = write_fn(tmp)
+            os.replace(tmp, final)
+            wall = time.time() - t0
+            with self._lock:
+                self._refresh()
+                self.manifest["partitions"][key] = {
+                    "rows": int(rows),
+                    "wall_s": round(wall, 3),
+                    "completed_at_unix": round(time.time(), 3),
+                }
+                self._save()
+        finally:
+            os.close(lock_fd)
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
         return PartitionResult(key, int(rows), wall, skipped=False)
 
 

@@ -143,14 +143,16 @@ class GridIndex:
     # ---- exact kNN over tile centroids -------------------------------------
     def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact k nearest tile centroids per query point by integer squared
-        distance, ties broken by tile_id ascending.
+        distance, ties broken by tile_id ascending. Routes to the grid-pruned
+        ring search (``knn_centroids_pruned``) when the tile count is large
+        enough for pruning to pay; both paths return identical results.
+        Returns (query_index, tile_index, dist2) with per-query rank order."""
+        if len(self.x0) > 4096 and len(np.asarray(qx)) > 0:
+            return self.knn_centroids_pruned(qx, qy, k)
+        return self._knn_brute(qx, qy, k)
 
-        Brute-force per batch (vectorized (Q, T) distance matrix in chunks);
-        exact and deterministic. The 100 TB path swaps this for an
-        IVF/grid-pruned search keyed on the same bucket grid, falling back to
-        brute force only for boundary buckets.
-        Returns (query_index, tile_index, dist2) with per-query rank order.
-        """
+    def _knn_brute(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Dense (Q, T) sweep — exact; right answer for small tile counts."""
         qx = np.asarray(qx, dtype=np.int64)
         qy = np.asarray(qy, dtype=np.int64)
         cx = (self.x0 + self.x1) // 2
@@ -182,3 +184,94 @@ class GridIndex:
             out_t.append(np.take_along_axis(part, order, axis=1).ravel())
             out_d.append(np.take_along_axis(pd, order, axis=1).ravel())
         return np.concatenate(out_q), np.concatenate(out_t), np.concatenate(out_d)
+
+    def _centroid_buckets(self):
+        """Lazy centroid->bucket inverted index (built once per index)."""
+        if not hasattr(self, "_cb_start"):
+            cx = (self.x0 + self.x1) // 2
+            cy = (self.y0 + self.y1) // 2
+            cb = np.clip(cy // self.bs, 0, self.nb - 1) * self.nb + np.clip(
+                cx // self.bs, 0, self.nb - 1
+            )
+            self._cb_tiles = np.argsort(cb, kind="stable")
+            counts = np.bincount(cb, minlength=self.nb * self.nb).astype(np.int64)
+            self._cb_start = np.concatenate(([0], np.cumsum(counts)))
+            self._cent_x, self._cent_y = cx, cy
+        return self._cent_x, self._cent_y
+
+    def _ring_cells(self, bx: int, by: int, r: int) -> np.ndarray:
+        """Bucket ids at exactly Chebyshev distance r from (bx, by), clipped."""
+        if r == 0:
+            return np.array([by * self.nb + bx], dtype=np.int64)
+        xs = np.arange(max(bx - r, 0), min(bx + r, self.nb - 1) + 1)
+        cells = []
+        if by - r >= 0:
+            cells.append((by - r) * self.nb + xs)
+        if by + r < self.nb:
+            cells.append((by + r) * self.nb + xs)
+        ys = np.arange(max(by - r + 1, 0), min(by + r - 1, self.nb - 1) + 1)
+        if bx - r >= 0:
+            cells.append(ys * self.nb + (bx - r))
+        if bx + r < self.nb:
+            cells.append(ys * self.nb + (bx + r))
+        return np.concatenate(cells) if cells else np.empty(0, dtype=np.int64)
+
+    def knn_centroids_pruned(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Grid-pruned EXACT kNN: queries sharing a bucket expand rings of
+        centroid buckets outward, stopping once the k-th best distance of
+        every query in the group is strictly below the minimum possible
+        distance to any unsearched ring ((r * bucket) ** 2) — so candidate
+        counts stay ~O(k) instead of O(T) at large tile counts (the
+        IVF/grid-pruned scale path; identical output to ``_knn_brute``)."""
+        qx = np.asarray(qx, dtype=np.int64)
+        qy = np.asarray(qy, dtype=np.int64)
+        cx, cy = self._centroid_buckets()
+        n = len(self.x0)
+        k = min(k, n)
+        if k == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        qb = np.clip(qy // self.bs, 0, self.nb - 1) * self.nb + np.clip(
+            qx // self.bs, 0, self.nb - 1
+        )
+        out_q = np.empty(len(qx) * k, dtype=np.int64)
+        out_t = np.empty(len(qx) * k, dtype=np.int64)
+        out_d = np.empty(len(qx) * k, dtype=np.int64)
+        for b in np.unique(qb):
+            rows = np.flatnonzero(qb == b)
+            bx, by = int(b % self.nb), int(b // self.nb)
+            gathered: list[np.ndarray] = []
+            total = 0
+            r = 0
+            max_r = self.nb  # searched everything beyond this
+            while r <= max_r:
+                cells = self._ring_cells(bx, by, r)
+                if len(cells):
+                    starts = self._cb_start[cells]
+                    counts = self._cb_start[cells + 1] - starts
+                    new = self._cb_tiles[_gather_ranges(starts, counts)]
+                    if len(new):
+                        gathered.append(new)
+                        total += len(new)
+                if total >= k:
+                    cand = np.concatenate(gathered)
+                    d2 = (qx[rows, None] - cx[cand]) ** 2 + (qy[rows, None] - cy[cand]) ** 2
+                    kth_max = int(np.partition(d2, k - 1, axis=1)[:, k - 1].max())
+                    if (r * self.bs) ** 2 > kth_max:
+                        break
+                r += 1
+            cand = np.concatenate(gathered)
+            d2 = (qx[rows, None] - cx[cand]) ** 2 + (qy[rows, None] - cy[cand]) ** 2
+            part = (
+                np.argpartition(d2, k - 1, axis=1)[:, :k]
+                if k < d2.shape[1]
+                else np.tile(np.arange(d2.shape[1]), (len(rows), 1))
+            )
+            pd = np.take_along_axis(d2, part, axis=1)
+            ptile = cand[part]
+            order = np.lexsort((self.tile_id[ptile], pd), axis=1)[:, :k]
+            sl = np.repeat(rows * k, k) + np.tile(np.arange(k), len(rows))
+            out_q[sl] = np.repeat(rows, k)
+            out_t[sl] = np.take_along_axis(ptile, order, axis=1).ravel()
+            out_d[sl] = np.take_along_axis(pd, order, axis=1).ravel()
+        return out_q, out_t, out_d
