@@ -14,6 +14,9 @@ import numpy as np
 
 _TOKEN_RE = re.compile(r"\S+")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII word class — matches RE2's \w (DuckDB regexp_extract_all), so kernels
+# that need a DuckDB-oracle-identical tokenization use this one
+_WORD_ASCII_RE = re.compile(r"\w+", re.ASCII)
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
@@ -207,6 +210,8 @@ def _char_gram_hashes(s: str, k: int) -> np.ndarray:
     """FNV-1a of every k-char-gram. ASCII fast path: byte sliding windows +
     one vector op per gram byte (k ops total); identical values to the
     per-gram Python loop (char slicing == byte slicing for ASCII)."""
+    if len(s) < k:
+        return np.empty(0, dtype=np.uint64)
     if s.isascii():
         bts = np.frombuffer(s.encode(), dtype=np.uint8)
         win = np.lib.stride_tricks.sliding_window_view(bts, k)

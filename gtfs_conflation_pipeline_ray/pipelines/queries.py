@@ -953,6 +953,60 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_season_pivot_json(sf_dir: str):
+    """Nested-JSON pivot: per returnflag, one JSON-object STRING keyed by
+    season — ≙ A7's ``json_group_object`` AADT pivots
+    (``GtfsConflationScheduleJoinDAO/createTableFns.js:163-199``). Keys
+    sorted, compact rendering; byte-identical to the SQL string_agg oracle."""
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        month = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        season = np.select(
+            [np.isin(month, (12, 1, 2)), np.isin(month, (3, 4, 5)), np.isin(month, (6, 7, 8))],
+            ["WIN", "SPR", "SUM"],
+            default="FAL",
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "season": season,
+                "qty_c": cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    agg = rel.partial_groupby_sum(d, ["l_returnflag", "season"], ["qty_c"])
+
+    def _to_json(g: pd.DataFrame) -> pd.DataFrame:
+        def _obj(grp: pd.DataFrame) -> str:
+            items = grp.sort_values("season")
+            return "{" + ",".join(
+                f'"{s}":{int(v)}' for s, v in zip(items["season"], items["qty_c"])
+            ) + "}"
+
+        s = g.groupby("l_returnflag", sort=False).apply(_obj, include_groups=False)
+        return s.rename("season_json").reset_index()
+
+    return rel.grouped_agg(agg, ["l_returnflag"], _to_json)
+
+
+SQL_SEASON_PIVOT_JSON = """
+WITH b AS (
+  SELECT l_returnflag,
+         CASE WHEN EXTRACT(MONTH FROM l_shipdate) IN (12, 1, 2) THEN 'WIN'
+              WHEN EXTRACT(MONTH FROM l_shipdate) IN (3, 4, 5) THEN 'SPR'
+              WHEN EXTRACT(MONTH FROM l_shipdate) IN (6, 7, 8) THEN 'SUM'
+              ELSE 'FAL' END AS season,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       '{' || string_agg('"' || season || '":' || CAST(qty_c AS VARCHAR), ',' ORDER BY season) || '}' AS season_json
+FROM b GROUP BY l_returnflag
+"""
+
+
 def q_customer_order_rank(sf_dir: str):
     """RANK() with ties per customer (≙ O4 along_idx rank toposort,
     ``GtfsConflationMapJoinDAO/loaders.js:319-372``); keep rank <= 3."""
@@ -1295,10 +1349,11 @@ FROM orders GROUP BY 1
 _CONTAINMENT_BLOCK_CAP = 4096
 
 
-def q_doc_containment(sf_dir: str):  # rows-only (subset algorithm, no SQL)
+def q_doc_containment(sf_dir: str):
     """Pairs (a, b) in the same (lang, source) block where a's token SET is
     contained in b's — ≙ D6/isSubset redundancy detection
-    (``src/utils/stringAlgorithms.js:9-60``). Blocked grouped compare.
+    (``src/utils/stringAlgorithms.js:9-60``). Blocked grouped compare;
+    ASCII ``\\w`` tokenization matches the DuckDB ``list_has_all`` oracle.
 
     Scale guards: the pairwise stage works on 64-bit word-hash sets with a
     Bloom-style OR-mask prefilter (``mask_a & ~mask_b == 0`` is necessary for
@@ -1308,7 +1363,7 @@ def q_doc_containment(sf_dir: str):  # rows-only (subset algorithm, no SQL)
     logged, never silent)."""
     import logging
 
-    from ..functions.text import _WORD_RE, fnv1a64_batch
+    from ..functions.text import _WORD_ASCII_RE, fnv1a64_batch
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
@@ -1325,7 +1380,7 @@ def q_doc_containment(sf_dir: str):  # rows-only (subset algorithm, no SQL)
             n = len(ids)
             hsets = []
             for t in grp["text"]:
-                ws = list({w.lower() for w in _WORD_RE.findall(t)})
+                ws = list({w.lower() for w in _WORD_ASCII_RE.findall(t)})
                 hsets.append(np.sort(fnv1a64_batch(ws)))
             sizes = np.array([len(h) for h in hsets], dtype=np.int64)
             masks = np.array(
@@ -1352,6 +1407,19 @@ def q_doc_containment(sf_dir: str):  # rows-only (subset algorithm, no SQL)
 
     return rel.bucketed_groups(docs, ["lang", "source"], _pairs,
                                est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+WHERE len(a.tok) > 0 AND list_has_all(b.tok, a.tok)
+"""
 
 
 def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
@@ -1407,6 +1475,214 @@ def q_choose_score(sf_dir: str):  # rows-only (Viterbi + Frechet, no SQL)
     segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
     return choose_and_score(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
                             "ex", "ey")
+
+
+def q_choose_path_edges(sf_dir: str):
+    """Path-decomposition data model (reference Step B output,
+    ``gtfs_shape_shst_match_paths`` 4-level index) — one row per path EDGE:
+    (user_id, path_index, path_edge_index, tile_id, seq_start, seq_end,
+    n_pts). See ``stages.choose.path_decompose``."""
+    from ..stages.choose import path_decompose
+
+    return path_decompose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+
+
+_PATH_EDGE_CTES = _CTES + """
+, pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + user_id * 977) % 65536 AS ex,
+         (event_id * 69621 + 13) % 65536 AS ey,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt_seq
+  FROM events
+),
+pip AS (
+  SELECT p.user_id, p.pt_seq, t.tile_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.user_id, p.pt_seq
+           ORDER BY (p.ex - t.cx) * (p.ex - t.cx) + (p.ey - t.cy) * (p.ey - t.cy), t.tile_id
+         ) AS rn
+  FROM pts p JOIN tiles t
+    ON p.ex BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND p.ey BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+m AS (
+  SELECT p.user_id, p.pt_seq, p.ex, p.ey, b.tile_id
+  FROM pts p LEFT JOIN (SELECT user_id, pt_seq, tile_id FROM pip WHERE rn = 1) b
+    ON p.user_id = b.user_id AND p.pt_seq = b.pt_seq
+),
+f AS (
+  SELECT user_id, pt_seq, ex, ey, tile_id,
+         lag(tile_id) OVER (PARTITION BY user_id ORDER BY pt_seq) AS prev_tile
+  FROM m
+),
+g AS (
+  SELECT user_id, pt_seq, ex, ey, tile_id,
+         CAST(SUM(CASE WHEN prev_tile IS NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY pt_seq) AS BIGINT) - 1 AS path_index,
+         CAST(SUM(CASE WHEN prev_tile IS NULL OR prev_tile <> tile_id THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY pt_seq) AS BIGINT) AS edge_ctr
+  FROM f WHERE tile_id IS NOT NULL
+),
+edges AS (
+  SELECT user_id, path_index,
+         edge_ctr - MIN(edge_ctr) OVER (PARTITION BY user_id, path_index) AS path_edge_index,
+         tile_id, pt_seq, ex, ey
+  FROM g
+)
+"""
+
+
+SQL_CHOOSE_PATH_EDGES = _PATH_EDGE_CTES + """
+SELECT user_id, path_index, path_edge_index, tile_id,
+       MIN(pt_seq) AS seq_start, MAX(pt_seq) AS seq_end, COUNT(*) AS n_pts
+FROM edges GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_path_sequentiality(sf_dir: str):
+    """Gap + relative-direction comparator between consecutive decomposed
+    paths (integer-exact sequentiality; see
+    ``stages.choose.path_sequentiality``)."""
+    from ..stages.choose import path_sequentiality
+
+    return path_sequentiality(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+
+
+SQL_PATH_SEQUENTIALITY = _PATH_EDGE_CTES + """
+, p2 AS (
+  SELECT user_id, path_index, MIN(pt_seq) AS fs, MAX(pt_seq) AS ls
+  FROM edges GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.user_id, a.path_index, a.fs AS afs, a.ls AS als, b.fs AS bfs, b.ls AS bls
+  FROM p2 a JOIN p2 b ON a.user_id = b.user_id AND b.path_index = a.path_index + 1
+)
+SELECT pr.user_id, pr.path_index,
+       (cb.ex - ca.ex) * (cb.ex - ca.ex) + (cb.ey - ca.ey) * (cb.ey - ca.ey) AS gap_d2,
+       CASE WHEN pr.als > pr.afs AND pr.bls > pr.bfs
+            THEN (ca.ex - ca1.ex) * (cb1.ex - cb.ex) + (ca.ey - ca1.ey) * (cb1.ey - cb.ey)
+            ELSE 0 END AS dir_dot,
+       CASE WHEN pr.als > pr.afs AND pr.bls > pr.bfs
+            THEN (ca.ex - ca1.ex) * (cb1.ey - cb.ey) - (ca.ey - ca1.ey) * (cb1.ex - cb.ex)
+            ELSE 0 END AS dir_cross,
+       CAST(CASE WHEN pr.als > pr.afs AND pr.bls > pr.bfs THEN 1 ELSE 0 END AS BIGINT) AS pair_valid
+FROM pair pr
+JOIN pts ca ON ca.user_id = pr.user_id AND ca.pt_seq = pr.als
+JOIN pts cb ON cb.user_id = pr.user_id AND cb.pt_seq = pr.bfs
+LEFT JOIN pts ca1 ON ca1.user_id = pr.user_id AND ca1.pt_seq = pr.als - 1
+LEFT JOIN pts cb1 ON cb1.user_id = pr.user_id AND cb1.pt_seq = pr.bfs + 1
+"""
+
+
+def _event_shapes_typed(sf_dir: str):
+    """Event-derived points WITH event_type (stop markers for TripTracker)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts": batch["ts"],
+                "event_id": eid,
+                "ex": (eid * 48271 + uid * 977) % 65536,
+                "ey": (eid * 69621 + 13) % 65536,
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return ev.map_batches(_pts, batch_format="pyarrow", batch_size=65536)
+
+
+def q_trip_traversals(sf_dir: str):
+    """TripTracker FIFO stop→segment matching (see
+    ``stages.traffic.trip_traversals``)."""
+    from ..stages import traffic
+
+    return traffic.trip_traversals(_event_shapes_typed(sf_dir))
+
+
+_TRAV_CTES = """WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + user_id * 977) % 65536 AS ex,
+         (event_id * 69621 + 13) % 65536 AS ey,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt_seq
+  FROM events
+),
+nmax AS (SELECT user_id, MAX(pt_seq) AS np FROM pts GROUP BY 1),
+segs AS (
+  SELECT p.user_id, p.pt_seq AS seg_idx, p.ex, p.ey
+  FROM pts p JOIN nmax USING (user_id) WHERE p.pt_seq < nmax.np
+),
+stops AS (
+  SELECT user_id, ts,
+         (event_id * 48271 + user_id * 977) % 65536 AS sx,
+         (event_id * 69621 + 13) % 65536 AS sy,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS stop_seq
+  FROM events WHERE event_type = 'signup'
+),
+snap AS (
+  SELECT s.user_id, s.stop_seq, s.ts, g.seg_idx,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.user_id, s.stop_seq
+           ORDER BY (s.sx - g.ex) * (s.sx - g.ex) + (s.sy - g.ey) * (s.sy - g.ey), g.seg_idx
+         ) AS rn
+  FROM stops s JOIN segs g ON s.user_id = g.user_id
+),
+mono AS (
+  SELECT user_id, stop_seq, ts,
+         MAX(seg_idx) OVER (PARTITION BY user_id ORDER BY stop_seq) AS seg_idx
+  FROM snap WHERE rn = 1
+),
+trav AS (
+  SELECT user_id, stop_seq, seg_idx AS departure_seg_idx, ts AS dep_ts,
+         lead(seg_idx) OVER (PARTITION BY user_id ORDER BY stop_seq) AS arrival_seg_idx,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY stop_seq) AS arr_ts
+  FROM mono
+)
+"""
+
+
+SQL_TRIP_TRAVERSALS = _TRAV_CTES + """
+SELECT user_id, stop_seq, departure_seg_idx, arrival_seg_idx,
+       epoch_us(dep_ts) // 1000000 AS departure_ts_s,
+       epoch_us(arr_ts) // 1000000 AS arrival_ts_s
+FROM trav WHERE arrival_seg_idx IS NOT NULL
+"""
+
+
+def q_trip_seg_traffic(sf_dir: str):
+    """Traversal range join + exact travel-time distribution + rollup (see
+    ``stages.traffic.trip_seg_traffic``)."""
+    from ..stages import traffic
+
+    return traffic.trip_seg_traffic(_event_shapes_typed(sf_dir))
+
+
+SQL_TRIP_SEG_TRAFFIC = _TRAV_CTES + """
+, trav2 AS (
+  SELECT * FROM trav
+  WHERE arrival_seg_idx IS NOT NULL AND arrival_seg_idx > departure_seg_idx
+),
+seglen AS (
+  SELECT p.user_id, p.pt_seq AS seg_idx,
+         CAST(FLOOR(sqrt(CAST((q.ex - p.ex) * (q.ex - p.ex) + (q.ey - p.ey) * (q.ey - p.ey) AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS len_c
+  FROM pts p JOIN pts q ON q.user_id = p.user_id AND q.pt_seq = p.pt_seq + 1
+),
+x AS (
+  SELECT t.user_id, t.stop_seq, s.seg_idx, s.len_c,
+         (epoch_us(t.arr_ts) - epoch_us(t.dep_ts)) // 1000 AS tt_ms,
+         CAST(SUM(s.len_c) OVER (PARTITION BY t.user_id, t.stop_seq) AS BIGINT) AS tot_c
+  FROM trav2 t JOIN seglen s
+    ON s.user_id = t.user_id
+   AND s.seg_idx >= t.departure_seg_idx AND s.seg_idx < t.arrival_seg_idx
+)
+SELECT user_id, seg_idx,
+       CAST(SUM(CASE WHEN tot_c > 0 THEN (tt_ms * len_c) // tot_c ELSE 0 END) AS BIGINT) AS tt_ms,
+       COUNT(*) AS n_trav
+FROM x GROUP BY 1, 2
+"""
 
 
 def q_row_parity_counts(sf_dir: str):
@@ -1497,13 +1773,18 @@ QUERIES = {
     "redundant_candidates": q_redundant_candidates,
     "order_dow_counts": q_order_dow_counts,
     "shape_stats": q_shape_stats,
+    "choose_path_edges": q_choose_path_edges,
+    "path_sequentiality": q_path_sequentiality,
+    "trip_traversals": q_trip_traversals,
+    "trip_seg_traffic": q_trip_seg_traffic,
+    "season_pivot_json": q_season_pivot_json,
+    "doc_containment": q_doc_containment,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "choose_path": q_choose_path,
     "choose_score": q_choose_score,
-    "doc_containment": q_doc_containment,
     "ann_lsh": q_ann_lsh,
     "shape_frechet": q_shape_frechet,
     "shape_simplify": q_shape_simplify,
@@ -1558,4 +1839,10 @@ ORACLE_SQL = {
     "redundant_candidates": SQL_REDUNDANT_CANDIDATES,
     "order_dow_counts": SQL_ORDER_DOW_COUNTS,
     "shape_stats": SQL_SHAPE_STATS,
+    "choose_path_edges": SQL_CHOOSE_PATH_EDGES,
+    "path_sequentiality": SQL_PATH_SEQUENTIALITY,
+    "trip_traversals": SQL_TRIP_TRAVERSALS,
+    "trip_seg_traffic": SQL_TRIP_SEG_TRAFFIC,
+    "season_pivot_json": SQL_SEASON_PIVOT_JSON,
+    "doc_containment": SQL_DOC_CONTAINMENT,
 }

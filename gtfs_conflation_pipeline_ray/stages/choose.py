@@ -127,6 +127,160 @@ def viterbi_choose(segments_ds, tiles_ref, shape_col: str, seq_col: str,
     return bucketed_groups(segments_ds, [shape_col], _choose)
 
 
+def _decompose_bucket(g: pd.DataFrame, tiles_ref):
+    """Shared per-bucket decomposition core: sort points, pick the best
+    containing tile per point, split into paths (maximal matched runs) and
+    edges (maximal same-tile runs). Returns (matched_rows_df, px, py) where
+    matched_rows_df has (user_id, path_index, path_edge_index, tile_id,
+    pt_seq, gi — the row's index into px/py), or (None, None, None) on an
+    empty bucket."""
+    from .spatial import _TileState
+
+    st: _TileState = cached_state(tiles_ref, _TileState)
+    ix = st.index
+    d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = d["user_id"].to_numpy().astype(np.int64)
+    px = d["ex"].to_numpy().astype(np.int64)
+    py = d["ey"].to_numpy().astype(np.int64)
+    n = len(d)
+    if n == 0:
+        return None, None, None
+
+    # best containing tile per point (containment only; -1 = unmatched)
+    pi, ti = ix.query_points(px, py)
+    d2 = (px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2
+    tid = ix.tile_id[ti]
+    order = np.lexsort((tid, d2, pi))
+    pi_s = pi[order]
+    first = np.ones(len(pi_s), dtype=bool)
+    first[1:] = pi_s[1:] != pi_s[:-1]
+    tile = np.full(n, -1, dtype=np.int64)
+    tile[pi_s[first]] = tid[order][first]
+
+    user_start = np.ones(n, dtype=bool)
+    user_start[1:] = uid[1:] != uid[:-1]
+    # 1-based position within the shape (the SQL ROW_NUMBER)
+    gidx = np.arange(n, dtype=np.int64)
+    ustart_idx = np.maximum.accumulate(np.where(user_start, gidx, 0))
+    pt_seq = gidx - ustart_idx + 1
+
+    matched = tile >= 0
+    prev_matched = np.zeros(n, dtype=bool)
+    prev_matched[1:] = matched[:-1] & ~user_start[1:]
+    prev_tile = np.full(n, -1, dtype=np.int64)
+    prev_tile[1:] = tile[:-1]
+    new_path = matched & ~prev_matched
+    new_edge = matched & (~prev_matched | (prev_tile != tile))
+
+    cp = np.cumsum(new_path)
+    ce = np.cumsum(new_edge)
+    r = np.flatnonzero(matched)
+    # per-user offset: cp at the user's FIRST matched row (new_path there)
+    um, cm, cem, npm = uid[r], cp[r], ce[r], new_path[r]
+    ufirst = np.ones(len(r), dtype=bool)
+    ufirst[1:] = um[1:] != um[:-1]
+    path_index = cm - np.maximum.accumulate(np.where(ufirst, cm, 0))
+    # per-path offset: ce at the path's first row (monotone carry)
+    edge_index = cem - np.maximum.accumulate(np.where(npm, cem, 0))
+
+    rows = pd.DataFrame(
+        {
+            "user_id": um,
+            "path_index": path_index,
+            "path_edge_index": edge_index,
+            "tile_id": tile[r],
+            "pt_seq": pt_seq[r],
+            "gi": r,
+        }
+    )
+    return rows, px, py
+
+
+def path_decompose(points_ds, tiles_ref):
+    """Path-decomposition data model — the reference's core Step-B output
+    shape ``gtfs_shape_shst_match_paths`` with its 4-level index
+    (shape, path, edge, section) built from chosen per-point matches
+    (``/root/reference/src/services/Conflation/chooseShstMatchesForShape/
+    computeSubGraphComponentsTraversals/createPathLineStrings.js:80-174``,
+    DDL ``GtfsOsmNetworkDAO/createTableFns.js:22-41``).
+
+    Per shape (user): points in (ts, event_id) order take their best
+    containing tile (min squared centroid distance, tie by tile_id — the
+    chosen match). A PATH is a maximal run of consecutively matched points
+    (unmatched points break paths, like disconnected subgraph components);
+    an EDGE is a maximal same-tile run inside a path (like one shstReference
+    section of a traversal). Output one row per edge:
+    (user_id, path_index, path_edge_index, tile_id, seq_start, seq_end,
+    n_pts) — fully SQL-expressible, so the driver's DuckDB oracle checks it
+    exactly.
+
+    Expects point columns (user_id, ts, event_id, ex, ey)."""
+
+    def _decompose(g: pd.DataFrame) -> pd.DataFrame:
+        rows, _, _ = _decompose_bucket(g, tiles_ref)
+        if rows is None:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in
+                                 ["user_id", "path_index", "path_edge_index",
+                                  "tile_id", "seq_start", "seq_end", "n_pts"]})
+        out = rows.groupby(
+            ["user_id", "path_index", "path_edge_index", "tile_id"],
+            as_index=False, sort=False,
+        ).agg(seq_start=("pt_seq", "min"), seq_end=("pt_seq", "max"),
+              n_pts=("pt_seq", "size"))
+        out["n_pts"] = out["n_pts"].astype(np.int64)
+        return out
+
+    return bucketed_groups(points_ds, ["user_id"], _decompose)
+
+
+def path_sequentiality(points_ds, tiles_ref):
+    """Sequentiality of consecutive decomposed paths — ≙ the reference's
+    ``getSequentiality`` gap-distance + relative-bearing comparator
+    (``/root/reference/src/utils/gis/getSequentiality.js:16-64``), kept
+    integer-exact: per consecutive path pair (i, i+1) inside a shape emit
+    (user_id, path_index=i, gap_d2, dir_dot, dir_cross, pair_valid) where
+    gap_d2 is the squared distance from path i's last point to path i+1's
+    first point and dir_dot/dir_cross compare path i's final direction
+    vector with path i+1's initial one (both 0 with pair_valid=0 when either
+    path has a single point). Integer dot/cross replace floating bearings so
+    the DuckDB oracle matches bit-for-bit."""
+
+    def _seq(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "path_index", "gap_d2", "dir_dot", "dir_cross", "pair_valid"]
+        rows, px, py = _decompose_bucket(g, tiles_ref)
+        if rows is None or len(rows) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+        p2 = rows.groupby(["user_id", "path_index"], as_index=False, sort=False).agg(
+            fs=("gi", "min"), ls=("gi", "max")
+        )
+        p2 = p2.sort_values(["user_id", "path_index"], kind="mergesort")
+        u = p2["user_id"].to_numpy()
+        pidx = p2["path_index"].to_numpy()
+        fs = p2["fs"].to_numpy()
+        ls = p2["ls"].to_numpy()
+        # consecutive pairs within a user (path_index is dense per user)
+        a = np.flatnonzero((u[1:] == u[:-1]) & (pidx[1:] == pidx[:-1] + 1))
+        b = a + 1
+        gap = (px[fs[b]] - px[ls[a]]) ** 2 + (py[fs[b]] - py[ls[a]]) ** 2
+        valid = (ls[a] > fs[a]) & (ls[b] > fs[b])
+        ax = np.where(valid, px[ls[a]] - px[ls[a] - 1], 0)
+        ay = np.where(valid, py[ls[a]] - py[ls[a] - 1], 0)
+        bx = np.where(valid, px[fs[b] + 1] - px[fs[b]], 0)
+        by = np.where(valid, py[fs[b] + 1] - py[fs[b]], 0)
+        return pd.DataFrame(
+            {
+                "user_id": u[a],
+                "path_index": pidx[a],
+                "gap_d2": gap,
+                "dir_dot": ax * bx + ay * by,
+                "dir_cross": ax * by - ay * bx,
+                "pair_valid": valid.astype(np.int64),
+            }
+        )
+
+    return bucketed_groups(points_ds, ["user_id"], _seq)
+
+
 def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
                      x_col: str, y_col: str, switch_penalty: float = 1e7,
                      resample_n: int = 32):

@@ -1,0 +1,153 @@
+"""Bit-identity + pruning-claim tests for the vectorized kernel paths:
+every batched fast path must produce EXACTLY the per-item slow path's values,
+and the "pruned" variants must demonstrably do sub-linear candidate work.
+"""
+
+import numpy as np
+import pytest
+
+from gtfs_conflation_pipeline_ray.functions import text as tx
+from gtfs_conflation_pipeline_ray.state.grid_index import GridIndex
+
+
+def test_fnv1a64_batch_matches_scalar():
+    strs = ["", "a", "hello world", "héllo wörld", "x" * 100, "the quick brown fox"]
+    batch = tx.fnv1a64_batch(strs)
+    for s, h in zip(strs, batch):
+        assert int(h) == tx.fnv1a64(s), s
+
+
+def test_batch_shingle_minhash_matches_per_doc():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "alpha beta gamma delta epsilon zeta",
+        "repeat repeat repeat repeat",
+    ]
+    a, b = tx.minhash_params(8)
+    flat, offsets = tx.batch_shingle_hashes(texts, k=3)
+    batch_sigs = tx.minhash_batch(flat, offsets, a, b)
+    for i, t in enumerate(texts):
+        ref = tx.minhash_signature(tx.shingle_hashes(t, 3), a, b)
+        assert np.array_equal(batch_sigs[i], ref), t
+
+
+def test_char_gram_hashes_match_scalar():
+    for s in ["hello world, this is winnowing", "ab", "abcdefgh" * 5]:
+        fast = tx._char_gram_hashes(s, 5)
+        slow = np.array([tx.fnv1a64(s[i : i + 5]) for i in range(len(s) - 4)],
+                        dtype=np.uint64)
+        assert np.array_equal(fast, slow)
+
+
+def test_winnow_fingerprint_nonascii_path():
+    # non-ASCII falls back to the batch hasher; both paths must agree with
+    # a hand-rolled per-gram reference
+    s = "héllo wörld with accents éàü"
+    grams_ref = np.array(
+        [tx.fnv1a64(s.lower()[i : i + 5]) for i in range(len(s.lower()) - 4)],
+        dtype=np.uint64,
+    )
+    fast = tx._char_gram_hashes(s.lower(), 5)
+    assert np.array_equal(fast, grams_ref)
+
+
+def _random_tiles(n, seed=7, world=65536):
+    rng = np.random.default_rng(seed)
+    cx = rng.integers(0, world, n)
+    cy = rng.integers(0, world, n)
+    hw = rng.integers(10, 900, n)
+    hh = rng.integers(10, 900, n)
+    tid = np.arange(n, dtype=np.int64) * 3 + 1  # non-dense ids
+    return GridIndex(tid, cx - hw, cy - hh, cx + hw, cy + hh)
+
+
+def test_knn_pruned_matches_brute():
+    ix = _random_tiles(6000)
+    rng = np.random.default_rng(11)
+    qx = rng.integers(0, 65536, 500)
+    qy = rng.integers(0, 65536, 500)
+    for k in (1, 3, 7):
+        bq, bt, bd = ix._knn_brute(qx, qy, k)
+        pq_, pt, pd_ = ix.knn_centroids_pruned(qx, qy, k)
+        assert np.array_equal(bq, pq_)
+        assert np.array_equal(ix.tile_id[bt], ix.tile_id[pt])
+        assert np.array_equal(bd, pd_)
+
+
+def test_knn_routes_to_pruned_above_threshold():
+    ix = _random_tiles(6000)
+    qx = np.array([100, 40000]); qy = np.array([200, 30000])
+    q1, t1, d1 = ix.knn_centroids(qx, qy, 2)
+    q2, t2, d2 = ix._knn_brute(qx, qy, 2)
+    assert np.array_equal(t1, t2) and np.array_equal(d1, d2)
+
+
+def test_lsh_candidates_sublinear_and_correct():
+    from gtfs_conflation_pipeline_ray.stages.ann import lsh_candidate_indices
+
+    rng = np.random.default_rng(3)
+    n_planes = 10
+    xsig = rng.integers(0, 1 << n_planes, 5000).astype(np.int64)
+    qsig = rng.integers(0, 1 << n_planes, 8).astype(np.int64)
+    cands = lsh_candidate_indices(qsig, xsig, n_planes)
+    for qs, cand in zip(qsig, cands):
+        # correctness: candidate set == all vectors within hamming distance 1
+        ham = np.bitwise_xor(np.int64(qs), xsig)
+        pop = np.zeros_like(ham)
+        for b in range(n_planes):
+            pop += (ham >> b) & 1
+        expect = np.flatnonzero(pop <= 1)
+        assert np.array_equal(np.sort(cand), expect)
+        # pruning: way fewer than the full set (11 of 1024 buckets)
+        assert len(cand) < 0.1 * len(xsig)
+
+
+def test_interval_join_dict_fallback(ray_session):
+    """Huge-span windows force the per-key dict path; results must match the
+    composite path on an equivalent small-span input shifted consistently."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.windows import _WindowState, interval_join
+
+    base = np.datetime64("2020-01-01", "us").astype(np.int64)
+    wk = np.array([1, 1, 2], dtype=np.int64)
+    wts = base + np.array([0, 3600, 1800], dtype=np.int64) * 1_000_000
+    w = pa.table({"user_id": wk, "ts": wts.astype("datetime64[us]"),
+                  "window_id": np.array([10, 11, 12], dtype=np.int64)})
+    st = _WindowState(w, "user_id", "ts")
+    assert not st.use_dict  # small span -> composite path
+
+    # ~500-year span x 1000 distinct keys -> rank_bits + ts_bits > 62 -> dict
+    nk = 1000
+    wk2 = np.arange(nk, dtype=np.int64)
+    wts2 = np.full(nk, base, dtype=np.int64)
+    wts2[0] -= np.int64(500 * 365 * 86400) * 1_000_000
+    w2 = pa.table({"user_id": wk2, "ts": wts2.astype("datetime64[us]"),
+                   "window_id": wk2 + 100})
+    st2 = _WindowState(w2, "user_id", "ts")
+    assert st2.use_dict
+
+    # drive the dict path end-to-end: window starts at base for keys 1..nk-1
+    probes2 = pa.table({
+        "user_id": np.array([5, 7, 5000], dtype=np.int64),
+        "ts": (np.array([base + 60_000_000, base - 60_000_000, base], dtype=np.int64)
+               ).astype("datetime64[us]"),
+    })
+    out2 = interval_join(ray.data.from_arrow(probes2), ray.put(w2), "user_id", "ts",
+                         30 * 60 * 1_000_000).to_pandas()
+    got2 = set(zip(out2["user_id"], out2["window_id"]))
+    assert got2 == {(5, 105)}  # key 7 probe is before its window; 5000 unknown
+
+    probes = pa.table({
+        "user_id": np.array([1, 1, 2, 3], dtype=np.int64),
+        "ts": (base + np.array([600, 4000, 1900, 100], dtype=np.int64) * 1_000_000
+               ).astype("datetime64[us]"),
+    })
+    out = interval_join(ray.data.from_arrow(probes), ray.put(w), "user_id", "ts",
+                        30 * 60 * 1_000_000).to_pandas()
+    got = set(zip(out["user_id"], out["window_id"]))
+    assert got == {(1, 10), (1, 11), (2, 12)}
