@@ -257,6 +257,169 @@ def cospatial_intervals(a: np.ndarray, b: np.ndarray, buffer_dist: float,
     return [(alongs[s], alongs[e]) for s, e in zip(starts, ends) if alongs[e] > alongs[s]]
 
 
+def cospatial_intervals_exact(a: np.ndarray, b: np.ndarray, buffer_dist: float,
+                              min_len: float = 0.0) -> list[tuple[float, float]]:
+    """EXACT along-line intervals of A within ``buffer_dist`` of B — the
+    buffered-intersection offsets of J5
+    (``utils/gis/getCospatialityOfLinestrings.js:327-517``: GDAL buffer +
+    mutual intersection + offsets-along + short-seg cleanup) computed
+    analytically instead of by sampling.
+
+    For each A-segment, the set {t in [0,1] : dist(A(t), B-segment) <= r} is
+    CONVEX (distance from a point moving on a line to a convex set is convex
+    in t), and equals the union of three solvable pieces — within r of either
+    endpoint (two quadratics) or of the interior strip (linear band + linear
+    projection range) — so its bounds are [min of lows, max of highs] of the
+    non-empty pieces. All (A-seg x B-seg) pairs solve in one broadcast pass;
+    intervals then merge along A and islands shorter than ``min_len`` drop
+    (≙ the reference's 2 m cleanup, ``:446-476``)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if len(a) < 2 or len(b) < 2:
+        return []
+    r = float(buffer_dist)
+    da = a[1:] - a[:-1]                      # (m, 2)
+    L = np.hypot(da[:, 0], da[:, 1])
+    cumA = np.concatenate(([0.0], np.cumsum(L)))
+    db = b[1:] - b[:-1]                      # (n, 2)
+    nb2 = (db * db).sum(1)
+
+    e0 = a[:-1, None, :] - b[None, :-1, :]   # a0 - b0  (m, n, 2)
+    e1 = a[:-1, None, :] - b[None, 1:, :]    # a0 - b1
+    A2 = (da * da).sum(1)[:, None]           # |da|^2  (m, 1)
+
+    def _quad(Bc, Cc):
+        # A2 t^2 + 2 Bc t + Cc <= 0
+        disc = Bc * Bc - A2 * Cc
+        ok = (disc >= 0) & (A2 > 0)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        den = np.where(A2 > 0, A2, 1.0)
+        lo = np.where(ok, (-Bc - sq) / den, np.inf)
+        hi = np.where(ok, (-Bc + sq) / den, -np.inf)
+        return lo, hi
+
+    lo0, hi0 = _quad((da[:, None, :] * e0).sum(2), (e0 * e0).sum(2) - r * r)
+    lo1, hi1 = _quad((da[:, None, :] * e1).sum(2), (e1 * e1).sum(2) - r * r)
+
+    # interior strip: |cross(e0 + t da, db)| <= r |db|, projection s in [0,1]
+    alpha = da[:, None, 0] * db[None, :, 1] - da[:, None, 1] * db[None, :, 0]
+    beta = e0[..., 0] * db[None, :, 1] - e0[..., 1] * db[None, :, 0]
+    rn = r * np.sqrt(nb2)[None, :]
+    g = (da[:, None, :] * db[None, :, :]).sum(2)   # da . db
+    h = (e0 * db[None, :, :]).sum(2)               # e0 . db
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sl_lo = np.where(alpha > 0, (-rn - beta) / alpha,
+                 np.where(alpha < 0, (rn - beta) / alpha,
+                          np.where(np.abs(beta) <= rn, -np.inf, np.inf)))
+        sl_hi = np.where(alpha > 0, (rn - beta) / alpha,
+                 np.where(alpha < 0, (-rn - beta) / alpha,
+                          np.where(np.abs(beta) <= rn, np.inf, -np.inf)))
+        pr_lo = np.where(g > 0, -h / g,
+                 np.where(g < 0, (nb2[None, :] - h) / g,
+                          np.where((h >= 0) & (h <= nb2[None, :]), -np.inf, np.inf)))
+        pr_hi = np.where(g > 0, (nb2[None, :] - h) / g,
+                 np.where(g < 0, -h / g,
+                          np.where((h >= 0) & (h <= nb2[None, :]), np.inf, -np.inf)))
+    st_lo = np.maximum(sl_lo, pr_lo)
+    st_hi = np.minimum(sl_hi, pr_hi)
+    st_ok = (st_hi >= st_lo) & (nb2[None, :] > 0)
+    st_lo = np.where(st_ok, st_lo, np.inf)
+    st_hi = np.where(st_ok, st_hi, -np.inf)
+
+    lo = np.clip(np.minimum(np.minimum(lo0, lo1), st_lo), 0.0, 1.0)
+    hi = np.clip(np.maximum(np.maximum(hi0, hi1), st_hi), 0.0, 1.0)
+    ii, jj = np.nonzero(hi > lo)
+    if len(ii) == 0:
+        return []
+    a_lo = cumA[ii] + lo[ii, jj] * L[ii]
+    a_hi = cumA[ii] + hi[ii, jj] * L[ii]
+    order = np.argsort(a_lo, kind="stable")
+    a_lo, a_hi = a_lo[order], a_hi[order]
+    # sweep-merge: a new island starts where lo exceeds the running max hi
+    run_hi = np.maximum.accumulate(a_hi)
+    new = np.ones(len(a_lo), dtype=bool)
+    new[1:] = a_lo[1:] > run_hi[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(a_lo))
+    out = []
+    for s, e in zip(starts, ends):
+        lo_v, hi_v = a_lo[s], run_hi[e - 1]
+        if hi_v - lo_v >= min_len and hi_v > lo_v:
+            out.append((float(lo_v), float(hi_v)))
+    return out
+
+
+def line_similarity(a: np.ndarray, b: np.ndarray, buffer_dist: float,
+                    simplify_tol: float = 0.0) -> float:
+    """Similarity score of two polylines — ≙ ``lineStringsComparator``
+    (``/root/reference/src/utils/lineStringsComparator.js:17-61``): translate
+    B to A's start, RDP-simplify both, take the length of A NOT within
+    ``buffer_dist`` of translated B (the GDAL difference-length analog, via
+    the exact cospatial intervals), scaled by the squared start-distance
+    penalty. 0 = identical; larger = less similar."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if len(a) < 2 or len(b) < 2:
+        return float("inf")
+    start_dist = float(np.hypot(*(a[0] - b[0])))
+    bt = b - b[0] + a[0]
+    if simplify_tol > 0:
+        a = rdp_simplify(a, simplify_tol)
+        bt = rdp_simplify(bt, simplify_tol)
+    cos_len = sum(hi - lo for lo, hi in cospatial_intervals_exact(a, bt, buffer_dist))
+    diff_len = max(polyline_length(a) - cos_len, 0.0)
+    return diff_len * (1.0 + start_dist) ** 2
+
+
+def merge_paths_by_ids(paths: list) -> list[list[int]]:
+    """Metadata path merge — ≙ ``mergePathLineStringsUsingMetadata``
+    (``/root/reference/src/services/Conflation/chooseShstMatchesForShape/
+    mergePathLineStringsUsingMetadata.js:9-199``): paths are id sequences
+    (shstMatchId lists); repeatedly (a) drop any path whose id SET is a
+    subset of another's (D5 overlapped-path removal,
+    ``unionPathLineStrings.js:13-52``), then (b) splice two paths when one's
+    suffix equals the other's prefix (maximal overlap run, >= 1 id), to a
+    fixpoint. Deterministic: candidates scan in index order, longest overlap
+    first."""
+    ps: list[list[int]] = [list(p) for p in paths if len(p)]
+    changed = True
+    while changed:
+        changed = False
+        # (a) subset removal (keep the first of exact duplicates)
+        sets = [frozenset(p) for p in ps]
+        drop = [False] * len(ps)
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i == j or drop[i] or drop[j]:
+                    continue
+                if sets[i] < sets[j] or (sets[i] == sets[j] and j < i):
+                    drop[i] = True
+        if any(drop):
+            ps = [p for p, d in zip(ps, drop) if not d]
+            changed = True
+            continue
+        # (b) suffix/prefix splice
+        done = False
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i == j:
+                    continue
+                pi, pj = ps[i], ps[j]
+                max_k = min(len(pi), len(pj))
+                for k in range(max_k, 0, -1):  # longest overlap first
+                    if pi[-k:] == pj[:k]:
+                        spliced = pi + pj[k:]
+                        ps = [p for t, p in enumerate(ps) if t not in (i, j)]
+                        ps.append(spliced)
+                        changed = done = True
+                        break
+                if done:
+                    break
+            if done:
+                break
+    return ps
+
+
 def merge_chains(lines: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Greedy end-to-start geospatial merge: repeatedly join a line whose
     start is within ``tol`` of another's end (gap bridged by concatenation)

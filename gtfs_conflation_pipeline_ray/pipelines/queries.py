@@ -1685,6 +1685,22 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_rematch_gated(sf_dir: str):  # rows-only (geometric gate, no SQL)
+    """Iterative re-match whose round-2 radius matches pass only through the
+    similarity accept-gate (see ``stages.choose.similarity_gated_rematch``)."""
+    from ..stages.choose import similarity_gated_rematch
+
+    return similarity_gated_rematch(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+
+
+def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
+    """Metadata-overlap path splicing to fixpoint over the decomposed paths
+    (see ``stages.choose.path_metadata_merge``)."""
+    from ..stages.choose import path_metadata_merge
+
+    return path_metadata_merge(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+
+
 def q_row_parity_counts(sf_dir: str):
     """Data-quality counters — ≙ A8 COUNT sanity checks
     (``RawGtfsDAO/loaders.js:87-117``): single row of global counts."""
@@ -1794,6 +1810,8 @@ QUERIES = {
     "shape_bearing_split": q_shape_bearing_split,
     "shape_cospatiality": q_shape_cospatiality,
     "shape_merge_roundtrip": q_shape_merge_roundtrip,
+    "rematch_gated": q_rematch_gated,
+    "path_metadata_merge": q_path_metadata_merge,
 }
 
 ORACLE_SQL = {

@@ -14,7 +14,53 @@ inference beyond the file-name mapping, ``RawGtfsDAO/loaders.js:18-29``).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 import ray
+
+# the reference's closed table list (S1,
+# ``/root/reference/src/daos/RawGtfsDAO/SUPPORTED_TABLES.js:1-15``)
+GTFS_TABLES = frozenset(
+    "agency stops routes trips stop_times calendar calendar_dates "
+    "fare_attributes fare_rules shapes frequencies transfers feed_info".split()
+)
+
+
+def read_gtfs_zip(zip_path: str, tables: list[str] | None = None,
+                  extract_dir: str | None = None) -> dict:
+    """GTFS zip ingest — ≙ S1/S2 (``raw_gtfs_into_sqlite/index.js:14-60``):
+    unzip the feed, map each ``<table>.txt`` member to its table by file
+    name (closed list, unknown members skipped — the reference's
+    ``loaders.js:18-29`` mapping), and return {table: Dataset} of
+    header-parsed CSV reads. Members are extracted once to ``extract_dir``
+    (a temp dir by default) so the CSV reads stream from plain files; at
+    cluster scale the extraction happens once on shared storage and every
+    node reads column-pruned."""
+    if tables is not None:
+        wanted = set(tables)
+        unknown = wanted - GTFS_TABLES
+        if unknown:
+            raise ValueError(f"unknown GTFS tables: {sorted(unknown)}")
+    else:
+        wanted = GTFS_TABLES
+    out_dir = extract_dir or tempfile.mkdtemp(prefix="gtfs_zip_")
+    os.makedirs(out_dir, exist_ok=True)
+    out: dict = {}
+    with zipfile.ZipFile(zip_path) as zf:
+        for member in zf.namelist():
+            base = os.path.basename(member)
+            if not base.endswith(".txt"):
+                continue
+            table = base[:-4]
+            if table not in wanted:
+                continue  # skip-but-continue, like the reference's loader
+            target = os.path.join(out_dir, base)
+            with zf.open(member) as src, open(target, "wb") as dst:
+                dst.write(src.read())
+            out[table] = ray.data.read_csv(target)
+    return out
 
 
 def have_lance() -> bool:

@@ -281,6 +281,117 @@ def path_sequentiality(points_ds, tiles_ref):
     return bucketed_groups(points_ds, ["user_id"], _seq)
 
 
+def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
+                             sim_threshold: float = 60000.0,
+                             buffer_dist: float = 2000.0):
+    """Iterative re-match with the reference's similarity accept-gate — ≙ the
+    T3 loop whose round-2+ geometry mutations are only accepted when the
+    comparator passes (T4 length-ratio <= 0.05 / T5 similarity <= 0.008,
+    ``replaceFeaturesGeomsWithOsrmRoute.js:128-289``): round 1 matches each
+    point to its best containing tile; round 2 relaxes to the nearest
+    centroid within ``radius`` for the unmatched remainder, but the round-2
+    matches are kept ONLY if the full chosen chain stays similar to the
+    shape (``geom.line_similarity`` <= ``sim_threshold``). One row per
+    shape: (user_id, n_points, n_round1, n_round2, accepted, sim_q2)."""
+    from ..functions import geom
+
+    def _gate(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy().astype(np.int64)
+        px = d["ex"].to_numpy().astype(np.int64)
+        py = d["ey"].to_numpy().astype(np.int64)
+        n = len(d)
+        cols = ["user_id", "n_points", "n_round1", "n_round2", "accepted", "sim_q2"]
+        if n == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+
+        # round 1: best containing tile (containment only)
+        pi, ti = ix.query_points(px, py)
+        d2 = (px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2
+        order = np.lexsort((ix.tile_id[ti], d2, pi))
+        pi_s = pi[order]
+        first = np.ones(len(pi_s), dtype=bool)
+        first[1:] = pi_s[1:] != pi_s[:-1]
+        tidx1 = np.full(n, -1, dtype=np.int64)  # tile INDEX per point
+        tidx1[pi_s[first]] = ti[order][first]
+
+        # round 2: nearest centroid within radius for unmatched points
+        tidx2 = tidx1.copy()
+        un = np.flatnonzero(tidx1 < 0)
+        if len(un):
+            qi, t2, d2k = ix.knn_centroids(px[un], py[un], 1)
+            ok = d2k <= radius * radius
+            tidx2[un[qi[ok]]] = t2[ok]
+
+        rows = []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            m1 = tidx1[s:e] >= 0
+            m2 = tidx2[s:e] >= 0
+            n_r1 = int(m1.sum())
+            n_r2 = int(m2.sum()) - n_r1
+            accepted = np.int64(0)
+            sim_q2 = np.int64(-1)
+            if n_r2 > 0 and m2.sum() >= 2 and (e - s) >= 2:
+                sel = tidx2[s:e][m2]
+                chain = np.stack([st.cx[sel], st.cy[sel]], axis=1).astype(np.float64)
+                shape_xy = np.stack([px[s:e], py[s:e]], axis=1).astype(np.float64)
+                sim = geom.line_similarity(shape_xy, chain, buffer_dist)
+                sim_q2 = np.int64(np.floor(min(sim, 1e12) * 100 + 0.5))
+                accepted = np.int64(1) if sim <= sim_threshold else np.int64(0)
+            rows.append({
+                "user_id": np.int64(uid[s]),
+                "n_points": np.int64(e - s),
+                "n_round1": np.int64(n_r1),
+                "n_round2": np.int64(n_r2 if accepted or n_r2 == 0 else 0),
+                "accepted": accepted,
+                "sim_q2": sim_q2,
+            })
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(points_ds, ["user_id"], _gate)
+
+
+def path_metadata_merge(points_ds, tiles_ref):
+    """Metadata path merge over the decomposed paths — ≙
+    ``mergePathLineStringsUsingMetadata`` + D5 overlapped-path removal:
+    each decomposed path's ordered edge-tile sequence is its metadata id
+    list; subset paths drop and suffix/prefix-overlapping paths splice to a
+    fixpoint (``geom.merge_paths_by_ids``). One row per shape:
+    (user_id, n_paths, n_merged, n_edges_before, n_edges_after)."""
+    from ..functions.geom import merge_paths_by_ids
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_paths", "n_merged", "n_edges_before", "n_edges_after"]
+        rows, _, _ = _decompose_bucket(g, tiles_ref)
+        if rows is None or len(rows) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+        # ordered edge-tile sequence per (user, path)
+        edges = rows.drop_duplicates(["user_id", "path_index", "path_edge_index"])
+        out = []
+        for u, grp in edges.groupby("user_id", sort=False):
+            paths = [
+                p.sort_values("path_edge_index")["tile_id"].tolist()
+                for _, p in grp.groupby("path_index", sort=False)
+            ]
+            merged = merge_paths_by_ids(paths)
+            out.append({
+                "user_id": np.int64(u),
+                "n_paths": np.int64(len(paths)),
+                "n_merged": np.int64(len(merged)),
+                "n_edges_before": np.int64(sum(len(p) for p in paths)),
+                "n_edges_after": np.int64(sum(len(p) for p in merged)),
+            })
+        return pd.DataFrame(out)
+
+    return bucketed_groups(points_ds, ["user_id"], _merge)
+
+
 def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
                      x_col: str, y_col: str, switch_penalty: float = 1e7,
                      resample_n: int = 32):

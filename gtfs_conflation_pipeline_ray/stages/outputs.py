@@ -26,3 +26,38 @@ def export_ndjson(ds, out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     ds.write_json(out_dir)
     return out_dir
+
+
+def export_layers(ds, out_dir: str, layers: dict):
+    """Multi-layer sink — ≙ S6's six-layer ESRI shapefile export
+    (``/root/reference/src/daos/OutputDAO/generators.js:24-405``): each layer
+    is a named projection of the same source Dataset, written as its own
+    sorted parquet directory ``<out_dir>/layer=<name>/`` plus a manifest
+    recording per-layer row counts (the sidecar-metadata parity, S8).
+
+    ``layers`` maps layer name -> (columns, sort_keys) or
+    (columns, sort_keys, filter_expr). The source is shared (lazy); each
+    layer projects/filters/sorts independently, so a layer's sort shuffle
+    moves only that layer's pruned columns."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {}
+    for name, spec in layers.items():
+        cols, sort_keys = spec[0], spec[1]
+        layer = ds
+        if len(spec) > 2 and spec[2]:
+            layer = layer.filter(expr=spec[2])
+        layer = layer.select_columns(cols)
+        layer_dir = os.path.join(out_dir, f"layer={name}")
+        layer.sort(sort_keys).write_parquet(layer_dir)
+        import pyarrow.dataset as pads
+
+        manifest[name] = {
+            "columns": cols,
+            "sort_keys": sort_keys,
+            "rows": int(pads.dataset(layer_dir).count_rows()),
+        }
+    with open(os.path.join(out_dir, "_layers.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return out_dir

@@ -191,13 +191,17 @@ def shape_bearing_splits(ds, max_turn_deg: float = 67.5):
     return per_shape(ds, _fn)
 
 
-def shape_cospatiality(ds, buffer_dist: float = 400.0, step: float = 200.0):
+def shape_cospatiality(ds, buffer_dist: float = 400.0, min_len: float = 2.0):
     """(user_id, n_intervals, overlap_q2): cospatial along-intervals of each
-    shape against its RDP-simplified self (≙ J5 refine offsets)."""
+    shape against its RDP-simplified self (≙ J5 refine offsets). EXACT
+    analytic buffered intervals with the reference's short-island cleanup
+    (``geom.cospatial_intervals_exact`` replaces the round-1 512-sample
+    approximation)."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
         simp = geom.rdp_simplify(xy, 1200.0)
-        iv = geom.cospatial_intervals(xy, simp, buffer_dist, step) if len(simp) >= 2 else []
+        iv = (geom.cospatial_intervals_exact(xy, simp, buffer_dist, min_len)
+              if len(simp) >= 2 else [])
         overlap = sum(e - s for s, e in iv)
         return {
             "user_id": uid,

@@ -1,0 +1,86 @@
+"""Exact cospatiality, similarity comparator, and metadata path merge —
+brute-force oracles for the new geometry kernels."""
+
+import numpy as np
+
+from gtfs_conflation_pipeline_ray.functions import geom
+
+
+def _brute_cospatial(a, b, r, n=20001):
+    """Dense-sampling reference: fraction/intervals of A within r of B."""
+    total = geom.polyline_length(a)
+    samples = geom.resample(a, n)
+    d, _ = geom.project_points(samples, b)
+    inside = d <= r
+    alongs = np.linspace(0.0, total, n)
+    # total inside length (trapezoid on the 0/1 indicator is fine at this res)
+    return float(inside[:-1].sum() * (alongs[1] - alongs[0]))
+
+
+def test_cospatial_exact_simple_overlap():
+    a = np.array([[0.0, 0.0], [10.0, 0.0]])
+    b = np.array([[3.0, 0.5], [7.0, 0.5]])
+    iv = geom.cospatial_intervals_exact(a, b, buffer_dist=1.0)
+    assert len(iv) == 1
+    lo, hi = iv[0]
+    # within 1.0 of b's endpoints: x in [3 - sqrt(1-.25), 7 + sqrt(1-.25)]
+    ex = np.sqrt(1.0 - 0.25)
+    assert abs(lo - (3.0 - ex)) < 1e-9
+    assert abs(hi - (7.0 + ex)) < 1e-9
+
+
+def test_cospatial_exact_disjoint_islands():
+    a = np.array([[0.0, 0.0], [20.0, 0.0]])
+    b = np.array([[2.0, 0.0], [4.0, 0.0], [4.0, 50.0], [14.0, 50.0],
+                  [14.0, 0.0], [16.0, 0.0]])
+    iv = geom.cospatial_intervals_exact(a, b, buffer_dist=1.0)
+    assert len(iv) == 2
+    assert abs(iv[0][0] - 1.0) < 1e-9 and abs(iv[0][1] - 5.0) < 1e-9
+    assert abs(iv[1][0] - 13.0) < 1e-9 and abs(iv[1][1] - 17.0) < 1e-9
+
+
+def test_cospatial_exact_matches_dense_sampling():
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        a = np.cumsum(rng.normal(0, 3, (12, 2)), axis=0)
+        b = np.cumsum(rng.normal(0, 3, (9, 2)), axis=0)
+        exact = sum(hi - lo for lo, hi in
+                    geom.cospatial_intervals_exact(a, b, buffer_dist=2.5))
+        brute = _brute_cospatial(a, b, 2.5)
+        assert abs(exact - brute) < geom.polyline_length(a) / 1000.0
+
+
+def test_cospatial_min_len_cleanup():
+    a = np.array([[0.0, 0.0], [100.0, 0.0]])
+    b = np.array([[50.0, 1.0], [50.0, 2.0]])  # tiny touch window around x=50
+    all_iv = geom.cospatial_intervals_exact(a, b, buffer_dist=1.05)
+    assert len(all_iv) == 1 and (all_iv[0][1] - all_iv[0][0]) < 1.0
+    assert geom.cospatial_intervals_exact(a, b, 1.05, min_len=2.0) == []
+
+
+def test_line_similarity_identical_and_divergent():
+    a = np.array([[0.0, 0.0], [10.0, 0.0], [20.0, 0.0]])
+    assert geom.line_similarity(a, a.copy(), buffer_dist=0.5) == 0.0
+    # same shape, shifted start: zero diff after translation but penalized > 0
+    b = a + np.array([3.0, 4.0])
+    assert geom.line_similarity(a, b, buffer_dist=0.5) == 0.0  # diff_len 0 -> 0
+    # orthogonal line: full length diff
+    c = np.array([[0.0, 0.0], [0.0, 10.0], [0.0, 20.0]])
+    s = geom.line_similarity(a, c, buffer_dist=0.5)
+    assert 18.0 < s < 20.1
+
+
+def test_merge_paths_by_ids():
+    # suffix/prefix splice
+    assert geom.merge_paths_by_ids([[1, 2, 3], [3, 4, 5]]) == [[1, 2, 3, 4, 5]]
+    # longest overlap preferred
+    assert geom.merge_paths_by_ids([[1, 2, 3], [2, 3, 4]]) == [[1, 2, 3, 4]]
+    # subset removal (D5)
+    assert geom.merge_paths_by_ids([[1, 2, 3, 4], [2, 3]]) == [[1, 2, 3, 4]]
+    # duplicate keeps one
+    assert geom.merge_paths_by_ids([[7, 8], [7, 8]]) == [[7, 8]]
+    # disjoint stays apart
+    out = geom.merge_paths_by_ids([[1, 2], [5, 6]])
+    assert sorted(map(tuple, out)) == [(1, 2), (5, 6)]
+    # chain of three splices to one
+    assert geom.merge_paths_by_ids([[1, 2], [2, 3], [3, 4]]) == [[1, 2, 3, 4]]

@@ -51,3 +51,44 @@ def test_export_ndjson(ray_session, tmp_path):
     assert len(rows) == 5 and {r["r_name"] for r in rows} == {
         v["r_name"] for v in pq.read_table(f"{SF}/region.parquet").to_pylist()
     }
+
+def test_read_gtfs_zip(ray_session, tmp_path):
+    import zipfile
+
+    zp = str(tmp_path / "feed.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("stops.txt", "stop_id,stop_name,stop_lat,stop_lon\n"
+                                 "s1,Alpha,40.1,-73.9\ns2,Beta,40.2,-74.0\n")
+        zf.writestr("trips.txt", "route_id,service_id,trip_id\nr1,wk,t1\nr1,wk,t2\n")
+        zf.writestr("notes.txt", "not,a,gtfs,table\n")   # unknown -> skipped
+        zf.writestr("README.md", "ignored")
+    tables = gio.read_gtfs_zip(zp, extract_dir=str(tmp_path / "x"))
+    assert set(tables) == {"stops", "trips"}
+    stops = tables["stops"].to_pandas().sort_values("stop_id")
+    assert stops["stop_name"].tolist() == ["Alpha", "Beta"]
+    assert tables["trips"].count() == 2
+    with pytest.raises(ValueError):
+        gio.read_gtfs_zip(zp, tables=["nope"])
+
+
+def test_export_layers(ray_session, tmp_path):
+    import json
+
+    ds = gio.read_table(f"{SF}/customer.parquet")
+    out = outputs.export_layers(
+        ds, str(tmp_path / "layers"),
+        {
+            "keys": (["c_custkey"], ["c_custkey"]),
+            "building": (["c_custkey", "c_acctbal"], ["c_custkey"],
+                         "c_mktsegment == 'BUILDING'"),
+        },
+    )
+    man = json.load(open(f"{out}/_layers.json"))
+    assert man["keys"]["rows"] == 150
+    n_building = pq.read_table(f"{SF}/customer.parquet").to_pandas().query(
+        "c_mktsegment == 'BUILDING'").shape[0]
+    assert man["building"]["rows"] == n_building
+    vals = []
+    for f in sorted(glob.glob(f"{out}/layer=keys/*.parquet")):
+        vals.extend(pq.read_table(f)["c_custkey"].to_pylist())
+    assert vals == sorted(vals) and len(vals) == 150
