@@ -1701,6 +1701,51 @@ def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
     return path_metadata_merge(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
 
 
+def q_choose_annealed(sf_dir: str):  # rows-only (annealing fixpoint, no SQL)
+    """Threshold-annealed axiomatic chooser + Viterbi remainder (see
+    ``stages.choose.annealed_choose``)."""
+    from ..stages.choose import annealed_choose
+
+    return annealed_choose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+
+
+def q_time_parse(sf_dir: str):
+    """HH:MM:SS string → seconds-into-day parser — ≙ M15
+    (``TripTracker.js:13-17``; GTFS times exceed 24h). A deterministic
+    time string derives from event_id in BOTH engines; the engine side
+    genuinely PARSES it back with vectorized Arrow string kernels."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = eid % 30  # GTFS-style: hours may pass 24
+        mm = (eid * 7) % 60
+        ss = (eid * 13) % 60
+        tstr = pa.array([f"{h:02d}:{m:02d}:{s:02d}" for h, m, s in zip(hh, mm, ss)])
+        # the parser under test: split the STRING back into components
+        parts = pc.split_pattern(tstr, ":")
+        flat = pc.list_flatten(parts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = flat[0::3] * 3600 + flat[1::3] * 60 + flat[2::3]
+        return pa.table({"event_id": eid, "time_str": tstr, "sec": sec})
+
+    return ev.map_batches(_mk, batch_format="pyarrow", batch_size=65536)
+
+
+SQL_TIME_PARSE = """
+WITH t AS (
+  SELECT event_id,
+         printf('%02d:%02d:%02d', event_id % 30, (event_id * 7) % 60,
+                (event_id * 13) % 60) AS time_str
+  FROM events
+)
+SELECT event_id, time_str,
+       CAST(split_part(time_str, ':', 1) AS BIGINT) * 3600
+     + CAST(split_part(time_str, ':', 2) AS BIGINT) * 60
+     + CAST(split_part(time_str, ':', 3) AS BIGINT) AS sec
+FROM t
+"""
+
+
 def q_row_parity_counts(sf_dir: str):
     """Data-quality counters — ≙ A8 COUNT sanity checks
     (``RawGtfsDAO/loaders.js:87-117``): single row of global counts."""
@@ -1795,6 +1840,7 @@ QUERIES = {
     "trip_seg_traffic": q_trip_seg_traffic,
     "season_pivot_json": q_season_pivot_json,
     "doc_containment": q_doc_containment,
+    "time_parse": q_time_parse,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_simhash": q_doc_simhash,
@@ -1812,6 +1858,7 @@ QUERIES = {
     "shape_merge_roundtrip": q_shape_merge_roundtrip,
     "rematch_gated": q_rematch_gated,
     "path_metadata_merge": q_path_metadata_merge,
+    "choose_annealed": q_choose_annealed,
 }
 
 ORACLE_SQL = {
@@ -1863,4 +1910,5 @@ ORACLE_SQL = {
     "trip_seg_traffic": SQL_TRIP_SEG_TRAFFIC,
     "season_pivot_json": SQL_SEASON_PIVOT_JSON,
     "doc_containment": SQL_DOC_CONTAINMENT,
+    "time_parse": SQL_TIME_PARSE,
 }

@@ -281,6 +281,123 @@ def path_sequentiality(points_ds, tiles_ref):
     return bucketed_groups(points_ds, ["user_id"], _seq)
 
 
+def anneal_axiomatic(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
+                     strict: float, relaxed: float, factor: float = np.sqrt(2.0)):
+    """Threshold-annealing axiomatic chooser — ≙
+    ``chooseOptimalShstMatches/index.js:29-273`` + ``findAxiomaticPaths.js:16-98``:
+    starting from a STRICT distance threshold and geometrically relaxing by
+    ``factor`` toward ``relaxed``, a step is fixed "axiomatically" when
+    exactly ONE of its candidates passes the current threshold; once fixed,
+    it constrains its neighbors (a neighbor keeps only its fixed-adjacent
+    tile when it has it among passing candidates — the reference's
+    cross-segment axiomatic propagation). Levels iterate each to a fixpoint.
+    Returns (chosen_value_per_step with -1 for undecided, level_decided_at
+    per step with -1 for undecided). The undecided remainder is what the
+    reference hands to its O(2^n) search (here: the Viterbi DP)."""
+    n = len(cand_t)
+    chosen = np.full(n, -1, dtype=np.int64)
+    level_at = np.full(n, -1, dtype=np.int64)
+    thr = float(strict)
+    level = 0
+    while True:
+        # fixpoint at this threshold level
+        progressed = True
+        while progressed:
+            progressed = False
+            for i in range(n):
+                if chosen[i] >= 0 or len(cand_t[i]) == 0:
+                    continue
+                passing = cand_t[i][cand_c[i] <= thr]
+                # neighbor constraint: if a fixed neighbor's tile is among
+                # the passing candidates, it wins outright (continuity)
+                neigh = [chosen[j] for j in (i - 1, i + 1)
+                         if 0 <= j < n and chosen[j] >= 0]
+                pick = -1
+                for nb in neigh:
+                    if nb in passing:
+                        pick = nb
+                        break
+                if pick < 0 and len(passing) == 1:
+                    pick = int(passing[0])  # the axiom: unique passing candidate
+                if pick >= 0:
+                    chosen[i] = pick
+                    level_at[i] = level
+                    progressed = True
+        if thr >= relaxed:
+            break
+        thr = min(thr * factor, float(relaxed))
+        level += 1
+    return chosen, level_at
+
+
+def annealed_choose(points_ds, tiles_ref, strict: float = 250_000.0,
+                    relaxed: float = 16_000_000.0):
+    """Per shape: threshold-annealed axiomatic choice over each point's
+    containing-tile candidate set (squared-centroid-distance thresholds
+    annealing strict→relaxed by √2, ≙ the reference's (0.1 km, …)→(0.01 km,
+    …) ladder), then the exact Viterbi DP resolves the non-axiomatic
+    remainder (replacing the O(2^n) enumeration,
+    ``findNonAxiomaticPaths.js:12-320``). Output one row per point:
+    (user_id, seq, tile_id, decided_by, anneal_level) with decided_by
+    1=axiom, 2=viterbi, 0=no candidates."""
+
+    def _choose(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy().astype(np.int64)
+        seq = d["event_id"].to_numpy().astype(np.int64)
+        px = d["ex"].to_numpy().astype(np.int64)
+        py = d["ey"].to_numpy().astype(np.int64)
+        n = len(d)
+        cols = ["user_id", "seq", "tile_id", "decided_by", "anneal_level"]
+        if n == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+
+        pi, ti = ix.query_points(px, py)
+        d2 = ((px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2).astype(np.float64)
+        tids = ix.tile_id[ti]
+        order = np.lexsort((tids, d2, pi))
+        pi, tids, d2 = pi[order], tids[order], d2[order]
+        empty_t, empty_c = np.empty(0, np.int64), np.empty(0, np.float64)
+        cand_t: list[np.ndarray] = [empty_t] * n
+        cand_c: list[np.ndarray] = [empty_c] * n
+        if len(pi):
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.append(starts[1:], len(pi))
+            for s, e in zip(starts, ends):
+                e = min(e, s + MAX_CANDIDATES)
+                cand_t[pi[s]] = tids[s:e]
+                cand_c[pi[s]] = d2[s:e]
+
+        out_tile = np.full(n, -1, dtype=np.int64)
+        out_by = np.zeros(n, dtype=np.int64)
+        out_lvl = np.full(n, -1, dtype=np.int64)
+        sh_starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sh_ends = np.append(sh_starts[1:], n)
+        for ss, se in zip(sh_starts, sh_ends):
+            ct = cand_t[ss:se]
+            cc = cand_c[ss:se]
+            ax, lvl = anneal_axiomatic(ct, cc, strict, relaxed)
+            rem = [k for k in range(se - ss) if ax[k] < 0 and len(ct[k])]
+            out_tile[ss:se] = ax
+            out_by[ss:se][ax >= 0] = 1
+            out_lvl[ss:se] = lvl
+            if rem:
+                vt = _viterbi([ct[k] for k in rem], [cc[k] for k in rem], 1e7)
+                for k, t in zip(rem, vt):
+                    out_tile[ss + k] = t
+                    out_by[ss + k] = 2
+        return pd.DataFrame(
+            {"user_id": uid, "seq": seq, "tile_id": out_tile,
+             "decided_by": out_by, "anneal_level": out_lvl}
+        )
+
+    return bucketed_groups(points_ds, ["user_id"], _choose)
+
+
 def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
                              sim_threshold: float = 60000.0,
                              buffer_dist: float = 2000.0):

@@ -85,3 +85,28 @@ def test_viterbi_choose_stage(ray_session):
     )
     assert out["tile_id"].tolist() == [0, -1, 0, 1]
     assert out["n_candidates"].tolist() == [1, 0, 1, 1]
+
+
+def test_anneal_axiomatic_fixpoint():
+    import numpy as np
+
+    from gtfs_conflation_pipeline_ray.stages.choose import anneal_axiomatic
+
+    t = lambda *v: np.array(v, dtype=np.int64)
+    c = lambda *v: np.array(v, dtype=np.float64)
+    # step 0: unique candidate under strict -> axiom at level 0
+    # step 1: two candidates (7 cheap, 9 cheap) -> ambiguous, but fixed
+    #         neighbor 7 propagates (continuity constraint)
+    # step 2: candidate only under the relaxed threshold -> later level
+    # step 3: no candidates -> stays -1
+    cand_t = [t(7), t(7, 9), t(5), t()]
+    cand_c = [c(1.0), c(1.0, 1.0), c(50.0), c()]
+    chosen, lvl = anneal_axiomatic(cand_t, cand_c, strict=2.0, relaxed=100.0)
+    assert chosen.tolist() == [7, 7, 5, -1]
+    assert lvl[0] == 0 and lvl[1] == 0
+    assert lvl[2] > 0          # only decidable after relaxation
+    assert lvl[3] == -1
+
+    # ambiguity with no neighbor help is left to the DP (undecided)
+    chosen2, _ = anneal_axiomatic([t(1, 2)], [c(1.0, 1.0)], 2.0, 100.0)
+    assert chosen2.tolist() == [-1]
