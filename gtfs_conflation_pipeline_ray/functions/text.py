@@ -52,23 +52,40 @@ def quality_counts(texts) -> dict[str, np.ndarray]:
 
 def lang_id(texts) -> np.ndarray:
     """Heuristic language ID: CJK codepoint share, else argmax stopword-profile
-    hit-rate (ties broken by profile name). Deterministic."""
+    hit-rate (ties broken by profile name). Deterministic. Vectorized: all
+    words of the batch hash once (``fnv1a64_batch``); per-language hits are
+    one ``np.isin`` over the flat hash array + a segmented sum — no per-doc
+    Python scoring loop (ASCII texts skip the CJK scan entirely)."""
     langs = sorted(_LANG_PROFILES)
-    out = np.empty(len(texts), dtype=object)
+    n = len(texts)
+    out = np.full(n, "und", dtype=object)
+    if n == 0:
+        return out
+    is_cjk = np.zeros(n, dtype=bool)
+    word_lists = []
     for i, t in enumerate(texts):
-        if t and sum("一" <= ch <= "鿿" for ch in t) / max(len(t), 1) > 0.2:
-            out[i] = "zh"
-            continue
-        words = [w.lower() for w in _WORD_RE.findall(t)]
-        if not words:
-            out[i] = "und"
-            continue
-        best, best_score = "und", 0.0
-        for lang in langs:
-            score = sum(w in _LANG_PROFILES[lang] for w in words) / len(words)
-            if score > best_score:
-                best, best_score = lang, score
-        out[i] = best if best_score > 0.0 else "und"
+        if t and not t.isascii() and sum("一" <= ch <= "鿿" for ch in t) / max(len(t), 1) > 0.2:
+            is_cjk[i] = True
+            word_lists.append([])
+        else:
+            word_lists.append([w.lower() for w in _WORD_RE.findall(t)])
+    counts = np.fromiter((len(w) for w in word_lists), np.int64, n)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = fnv1a64_batch([w for ws in word_lists for w in ws])
+    nz = counts > 0
+    scores = np.zeros((n, len(langs)))
+    if flat.size:
+        ones = np.zeros(len(flat))
+        for li, lang in enumerate(langs):
+            prof = fnv1a64_batch(sorted(_LANG_PROFILES[lang]))
+            ones[:] = np.isin(flat, prof)
+            hits = np.add.reduceat(ones, offsets[:-1][nz])
+            scores[nz, li] = hits / counts[nz]
+    best = np.argmax(scores, axis=1)  # first max = alphabetical tie-break
+    has_score = scores[np.arange(n), best] > 0.0
+    lang_arr = np.array(langs, dtype=object)
+    out[nz & has_score] = lang_arr[best[nz & has_score]]
+    out[is_cjk] = "zh"
     return out
 
 
@@ -220,6 +237,35 @@ def _char_gram_hashes(s: str, k: int) -> np.ndarray:
             h = (h ^ win[:, j].astype(np.uint64)) * _FNV_PRIME
         return h
     return fnv1a64_batch([s[i : i + k] for i in range(len(s) - k + 1)])
+
+
+def simhash_batch(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """SimHash for a whole batch: one (total, 64) bit matrix + segmented
+    column sums (``np.add.reduceat``). Bit-identical to ``simhash64`` per
+    doc; empty docs hash to 0."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    counts = np.diff(offsets)
+    nz = counts > 0
+    sums = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
+    votes = sums * 2 - counts[nz][:, None]
+    packed = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = packed
+    return out
+
+
+def batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased ``\\w+`` word hashes for a whole batch: flat uint64 array +
+    per-doc offsets, hashed in one ``fnv1a64_batch`` call."""
+    word_lists = [[w.lower() for w in _WORD_RE.findall(t)] for t in texts]
+    counts = np.fromiter((len(w) for w in word_lists), np.int64, len(texts))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return fnv1a64_batch([w for ws in word_lists for w in ws]), offsets
 
 
 def winnow_fingerprint(text: str, k: int = 5, w: int = 8) -> int:

@@ -754,8 +754,51 @@ FROM documents GROUP BY 1
 """
 
 
-def q_doc_langid(sf_dir: str):  # rows-only check (heuristic classifier, no SQL)
+def q_doc_langid(sf_dir: str):
+    """Heuristic language ID (stopword-profile argmax + CJK share) — the
+    same rule expressed as the DuckDB oracle below (profiles inlined as a
+    VALUES list; RE2 ``[\\p{L}\\p{N}_]+`` ≡ the kernel's ``\\w``)."""
     return textops.lang_id(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _langid_profile_values() -> str:
+    from ..functions.text import _LANG_PROFILES
+
+    return ",".join(
+        f"('{lang}','{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang])
+    )
+
+
+SQL_DOC_LANGID = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS wd
+  FROM documents
+),
+prof(lang, wd) AS (VALUES __PROFILES__),
+nw AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY 1),
+hits AS (SELECT w.doc_id, p.lang, COUNT(*) AS h FROM w JOIN prof p ON w.wd = p.wd GROUP BY 1, 2),
+best AS (
+  SELECT nw.doc_id, h.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY nw.doc_id ORDER BY CAST(h.h AS DOUBLE) / nw.n DESC, h.lang
+         ) AS rn
+  FROM nw JOIN hits h USING (doc_id) WHERE h.h > 0
+),
+cjk AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0 AND
+              CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+                / length(text) > 0.2
+         THEN 1 ELSE 0 END AS is_cjk
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN cjk.is_cjk = 1 THEN 'zh' ELSE COALESCE(b.lang, 'und') END AS lang_pred
+FROM documents d JOIN cjk USING (doc_id)
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
 
 
 def q_doc_fingerprint(sf_dir: str):  # rows-only check (winnowing, no SQL)
@@ -1911,4 +1954,5 @@ ORACLE_SQL = {
     "season_pivot_json": SQL_SEASON_PIVOT_JSON,
     "doc_containment": SQL_DOC_CONTAINMENT,
     "time_parse": SQL_TIME_PARSE,
+    "doc_langid": SQL_DOC_LANGID.replace("__PROFILES__", _langid_profile_values()),
 }

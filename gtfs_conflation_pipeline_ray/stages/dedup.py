@@ -151,13 +151,12 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
 
 
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """(doc_id, simhash) — 64-bit SimHash of word-hash features."""
+    """(doc_id, simhash) — 64-bit SimHash of word-hash features (whole-batch
+    vectorized: one hashing pass + one segmented bit-vote)."""
 
     def _sh(batch: pa.Table) -> pa.Table:
-        out = np.array(
-            [tx.simhash64(tx.word_hashes(t)) for t in batch[text_col].to_pylist()],
-            dtype=np.uint64,
-        ).view(np.int64)
+        flat, offsets = tx.batch_word_hashes(batch[text_col].to_pylist())
+        out = tx.simhash_batch(flat, offsets).view(np.int64)
         return pa.table({id_col: batch[id_col], "simhash": out})
 
     return ds.map_batches(_sh, batch_format="pyarrow", batch_size=4096)

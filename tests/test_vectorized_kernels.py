@@ -151,3 +151,23 @@ def test_interval_join_dict_fallback(ray_session):
                         30 * 60 * 1_000_000).to_pandas()
     got = set(zip(out["user_id"], out["window_id"]))
     assert got == {(1, 10), (1, 11), (2, 12)}
+
+
+def test_simhash_batch_matches_scalar():
+    texts = ["the quick brown fox", "", "one", "alpha beta ALPHA beta gamma"]
+    flat, offsets = tx.batch_word_hashes(texts)
+    batch = tx.simhash_batch(flat, offsets)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == int(tx.simhash64(tx.word_hashes(t))), t
+
+
+def test_lang_id_vectorized_semantics():
+    texts = [
+        "the cat sat on the mat and it was happy",   # en
+        "der hund ist nicht mit der katze im haus",  # de
+        "xyzzy qwerty plugh",                        # no stopword hits -> und
+        "",                                          # empty -> und
+        "一" * 30 + "abc",                            # CJK share > 0.2 -> zh
+    ]
+    out = tx.lang_id(texts)
+    assert out.tolist() == ["en", "de", "und", "und", "zh"]
