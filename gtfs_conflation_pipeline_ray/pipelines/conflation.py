@@ -49,20 +49,37 @@ def spatial_join_pairs(sf_dir: str, concurrency: int | None = None):
 
 def tile_stats(sf_dir: str, concurrency: int | None = None):
     """Flagship: candidate join + per-tile aggregate
-    (tile_id, n_points, sum_qty_c). Pre-aggregates inside batches before the
-    grouped shuffle."""
-    pts = read_points(sf_dir)
+    (tile_id, n_points, sum_qty_c). The join and the combiner are FUSED: each
+    batch probes the grid index and emits per-tile (sum, count) partials
+    directly via bincount — the ~40x-larger (point, tile) pair set never
+    materializes, only tiny per-batch partials enter the grouped shuffle."""
+    from ..stages.spatial import _TileState
+    from ..stages.util import cached_state
 
-    def _qty(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "qty_c", pa.array(cents(batch["l_quantity"].to_numpy(zero_copy_only=False)))
+    pts = read_points(sf_dir)
+    ref = tiles_ref(sf_dir)
+
+    def _probe_agg(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(ref, _TileState)
+        ix = st.index
+        px = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty_c = cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        pi, ti = ix.query_points(px, py)
+        n_tiles = len(ix.tile_id)
+        cnt = np.bincount(ti, minlength=n_tiles)
+        sq = np.bincount(ti, weights=qty_c[pi].astype(np.float64), minlength=n_tiles)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "tile_id": ix.tile_id[nz],
+                "qty_c": np.rint(sq[nz]).astype(np.int64),  # int sums, exact in f64
+                "n_points": cnt[nz].astype(np.int64),
+            }
         )
 
-    pts = pts.map_batches(_qty, batch_format="pyarrow", batch_size=65536)
-    joined = spatial.candidate_join(
-        pts, tiles_ref(sf_dir), "px", "py", ["point_id", "qty_c"], concurrency=concurrency
-    )
-    agg = partial_groupby_sum(joined, ["tile_id"], ["qty_c"], count_as="n_points")
+    partials = pts.map_batches(_probe_agg, batch_format="pyarrow", batch_size=65536)
+    agg = partial_groupby_sum(partials, ["tile_id"], ["qty_c", "n_points"])
     return agg.map_batches(
         lambda t: t.select(["tile_id", "qty_c", "n_points"]).rename_columns(
             ["tile_id", "sum_qty_c", "n_points"]

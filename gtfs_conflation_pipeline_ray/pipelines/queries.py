@@ -1319,13 +1319,10 @@ def q_redundant_candidates(sf_dir: str):
     )
     dominated = np.zeros(len(ix0.x0), dtype=bool)
     dominated[qi[strict]] = True
-    ref = ray.put((tiles, dominated))
-
-    class _DominatedState:
-        def __init__(self, payload):
-            tiles, dom = payload
-            self.st = _TileState(tiles)
-            self.dominated = dom
+    # a dominated tile contributes NOTHING to the output, so the probe index
+    # holds only the surviving tiles — every batch probes a smaller grid and
+    # the dominated-mask lookup disappears from the hot path entirely
+    ref = ray.put(tiles.filter(pa.array(~dominated)))
 
     def _filter_and_count(batch: pa.Table) -> pa.Table:
         # combiner pushed into the probe: emit per-batch (tile_id, n_kept)
@@ -1333,14 +1330,13 @@ def q_redundant_candidates(sf_dir: str):
         # materializes; only tiny partials shuffle)
         from ..stages.util import cached_state
 
-        dom: _DominatedState = cached_state(ref, _DominatedState)
-        ix = dom.st.index
+        st: _TileState = cached_state(ref, _TileState)
+        ix = st.index
         px = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
         py = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
         pi, ti = ix.query_points(px, py)
-        keep = ~dom.dominated[ti]
         # bincount over tile INDEX (no sort) instead of np.unique
-        cnt = np.bincount(ti[keep], minlength=len(ix.x0))
+        cnt = np.bincount(ti, minlength=len(ix.x0))
         nz = np.flatnonzero(cnt)
         return pa.table({"tile_id": ix.tile_id[nz], "n_kept": cnt[nz].astype(np.int64)})
 
