@@ -1523,7 +1523,8 @@ def q_choose_path_edges(sf_dir: str):
     n_pts). See ``stages.choose.path_decompose``."""
     from ..stages.choose import path_decompose
 
-    return path_decompose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+    return path_decompose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                          est_rows=_nrows(sf_dir, "events"))
 
 
 _PATH_EDGE_CTES = _CTES + """
@@ -1584,7 +1585,8 @@ def q_path_sequentiality(sf_dir: str):
     ``stages.choose.path_sequentiality``)."""
     from ..stages.choose import path_sequentiality
 
-    return path_sequentiality(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+    return path_sequentiality(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                              est_rows=_nrows(sf_dir, "events"))
 
 
 SQL_PATH_SEQUENTIALITY = _PATH_EDGE_CTES + """
@@ -1639,7 +1641,8 @@ def q_trip_traversals(sf_dir: str):
     ``stages.traffic.trip_traversals``)."""
     from ..stages import traffic
 
-    return traffic.trip_traversals(_event_shapes_typed(sf_dir))
+    return traffic.trip_traversals(_event_shapes_typed(sf_dir),
+                                   est_rows=_nrows(sf_dir, "events"))
 
 
 _TRAV_CTES = """WITH pts AS (
@@ -1696,7 +1699,8 @@ def q_trip_seg_traffic(sf_dir: str):
     ``stages.traffic.trip_seg_traffic``)."""
     from ..stages import traffic
 
-    return traffic.trip_seg_traffic(_event_shapes_typed(sf_dir))
+    return traffic.trip_seg_traffic(_event_shapes_typed(sf_dir),
+                                    est_rows=_nrows(sf_dir, "events"))
 
 
 SQL_TRIP_SEG_TRAFFIC = _TRAV_CTES + """
@@ -1729,7 +1733,8 @@ def q_rematch_gated(sf_dir: str):  # rows-only (geometric gate, no SQL)
     similarity accept-gate (see ``stages.choose.similarity_gated_rematch``)."""
     from ..stages.choose import similarity_gated_rematch
 
-    return similarity_gated_rematch(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+    return similarity_gated_rematch(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                                    est_rows=_nrows(sf_dir, "events"))
 
 
 def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
@@ -1737,7 +1742,8 @@ def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
     (see ``stages.choose.path_metadata_merge``)."""
     from ..stages.choose import path_metadata_merge
 
-    return path_metadata_merge(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+    return path_metadata_merge(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                               est_rows=_nrows(sf_dir, "events"))
 
 
 def q_choose_annealed(sf_dir: str):  # rows-only (annealing fixpoint, no SQL)
@@ -1745,7 +1751,8 @@ def q_choose_annealed(sf_dir: str):  # rows-only (annealing fixpoint, no SQL)
     ``stages.choose.annealed_choose``)."""
     from ..stages.choose import annealed_choose
 
-    return annealed_choose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir))
+    return annealed_choose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                           est_rows=_nrows(sf_dir, "events"))
 
 
 def q_time_parse(sf_dir: str):

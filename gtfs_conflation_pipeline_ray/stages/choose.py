@@ -196,7 +196,7 @@ def _decompose_bucket(g: pd.DataFrame, tiles_ref):
     return rows, px, py
 
 
-def path_decompose(points_ds, tiles_ref):
+def path_decompose(points_ds, tiles_ref, est_rows: int | None = None):
     """Path-decomposition data model — the reference's core Step-B output
     shape ``gtfs_shape_shst_match_paths`` with its 4-level index
     (shape, path, edge, section) built from chosen per-point matches
@@ -230,10 +230,10 @@ def path_decompose(points_ds, tiles_ref):
         out["n_pts"] = out["n_pts"].astype(np.int64)
         return out
 
-    return bucketed_groups(points_ds, ["user_id"], _decompose)
+    return bucketed_groups(points_ds, ["user_id"], _decompose, est_rows=est_rows)
 
 
-def path_sequentiality(points_ds, tiles_ref):
+def path_sequentiality(points_ds, tiles_ref, est_rows: int | None = None):
     """Sequentiality of consecutive decomposed paths — ≙ the reference's
     ``getSequentiality`` gap-distance + relative-bearing comparator
     (``/root/reference/src/utils/gis/getSequentiality.js:16-64``), kept
@@ -263,10 +263,14 @@ def path_sequentiality(points_ds, tiles_ref):
         b = a + 1
         gap = (px[fs[b]] - px[ls[a]]) ** 2 + (py[fs[b]] - py[ls[a]]) ** 2
         valid = (ls[a] > fs[a]) & (ls[b] > fs[b])
-        ax = np.where(valid, px[ls[a]] - px[ls[a] - 1], 0)
-        ay = np.where(valid, py[ls[a]] - py[ls[a] - 1], 0)
-        bx = np.where(valid, px[fs[b] + 1] - px[fs[b]], 0)
-        by = np.where(valid, py[fs[b] + 1] - py[fs[b]], 0)
+        # clip gather indices: np.where evaluates both branches, and a
+        # single-point path at the bucket edge would index out of bounds
+        la1 = np.maximum(ls[a] - 1, 0)
+        fb1 = np.minimum(fs[b] + 1, len(px) - 1)
+        ax = np.where(valid, px[ls[a]] - px[la1], 0)
+        ay = np.where(valid, py[ls[a]] - py[la1], 0)
+        bx = np.where(valid, px[fb1] - px[fs[b]], 0)
+        by = np.where(valid, py[fb1] - py[fs[b]], 0)
         return pd.DataFrame(
             {
                 "user_id": u[a],
@@ -278,7 +282,7 @@ def path_sequentiality(points_ds, tiles_ref):
             }
         )
 
-    return bucketed_groups(points_ds, ["user_id"], _seq)
+    return bucketed_groups(points_ds, ["user_id"], _seq, est_rows=est_rows)
 
 
 def anneal_axiomatic(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
@@ -331,7 +335,7 @@ def anneal_axiomatic(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
 
 
 def annealed_choose(points_ds, tiles_ref, strict: float = 250_000.0,
-                    relaxed: float = 16_000_000.0):
+                    relaxed: float = 16_000_000.0, est_rows: int | None = None):
     """Per shape: threshold-annealed axiomatic choice over each point's
     containing-tile candidate set (squared-centroid-distance thresholds
     annealing strict→relaxed by √2, ≙ the reference's (0.1 km, …)→(0.01 km,
@@ -395,12 +399,13 @@ def annealed_choose(points_ds, tiles_ref, strict: float = 250_000.0,
              "decided_by": out_by, "anneal_level": out_lvl}
         )
 
-    return bucketed_groups(points_ds, ["user_id"], _choose)
+    return bucketed_groups(points_ds, ["user_id"], _choose, est_rows=est_rows)
 
 
 def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
                              sim_threshold: float = 60000.0,
-                             buffer_dist: float = 2000.0):
+                             buffer_dist: float = 2000.0,
+                             est_rows: int | None = None):
     """Iterative re-match with the reference's similarity accept-gate — ≙ the
     T3 loop whose round-2+ geometry mutations are only accepted when the
     comparator passes (T4 length-ratio <= 0.05 / T5 similarity <= 0.008,
@@ -471,10 +476,10 @@ def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
             })
         return pd.DataFrame(rows)
 
-    return bucketed_groups(points_ds, ["user_id"], _gate)
+    return bucketed_groups(points_ds, ["user_id"], _gate, est_rows=est_rows)
 
 
-def path_metadata_merge(points_ds, tiles_ref):
+def path_metadata_merge(points_ds, tiles_ref, est_rows: int | None = None):
     """Metadata path merge over the decomposed paths — ≙
     ``mergePathLineStringsUsingMetadata`` + D5 overlapped-path removal:
     each decomposed path's ordered edge-tile sequence is its metadata id
@@ -506,7 +511,7 @@ def path_metadata_merge(points_ds, tiles_ref):
             })
         return pd.DataFrame(out)
 
-    return bucketed_groups(points_ds, ["user_id"], _merge)
+    return bucketed_groups(points_ds, ["user_id"], _merge, est_rows=est_rows)
 
 
 def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,

@@ -46,7 +46,7 @@ def segments_from_events(points_ds):
     return bucketed_groups(points_ds, ["user_id"], _final)
 
 
-def trip_traversals(events_ds):
+def trip_traversals(events_ds, est_rows: int | None = None):
     """TripTracker stop→segment FIFO matching — ≙ T6
     (``/root/reference/src/daos/GtfsScheduledTrafficDAO/TripTracker.js:22-320``):
     each user's 'signup' events are the trip's STOPS (ordered by ts,
@@ -99,10 +99,10 @@ def trip_traversals(events_ds):
              for c, v in rows.items()}
         )
 
-    return bucketed_groups(events_ds, ["user_id"], _final)
+    return bucketed_groups(events_ds, ["user_id"], _final, est_rows=est_rows)
 
 
-def trip_seg_traffic(events_ds):
+def trip_seg_traffic(events_ds, est_rows: int | None = None):
     """A2+J7+A3 chain over the traversals: range-join each traversal onto its
     segment index interval [departure, arrival), distribute its travel time
     over those segments proportionally to integer segment length (exact
@@ -161,7 +161,7 @@ def trip_seg_traffic(events_ds):
         out["n_trav"] = out["n_trav"].astype(np.int64)
         return out
 
-    return bucketed_groups(events_ds, ["user_id"], _final)
+    return bucketed_groups(events_ds, ["user_id"], _final, est_rows=est_rows)
 
 
 def traffic_rollup(points_ds, tiles_ref):
