@@ -66,15 +66,11 @@ class _MatcherState:
     """Per-worker matcher state: grid index over ref_tiles + payload cols."""
 
     def __init__(self, t: pa.Table):
-        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hw = t["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hh = t["hh"].to_numpy(zero_copy_only=False).astype(np.int64)
-        self.index = GridIndex(
-            t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            cx - hw, cy - hh, cx + hw, cy + hh,
-        )
-        self.cx, self.cy = cx, cy
+        from ..stages.spatial import build_tile_index
+
+        self.index = build_tile_index(t)  # data-adaptive bucket size
+        self.cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.ref_id = t["ref_id"].to_numpy(zero_copy_only=False)
 
 

@@ -1300,25 +1300,43 @@ def q_redundant_candidates(sf_dir: str):
 
     # Key reduction: if B's rect contains A's rect, then any point inside A
     # is inside B too — so "B is also a candidate of the point" always holds
-    # and dominance is a pure TILE-level property. Compute it ONCE on the
-    # driver (O(tiles x overlapping-tiles) via the grid index) and broadcast
-    # the (tiles, dominated-bitmap) pair — per-worker rebuilds of the tile
-    # self-join were the hot spot.
-    drv = _TileState(tiles)
-    ix0 = drv.index
-    qi, ti = ix0.query_rects(ix0.x0, ix0.y0, ix0.x1, ix0.y1)
-    contains = (
-        (ix0.x0[ti] <= ix0.x0[qi]) & (ix0.y0[ti] <= ix0.y0[qi])
-        & (ix0.x1[ti] >= ix0.x1[qi]) & (ix0.y1[ti] >= ix0.y1[qi])
-        & (qi != ti)
+    # and dominance is a pure TILE-level property. The tile self-join is
+    # DISTRIBUTED (tile blocks probe the broadcast index in parallel); only
+    # the small dominated-id set returns to the driver — at a multi-million-
+    # tile reference side a single-threaded driver pass would be the wall.
+    from ..stages.util import cached_state
+
+    ref_full = ray.put(tiles)
+
+    def _dominated_ids(batch: pa.Table) -> pa.Table:
+        st0: _TileState = cached_state(ref_full, _TileState)
+        ix = st0.index
+        cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hw = batch["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = batch["hh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tid = batch["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0, y0, x1, y1 = cx - hw, cy - hh, cx + hw, cy + hh
+        qi, ti = ix.query_rects(x0, y0, x1, y1)
+        area_q = (x1 - x0) * (y1 - y0)
+        area_c = (ix.x1 - ix.x0) * (ix.y1 - ix.y0)
+        strict = (
+            (ix.x0[ti] <= x0[qi]) & (ix.y0[ti] <= y0[qi])
+            & (ix.x1[ti] >= x1[qi]) & (ix.y1[ti] >= y1[qi])
+            & (ix.tile_id[ti] != tid[qi])
+            & ((area_c[ti] > area_q[qi])
+               | ((area_c[ti] == area_q[qi]) & (ix.tile_id[ti] < tid[qi])))
+        )
+        return pa.table({"tile_id": np.unique(tid[qi[strict]])})
+
+    dom_ids = np.sort(
+        ray.data.from_arrow(tiles)
+        .map_batches(_dominated_ids, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()["tile_id"].to_numpy()
     )
-    area = (ix0.x1 - ix0.x0) * (ix0.y1 - ix0.y0)
-    strict = contains & (
-        (area[ti] > area[qi])
-        | ((area[ti] == area[qi]) & (ix0.tile_id[ti] < ix0.tile_id[qi]))
-    )
-    dominated = np.zeros(len(ix0.x0), dtype=bool)
-    dominated[qi[strict]] = True
+    all_ids = tiles["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.clip(np.searchsorted(dom_ids, all_ids), 0, max(len(dom_ids) - 1, 0))
+    dominated = (dom_ids[pos] == all_ids) if len(dom_ids) else np.zeros(len(all_ids), bool)
     # a dominated tile contributes NOTHING to the output, so the probe index
     # holds only the surviving tiles — every batch probes a smaller grid and
     # the dominated-mask lookup disappears from the hot path entirely

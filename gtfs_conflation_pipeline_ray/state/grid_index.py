@@ -61,12 +61,16 @@ class GridIndex:
         self.world = world
         self.bs = bucket_size
         self.nb = (world + bucket_size - 1) // bucket_size  # buckets per axis
+        self._bucket_tiles, self._bucket_start, self._bucket_count = (
+            self._build_buckets(self.bs, self.nb)
+        )
 
-        # Rasterize each rect onto the bucket grid -> (bucket, tile_idx) pairs.
-        bx0 = np.clip(self.x0 // self.bs, 0, self.nb - 1)
-        bx1 = np.clip(self.x1 // self.bs, 0, self.nb - 1)
-        by0 = np.clip(self.y0 // self.bs, 0, self.nb - 1)
-        by1 = np.clip(self.y1 // self.bs, 0, self.nb - 1)
+    def _build_buckets(self, bs: int, nb: int):
+        """Rasterize each rect onto a bucket grid -> sorted (bucket, tile)."""
+        bx0 = np.clip(self.x0 // bs, 0, nb - 1)
+        bx1 = np.clip(self.x1 // bs, 0, nb - 1)
+        by0 = np.clip(self.y0 // bs, 0, nb - 1)
+        by1 = np.clip(self.y1 // bs, 0, nb - 1)
         spans_x = (bx1 - bx0 + 1).astype(np.int64)
         spans_y = (by1 - by0 + 1).astype(np.int64)
         reps = spans_x * spans_y
@@ -76,13 +80,30 @@ class GridIndex:
         sx = np.repeat(spans_x, reps)
         cell_dx = off % sx
         cell_dy = off // sx
-        bucket = (np.repeat(by0, reps) + cell_dy) * self.nb + (np.repeat(bx0, reps) + cell_dx)
+        bucket = (np.repeat(by0, reps) + cell_dy) * nb + (np.repeat(bx0, reps) + cell_dx)
 
         order = np.argsort(bucket, kind="stable")
-        self._bucket_tiles = tidx[order]
-        counts = np.bincount(bucket, minlength=self.nb * self.nb).astype(np.int64)
-        self._bucket_start = np.concatenate(([0], np.cumsum(counts)))
-        self._bucket_count = counts
+        counts = np.bincount(bucket, minlength=nb * nb).astype(np.int64)
+        return tidx[order], np.concatenate(([0], np.cumsum(counts))), counts
+
+    def _rect_grid(self):
+        """Rect-vs-rect probes want COARSE buckets (a fine point grid makes
+        both sides span many buckets, multiplying duplicate pair hits), so
+        they use a lazily-built >=2048-unit bucketing independent of the
+        point-probe grid."""
+        if not hasattr(self, "_rg"):
+            if self.bs >= 2048:
+                bs, nb = self.bs, self.nb
+                t, s, c = self._bucket_tiles, self._bucket_start, self._bucket_count
+            else:
+                bs = 2048
+                nb = (self.world + bs - 1) // bs
+                t, s, c = self._build_buckets(bs, nb)
+            # per-tile bucket-span minimum (for canonical-bucket pair dedup)
+            tbx0 = np.clip(self.x0 // bs, 0, nb - 1)
+            tby0 = np.clip(self.y0 // bs, 0, nb - 1)
+            self._rg = (bs, nb, t, s, c, tbx0, tby0)
+        return self._rg
 
     # ---- point-in-rectangle (the candidate spatial join probe) -------------
     def query_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -110,35 +131,37 @@ class GridIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Return (query_index, tile_index) pairs whose rectangles overlap
         with positive area (strict inequality on both axes)."""
+        rbs, rnb, rtiles, rstart, rcount, tbx0, tby0 = self._rect_grid()
         qx0 = np.asarray(qx0, dtype=np.int64)
         qy0 = np.asarray(qy0, dtype=np.int64)
         qx1 = np.asarray(qx1, dtype=np.int64)
         qy1 = np.asarray(qy1, dtype=np.int64)
-        bx0 = np.clip(qx0 // self.bs, 0, self.nb - 1)
-        bx1 = np.clip(qx1 // self.bs, 0, self.nb - 1)
-        by0 = np.clip(qy0 // self.bs, 0, self.nb - 1)
-        by1 = np.clip(qy1 // self.bs, 0, self.nb - 1)
+        bx0 = np.clip(qx0 // rbs, 0, rnb - 1)
+        bx1 = np.clip(qx1 // rbs, 0, rnb - 1)
+        by0 = np.clip(qy0 // rbs, 0, rnb - 1)
+        by1 = np.clip(qy1 // rbs, 0, rnb - 1)
         spans = (bx1 - bx0 + 1) * (by1 - by0 + 1)
         qi = np.repeat(np.arange(len(qx0), dtype=np.int64), spans)
         off = _gather_ranges(np.zeros(len(spans), dtype=np.int64), spans)
         sx = np.repeat(bx1 - bx0 + 1, spans)
-        bucket = (np.repeat(by0, spans) + off // sx) * self.nb + (
+        bucket = (np.repeat(by0, spans) + off // sx) * rnb + (
             np.repeat(bx0, spans) + off % sx
         )
-        counts = self._bucket_count[bucket]
+        counts = rcount[bucket]
         qq = np.repeat(qi, counts)
-        cand = self._bucket_tiles[_gather_ranges(self._bucket_start[bucket], counts)]
+        cand = rtiles[_gather_ranges(rstart[bucket], counts)]
+        # canonical-bucket dedup: a pair sharing k buckets is counted ONLY in
+        # the top-left bucket of the span intersection — no sort/unique pass
+        occ = np.repeat(bucket, counts)
         m = (
             (qx0[qq] < self.x1[cand])
             & (qx1[qq] > self.x0[cand])
             & (qy0[qq] < self.y1[cand])
             & (qy1[qq] > self.y0[cand])
+            & (occ % rnb == np.maximum(bx0[qq], tbx0[cand]))
+            & (occ // rnb == np.maximum(by0[qq], tby0[cand]))
         )
-        qq, cand = qq[m], cand[m]
-        # dedup pairs that matched in multiple shared buckets
-        pair = qq * np.int64(len(self.x0)) + cand
-        _, keep = np.unique(pair, return_index=True)
-        return qq[keep], cand[keep]
+        return qq[m], cand[m]
 
     # ---- exact kNN over tile centroids -------------------------------------
     def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
