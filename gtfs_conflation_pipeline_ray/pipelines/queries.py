@@ -701,6 +701,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Overlapping hopping-window aggregate (1h window, 30min hop): each
+    event contributes to 2 windows — the sliding-window family the tumbling
+    query can't express."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+    ev = ev.map_batches(_with_cents("value", "value_c"), batch_format="pyarrow")
+    hopped = windows.hopping_window(ev.select_columns(["event_type", "ts", "value_c"]),
+                                    "ts", size_s=3600, hop_s=1800)
+    return rel.partial_groupby_sum(hopped, ["event_type", "win_start_s"],
+                                   ["value_c"], count_as="n_events")
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type,
+       (epoch_us(ts) // (1800 * 1000000) - j.j) * 1800 AS win_start_s,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) j(j)
+GROUP BY 1, 2
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
     pairs = rel.distinct(ev, ["event_type", "user_id"])
@@ -1488,6 +1510,15 @@ def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
+def q_ann_ivf(sf_dir: str):  # rows-only (approximate IVF search, no SQL)
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])  # pushed-down query-side read
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    out = ann.ivf_topk(emb, ray.put(qtab), k=5)
+    return out.map_batches(_sim_q4, batch_format="pyarrow")
+
+
 def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
     """Chunked sequential path selection per user shape: one chosen tile per
     ordered event point, continuity-penalized — ≙ chooseShstMatchesForShape
@@ -1923,6 +1954,8 @@ QUERIES = {
     "rematch_gated": q_rematch_gated,
     "path_metadata_merge": q_path_metadata_merge,
     "choose_annealed": q_choose_annealed,
+    "ann_ivf": q_ann_ivf,
+    "events_hopping": q_events_hopping,
 }
 
 ORACLE_SQL = {
@@ -1976,4 +2009,7 @@ ORACLE_SQL = {
     "doc_containment": SQL_DOC_CONTAINMENT,
     "time_parse": SQL_TIME_PARSE,
     "doc_langid": SQL_DOC_LANGID.replace("__PROFILES__", _langid_profile_values()),
+    # beyond the driver's 50-query check window (window is full), but the
+    # oracle ships so the equivalence stays independently checkable
+    "events_hopping": SQL_EVENTS_HOPPING,
 }

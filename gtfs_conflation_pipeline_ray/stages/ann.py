@@ -162,6 +162,79 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     return local.groupby("query_id").map_groups(_global, batch_format="pandas")
 
 
+def ivf_candidate_lists(assign: np.ndarray, q_probe: np.ndarray):
+    """Per query: indices of vectors whose centroid assignment is in the
+    query's probe set. Bucket-routed (sort + searchsorted), so work is
+    proportional to the probed lists' sizes — the IVF inverted-file gather.
+    Factored out so tests can assert sub-linear candidate counts."""
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    out = []
+    for probes in q_probe:
+        lo = np.searchsorted(sa, probes, side="left")
+        hi = np.searchsorted(sa, probes, side="right")
+        cand = np.concatenate([order[a:b] for a, b in zip(lo, hi)]) if len(probes) else order[:0]
+        out.append(np.sort(cand))
+    return out
+
+
+def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_centroids: int = 64, nprobe: int = 8,
+             seed: int = 42):
+    """Approximate cosine top-k via an IVF coarse quantizer — the second
+    scale path next to LSH: a deterministic centroid codebook (seeded random
+    directions on the unit sphere — trainable k-means slots in the same
+    skeleton) assigns every vector to its nearest centroid inside
+    ``map_batches``; each query probes only its ``nprobe`` nearest centroid
+    lists and scores the gathered candidates (no full Q x N matmul). Final
+    grouped top-k merges per-batch partials. Recall < 1 by design;
+    deterministic given the seed."""
+    from .util import cached_state
+
+    def _build(q: pa.Table):
+        st = _QueryState(q, vec_col)
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_centroids, st.qm.shape[1]))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        qn = st.qm / np.maximum(st.qnorm[:, None], 1e-300)
+        q_probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+        return st, cents, np.sort(q_probe, axis=1)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        st, cents, q_probe = cached_state(queries_ref, _build)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "sim": np.array([], dtype=np.float64)})
+        xnorm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        assign = np.argmax((x / xnorm[:, None]) @ cents.T, axis=1)
+        qids, vids, sims = [], [], []
+        for qi, cand in enumerate(ivf_candidate_lists(assign, q_probe)):
+            cand = cand[ids[cand] != st.qid[qi]]  # never return self
+            if len(cand) == 0:
+                continue
+            s = (x[cand] @ st.qm[qi]) / (st.qnorm[qi] * xnorm[cand])
+            kk = min(k, len(cand))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            qids.append(np.full(kk, st.qid[qi], dtype=np.int64))
+            vids.append(ids[cand[top]])
+            sims.append(s[top])
+        cat = lambda a, dt: np.concatenate(a) if a else np.array([], dtype=dt)
+        return pa.table({"query_id": cat(qids, np.int64),
+                         "vec_id": cat(vids, np.int64),
+                         "sim": cat(sims, np.float64)})
+
+    local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
+
+    def _global(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return g.assign(sim_rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    return local.groupby("query_id").map_groups(_global, batch_format="pandas")
+
+
 def l2_norms(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
     """(id, l2_norm) per vector — vectorized per batch."""
 

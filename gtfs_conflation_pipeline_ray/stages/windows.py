@@ -64,6 +64,31 @@ def tumbling_window(ds, ts_col: str, out_ts_col: str = "hour_ts"):
     return ds.map_batches(_floor, batch_format="pyarrow", batch_size=65536)
 
 
+def hopping_window(ds, ts_col: str, size_s: int = 3600, hop_s: int = 1800,
+                   out_col: str = "win_start_s"):
+    """Overlapping (hopping/sliding) windows: each event lands in every
+    window of ``size_s`` whose start is a multiple of ``hop_s`` covering its
+    timestamp — exactly ``size_s // hop_s`` windows per event when the size
+    is a hop multiple. Vectorized flat-map (repeat + tile); the grouped
+    aggregate downstream sees (key, window-start) rows. ``out_col`` is the
+    epoch-second window start (int64, oracle-exact)."""
+    assert size_s % hop_s == 0, "window size must be a multiple of the hop"
+    k = size_s // hop_s
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def _hop(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        m_hi = ts // hop_us  # the latest window start covering the event
+        m = np.repeat(m_hi, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        cols = {c: batch[c].take(idx) for c in batch.column_names if c != ts_col}
+        cols[out_col] = m * hop_s
+        return pa.table(cols)
+
+    return ds.map_batches(_hop, batch_format="pyarrow", batch_size=65536)
+
+
 class _WindowState:
     """Per-worker interval-join state: windows sorted by composite
     (dense key rank, start_ts offset) for two-binary-search range probes.

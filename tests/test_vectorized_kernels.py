@@ -171,3 +171,40 @@ def test_lang_id_vectorized_semantics():
     ]
     out = tx.lang_id(texts)
     assert out.tolist() == ["en", "de", "und", "und", "zh"]
+
+
+def test_ivf_candidates_sublinear_and_correct():
+    from gtfs_conflation_pipeline_ray.stages.ann import ivf_candidate_lists
+
+    rng = np.random.default_rng(9)
+    assign = rng.integers(0, 64, 5000).astype(np.int64)
+    q_probe = np.sort(rng.permuted(np.tile(np.arange(64), (4, 1)), axis=1)[:, :8], axis=1)
+    for probes, cand in zip(q_probe, ivf_candidate_lists(assign, q_probe)):
+        expect = np.flatnonzero(np.isin(assign, probes))
+        assert np.array_equal(cand, expect)
+        assert len(cand) < 0.25 * len(assign)  # 8 of 64 lists probed
+
+
+def test_ivf_topk_recall(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.ann import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    n, dim = 2000, 16
+    x = rng.standard_normal((n, dim))
+    tab = pa.table({"vec_id": np.arange(n, dtype=np.int64),
+                    "embedding": list(x.astype(np.float64))})
+    q = pa.table({"query_id": np.arange(4, dtype=np.int64),
+                  "embedding": list(x[:4].astype(np.float64))})
+    ds = ray.data.from_arrow(tab)
+    exact = cosine_topk(ds, ray.put(q), k=10).to_pandas()
+    approx = ivf_topk(ray.data.from_arrow(tab), ray.put(q), k=10,
+                      n_centroids=16, nprobe=8).to_pandas()
+    # per query: at least half the exact top-10 recovered (random codebook,
+    # half the lists probed); deterministic given the seed
+    for qid in range(4):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert len(e & a) >= 5, (qid, len(e & a))
