@@ -420,6 +420,67 @@ def merge_paths_by_ids(paths: list) -> list[list[int]]:
     return ps
 
 
+def union_paths_fixpoint(coords: list, id_lists: list, tol: float):
+    """Iterative path union to a FIXPOINT with the reference's two merge
+    algorithms alternating — ≙ ``unionPathLineStrings.js:54-135``:
+    (a) metadata splice by id-overlap (``merge_paths_by_ids`` semantics,
+    applied to the coordinate paths in lockstep) and (b) geospatial
+    end-to-start merge within ``tol`` (``mergeLineStringsGeospatially``).
+    Repeats until neither algorithm changes the path set. Returns
+    (merged_coords, merged_id_lists), deterministic (index order scan)."""
+    ps = [np.asarray(c, dtype=np.float64) for c in coords]
+    ids = [list(i) for i in id_lists]
+
+    def _meta_round():
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i == j:
+                    continue
+                si, sj = set(ids[i]), set(ids[j])
+                if si and (si < sj or (si == sj and j < i)):
+                    del ps[i], ids[i]  # subset path absorbed
+                    return True
+                mk = min(len(ids[i]), len(ids[j]))
+                for k in range(mk, 0, -1):
+                    if ids[i][-k:] == ids[j][:k]:
+                        ids_new = ids[i] + ids[j][k:]
+                        coords_new = np.vstack([ps[i], ps[j][1:]]) if np.allclose(
+                            ps[i][-1], ps[j][0]
+                        ) else np.vstack([ps[i], ps[j]])
+                        for t in sorted((i, j), reverse=True):
+                            del ps[t], ids[t]
+                        ps.append(coords_new)
+                        ids.append(ids_new)
+                        return True
+        return False
+
+    def _geo_round():
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i == j:
+                    continue
+                if np.hypot(*(ps[i][-1] - ps[j][0])) <= tol:
+                    joined = np.vstack([ps[i], ps[j][1:]]) if np.hypot(
+                        *(ps[i][-1] - ps[j][0])
+                    ) == 0 else np.vstack([ps[i], ps[j]])
+                    ids_new = ids[i] + ids[j]
+                    for t in sorted((i, j), reverse=True):
+                        del ps[t], ids[t]
+                    ps.append(joined)
+                    ids.append(ids_new)
+                    return True
+        return False
+
+    changed = True
+    while changed:
+        changed = False
+        while _meta_round():
+            changed = True
+        while _geo_round():
+            changed = True
+    return ps, ids
+
+
 def merge_chains(lines: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Greedy end-to-start geospatial merge: repeatedly join a line whose
     start is within ``tol`` of another's end (gap bridged by concatenation)

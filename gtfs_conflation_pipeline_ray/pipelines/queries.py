@@ -1841,6 +1841,15 @@ FROM t
 """
 
 
+def q_path_linestrings(sf_dir: str):  # rows-only (fixpoint union, no SQL)
+    """Path → LineString + pathDecompositionInfo + two-algorithm union to
+    fixpoint (see ``stages.choose.path_linestrings``)."""
+    from ..stages.choose import path_linestrings
+
+    return path_linestrings(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                            est_rows=_nrows(sf_dir, "events"))
+
+
 def q_row_parity_counts(sf_dir: str):
     """Data-quality counters — ≙ A8 COUNT sanity checks
     (``RawGtfsDAO/loaders.js:87-117``): single row of global counts."""
@@ -1956,6 +1965,7 @@ QUERIES = {
     "choose_annealed": q_choose_annealed,
     "ann_ivf": q_ann_ivf,
     "events_hopping": q_events_hopping,
+    "path_linestrings": q_path_linestrings,
 }
 
 ORACLE_SQL = {

@@ -84,3 +84,27 @@ def test_merge_paths_by_ids():
     assert sorted(map(tuple, out)) == [(1, 2), (5, 6)]
     # chain of three splices to one
     assert geom.merge_paths_by_ids([[1, 2], [2, 3], [3, 4]]) == [[1, 2, 3, 4]]
+
+
+def test_union_paths_fixpoint():
+    a = np.array([[0.0, 0.0], [1.0, 0.0]])
+    b = np.array([[1.0, 0.0], [2.0, 0.0]])
+    c = np.array([[5.0, 5.0], [6.0, 5.0]])
+    # metadata splice: suffix/prefix id overlap joins a+b; c stays apart
+    ps, ids = geom.union_paths_fixpoint([a, b, c], [[1, 2], [2, 3], [9]], tol=0.1)
+    assert sorted(map(tuple, ids)) == [(1, 2, 3), (9,)]
+    joined = ps[[tuple(i) for i in ids].index((1, 2, 3))]
+    assert np.allclose(joined, [[0, 0], [1, 0], [2, 0]])
+    # geospatial merge joins disjoint-id paths whose ends touch within tol
+    d = np.array([[2.0, 0.0], [3.0, 0.0]])
+    ps2, ids2 = geom.union_paths_fixpoint([a, d], [[1], [7]], tol=1.5)
+    assert len(ps2) == 1 and ids2 == [[1, 7]]
+    # subset path absorbed (D5)
+    ps3, ids3 = geom.union_paths_fixpoint([a, b], [[1, 2, 3], [2]], tol=0.0)
+    assert ids3 == [[1, 2, 3]]
+    # alternation reaches fixpoint: metadata join enables a geospatial join
+    e = np.array([[0.0, 0.0], [1.0, 0.0]])
+    f = np.array([[1.0, 0.0], [2.0, 0.0]])
+    g2 = np.array([[2.5, 0.0], [3.0, 0.0]])
+    ps4, ids4 = geom.union_paths_fixpoint([e, f, g2], [[1, 2], [2, 3], [8]], tol=0.6)
+    assert len(ps4) == 1
