@@ -78,7 +78,9 @@ def tile_stats(sf_dir: str, concurrency: int | None = None):
             }
         )
 
-    partials = pts.map_batches(_probe_agg, batch_format="pyarrow", batch_size=65536)
+    # 32768 (not 65536): ~2x the task count on a 32-core node, so the probe
+    # stage saturates the CPUs instead of running ~10 oversized tasks
+    partials = pts.map_batches(_probe_agg, batch_format="pyarrow", batch_size=32768)
     agg = partial_groupby_sum(partials, ["tile_id"], ["qty_c", "n_points"])
     return agg.map_batches(
         lambda t: t.select(["tile_id", "qty_c", "n_points"]).rename_columns(
