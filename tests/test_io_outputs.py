@@ -92,3 +92,13 @@ def test_export_layers(ray_session, tmp_path):
     for f in sorted(glob.glob(f"{out}/layer=keys/*.parquet")):
         vals.extend(pq.read_table(f)["c_custkey"].to_pylist())
     assert vals == sorted(vals) and len(vals) == 150
+
+
+def test_run_cli_list():
+    import subprocess
+    import sys
+
+    out = subprocess.run([sys.executable, "/root/repo/run.py", "list"],
+                         capture_output=True, text=True, check=True,
+                         cwd="/root/repo").stdout
+    assert "spatial_tile_stats" in out and "oracle" in out
