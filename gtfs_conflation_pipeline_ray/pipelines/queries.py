@@ -1519,6 +1519,42 @@ def q_ann_ivf(sf_dir: str):  # rows-only (approximate IVF search, no SQL)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
+def q_doc_minhash_verified(sf_dir: str):  # rows-only (LSH + estimate, no SQL)
+    """Full near-dup chain: banded LSH candidates verified in-shuffle by
+    MinHash signature agreement (see ``dedup.lsh_verified_pairs``)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(docs)
+    return dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
+
+
+def q_embedding_neardup(sf_dir: str):  # rows-only (LSH-bucketed, no SQL)
+    """Embedding-cosine near-duplicate pairs (exact-verified LSH buckets;
+    see ``ann.cosine_neardup_pairs``). The synthetic embeddings are
+    near-orthogonal (max pairwise cosine ~0.51), so the corpus is augmented
+    map-side with DETERMINISTIC perturbed copies of vec_id < 32 (id +
+    1,000,000; +1% relative jitter) — the operator must recover exactly
+    those planted pairs at threshold 0.9."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ids < 32)
+        if len(sel) == 0:
+            return batch
+        from ..stages.ann import _batch_matrix
+
+        x = _batch_matrix(batch, "embedding")
+        pert = x[sel] * (1.0 + 0.01 * np.sin(ids[sel])[:, None])
+        dup = pa.table({
+            "vec_id": ids[sel] + 1_000_000,
+            "embedding": pa.array(list(pert), type=batch["embedding"].type),
+        })
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), dup])
+
+    planted = emb.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
+    return ann.cosine_neardup_pairs(planted, threshold=0.9)
+
+
 def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
     """Chunked sequential path selection per user shape: one chosen tile per
     ordered event point, continuity-penalized — ≙ chooseShstMatchesForShape
@@ -1966,6 +2002,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "events_hopping": q_events_hopping,
     "path_linestrings": q_path_linestrings,
+    "doc_minhash_verified": q_doc_minhash_verified,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE_SQL = {

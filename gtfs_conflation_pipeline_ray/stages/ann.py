@@ -235,6 +235,77 @@ def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     return local.groupby("query_id").map_groups(_global, batch_format="pandas")
 
 
+def cosine_neardup_pairs(vectors, threshold: float = 0.95, id_col: str = "vec_id",
+                         vec_col: str = "embedding", n_planes: int = 12,
+                         seed: int = 42, bucket_cap: int = 512):
+    """Embedding-cosine near-duplicate pairs — the dedup-family member over
+    the vector column: hyperplane-sign LSH buckets the vectors (cosine-similar
+    vectors collide with high probability), each bucket verifies its members
+    with EXACT pairwise cosine, and pairs >= ``threshold`` survive. The only
+    shuffle moves (signature, id, vector) rows into buckets; no O(N^2)
+    global pass. Approximate recall (bucket boundaries), exact precision
+    (every emitted pair is verified). Returns (vec_a, vec_b, sim_q4), each
+    unordered pair once; degenerate buckets capped with a logged drop."""
+    import logging
+
+    from .relational import bucketed_groups
+    from ..functions.numeric import cents
+
+    class _Planes:
+        def __init__(self):
+            self.planes: np.ndarray | None = None
+
+    state = _Planes()
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        if state.planes is None:
+            state.planes = np.random.default_rng(seed).standard_normal(
+                (x.shape[1] if x.size else 1, n_planes))
+        xsig = (((x @ state.planes) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        return pa.table({
+            "bucket": xsig,
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+        })
+
+    sigs = vectors.map_batches(_sig, batch_format="pyarrow", batch_size=4096)
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, s_out = [], [], []
+        n_dropped = 0
+        for _, grp in g.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            if len(grp) < 2:
+                continue
+            if len(grp) > bucket_cap:
+                n_dropped += len(grp) - bucket_cap
+                grp = grp.head(bucket_cap)
+            ids = grp[id_col].to_numpy().astype(np.int64)
+            x = np.stack(grp[vec_col].to_numpy())
+            norm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+            sims = (x @ x.T) / (norm[:, None] * norm[None, :])
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ok = sims[ii, jj] >= threshold
+            a_out.append(ids[ii[ok]])
+            b_out.append(ids[jj[ok]])
+            s_out.append(sims[ii, jj][ok])
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "cosine_neardup_pairs: capped %d members beyond %d per bucket",
+                n_dropped, bucket_cap,
+            )
+        if not a_out:
+            return pd.DataFrame({"vec_a": np.array([], np.int64),
+                                 "vec_b": np.array([], np.int64),
+                                 "sim_q4": np.array([], np.int64)})
+        return pd.DataFrame({"vec_a": np.concatenate(a_out),
+                             "vec_b": np.concatenate(b_out),
+                             "sim_q4": cents(np.concatenate(s_out), 10000)})
+
+    return bucketed_groups(sigs, ["bucket"], _verify)
+
+
 def l2_norms(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
     """(id, l2_norm) per vector — vectorized per batch."""
 

@@ -150,6 +150,93 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
     return distinct(pairs, ["doc_a", "doc_b"])
 
 
+def lsh_verified_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
+                       bands: int = 16, jaccard_threshold: float = 0.5,
+                       band_member_cap: int = 256):
+    """Candidate generation + VERIFICATION in one shuffle — the full near-dup
+    pipeline: banded LSH candidates (as ``lsh_candidate_pairs``) are verified
+    by MinHash signature agreement (an unbiased Jaccard estimate; ≙ the
+    reference verifying candidate matches before keeping them, D3/D4).
+    Signatures ride through the band shuffle so verification happens
+    in-group with no second join. Returns (doc_a, doc_b, jaccard_est) for
+    pairs with estimate >= threshold, each pair once."""
+    import logging
+
+    rows_per_band = num_perm // bands
+    sig_cols = [f"mh{j}" for j in range(num_perm)]
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in sig_cols], axis=1
+        ).astype(np.uint64)
+        folded = np.empty((n, bands), dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for b in range(bands):
+            h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+            for r in range(rows_per_band):
+                h = (h ^ sig[:, b * rows_per_band + r]) * prime
+            folded[:, b] = h
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
+            "band_hash": folded.T.reshape(-1).view(np.int64),
+            id_col: np.tile(ids, bands),
+        }
+        s64 = sig.view(np.int64)
+        for j, c in enumerate(sig_cols):  # signatures ride along (no re-join)
+            cols[c] = np.tile(s64[:, j], bands)
+        return pa.table(cols)
+
+    exploded = sig_ds.map_batches(_bands, batch_format="pyarrow", batch_size=8192)
+
+    from .relational import bucketed_groups, distinct, group_topk
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        bh = d[["band_id", "band_hash"]].to_numpy()
+        ids = d[id_col].to_numpy().astype(np.int64)
+        sig = d[sig_cols].to_numpy().astype(np.int64)
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (bh[1:] != bh[:-1]).any(axis=1)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        a_out, b_out, j_out = [], [], []
+        n_dropped = 0
+        for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
+            _, keep = np.unique(ids[s:e], return_index=True)
+            mem = ids[s:e][keep]
+            msig = sig[s:e][keep]
+            if len(mem) < 2:
+                continue
+            if len(mem) > band_member_cap:
+                n_dropped += len(mem) - band_member_cap
+                mem, msig = mem[:band_member_cap], msig[:band_member_cap]
+            ii, jj = np.triu_indices(len(mem), k=1)
+            est = (msig[ii] == msig[jj]).mean(axis=1)
+            ok = est >= jaccard_threshold
+            a_out.append(mem[ii[ok]])
+            b_out.append(mem[jj[ok]])
+            j_out.append(est[ok])
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "lsh_verified_pairs: capped %d members beyond %d per band bucket",
+                n_dropped, band_member_cap,
+            )
+        if not a_out:
+            return pd.DataFrame({"doc_a": np.array([], np.int64),
+                                 "doc_b": np.array([], np.int64),
+                                 "jaccard_est": np.array([], np.float64)})
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out),
+                             "jaccard_est": np.concatenate(j_out)})
+
+    pairs = bucketed_groups(exploded, ["band_id", "band_hash"], _pairs)
+    # a pair can surface from several bands — keep one row per pair (the
+    # estimate is identical in every band: same signatures)
+    return group_topk(pairs, ["doc_a", "doc_b"], [("jaccard_est", False)], k=1)
+
+
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, simhash) — 64-bit SimHash of word-hash features (whole-batch
     vectorized: one hashing pass + one segmented bit-vote)."""

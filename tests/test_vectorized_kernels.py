@@ -208,3 +208,45 @@ def test_ivf_topk_recall(ray_session):
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         assert len(e & a) >= 5, (qid, len(e & a))
+
+
+def test_cosine_neardup_finds_planted_pairs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    n, dim = 500, 32
+    x = rng.standard_normal((n, dim))
+    # plant 10 near-duplicates of the first 10 vectors
+    dup = x[:10] * 1.01
+    ids = np.concatenate([np.arange(n), np.arange(10) + 10_000]).astype(np.int64)
+    tab = pa.table({"vec_id": ids, "embedding": list(np.vstack([x, dup]))})
+    out = cosine_neardup_pairs(ray.data.from_arrow(tab), threshold=0.95).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    # every planted pair recovered (scaled copy -> cosine == 1, same bucket)
+    for i in range(10):
+        assert (i, i + 10_000) in pairs, i
+    # exact precision: nothing else at this threshold among random vectors
+    assert len(pairs) == 10
+
+
+def test_lsh_verified_pairs_estimates(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.dedup import (
+        lsh_verified_pairs, minhash_signatures)
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 4,
+             "the quick brown fox jumps over the lazy dog " * 4 + "extra tail",
+             "completely different content about other things entirely " * 4]
+    tab = pa.table({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    sigs = minhash_signatures(ray.data.from_arrow(tab))
+    out = lsh_verified_pairs(sigs, jaccard_threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs                 # near-identical docs survive
+    assert all(2 not in p for p in pairs)  # unrelated doc filtered
+    est = out.set_index(["doc_a", "doc_b"])["jaccard_est"][(0, 1)]
+    assert est >= 0.5
