@@ -959,22 +959,32 @@ def q_value_distribution(sf_dir: str):
         )
 
     d = li.map_batches(_qc, batch_format="pyarrow", batch_size=65536)
+    # combiner-first plan: the per-order qty totals pre-aggregate (tiny
+    # shuffle), then join back and compute shares MAP-SIDE — the raw fact
+    # rows never enter a whole-group shuffle (the round-1 grouped_agg moved
+    # every lineitem row into group buckets just to compute a transform-sum)
+    totals = rel.partial_groupby_sum(d, ["l_orderkey"], ["qc"],
+                                     est_rows=_nrows(sf_dir, "lineitem"))
+    totals = totals.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "tot_qc"]), batch_format="pyarrow"
+    )
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    joined = d.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j1 = d.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(totals, "inner", 8, on=("l_orderkey",), right_on=("l_orderkey",))
 
-    def _share(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("l_orderkey", sort=False)["qc"].transform("sum").to_numpy()
-        share = g["o_totalprice"].to_numpy() * g["qc"].to_numpy() / tot.astype(np.float64)
-        return pd.DataFrame(
+    def _share(batch: pa.Table) -> pa.Table:
+        share = (batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                 * batch["qc"].to_numpy(zero_copy_only=False)
+                 / batch["tot_qc"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table(
             {
-                "l_orderkey": g["l_orderkey"],
-                "l_linenumber": g["l_linenumber"],
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
                 "share_c": np.floor(share * 100 + 0.5).astype(np.int64),
             }
         )
 
-    return rel.grouped_agg(joined, ["l_orderkey"], _share,
-                           est_rows=_nrows(sf_dir, "lineitem"))
+    return j2.map_batches(_share, batch_format="pyarrow", batch_size=65536)
 
 
 SQL_VALUE_DISTRIBUTION = """

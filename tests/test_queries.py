@@ -71,3 +71,22 @@ def test_entry_smoke(ray_session):
     assert set(df.columns) == {"tile_id", "sum_qty_c", "n_points"}
     # every oracle key has a matching query
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_new_grouped_queries_deterministic(ray_session):
+    """Two runs of the order-sensitive round-2 queries produce identical
+    canonical content (determinism requirement, SURVEY §7.6-1)."""
+    import pandas as pd
+
+    from gtfs_conflation_pipeline_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["choose_path_edges", "trip_seg_traffic", "path_linestrings",
+                 "choose_annealed"]:
+        runs = []
+        for _ in range(2):
+            df = QUERIES[name](sf).to_pandas()
+            df = df[sorted(df.columns)].sort_values(
+                list(sorted(df.columns)), kind="mergesort").reset_index(drop=True)
+            runs.append(df)
+        pd.testing.assert_frame_equal(runs[0], runs[1]), name
