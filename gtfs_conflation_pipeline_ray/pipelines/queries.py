@@ -1117,7 +1117,8 @@ def q_traffic_rollup(sf_dir: str):
     from ..stages import traffic
 
     pts = _event_shapes(sf_dir)
-    return traffic.traffic_rollup(pts, conflation.tiles_ref(sf_dir))
+    return traffic.traffic_rollup(pts, conflation.tiles_ref(sf_dir),
+                                  est_rows=_nrows(sf_dir, "events"))
 
 
 SQL_TRAFFIC_ROLLUP = _CTES + """

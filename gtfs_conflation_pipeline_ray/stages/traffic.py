@@ -25,7 +25,7 @@ import pyarrow as pa
 from .relational import bucketed_groups, partial_groupby_sum
 
 
-def segments_from_events(points_ds):
+def segments_from_events(points_ds, est_rows: int | None = None):
     """Per-user consecutive event pairs: each row = a traversal segment
     (start point, 5-min epoch of start, travel time to the next event).
     Input columns: user_id, ts, event_id, ex, ey. Output adds
@@ -43,7 +43,7 @@ def segments_from_events(points_ds):
         out["tt_ms"] = (nxt[same_next] - ts[same_next]) // 1000
         return out
 
-    return bucketed_groups(points_ds, ["user_id"], _final)
+    return bucketed_groups(points_ds, ["user_id"], _final, est_rows=est_rows)
 
 
 def trip_traversals(events_ds, est_rows: int | None = None):
@@ -164,13 +164,13 @@ def trip_seg_traffic(events_ds, est_rows: int | None = None):
     return bucketed_groups(events_ds, ["user_id"], _final, est_rows=est_rows)
 
 
-def traffic_rollup(points_ds, tiles_ref):
+def traffic_rollup(points_ds, tiles_ref, est_rows: int | None = None):
     """Full chain: segments -> best containing tile of the segment start
     (candidate join + per-point argmin refine) -> (tile_id, epoch5m)
     aggregate of segment count + total travel time."""
     from .spatial import best_tile_join
 
-    segs = segments_from_events(points_ds)
+    segs = segments_from_events(points_ds, est_rows=est_rows)
     best = best_tile_join(segs, tiles_ref, "ex", "ey",
                           ["user_id", "event_id", "epoch5m", "tt_ms"])
     return partial_groupby_sum(best, ["tile_id", "epoch5m"], ["tt_ms"], count_as="n_segs")
