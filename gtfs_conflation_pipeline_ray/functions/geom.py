@@ -420,6 +420,33 @@ def merge_paths_by_ids(paths: list) -> list[list[int]]:
     return ps
 
 
+def coords_to_vertex_ids(*lines: np.ndarray) -> list[np.ndarray]:
+    """Shared-vertex-ID arrays across polylines — ≙ M11
+    (``/root/reference/src/utils/featureCoordsToIdArrays.js:22-41``): every
+    EXACT coordinate gets one integer id shared across all input lines, so
+    graph construction can key nodes by vertex id instead of coordinate
+    strings. Ids are dense and deterministic (first-appearance order over
+    the concatenated input). Returns one id array per input line."""
+    if not lines:
+        return []
+    all_xy = np.vstack([np.asarray(l, dtype=np.float64) for l in lines])
+    # first-appearance ids: np.unique gives sorted uniques; remap through
+    # the order of first occurrence for determinism independent of values
+    _, first_idx, inverse = np.unique(
+        all_xy.view([("x", np.float64), ("y", np.float64)]).ravel(),
+        return_index=True, return_inverse=True,
+    )
+    order = np.argsort(np.argsort(first_idx))  # unique-row -> appearance rank
+    ids = order[inverse]
+    out = []
+    pos = 0
+    for l in lines:
+        n = len(l)
+        out.append(ids[pos : pos + n].astype(np.int64))
+        pos += n
+    return out
+
+
 def union_paths_fixpoint(coords: list, id_lists: list, tol: float):
     """Iterative path union to a FIXPOINT with the reference's two merge
     algorithms alternating — ≙ ``unionPathLineStrings.js:54-135``:

@@ -1678,11 +1678,20 @@ FROM edges GROUP BY 1, 2, 3, 4
 def q_path_sequentiality(sf_dir: str):
     """Gap + relative-direction comparator between consecutive decomposed
     paths (integer-exact sequentiality; see
-    ``stages.choose.path_sequentiality``)."""
+    ``stages.choose.path_sequentiality``). The result is pair-count sized
+    (small), and can be legitimately EMPTY when every shape decomposes into
+    a single path (dense tile coverage) — Ray drops the schema of an
+    all-empty pandas-block dataset, so the empty case returns a typed
+    zero-row Arrow table matching the oracle's columns."""
     from ..stages.choose import path_sequentiality
 
-    return path_sequentiality(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
-                              est_rows=_nrows(sf_dir, "events"))
+    ds = path_sequentiality(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
+                            est_rows=_nrows(sf_dir, "events"))
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        cols = ["user_id", "path_index", "gap_d2", "dir_dot", "dir_cross", "pair_valid"]
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+    return df
 
 
 SQL_PATH_SEQUENTIALITY = _PATH_EDGE_CTES + """

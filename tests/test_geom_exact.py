@@ -108,3 +108,18 @@ def test_union_paths_fixpoint():
     g2 = np.array([[2.5, 0.0], [3.0, 0.0]])
     ps4, ids4 = geom.union_paths_fixpoint([e, f, g2], [[1, 2], [2, 3], [8]], tol=0.6)
     assert len(ps4) == 1
+
+
+def test_coords_to_vertex_ids():
+    a = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 4.0]])
+    b = np.array([[3.0, 4.0], [1.0, 2.0], [9.0, 9.0]])
+    ia, ib = geom.coords_to_vertex_ids(a, b)
+    # first-appearance dense ids
+    assert ia.tolist() == [0, 1, 2]
+    # shared vertices get the SAME id across lines
+    assert ib[0] == ia[2] and ib[1] == ia[1]
+    assert ib[2] == 3  # new vertex -> next id
+    # self-sharing within one line
+    c = np.array([[5.0, 5.0], [6.0, 6.0], [5.0, 5.0]])
+    (ic,) = geom.coords_to_vertex_ids(c)
+    assert ic[0] == ic[2] and ic[0] != ic[1]

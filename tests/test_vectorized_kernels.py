@@ -250,3 +250,14 @@ def test_lsh_verified_pairs_estimates(ray_session):
     assert all(2 not in p for p in pairs)  # unrelated doc filtered
     est = out.set_index(["doc_a", "doc_b"])["jaccard_est"][(0, 1)]
     assert est >= 0.5
+
+
+def test_n_buckets_scales_with_rows():
+    from gtfs_conflation_pipeline_ray.stages.relational import (
+        _TARGET_ROWS_PER_BUCKET, _n_buckets)
+
+    base = _n_buckets()
+    assert _n_buckets(est_rows=1000) == base            # small data: CPU floor
+    big = 1000 * _TARGET_ROWS_PER_BUCKET
+    assert _n_buckets(est_rows=big) == 1000             # scales with data
+    assert _n_buckets(requested=7, est_rows=big) == 7   # explicit wins
