@@ -62,6 +62,71 @@ class _TileState:
         self.cy = tiles["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def shard_tiles(tiles: pa.Table, n_shards: int, world: int = 65536) -> list[tuple[int, int, pa.Table]]:
+    """Split the tile table into ``n_shards`` x-range shards for the
+    reference-side-outgrows-worker-memory regime (the sharding plan from
+    ``state/grid_index.py``): shard s owns x-range [lo, hi) and holds every
+    tile whose rect INTERSECTS that range (boundary tiles replicated), so a
+    point probes exactly the one shard owning its x — containment results
+    stay complete without any cross-shard pass. Returns
+    [(lo, hi, shard_table)]."""
+    cx = tiles["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hw = tiles["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x0, x1 = cx - hw, cx + hw
+    step = max(world // n_shards, 1)
+    out = []
+    for s in range(n_shards):
+        lo = s * step
+        hi = world if s == n_shards - 1 else (s + 1) * step
+        mask = (x1 >= lo) & (x0 < hi)
+        out.append((lo, hi, tiles.filter(pa.array(mask))))
+    return out
+
+
+def sharded_candidate_join(points, shard_refs: list, x_col: str, y_col: str,
+                           carry_cols: list[str]):
+    """Point-in-tile candidate join against a SHARDED reference side:
+    ``shard_refs`` = [(lo, hi, ray.ObjectRef-of-shard-table)]. Each batch
+    partitions its points by x-range and probes only the shards it touches;
+    a worker builds (and caches) only the shard indexes its batches need —
+    bounded per-worker memory even when the full tile table does not fit,
+    and with spatially-sorted input each worker touches ~one shard.
+    Output rows identical to the unsharded ``candidate_join``."""
+    bounds = np.array([lo for lo, _, _ in shard_refs] + [shard_refs[-1][1]],
+                      dtype=np.int64)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        which = np.clip(np.searchsorted(bounds, px, side="right") - 1,
+                        0, len(shard_refs) - 1)
+        parts = []
+        for s in np.unique(which):
+            st: _TileState = cached_state(shard_refs[int(s)][2], _TileState)
+            rows = np.flatnonzero(which == s)
+            pi, ti = st.index.query_points(px[rows], py[rows])
+            sel = rows[pi]
+            cols: dict[str, object] = {}
+            for c in carry_cols:
+                cols[c] = batch[c].take(pa.array(sel))
+            cols[x_col] = px[sel]
+            cols[y_col] = py[sel]
+            cols["tile_id"] = st.index.tile_id[ti]
+            cols["ref_id"] = st.ref_id[ti]
+            cols["level"] = st.level[ti]
+            parts.append(pa.table(cols))
+        if not parts:
+            sch = [(c, batch.schema.field(c).type) for c in carry_cols + [x_col, y_col]]
+            empty = {c: pa.array([], type=t) for c, t in sch}
+            empty["tile_id"] = pa.array([], type=pa.int64())
+            empty["ref_id"] = pa.array([], type=pa.int64())
+            empty["level"] = pa.array([], type=pa.int64())
+            return pa.table(empty)
+        return pa.concat_tables(parts)
+
+    return points.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+
+
 def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
                    concurrency=None):
     """Point-in-tile candidate spatial join: one output row per (point, tile)

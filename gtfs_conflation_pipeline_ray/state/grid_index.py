@@ -10,9 +10,11 @@ Python per-row work on the hot path.
 Scale note: the tile/reference side of the candidate join is small relative to
 the probe side (conflation map vs. every GTFS shape segment in the reference;
 reference tiles vs. 10^12 images here), so broadcast+index beats a shuffle
-join. If the reference side ever outgrows worker memory, shard it by cell
-range and give each actor pool partition its own shard (same partitioning key
-as the probe sort).
+join. When the reference side outgrows worker memory, shard it by x-range
+with boundary replication (``stages/spatial.shard_tiles`` +
+``sharded_candidate_join``): each point probes exactly one shard, workers
+build only the shard indexes their batches touch, and with spatially-sorted
+input each worker holds ~one shard.
 """
 
 from __future__ import annotations

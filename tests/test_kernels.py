@@ -151,3 +151,31 @@ def test_lang_id_basics():
     ])
     assert list(preds[:5]) == ["en", "de", "fr", "es", "zh"]
     assert preds[5] == "und"
+
+
+def test_sharded_candidate_join_matches_unsharded(ray_session):
+    """The sharded reference-side join (worker-memory-bounded regime) must
+    produce exactly the unsharded join's rows."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gtfs_conflation_pipeline_ray.pipelines import conflation
+    from gtfs_conflation_pipeline_ray.sources import testdata as td
+    from gtfs_conflation_pipeline_ray.stages import spatial
+
+    sf = "/root/testdata/sf0.001"
+    tiles = td.tiles_table(sf)
+    pts = conflation.read_points(sf)
+    base = spatial.candidate_join(pts, ray.put(tiles), "px", "py", ["point_id"])
+    shards = [(lo, hi, ray.put(t)) for lo, hi, t in spatial.shard_tiles(tiles, 4)]
+    shard = spatial.sharded_candidate_join(
+        conflation.read_points(sf), shards, "px", "py", ["point_id"])
+
+    def canon(ds):
+        df = ds.to_pandas()[["point_id", "tile_id", "ref_id", "level"]]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(base), canon(shard))
+    # boundary tiles are replicated, so shard tile counts exceed the total
+    assert sum(t.num_rows for _, _, t in spatial.shard_tiles(tiles, 4)) >= tiles.num_rows
