@@ -95,26 +95,58 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def fnv1a64(s: str) -> int:
+    return _fnv1a64_bytes(s.encode("utf-8"))
+
+
+def _fnv1a64_bytes(bs: bytes) -> int:
     h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
+    for b in bs:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
 
 
 def fnv1a64_batch(strs: list[str]) -> np.ndarray:
     """FNV-1a of MANY strings at once — bit-identical to ``fnv1a64`` per
-    string, but vectorized: all utf-8 bytes land in one padded (n, maxlen)
-    uint8 matrix and the hash chain runs one numpy op per BYTE COLUMN
-    (strings are short, so ~tens of vector ops replace n Python loops)."""
+    string, but vectorized: utf-8 bytes land in a padded (n, maxlen) uint8
+    matrix and the hash chain runs one numpy op per BYTE COLUMN (strings are
+    short, so ~tens of vector ops replace n Python loops).
+
+    Skew guard: strings are hashed in LENGTH-CLASS buckets (powers of two),
+    so one pathological megabyte string can't inflate the dense matrix for
+    the whole batch (1024 docs x one 1 MB doc would otherwise allocate ~1 GB
+    and run maxlen column steps over everything); strings beyond
+    ``_LONG_STR`` bytes fall back to the scalar loop individually."""
     n = len(strs)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     bs = [s.encode("utf-8") for s in strs]
     lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return out
+    # length classes: ceil-log2 buckets; each bucket's matrix is at most 2x
+    # its longest member, so total work stays O(total bytes)
+    classes = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    classes[nz] = np.floor(np.log2(lens[nz].astype(np.float64))).astype(np.int64)
+    long_mask = lens > _LONG_STR
+    for i in np.flatnonzero(long_mask):
+        out[i] = _fnv1a64_bytes(bs[i])
+    for cls in np.unique(classes[nz & ~long_mask]):
+        idx = np.flatnonzero((classes == cls) & nz & ~long_mask)
+        out[idx] = _fnv_matrix([bs[i] for i in idx], lens[idx])
+    return out
+
+
+_LONG_STR = 65536
+
+
+def _fnv_matrix(bs: list[bytes], lens: np.ndarray) -> np.ndarray:
+    """Dense-matrix FNV-1a over same-length-class byte strings."""
+    n = len(bs)
     maxlen = int(lens.max())
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    if maxlen == 0:
-        return h
     buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
     mat = np.zeros((n, maxlen), dtype=np.uint8)
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)

@@ -68,23 +68,30 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         ps = np.take_along_axis(sims, part, axis=1)
+        keep = np.isfinite(ps.reshape(-1))  # drop masked self-matches here
         return pa.table(
             {
-                "query_id": np.repeat(st.qid, kk),
-                "vec_id": ids[part].reshape(-1),
-                "sim": ps.reshape(-1),
+                "query_id": np.repeat(st.qid, kk)[keep],
+                "vec_id": ids[part].reshape(-1)[keep],
+                "sim": ps.reshape(-1)[keep],
             }
         )
 
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
+    return _merge_topk(local, k)
 
-    def _global(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["sim"])]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(sim_rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g
 
-    return local.groupby("query_id").map_groups(_global, batch_format="pandas")
+def _merge_topk(local, k: int):
+    """Global top-k merge of per-batch partials via the bucketed-combine
+    pattern (``relational.group_topk``): the shuffle moves at most k rows per
+    (query, batch) into ~CPU-count buckets, and each bucket finishes with ONE
+    vectorized sort — no per-group Python, so 1M distinct queries cost the
+    same per row as 10 (Ray-native ``groupby().map_groups`` runs Python per
+    group and collapses at high key cardinality; see relational.py:9-22)."""
+    from .relational import group_topk
+
+    return group_topk(local, ["query_id"], [("sim", False), ("vec_id", True)],
+                      k, rank_col="sim_rank")
 
 
 def lsh_candidate_indices(qsig: np.ndarray, xsig: np.ndarray, n_planes: int):
@@ -153,13 +160,7 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
                          "sim": cat(sims, np.float64)})
 
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
-
-    def _global(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["sim"])]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        return g.assign(sim_rank=np.arange(1, len(g) + 1, dtype=np.int64))
-
-    return local.groupby("query_id").map_groups(_global, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 def ivf_candidate_lists(assign: np.ndarray, q_probe: np.ndarray):
@@ -227,12 +228,7 @@ def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
                          "sim": cat(sims, np.float64)})
 
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
-
-    def _global(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        return g.assign(sim_rank=np.arange(1, len(g) + 1, dtype=np.int64))
-
-    return local.groupby("query_id").map_groups(_global, batch_format="pandas")
+    return _merge_topk(local, k)
 
 
 def cosine_neardup_pairs(vectors, threshold: float = 0.95, id_col: str = "vec_id",
@@ -259,9 +255,16 @@ def cosine_neardup_pairs(vectors, threshold: float = 0.95, id_col: str = "vec_id
 
     def _sig(batch: pa.Table) -> pa.Table:
         x = _batch_matrix(batch, vec_col)
+        if x.shape[0] == 0:
+            # typed empty output; never seed planes from an empty batch (a
+            # dim-1 plane matrix cached here would poison every later batch
+            # on this worker)
+            return pa.table({"bucket": np.array([], dtype=np.int64),
+                             id_col: batch[id_col],
+                             vec_col: batch[vec_col]})
         if state.planes is None:
             state.planes = np.random.default_rng(seed).standard_normal(
-                (x.shape[1] if x.size else 1, n_planes))
+                (x.shape[1], n_planes))
         xsig = (((x @ state.planes) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
         return pa.table({
             "bucket": xsig,

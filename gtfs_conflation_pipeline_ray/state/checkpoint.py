@@ -55,7 +55,11 @@ class StageCheckpoint:
         return {}
 
     def _save(self) -> None:
-        tmp = self.manifest_path + ".tmp"
+        # tmp name unique per process+thread: two processes committing
+        # DIFFERENT partitions must not race on one shared tmp file (one
+        # os.replace could consume the other's tmp or drop its entry)
+        tmp = f"{self.manifest_path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self._refresh()  # fold in partitions committed since our last read
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self.manifest_path)  # atomic manifest commit
@@ -75,6 +79,33 @@ class StageCheckpoint:
             merged.update(self.manifest["partitions"])
             self.manifest["partitions"] = merged
 
+    @staticmethod
+    def _lock_is_stale(lock_path: str, stale_s: float = 600.0) -> bool:
+        """A lock is stale iff its recorded owner pid is dead, or the pid is
+        unreadable (crashed between create and write / foreign writer) AND
+        the file's mtime is older than ``stale_s``. Keyed on the lock's own
+        age/liveness, never the waiter's elapsed wait — a legitimate writer
+        whose write_fn takes hours keeps its lock."""
+        try:
+            with open(lock_path) as f:
+                txt = f.read().strip()
+        except FileNotFoundError:
+            return False  # released while we looked — retry acquisition
+        except OSError:
+            txt = ""
+        if txt.isdigit():
+            try:
+                os.kill(int(txt), 0)
+                return False  # owner alive
+            except ProcessLookupError:
+                return True  # owner dead
+            except PermissionError:
+                return False  # alive, other uid
+        try:
+            return (time.time() - os.stat(lock_path).st_mtime) > stale_s
+        except FileNotFoundError:
+            return False
+
     def run_partition(self, key: str, write_fn: Callable[[str], int]) -> PartitionResult:
         """Run one partition if not already completed. ``write_fn(tmp_dir)``
         must write the partition's output under ``tmp_dir`` and return the
@@ -86,7 +117,6 @@ class StageCheckpoint:
         final = self.part_dir(key)
         lock_path = os.path.join(self.out_dir, f".lock-{key}")
         lock_fd = None
-        deadline = time.time() + 600.0
         while True:
             with self._lock:
                 self._refresh()
@@ -95,9 +125,14 @@ class StageCheckpoint:
                     return PartitionResult(key, meta["rows"], meta["wall_s"], skipped=True)
             try:
                 lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(lock_fd, str(os.getpid()).encode())  # owner identity
                 break  # we own the partition
             except FileExistsError:
-                if time.time() > deadline:  # stale lock from a killed run
+                if self._lock_is_stale(lock_path):
+                    # break ONLY locks whose owner process is provably gone
+                    # (or whose file has sat untouched past the stale window
+                    # with no readable owner) — a live writer keeps its lock
+                    # however long write_fn runs
                     try:
                         os.unlink(lock_path)
                     except FileNotFoundError:

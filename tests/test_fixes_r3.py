@@ -1,0 +1,105 @@
+"""Round-3 regression tests: ADVICE fixes (neardup empty batch, checkpoint
+lock/manifest races, fnv skew) and the bucketed ANN top-k merge at high query
+cardinality."""
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def test_cosine_neardup_survives_empty_block(ray_session):
+    """An all-empty leading block must neither crash the signature stage nor
+    poison the per-worker plane cache with a dim-1 matrix (ADVICE r2)."""
+    from gtfs_conflation_pipeline_ray.stages.ann import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = [base + rng.standard_normal(16) * 0.01 for _ in range(2)]
+    vecs += [rng.standard_normal(16) for _ in range(6)]
+    tab = pa.table({
+        "vec_id": np.arange(8, dtype=np.int64),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    empty = tab.slice(0, 0)
+    ds = ray.data.from_arrow([empty, tab])  # empty block hits _sig first
+    out = cosine_neardup_pairs(ds, threshold=0.95).to_pandas()
+    assert {(0, 1)} <= set(zip(out["vec_a"], out["vec_b"]))
+
+
+def test_merge_topk_high_cardinality(ray_session):
+    """50k distinct queries through the global top-k merge in seconds — the
+    bucketed pattern, not per-group Python (VERDICT r2 item 5)."""
+    from gtfs_conflation_pipeline_ray.stages.ann import _merge_topk
+
+    nq = 50_000
+    qid = np.repeat(np.arange(nq, dtype=np.int64), 4)
+    vid = np.tile(np.arange(4, dtype=np.int64), nq)
+    sim = (vid + 1).astype(np.float64) / 10.0
+    local = ray.data.from_arrow(pa.table({"query_id": qid, "vec_id": vid, "sim": sim}))
+    t0 = time.time()
+    out = _merge_topk(local, k=2).to_pandas()
+    wall = time.time() - t0
+    assert wall < 60.0, f"merge took {wall:.1f}s"
+    assert len(out) == nq * 2
+    g = out[out["query_id"] == 123].sort_values("sim_rank")
+    assert list(g["vec_id"]) == [3, 2] and list(g["sim_rank"]) == [1, 2]
+
+
+def test_checkpoint_lock_not_broken_while_owner_alive(tmp_path):
+    """A live writer keeps its partition lock regardless of waiter patience;
+    a dead owner's lock is stale immediately (ADVICE r2)."""
+    from gtfs_conflation_pipeline_ray.state.checkpoint import StageCheckpoint
+
+    ck = StageCheckpoint(str(tmp_path / "out"), "s")
+    lock = os.path.join(ck.out_dir, ".lock-p0")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # us: alive
+    assert not ck._lock_is_stale(lock)
+    with open(lock, "w") as f:
+        f.write("999999999")  # no such pid
+    assert ck._lock_is_stale(lock)
+    with open(lock, "w") as f:
+        f.write("")  # unreadable owner: age-gated
+    assert not ck._lock_is_stale(lock)
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    assert ck._lock_is_stale(lock)
+    os.unlink(lock)
+
+
+def test_checkpoint_manifest_merges_concurrent_committers(tmp_path):
+    """Two checkpoint INSTANCES (≙ two processes) committing different
+    partitions must both land in the on-disk manifest — the per-process tmp
+    name + pre-replace re-merge (ADVICE r2)."""
+    from gtfs_conflation_pipeline_ray.state.checkpoint import StageCheckpoint
+
+    out = str(tmp_path / "out")
+    ck1 = StageCheckpoint(out, "s")
+    ck2 = StageCheckpoint(out, "s")  # loaded before ck1 commits anything
+
+    def _w(n):
+        def _fn(tmp_dir):
+            with open(os.path.join(tmp_dir, "x"), "w") as f:
+                f.write("d")
+            return n
+        return _fn
+
+    ck1.run_partition("a", _w(1))
+    ck2.run_partition("b", _w(2))  # ck2's in-memory manifest lacks "a"
+    disk = StageCheckpoint(out, "s")
+    assert disk.completed() == {"a", "b"}
+
+
+def test_fnv_batch_skewed_lengths_identity():
+    from gtfs_conflation_pipeline_ray.functions.text import fnv1a64, fnv1a64_batch
+
+    strs = ["", "a", "ab" * 3, "x" * 1024, "y" * 70_000, "word"]
+    got = fnv1a64_batch(strs)
+    want = np.array([fnv1a64(s) for s in strs], dtype=np.uint64)
+    assert (got == want).all()
