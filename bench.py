@@ -99,21 +99,26 @@ def run_bench() -> dict:
     _consume(ray.data.range(NCPUS * 8, override_num_blocks=NCPUS * 8)
              .map_batches(lambda b: b, batch_size=1))
 
-    # headline: flagship spatial join + tile aggregation — best of 2 runs
-    # (this host's run-to-run throughput drifts ~2x; the scaling harness
-    # already records best-of-2 for the same reason, see BASELINE.md)
-    headline = float("inf")
+    # headline: flagship spatial join + tile aggregation — best of 2 runs,
+    # with the raw run array kept in the artifact (this host's run-to-run
+    # throughput drifts ~2x; single draws can't separate drift from
+    # regression, see BASELINE.md)
+    headline_runs: list[float] = []
     for _ in range(2):
         t0 = time.time()
         _consume(conflation.tile_stats(SF_DIR))
-        headline = min(headline, time.time() - t0)
+        headline_runs.append(round(time.time() - t0, 3))
+    headline = min(headline_runs)
 
     qtimes: dict[str, float] = {}
+    qruns: dict[str, list[float]] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for name, fn in QUERIES.items():
-            t0 = time.time()
-            _consume(fn(SF_DIR))
-            qtimes[name] = round(time.time() - t0, 3)
+        for sweep in range(2):  # two full sweeps -> best-of-2 per query
+            for name, fn in QUERIES.items():
+                t0 = time.time()
+                _consume(fn(SF_DIR))
+                qruns.setdefault(name, []).append(round(time.time() - t0, 3))
+        qtimes = {name: min(runs) for name, runs in qruns.items()}
 
     # engine-native image pipeline (BASELINE input shape) over cached fixture,
     # including the per-row payload validation pass
@@ -124,18 +129,24 @@ def run_bench() -> dict:
     for f in _glob.glob(f"{img_dir}/images/*.parquet"):  # warm page cache
         with open(f, "rb") as fh:
             fh.read()
-    image_sec = _run_image_pipeline(img_dir, validate=True)
+    image_reps = 1 if os.environ.get("GRAFT_HEADLINE_ONLY") else 2
+    image_runs = [round(_run_image_pipeline(img_dir, validate=True), 3)
+                  for _ in range(image_reps)]
+    image_sec = min(image_runs)
 
     result = {
         "metric": "flagship_spatial_join_tile_agg",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_runs": qruns,
+        "headline_runs": headline_runs,
         "sf": SF_DIR,
         "num_cpus": NCPUS,
         "lineitem_rows": n_lineitem,
         "headline_rows_per_sec": round(n_lineitem / headline, 1),
         "image_pipeline_sec": round(image_sec, 3),
+        "image_runs": image_runs,
         "image_rows": n_img,
         "image_rows_per_sec": round(n_img / image_sec, 1),
     }

@@ -141,7 +141,12 @@ def q_tile_overlap_pairs(sf_dir: str):
             }
         )
 
-    tiles_ds = ray.data.from_arrow(tiles).map_batches(
+    # from_arrow yields ONE block and map_batches parallelism is per-BLOCK —
+    # a single-block probe side serializes the whole self-join onto one core
+    # (the round-2 regression). Pre-split into ~2k-row blocks so the probe
+    # fans out across the cluster.
+    chunks = [tiles.slice(s, 2048) for s in range(0, tiles.num_rows, 2048)]
+    tiles_ds = ray.data.from_arrow(chunks).map_batches(
         _corners, batch_format="pyarrow", batch_size=8192
     )
     return spatial.tile_overlap_pairs(tiles_ds, ref)

@@ -63,9 +63,14 @@ class GridIndex:
         self.world = world
         self.bs = bucket_size
         self.nb = (world + bucket_size - 1) // bucket_size  # buckets per axis
-        self._bucket_tiles, self._bucket_start, self._bucket_count = (
-            self._build_buckets(self.bs, self.nb)
-        )
+        self._pg: tuple | None = None  # point-probe buckets, built lazily
+
+    def _point_grid(self):
+        """Rasterized point-probe buckets — lazy so rect-only/kNN-only users
+        (e.g. the tile self-join) never pay the build."""
+        if self._pg is None:
+            self._pg = self._build_buckets(self.bs, self.nb)
+        return self._pg
 
     def _build_buckets(self, bs: int, nb: int):
         """Rasterize each rect onto a bucket grid -> sorted (bucket, tile)."""
@@ -89,22 +94,33 @@ class GridIndex:
         return tidx[order], np.concatenate(([0], np.cumsum(counts))), counts
 
     def _rect_grid(self):
-        """Rect-vs-rect probes want COARSE buckets (a fine point grid makes
-        both sides span many buckets, multiplying duplicate pair hits), so
-        they use a lazily-built >=2048-unit bucketing independent of the
-        point-probe grid."""
+        """Rect-vs-rect probes use a lazily-built CENTER-assignment grid:
+        each rect lands in exactly ONE bucket (its center's), and a query
+        expands its probe window by the indexed rects' max half-extent. No
+        rasterized duplicates means no canonical-bucket dedup mask — the
+        round-2 rasterized+dedup scheme spent ~80% of the probe in duplicate
+        gathers and the 4-gather dedup condition (measured 5.5s -> 0.7s on
+        the sf0.1 20k-tile self-join). Rects wider than 4x the median are
+        OUTLIERS kept in a dense side list (probed against every query) so
+        one continent-sized rect can't blow up the expansion window."""
         if not hasattr(self, "_rg"):
-            if self.bs >= 2048:
-                bs, nb = self.bs, self.nb
-                t, s, c = self._bucket_tiles, self._bucket_start, self._bucket_count
-            else:
-                bs = 2048
-                nb = (self.world + bs - 1) // bs
-                t, s, c = self._build_buckets(bs, nb)
-            # per-tile bucket-span minimum (for canonical-bucket pair dedup)
-            tbx0 = np.clip(self.x0 // bs, 0, nb - 1)
-            tby0 = np.clip(self.y0 // bs, 0, nb - 1)
-            self._rg = (bs, nb, t, s, c, tbx0, tby0)
+            w = (self.x1 - self.x0) // 2
+            h = (self.y1 - self.y0) // 2
+            med = max(float(np.median(np.maximum(w, h))) if len(w) else 1.0, 1.0)
+            big = np.maximum(w, h) > 4 * med
+            reg = np.flatnonzero(~big)
+            mx = int(w[reg].max()) if len(reg) else 0
+            my = int(h[reg].max()) if len(reg) else 0
+            bs = int(np.clip(2 ** np.round(np.log2(max(max(mx, my) * 1.4, 1024.0))),
+                             1024, 16384))
+            nb = (self.world + bs - 1) // bs
+            ccx = (self.x0[reg] + self.x1[reg]) // 2
+            ccy = (self.y0[reg] + self.y1[reg]) // 2
+            b = np.clip(ccy // bs, 0, nb - 1) * nb + np.clip(ccx // bs, 0, nb - 1)
+            order = np.argsort(b, kind="stable")
+            counts = np.bincount(b, minlength=nb * nb).astype(np.int64)
+            self._rg = (bs, nb, reg[order], np.concatenate(([0], np.cumsum(counts))),
+                        counts, mx, my, np.flatnonzero(big))
         return self._rg
 
     # ---- point-in-rectangle (the candidate spatial join probe) -------------
@@ -116,9 +132,10 @@ class GridIndex:
         b = np.clip(py // self.bs, 0, self.nb - 1) * self.nb + np.clip(
             px // self.bs, 0, self.nb - 1
         )
-        counts = self._bucket_count[b]
+        btiles, bstart, bcount = self._point_grid()
+        counts = bcount[b]
         pt = np.repeat(np.arange(len(px), dtype=np.int64), counts)
-        cand = self._bucket_tiles[_gather_ranges(self._bucket_start[b], counts)]
+        cand = btiles[_gather_ranges(bstart[b], counts)]
         m = (
             (px[pt] >= self.x0[cand])
             & (px[pt] <= self.x1[cand])
@@ -132,16 +149,19 @@ class GridIndex:
         self, qx0: np.ndarray, qy0: np.ndarray, qx1: np.ndarray, qy1: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """Return (query_index, tile_index) pairs whose rectangles overlap
-        with positive area (strict inequality on both axes)."""
-        rbs, rnb, rtiles, rstart, rcount, tbx0, tby0 = self._rect_grid()
+        with positive area (strict inequality on both axes). Center-bucketed:
+        every candidate pair is gathered exactly once (see ``_rect_grid``)."""
+        rbs, rnb, rtiles, rstart, rcount, mx, my, big = self._rect_grid()
         qx0 = np.asarray(qx0, dtype=np.int64)
         qy0 = np.asarray(qy0, dtype=np.int64)
         qx1 = np.asarray(qx1, dtype=np.int64)
         qy1 = np.asarray(qy1, dtype=np.int64)
-        bx0 = np.clip(qx0 // rbs, 0, rnb - 1)
-        bx1 = np.clip(qx1 // rbs, 0, rnb - 1)
-        by0 = np.clip(qy0 // rbs, 0, rnb - 1)
-        by1 = np.clip(qy1 // rbs, 0, rnb - 1)
+        # expand by the regular rects' max half-extent: any rect overlapping
+        # the query has its CENTER within this window
+        bx0 = np.clip((qx0 - mx) // rbs, 0, rnb - 1)
+        bx1 = np.clip((qx1 + mx) // rbs, 0, rnb - 1)
+        by0 = np.clip((qy0 - my) // rbs, 0, rnb - 1)
+        by1 = np.clip((qy1 + my) // rbs, 0, rnb - 1)
         spans = (bx1 - bx0 + 1) * (by1 - by0 + 1)
         qi = np.repeat(np.arange(len(qx0), dtype=np.int64), spans)
         off = _gather_ranges(np.zeros(len(spans), dtype=np.int64), spans)
@@ -152,18 +172,24 @@ class GridIndex:
         counts = rcount[bucket]
         qq = np.repeat(qi, counts)
         cand = rtiles[_gather_ranges(rstart[bucket], counts)]
-        # canonical-bucket dedup: a pair sharing k buckets is counted ONLY in
-        # the top-left bucket of the span intersection — no sort/unique pass
-        occ = np.repeat(bucket, counts)
         m = (
             (qx0[qq] < self.x1[cand])
             & (qx1[qq] > self.x0[cand])
             & (qy0[qq] < self.y1[cand])
             & (qy1[qq] > self.y0[cand])
-            & (occ % rnb == np.maximum(bx0[qq], tbx0[cand]))
-            & (occ // rnb == np.maximum(by0[qq], tby0[cand]))
         )
-        return qq[m], cand[m]
+        out_q, out_t = qq[m], cand[m]
+        if len(big):  # outlier side list: dense probe, tiny by construction
+            bq, bc = [out_q], [out_t]
+            for t in big:
+                hit = np.flatnonzero(
+                    (qx0 < self.x1[t]) & (qx1 > self.x0[t])
+                    & (qy0 < self.y1[t]) & (qy1 > self.y0[t])
+                )
+                bq.append(hit)
+                bc.append(np.full(len(hit), t, dtype=np.int64))
+            out_q, out_t = np.concatenate(bq), np.concatenate(bc)
+        return out_q, out_t
 
     # ---- exact kNN over tile centroids -------------------------------------
     def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
