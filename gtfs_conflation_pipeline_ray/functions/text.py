@@ -204,11 +204,25 @@ _MERSENNE61 = np.uint64((1 << 61) - 1)
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) parameters for num_perm universal-hash
     permutations h(x) = (a*(x & 0xFFFFFFFF) + b) mod 2^61-1, with a < 2^31 so
-    the product stays inside uint64 (fully vectorizable, no bigint path)."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    the product stays inside uint64 (fully vectorizable, no bigint path).
+
+    The parameters are CLOSED-FORM splitmix64 mixes of the permutation index
+    rather than RNG draws, so a SQL oracle can regenerate them exactly
+    (``seed`` shifts the index base)."""
+    i = np.arange(num_perm, dtype=np.uint64)
+    a = splitmix64(i + np.uint64(seed)) % np.uint64(0x7FFFFFFF) + np.uint64(1)
+    b = splitmix64(i + np.uint64(seed) + np.uint64(0x10000)) % _MERSENNE61
     return a, b
+
+
+def splitmix64(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele et al. 2014) — a statistically strong,
+    closed-form uint64 mix that a SQL oracle can replicate with HUGEINT
+    arithmetic (xor / shift / multiply mod 2^64)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -828,18 +828,202 @@ LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 """
 
 
-def q_doc_fingerprint(sf_dir: str):  # rows-only check (winnowing, no SQL)
+def q_doc_fingerprint(sf_dir: str):
     return textops.fingerprints(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def q_doc_simhash(sf_dir: str):  # rows-only check
+def q_doc_simhash(sf_dir: str):
     return dedup.simhash(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def q_doc_minhash_pairs(sf_dir: str):  # rows-only check
+def q_doc_minhash_pairs(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     sigs = dedup.minhash_signatures(docs)
     return dedup.lsh_candidate_pairs(sigs)
+
+
+# FNV-1a64 of a string expression, in pure SQL: fold over code points with
+# HUGEINT arithmetic mod 2^64 — bit-identical to ``functions.text.fnv1a64``
+# for ASCII input (code point == utf-8 byte; the synthetic corpus is ASCII).
+# ``{s}`` is the string expression; the comprehension variable is ``_ci`` so
+# callers can safely use ``i`` in ``{s}``.
+def _sql_fnv(s: str) -> str:
+    return f"""
+list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      [CAST(unicode(substr({s}, CAST(_ci AS INT), 1)) AS HUGEINT)
+       FOR _ci IN range(1, length({s})+1)]),
+    (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
+"""
+
+
+# uint64 (carried as HUGEINT/UBIGINT) -> int64 two's-complement reinterpret,
+# matching numpy's ``.view(np.int64)``
+def _sql_u64_to_i64(v: str) -> str:
+    return (f"CAST(CASE WHEN {v} >= 9223372036854775808 "
+            f"THEN CAST({v} AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST({v} AS HUGEINT) END AS BIGINT)")
+
+
+SQL_DOC_SIMHASH = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+wh AS (SELECT doc_id, {_sql_fnv('w')} AS h FROM words),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> CAST(b.bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS HUGEINT) << CAST(bit AS INT))
+                  ELSE 0 END) AS sim_u
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, {_sql_u64_to_i64('COALESCE(s.sim_u, 0)')} AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
+"""
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH lt AS (SELECT doc_id, lower(text) AS s FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS gi,
+         CAST({_sql_fnv("substr(s, CAST(i AS INT), 5)")} AS UBIGINT) AS h
+  FROM lt, LATERAL (SELECT unnest(range(1, length(s) - 3)) AS i)
+  WHERE length(s) >= 5
+),
+ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id,
+         MIN(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.gi
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+         g.gi, n.n_grams
+  FROM grams g JOIN ng n USING (doc_id)
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE n_grams <= 8 AND gi = 1
+  UNION
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE n_grams > 8 AND gi <= n_grams - 7
+),
+selc AS (SELECT doc_id, COUNT(*) AS cnt FROM sel GROUP BY doc_id),
+folded AS (
+  SELECT s.doc_id,
+         bit_xor(CAST((CAST(s.wmin AS HUGEINT) * 1099511628211 + c.cnt)
+                      % 18446744073709551616 AS UBIGINT)) AS fp_u
+  FROM sel s JOIN selc c USING (doc_id) GROUP BY s.doc_id
+),
+short AS (
+  SELECT doc_id, CAST({_sql_fnv('s')} AS UBIGINT) AS fp_u
+  FROM lt WHERE length(s) < 5
+),
+allfp AS (SELECT * FROM folded UNION ALL SELECT * FROM short)
+SELECT d.doc_id, {_sql_u64_to_i64('a.fp_u')} AS fp
+FROM documents d JOIN allfp a USING (doc_id)
+"""
+
+
+# MinHash signatures + banded LSH, in SQL: same shingling, the closed-form
+# (a, b) permutation params of ``functions.text.minhash_params`` (seed 42),
+# and the per-band FNV fold of ``stages.dedup.lsh_candidate_pairs``
+_SQL_MINHASH_CTES = f"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w FROM documents
+),
+shstr AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [w[_si] || ' ' || w[_si+1] || ' ' || w[_si+2]
+                    FOR _si IN range(1, len(w) - 1)]
+         END AS shingles
+  FROM ws
+),
+shx AS (
+  SELECT DISTINCT doc_id,
+         CAST({_sql_fnv('sh')} % 4294967296 AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shstr)
+),
+perms AS (  -- splitmix64(j+seed) / splitmix64(j+seed+0x10000), seed=42
+  SELECT CAST(j AS BIGINT) AS j,
+         CAST(xor(z3a, z3a >> 31) % 2147483647 + 1 AS BIGINT) AS a,
+         CAST(xor(z3b, z3b >> 31) % 2305843009213693951 AS BIGINT) AS b
+  FROM (
+    -- mulmod 2^64 via 32-bit split (z*m = z*ml + ((z*mh mod 2^32)<<32)) so
+    -- the INT128 intermediate never overflows
+    SELECT j,
+           ((xor(z2a, z2a >> 27) * 321982955) % 18446744073709551616
+            + ((xor(z2a, z2a >> 27) * 2496678331) % 4294967296) * 4294967296)
+             % 18446744073709551616 AS z3a,
+           ((xor(z2b, z2b >> 27) * 321982955) % 18446744073709551616
+            + ((xor(z2b, z2b >> 27) * 2496678331) % 4294967296) * 4294967296)
+             % 18446744073709551616 AS z3b
+    FROM (
+      SELECT j,
+             ((xor(z1a, z1a >> 30) * 484763065) % 18446744073709551616
+              + ((xor(z1a, z1a >> 30) * 3210233709) % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z2a,
+             ((xor(z1b, z1b >> 30) * 484763065) % 18446744073709551616
+              + ((xor(z1b, z1b >> 30) * 3210233709) % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z2b
+      FROM (
+        SELECT j,
+               (j + 42 + CAST(11400714819323198485 AS HUGEINT))
+                 % 18446744073709551616 AS z1a,
+               (j + 42 + 65536 + CAST(11400714819323198485 AS HUGEINT))
+                 % 18446744073709551616 AS z1b
+        FROM range(64) t(j)
+      )
+    )
+  )
+),
+sig AS (
+  SELECT s.doc_id, p.j,
+         CAST(MIN((CAST(p.a AS HUGEINT) * s.x + p.b) % 2305843009213693951) AS BIGINT) AS sv
+  FROM shx s CROSS JOIN perms p GROUP BY s.doc_id, p.j
+),
+bh AS (
+  SELECT doc_id, CAST(band_id AS BIGINT) AS band_id,
+         CAST(list_reduce(
+           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                        list(CAST(sv AS HUGEINT) ORDER BY j)),
+           (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616
+         ) AS UBIGINT) AS band_hash
+  FROM (SELECT doc_id, j, j // 4 AS band_id, sv FROM sig)
+  GROUP BY doc_id, band_id
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band_id, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rn
+    FROM bh
+  ) WHERE rn <= 256
+)
+"""
+
+SQL_DOC_MINHASH_PAIRS = _SQL_MINHASH_CTES + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+SQL_DOC_MINHASH_VERIFIED = _SQL_MINHASH_CTES + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+GROUP BY c.doc_a, c.doc_b
+HAVING SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) >= 32
+"""
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
@@ -2082,7 +2266,9 @@ ORACLE_SQL = {
     "doc_containment": SQL_DOC_CONTAINMENT,
     "time_parse": SQL_TIME_PARSE,
     "doc_langid": SQL_DOC_LANGID.replace("__PROFILES__", _langid_profile_values()),
-    # beyond the driver's 50-query check window (window is full), but the
-    # oracle ships so the equivalence stays independently checkable
     "events_hopping": SQL_EVENTS_HOPPING,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "doc_minhash_verified": SQL_DOC_MINHASH_VERIFIED,
 }
