@@ -1755,6 +1755,141 @@ def q_embedding_neardup(sf_dir: str):  # rows-only (LSH-bucketed, no SQL)
     return ann.cosine_neardup_pairs(planted, threshold=0.9)
 
 
+# quantized embeddings + closed-form planes shared by the ANN-family oracles:
+# bucket decisions are pure integer math, identical to ``stages.ann``
+# (quantize_fixed / int_planes / sign_planes); final sims use
+# list_cosine_similarity like SQL_ANN_TOPK.
+_SQL_EMB_FIXED = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          FOR x IN embedding] AS qv
+  FROM {src}
+"""
+
+
+def _sql_int_planes(n_planes: int) -> str:
+    return f"""
+  SELECT CAST(j AS BIGINT) AS j,
+         [(d * 73856093 + j * 19349663 + 7) % 1000003 * 2654435761 % 2001 - 1000
+          FOR d IN range(0, (SELECT len(qv) FROM e LIMIT 1))] AS pl
+  FROM range({n_planes}) t(j)
+"""
+
+
+_SQL_IDOT = "list_sum([a.qv[_di] * p.pl[_di] FOR _di IN range(1, len(a.qv) + 1)])"
+
+
+SQL_ANN_LSH = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+planes AS ({_sql_int_planes(10)}),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                  ELSE 0 END) AS s
+  FROM (SELECT a.vec_id, p.j, {_SQL_IDOT} AS dot
+        FROM e a CROSS JOIN planes p)
+  GROUP BY vec_id
+),
+qs AS (SELECT vec_id AS query_id, s FROM sig WHERE vec_id < 8),
+probes AS (  -- own bucket + all Hamming-distance-1 buckets (multiprobe r=1)
+  SELECT q.query_id,
+         CASE WHEN b.b < 0 THEN q.s
+              ELSE xor(q.s, CAST(1 AS BIGINT) << CAST(b.b AS INT)) END AS ps
+  FROM qs q, (SELECT unnest(range(-1, 10)) AS b) b
+),
+cand AS (
+  SELECT p.query_id, x.vec_id
+  FROM probes p JOIN sig x ON x.s = p.ps
+  WHERE x.vec_id <> p.query_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.ed, ex.ed) AS sim
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ex ON ex.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, sim_rank, CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS sim_q4
+FROM (SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS sim_rank
+      FROM sims)
+WHERE sim_rank <= 5
+"""
+
+
+SQL_ANN_IVF = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+cents AS (  -- ±1 codebook rows (equal norms): argmax integer dot = nearest
+  SELECT CAST(j AS BIGINT) AS j,
+         [CASE WHEN (j * 83492791 + d * 52916611 + 3) % 1000003
+                    * 2654435761 % 4294967296 // 32768 % 2 = 1
+               THEN 1 ELSE -1 END
+          FOR d IN range(0, (SELECT len(qv) FROM e LIMIT 1))] AS pl
+  FROM range(64) t(j)
+),
+xd AS (SELECT a.vec_id, p.j, {_SQL_IDOT} AS dot
+       FROM e a CROSS JOIN cents p),
+rk AS (SELECT vec_id, j,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS rn
+       FROM xd),
+assign AS (SELECT vec_id, j FROM rk WHERE rn = 1),
+qprobe AS (SELECT vec_id AS query_id, j FROM rk WHERE vec_id < 8 AND rn <= 8),
+cand AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobe qp JOIN assign a ON a.j = qp.j
+  WHERE a.vec_id <> qp.query_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.ed, ex.ed) AS sim
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ex ON ex.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, sim_rank, CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS sim_q4
+FROM (SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS sim_rank
+      FROM sims)
+WHERE sim_rank <= 5
+"""
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(CAST(x AS DOUBLE) * (1 + 0.01 * sin(CAST(vec_id AS DOUBLE))) AS REAL)
+          FOR x IN embedding] AS embedding
+  FROM embeddings WHERE vec_id < 32
+),
+e AS ({_SQL_EMB_FIXED.format(src='allv')}),
+planes AS ({_sql_int_planes(12)}),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                  ELSE 0 END) AS bucket
+  FROM (SELECT a.vec_id, p.j, {_SQL_IDOT} AS dot
+        FROM e a CROSS JOIN planes p)
+  GROUP BY vec_id
+),
+capped AS (
+  SELECT * FROM (
+    SELECT vec_id, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM sig
+  ) WHERE rn <= 512
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(ea.ed, eb.ed) AS sim
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS sim_q4
+FROM pairs WHERE sim >= 0.9
+"""
+
+
 def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
     """Chunked sequential path selection per user shape: one chosen tile per
     ordered event point, continuity-penalized — ≙ chooseShstMatchesForShape
@@ -2271,4 +2406,7 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_minhash_verified": SQL_DOC_MINHASH_VERIFIED,
+    "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf": SQL_ANN_IVF,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }

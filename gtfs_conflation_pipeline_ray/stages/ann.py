@@ -30,6 +30,35 @@ def _batch_matrix(batch: pa.Table, col: str, dim: int | None = None) -> np.ndarr
     return flat.reshape(n, len(flat) // n)
 
 
+def quantize_fixed(x: np.ndarray) -> np.ndarray:
+    """floor(x * 1e6 + 0.5) as int64 — the fixed-point embedding used for
+    EXACT (SQL-replicable) bucket decisions. Each element is one correctly
+    rounded double op, so numpy and DuckDB agree bit-for-bit; all downstream
+    bucket math is integer."""
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def int_planes(dim: int, n_planes: int) -> np.ndarray:
+    """(dim, n_planes) integer hyperplane matrix in [-1000, 1000], from a
+    closed-form index mix (no RNG) so a SQL oracle regenerates it exactly.
+    Integer dots stay < 2^53: |dot| <= dim * |x_q| * 1000."""
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    j = np.arange(n_planes, dtype=np.int64)[None, :]
+    t = (d * 73856093 + j * 19349663 + 7) % 1000003
+    return t * 2654435761 % 2001 - 1000
+
+
+def sign_planes(n_rows: int, dim: int, salt: int = 3) -> np.ndarray:
+    """(n_rows, dim) ±1 matrix from a closed-form index mix — every row has
+    identical L2 norm (sqrt(dim)), so nearest-row by cosine == argmax of the
+    raw integer dot (no per-row norm divide, fully exact)."""
+    j = np.arange(n_rows, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    t = (j * 83492791 + d * 52916611 + salt) % 1000003
+    h = t * 2654435761 % 4294967296
+    return np.where((h >> 15) % 2 == 1, np.int64(1), np.int64(-1))
+
+
 class _QueryState:
     """Per-worker ANN state: broadcast query matrix + its L2 norms. The raw
     (un-normalized) matrix is kept so similarity is computed as
@@ -127,10 +156,9 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
 
     def _build(q: pa.Table):
         st = _QueryState(q, vec_col)
-        rng = np.random.default_rng(seed)
         dim = st.qm.shape[1]
-        planes = rng.standard_normal((dim, n_planes))
-        qsig = ((st.qm @ planes) > 0) @ (1 << np.arange(n_planes))
+        planes = int_planes(dim, n_planes)  # closed-form: SQL-replicable
+        qsig = ((quantize_fixed(st.qm) @ planes) > 0) @ (1 << np.arange(n_planes))
         return st, planes, qsig.astype(np.int64)
 
     def _local(batch: pa.Table) -> pa.Table:
@@ -141,7 +169,8 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
             return pa.table({"query_id": np.array([], dtype=np.int64),
                              "vec_id": np.array([], dtype=np.int64),
                              "sim": np.array([], dtype=np.float64)})
-        xsig = (((x @ planes) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+        xsig = (((quantize_fixed(x) @ planes) > 0)
+                @ (1 << np.arange(n_planes))).astype(np.int64)
         xnorm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
         qids, vids, sims = [], [], []
         for qi, cand in enumerate(lsh_candidate_indices(qsig, xsig, n_planes)):
@@ -194,11 +223,11 @@ def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
 
     def _build(q: pa.Table):
         st = _QueryState(q, vec_col)
-        rng = np.random.default_rng(seed)
-        cents = rng.standard_normal((n_centroids, st.qm.shape[1]))
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-        qn = st.qm / np.maximum(st.qnorm[:, None], 1e-300)
-        q_probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+        # ±1 codebook rows share one norm, so argmax of the integer dot IS
+        # the nearest centroid by cosine — exact and SQL-replicable
+        cents = sign_planes(n_centroids, st.qm.shape[1])
+        qdots = quantize_fixed(st.qm) @ cents.T
+        q_probe = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
         return st, cents, np.sort(q_probe, axis=1)
 
     def _local(batch: pa.Table) -> pa.Table:
@@ -210,7 +239,7 @@ def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
                              "vec_id": np.array([], dtype=np.int64),
                              "sim": np.array([], dtype=np.float64)})
         xnorm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
-        assign = np.argmax((x / xnorm[:, None]) @ cents.T, axis=1)
+        assign = np.argmax(quantize_fixed(x) @ cents.T, axis=1)
         qids, vids, sims = [], [], []
         for qi, cand in enumerate(ivf_candidate_lists(assign, q_probe)):
             cand = cand[ids[cand] != st.qid[qi]]  # never return self
@@ -263,9 +292,9 @@ def cosine_neardup_pairs(vectors, threshold: float = 0.95, id_col: str = "vec_id
                              id_col: batch[id_col],
                              vec_col: batch[vec_col]})
         if state.planes is None:
-            state.planes = np.random.default_rng(seed).standard_normal(
-                (x.shape[1], n_planes))
-        xsig = (((x @ state.planes) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+            state.planes = int_planes(x.shape[1], n_planes)  # SQL-replicable
+        xsig = (((quantize_fixed(x) @ state.planes) > 0)
+                @ (1 << np.arange(n_planes))).astype(np.int64)
         return pa.table({
             "bucket": xsig,
             id_col: batch[id_col],
