@@ -1379,40 +1379,314 @@ FROM o GROUP BY user_id
 """
 
 
-def q_shape_frechet(sf_dir: str):  # rows-only (Fréchet DP, no SQL)
+# ---------------------------------------------------------------------------
+# SQL building blocks for the integer-exact shape kernels (stages/segments.py
+# ``seg_len_c`` / ``rdp_keep_int`` / ``point_seg_d2f`` / ``frechet_sq_int`` /
+# ``stride_pick``): the same per-segment-quantized lengths, the same one
+# mirrored double expression per comparison
+# ---------------------------------------------------------------------------
+
+_SQL_SHAPE_PTS = """
+pts AS MATERIALIZED (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+nn AS (SELECT user_id, COUNT(*) AS n FROM pts GROUP BY user_id),
+segs AS (
+  SELECT user_id, gi,
+         CAST(FLOOR(sqrt(CAST((nx - x)*(nx - x) + (ny - y)*(ny - y) AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS len_c
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+)
+"""
+
+
+def _sql_rdp(tol2: int) -> str:
+    """Recursive RDP: every level splits each open interval at its argmax
+    point (argmax |cross|, ties -> smallest index; split iff cross² >
+    tol²·|ab|², the ``rdp_keep_int`` rule)."""
+    return f"""
+ends AS (SELECT user_id, MIN(gi) AS s0, MAX(gi) AS e0 FROM pts GROUP BY user_id),
+rdp AS (
+  SELECT user_id, s0 AS s, e0 AS e FROM ends WHERE e0 > s0 + 1
+  UNION ALL
+  SELECT g.user_id,
+         CASE c.side WHEN 0 THEN g.s ELSE g.m END AS s,
+         CASE c.side WHEN 0 THEN g.m ELSE g.e END AS e
+  FROM (
+    SELECT r.user_id, r.s, r.e, t.ab2,
+           MAX(CASE WHEN t.ab2 = 0 THEN u.d2a ELSE u.cr END) AS mkey,
+           max_by(p.gi, (CASE WHEN t.ab2 = 0 THEN u.d2a ELSE u.cr END) * 1048576 - p.gi) AS m
+    FROM rdp r
+    JOIN pts a ON a.user_id = r.user_id AND a.gi = r.s
+    JOIN pts b ON b.user_id = r.user_id AND b.gi = r.e
+    JOIN pts p ON p.user_id = r.user_id AND p.gi > r.s AND p.gi < r.e,
+    LATERAL (SELECT (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS ab2,
+                    b.x-a.x AS dx, b.y-a.y AS dy) t,
+    LATERAL (SELECT (p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y) AS d2a,
+                    abs(t.dx*(p.y-a.y) - t.dy*(p.x-a.x)) AS cr) u
+    WHERE r.e > r.s + 1
+    GROUP BY r.user_id, r.s, r.e, t.ab2
+  ) g, (VALUES (0), (1)) c(side)
+  WHERE CASE WHEN g.ab2 = 0 THEN g.mkey > {tol2}
+             ELSE CAST(g.mkey AS DOUBLE) * CAST(g.mkey AS DOUBLE)
+                  > CAST({tol2} * g.ab2 AS DOUBLE) END
+),
+keep AS (
+  SELECT DISTINCT user_id, gi FROM (
+    SELECT user_id, s AS gi FROM rdp UNION ALL SELECT user_id, e AS gi FROM rdp
+    UNION ALL SELECT user_id, s0 AS gi FROM ends UNION ALL SELECT user_id, e0 AS gi FROM ends
+  )
+)
+"""
+
+
+def _sql_dev(tol2: int) -> str:
+    """RDP(tol2)-simplified self + exact min point→segment squared distance
+    per vertex (``point_seg_d2f``: integer inside-test, one mirrored double
+    expression per branch)."""
+    return _sql_rdp(tol2) + """,
+simp AS (SELECT k.user_id, p.gi, p.x, p.y,
+                ROW_NUMBER() OVER (PARTITION BY k.user_id ORDER BY p.gi) AS si
+         FROM keep k JOIN pts p USING (user_id, gi)),
+sseg AS (
+  SELECT user_id, si, x AS sax, y AS say, nx AS sbx, ny AS sby
+  FROM (SELECT user_id, si, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY si) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY si) AS ny
+        FROM simp)
+  WHERE nx IS NOT NULL
+),
+dev AS (
+  SELECT p.user_id, p.gi,
+         MIN(CASE WHEN u.ab2 = 0 THEN u.d2a
+                  WHEN u.dot < 0 THEN u.d2a
+                  WHEN u.dot > u.ab2 THEN u.d2b
+                  ELSE (u.cf * u.cf) / CAST(u.ab2 AS DOUBLE) END) AS d2
+  FROM pts p
+  JOIN sseg s USING (user_id),
+  LATERAL (SELECT s.sbx - s.sax AS abx, s.sby - s.say AS aby,
+                  p.x - s.sax AS apx, p.y - s.say AS apy,
+                  p.x - s.sbx AS bpx, p.y - s.sby AS bpy) t,
+  LATERAL (SELECT t.abx*t.abx + t.aby*t.aby AS ab2,
+                  t.apx*t.abx + t.apy*t.aby AS dot,
+                  CAST(t.apx*t.aby - t.apy*t.abx AS DOUBLE) AS cf,
+                  CAST(t.apx*t.apx + t.apy*t.apy AS DOUBLE) AS d2a,
+                  CAST(t.bpx*t.bpx + t.bpy*t.bpy AS DOUBLE) AS d2b) u
+  GROUP BY p.user_id, p.gi
+)
+"""
+
+
+def q_shape_frechet(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_frechet_halves(_event_shapes(sf_dir))
 
 
-def q_shape_simplify(sf_dir: str):  # rows-only (RDP, no SQL)
+SQL_SHAPE_FRECHET = "WITH RECURSIVE " + _SQL_SHAPE_PTS + f""",
+halves AS (
+  SELECT p.user_id,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ax,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ay,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS bx,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS "by"
+  FROM pts p JOIN nn n USING (user_id) WHERE n.n >= 4
+  GROUP BY p.user_id
+),
+picked AS (  -- stride_pick to 32 vertices per half (exact index selection)
+  SELECT user_id,
+         [ax[1 + _j * (len(ax) - 1) // 31] FOR _j IN range(32)] AS pax,
+         [ay[1 + _j * (len(ay) - 1) // 31] FOR _j IN range(32)] AS pay,
+         [bx[1 + _j * (len(bx) - 1) // 31] FOR _j IN range(32)] AS pbx,
+         ["by"[1 + _j * (len("by") - 1) // 31] FOR _j IN range(32)] AS pby
+  FROM halves
+),
+fr AS (  -- discrete-Fréchet DP by anti-diagonals; lists are int64 d²
+  SELECT user_id, 0 AS k,
+         [(pax[1] - pbx[1]) * (pax[1] - pbx[1])
+          + (pay[1] - pby[1]) * (pay[1] - pby[1])] AS cur,
+         CAST(NULL AS BIGINT[]) AS prev,
+         pax, pay, pbx, pby
+  FROM picked
+  UNION ALL
+  SELECT user_id, k + 1,
+         [ greatest(
+             (pax[_i + 1] - pbx[k + 1 - _i + 1]) * (pax[_i + 1] - pbx[k + 1 - _i + 1])
+             + (pay[_i + 1] - pby[k + 1 - _i + 1]) * (pay[_i + 1] - pby[k + 1 - _i + 1]),
+             least(
+               COALESCE(cur[_i - greatest(0, k - 31) + 1], 36893488147419103232),
+               COALESCE(cur[_i - 1 - greatest(0, k - 31) + 1], 36893488147419103232),
+               COALESCE(prev[_i - 1 - greatest(0, k - 1 - 31) + 1], 36893488147419103232)
+             )
+           )
+           FOR _i IN range(greatest(0, k + 1 - 31), least(k + 1, 31) + 1) ] AS cur,
+         cur AS prev, pax, pay, pbx, pby
+  FROM fr WHERE k < 62
+)
+SELECT n.user_id,
+       CAST(CASE WHEN n.n < 4 THEN -1 ELSE f.cur[1] END AS BIGINT) AS frechet_sq
+FROM nn n LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
+"""
+
+
+def q_shape_simplify(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_simplify_stats(_event_shapes(sf_dir))
 
 
-def q_shape_slices(sf_dir: str):  # rows-only (lineSliceAlong, no SQL)
+SQL_SHAPE_SIMPLIFY = "WITH RECURSIVE " + _SQL_SHAPE_PTS + "," + _sql_rdp(250000) + """,
+simp AS (SELECT k.user_id, p.gi, p.x, p.y,
+                ROW_NUMBER() OVER (PARTITION BY k.user_id ORDER BY p.gi) AS si
+         FROM keep k JOIN pts p USING (user_id, gi)),
+slen AS (
+  SELECT user_id,
+         CAST(FLOOR(sqrt(CAST((nx - x)*(nx - x) + (ny - y)*(ny - y) AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS len_c
+  FROM (SELECT user_id, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY si) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY si) AS ny
+        FROM simp)
+  WHERE nx IS NOT NULL
+),
+ksz AS (SELECT user_id, COUNT(*) AS n_simplified FROM keep GROUP BY user_id),
+tl AS (SELECT user_id, CAST(SUM(len_c) AS BIGINT) AS length_c FROM segs GROUP BY user_id),
+sl AS (SELECT user_id, CAST(SUM(len_c) AS BIGINT) AS simplified_length_c FROM slen GROUP BY user_id)
+SELECT n.user_id, n.n AS n_points,
+       CAST(k.n_simplified AS BIGINT) AS n_simplified,
+       COALESCE(t.length_c, 0) AS length_c,
+       COALESCE(s.simplified_length_c, 0) AS simplified_length_c
+FROM nn n JOIN ksz k USING (user_id)
+LEFT JOIN tl t USING (user_id) LEFT JOIN sl s USING (user_id)
+"""
+
+
+def q_shape_slices(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_slices(_event_shapes(sf_dir))
 
 
-def q_shape_snap_stats(sf_dir: str):  # rows-only (quantile snap stats, no SQL)
+SQL_SHAPE_SLICES = "WITH " + _SQL_SHAPE_PTS + """,
+cumv AS (
+  SELECT p.user_id, p.gi,
+         CAST(COALESCE(SUM(s.len_c), 0) AS BIGINT) AS cum
+  FROM pts p LEFT JOIN segs s ON s.user_id = p.user_id AND s.gi < p.gi
+  GROUP BY p.user_id, p.gi
+),
+tot AS (SELECT user_id, MAX(cum) AS total FROM cumv GROUP BY user_id),
+sl AS (
+  SELECT t.user_id, CAST(i.i AS BIGINT) AS slice_idx,
+         t.total * i.i // 3 AS a, t.total * (i.i + 1) // 3 AS b
+  FROM tot t, (SELECT unnest(range(3)) AS i) i
+),
+bounds AS (
+  SELECT s.user_id, s.slice_idx,
+         (SELECT MIN(c.gi) FROM cumv c WHERE c.user_id = s.user_id AND c.cum >= s.a) AS sv,
+         (SELECT MIN(c.gi) FROM cumv c WHERE c.user_id = s.user_id AND c.cum >= s.b) AS ev
+  FROM sl s
+)
+SELECT b.user_id, b.slice_idx,
+       CAST(ce.cum - cs.cum AS BIGINT) AS slice_len_c,
+       CAST(b.ev - b.sv + 1 AS BIGINT) AS n_vertices
+FROM bounds b
+JOIN cumv cs ON cs.user_id = b.user_id AND cs.gi = b.sv
+JOIN cumv ce ON ce.user_id = b.user_id AND ce.gi = b.ev
+"""
+
+
+def q_shape_snap_stats(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_snap_stats(_event_shapes(sf_dir))
 
 
-def q_shape_bearing_split(sf_dir: str):  # rows-only (smoothness splitter M9)
+SQL_SHAPE_SNAP_STATS = "WITH RECURSIVE " + _SQL_SHAPE_PTS + "," + _sql_dev(640000) + """,
+devq AS (SELECT user_id, gi, CAST(FLOOR(sqrt(d2) * 100 + 0.5) AS BIGINT) AS dev_c FROM dev),
+rk AS (SELECT user_id, dev_c, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev_c) AS rn
+       FROM devq),
+agg AS (SELECT user_id, CAST(SUM(dev_c) AS BIGINT) AS sum_dev_c FROM devq GROUP BY user_id),
+p90 AS (SELECT r.user_id, r.dev_c AS p90_c
+        FROM rk r JOIN nn ON nn.user_id = r.user_id
+        WHERE r.rn = (9 * nn.n + 9) // 10)
+SELECT n.user_id, n.n AS n_points,
+       CASE WHEN n.n < 4 THEN -1 ELSE a.sum_dev_c END AS sum_dev_c,
+       CASE WHEN n.n < 4 THEN -1 ELSE p.p90_c END AS p90_c
+FROM nn n LEFT JOIN agg a USING (user_id) LEFT JOIN p90 p USING (user_id)
+"""
+
+
+def q_shape_bearing_split(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_bearing_splits(_event_shapes(sf_dir))
 
 
-def q_shape_cospatiality(sf_dir: str):  # rows-only (J5 cospatial offsets)
+SQL_SHAPE_BEARING_SPLIT = "WITH " + _SQL_SHAPE_PTS + """,
+vecs AS (
+  SELECT user_id, gi,
+         x - lag(x) OVER w AS ax, y - lag(y) OVER w AS ay,
+         lead(x) OVER w - x AS bx, lead(y) OVER w - y AS by
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY gi)
+),
+flags AS (  -- turn at vertex gi sharper than 60° starts a new part there
+  SELECT user_id, gi,
+         CASE WHEN ax IS NULL OR bx IS NULL THEN 0
+              WHEN ax*ax + ay*ay = 0 OR bx*bx + by*by = 0 THEN 0
+              WHEN ax*bx + ay*by < 0 THEN 1
+              WHEN 4 * (CAST(ax*bx + ay*by AS DOUBLE) * CAST(ax*bx + ay*by AS DOUBLE))
+                   < CAST(ax*ax + ay*ay AS DOUBLE) * CAST(bx*bx + by*by AS DOUBLE) THEN 1
+              ELSE 0 END AS cut
+  FROM vecs
+),
+parts AS (
+  SELECT s.user_id, s.gi, s.len_c,
+         CAST(COALESCE(SUM(f.cut), 0) AS BIGINT) AS part
+  FROM segs s LEFT JOIN flags f ON f.user_id = s.user_id AND f.gi <= s.gi
+  GROUP BY s.user_id, s.gi, s.len_c
+),
+plen AS (SELECT user_id, part, CAST(SUM(len_c) AS BIGINT) AS plen
+         FROM parts GROUP BY user_id, part),
+agg AS (SELECT user_id, COUNT(*) AS n_parts, MAX(plen) AS longest
+        FROM plen GROUP BY user_id)
+SELECT n.user_id,
+       CAST(COALESCE(a.n_parts, 1) AS BIGINT) AS n_parts,
+       CAST(COALESCE(a.longest, 0) AS BIGINT) AS longest_part_len_c
+FROM nn n LEFT JOIN agg a USING (user_id)
+"""
+
+
+def q_shape_cospatiality(sf_dir: str):
     from ..stages import segments
 
     return segments.shape_cospatiality(_event_shapes(sf_dir))
+
+
+SQL_SHAPE_COSPATIALITY = "WITH RECURSIVE " + _SQL_SHAPE_PTS + "," + _sql_dev(1440000) + """,
+near AS (SELECT user_id, gi, CASE WHEN d2 <= 160000.0 THEN 1 ELSE 0 END AS nr FROM dev),
+cosp AS (  -- a segment is cospatial iff both endpoints lie in the buffer
+  SELECT s.user_id, s.gi, s.len_c, n1.nr * n2.nr AS c,
+         LAG(n1.nr * n2.nr, 1, 0) OVER (PARTITION BY s.user_id ORDER BY s.gi) AS pc
+  FROM segs s
+  JOIN near n1 ON n1.user_id = s.user_id AND n1.gi = s.gi
+  JOIN near n2 ON n2.user_id = s.user_id AND n2.gi = s.gi + 1
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN c = 1 AND pc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN c = 1 THEN len_c ELSE 0 END) AS BIGINT) AS overlap_c
+  FROM cosp GROUP BY user_id
+)
+SELECT n.user_id, CAST(COALESCE(a.n_intervals, 0) AS BIGINT) AS n_intervals,
+       CAST(COALESCE(a.overlap_c, 0) AS BIGINT) AS overlap_c
+FROM nn n LEFT JOIN agg a USING (user_id)
+"""
 
 
 def q_shape_merge_roundtrip(sf_dir: str):  # rows-only (geospatial merge)
@@ -1421,10 +1695,47 @@ def q_shape_merge_roundtrip(sf_dir: str):  # rows-only (geospatial merge)
     return segments.shape_merge_roundtrip(_event_shapes(sf_dir))
 
 
-def q_stop_fit(sf_dir: str):  # rows-only (monotonic DP fit, no SQL)
+def q_stop_fit(sf_dir: str):
     from ..stages import segments
 
     return segments.stop_fit(_event_shapes(sf_dir))
+
+
+SQL_STOP_FIT = "WITH RECURSIVE " + _SQL_SHAPE_PTS + """,
+cumv AS (
+  SELECT p.user_id, p.gi,
+         CAST(COALESCE(SUM(s.len_c), 0) AS BIGINT) AS cum
+  FROM pts p LEFT JOIN segs s ON s.user_id = p.user_id AND s.gi < p.gi
+  GROUP BY p.user_id, p.gi
+),
+kk AS (SELECT user_id, n, greatest(1, n // 8) AS k FROM nn WHERE n >= 3),
+stops AS (  -- every k-th vertex, deterministically integer-jittered
+  SELECT k.user_id, CAST(i.i AS BIGINT) AS stop_idx,
+         p.x + (i.i * 2654435761 + k.user_id) % 7 - 3 AS sx,
+         p.y + (i.i * 2654435761 + k.user_id) % 7 - 3 AS sy
+  FROM kk k, (SELECT unnest(range(8)) AS i) i
+  JOIN pts p ON p.user_id = k.user_id AND p.gi = 1 + i.i * k.k
+  WHERE 1 + i.i * k.k <= k.n
+),
+fit AS (  -- greedy monotonic: argmin d² over vertices at/after prev choice
+  SELECT s.user_id, s.stop_idx,
+         max_by(p.gi, -(((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) * 1048576 + p.gi)) AS v,
+         CAST(MIN((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) AS BIGINT) AS dev_sq
+  FROM stops s JOIN pts p ON p.user_id = s.user_id
+  WHERE s.stop_idx = 0
+  GROUP BY s.user_id, s.stop_idx
+  UNION ALL
+  SELECT s.user_id, s.stop_idx,
+         max_by(p.gi, -(((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) * 1048576 + p.gi)) AS v,
+         CAST(MIN((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) AS BIGINT) AS dev_sq
+  FROM fit f
+  JOIN stops s ON s.user_id = f.user_id AND s.stop_idx = f.stop_idx + 1
+  JOIN pts p ON p.user_id = s.user_id AND p.gi >= f.v
+  GROUP BY s.user_id, s.stop_idx
+)
+SELECT f.user_id, f.stop_idx, c.cum AS along_c, f.dev_sq
+FROM fit f JOIN cumv c ON c.user_id = f.user_id AND c.gi = f.v
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2409,4 +2720,11 @@ ORACLE_SQL = {
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "shape_frechet": SQL_SHAPE_FRECHET,
+    "shape_simplify": SQL_SHAPE_SIMPLIFY,
+    "shape_slices": SQL_SHAPE_SLICES,
+    "shape_snap_stats": SQL_SHAPE_SNAP_STATS,
+    "shape_bearing_split": SQL_SHAPE_BEARING_SPLIT,
+    "shape_cospatiality": SQL_SHAPE_COSPATIALITY,
+    "stop_fit": SQL_STOP_FIT,
 }

@@ -96,57 +96,187 @@ def shape_stats(ds):
     return per_shape(ds, _fn)
 
 
+# ---------------------------------------------------------------------------
+# integer-exact shape kernels (every query below carries an exact DuckDB
+# oracle): coordinates are int64 grid units; lengths are quantized PER
+# SEGMENT to centi-units before integer summation; float ops are restricted
+# to single correctly-rounded expressions mirrored verbatim in the SQL
+# ---------------------------------------------------------------------------
+
+def seg_len_c(xyi: np.ndarray) -> np.ndarray:
+    """Per-segment length in integer centi-units: floor(sqrt(dx²+dy²)*100+.5).
+    sqrt of an exact int is one correctly rounded double op — numpy and
+    DuckDB agree bit-for-bit, so integer sums match exactly."""
+    d = np.diff(xyi, axis=0)
+    seg = np.sqrt((d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]).astype(np.float64))
+    return np.floor(seg * 100 + 0.5).astype(np.int64)
+
+
+def rdp_keep_int(xyi: np.ndarray, tol2: int) -> np.ndarray:
+    """Ramer-Douglas-Peucker keep-mask with INTEGER-EXACT comparisons:
+    d > tol  ⇔  cross² > tol²·|ab|²  (same-denominator argmax = argmax
+    |cross|, first index on ties). cross² is evaluated as a product of two
+    exact doubles (cross ≤ 2·65535² < 2^53) against the exact int tol²·|ab|²
+    — the one float expression, mirrored verbatim in the SQL oracle."""
+    n = len(xyi)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    if n < 3:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        ax, ay = xyi[s]
+        dx, dy = xyi[e, 0] - ax, xyi[e, 1] - ay
+        ab2 = int(dx) * int(dx) + int(dy) * int(dy)
+        px = xyi[s + 1 : e, 0] - ax
+        py = xyi[s + 1 : e, 1] - ay
+        if ab2 == 0:
+            key = px * px + py * py
+            i = int(np.argmax(key))
+            split = int(key[i]) > tol2
+        else:
+            cross = np.abs(dx * py - dy * px)
+            i = int(np.argmax(cross))
+            cf = float(cross[i])
+            split = cf * cf > float(tol2 * ab2)
+        if split:
+            m = s + 1 + i
+            keep[m] = True
+            stack.append((s, m))
+            stack.append((m, e))
+    return keep
+
+
+def point_seg_d2f(px: np.ndarray, py: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """(P,) exact min squared distance (double) of each point to the
+    polyline. Per (point, segment): the projection-inside test is pure
+    integer (0 ≤ dot ≤ |ab|²); the inside distance cross²/|ab|² and the
+    endpoint distances are single correctly-rounded double expressions over
+    exact ints, so the elementwise values — and therefore the min — are
+    bit-identical in DuckDB."""
+    a = line[:-1]
+    b = line[1:]
+    abx = (b[:, 0] - a[:, 0]).astype(np.int64)
+    aby = (b[:, 1] - a[:, 1]).astype(np.int64)
+    ab2 = abx * abx + aby * aby  # ≤ 2·65535², int64-safe
+    apx = px[:, None] - a[None, :, 0]
+    apy = py[:, None] - a[None, :, 1]
+    dot = apx * abx[None, :] + apy * aby[None, :]
+    cross = apx * aby[None, :] - apy * abx[None, :]
+    d2a = (apx * apx + apy * apy).astype(np.float64)
+    bpx = px[:, None] - b[None, :, 0]
+    bpy = py[:, None] - b[None, :, 1]
+    d2b = (bpx * bpx + bpy * bpy).astype(np.float64)
+    crossf = cross.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inside = crossf * crossf / np.maximum(ab2, 1).astype(np.float64)
+    d2 = np.where(dot < 0, d2a, np.where(dot > ab2[None, :], d2b, inside))
+    d2 = np.where(ab2[None, :] == 0, d2a, d2)
+    return d2.min(axis=1)
+
+
+def frechet_sq_int(a: np.ndarray, b: np.ndarray) -> int:
+    """Discrete Fréchet distance SQUARED between int polylines — the whole
+    DP runs on exact int64 squared distances (max/min only), so the result
+    is an integer both engines compute identically."""
+    dx = a[:, 0][:, None] - b[:, 0][None, :]
+    dy = a[:, 1][:, None] - b[:, 1][None, :]
+    d = dx * dx + dy * dy
+    n, m = d.shape
+    ca = np.empty((n, m), dtype=np.int64)
+    ca[0, 0] = d[0, 0]
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+        prev = ca[i - 1]
+        row = ca[i]
+        for j in range(1, m):
+            row[j] = max(d[i, j], min(prev[j], prev[j - 1], row[j - 1]))
+    return int(ca[-1, -1])
+
+
+def stride_pick(xyi: np.ndarray, k: int = 32) -> np.ndarray:
+    """≤k representative vertices by exact index selection
+    (idx_j = j·(n-1)//(k-1)) — the integer-exact stand-in for float
+    resampling before curve scoring (duplicate picks on short inputs are
+    kept: deterministic)."""
+    n = len(xyi)
+    if n <= 1:
+        return xyi
+    j = np.arange(k, dtype=np.int64)
+    return xyi[j * (n - 1) // (k - 1)]
+
+
 def shape_frechet_halves(ds):
-    """(user_id, frechet_q2): discrete Fréchet distance between the first and
-    second half of each shape, resampled to equal point counts — ≙ the
-    reference's curve-similarity score (``frechet.js:8-35``)."""
+    """(user_id, frechet_sq): discrete Fréchet distance (squared, exact int)
+    between the first and second half of each shape, each half reduced to
+    ≤32 stride-picked vertices — ≙ the reference's curve-similarity score
+    (``frechet.js:8-35``), reformulated integer-exact for the DuckDB
+    oracle."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
         if len(xy) < 4:
-            return {"user_id": uid, "frechet_q2": np.int64(-1)}
-        mid = len(xy) // 2
-        a = geom.resample(xy[:mid], 32)
-        b = geom.resample(xy[mid:], 32)
-        f = geom.frechet_distance(a, b)
-        return {"user_id": uid, "frechet_q2": np.int64(np.floor(f * 100 + 0.5))}
+            return {"user_id": uid, "frechet_sq": np.int64(-1)}
+        xyi = xy.astype(np.int64)
+        mid = len(xyi) // 2
+        a = stride_pick(xyi[:mid], 32)
+        b = stride_pick(xyi[mid:], 32)
+        return {"user_id": uid, "frechet_sq": np.int64(frechet_sq_int(a, b))}
 
     return per_shape(ds, _fn)
 
 
-def shape_simplify_stats(ds, tol: float = 500.0):
+def shape_simplify_stats(ds, tol2: int = 250000):
     """(user_id, n_points, n_simplified, length_c, simplified_length_c) —
-    RDP simplification stats (≙ similarity preprocessing, M9/RDP)."""
+    RDP simplification stats (≙ similarity preprocessing, M9/RDP), with the
+    integer-exact RDP keep rule (tol = 500 grid units → tol² = 250000) and
+    per-segment-quantized lengths."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
-        simp = geom.rdp_simplify(xy, tol)
+        xyi = xy.astype(np.int64)
+        keep = rdp_keep_int(xyi, tol2)
         return {
             "user_id": uid,
-            "n_points": np.int64(len(xy)),
-            "n_simplified": np.int64(len(simp)),
-            "length_c": np.int64(np.floor(geom.polyline_length(xy) * 100 + 0.5)),
-            "simplified_length_c": np.int64(np.floor(geom.polyline_length(simp) * 100 + 0.5)),
+            "n_points": np.int64(len(xyi)),
+            "n_simplified": np.int64(int(keep.sum())),
+            "length_c": np.int64(seg_len_c(xyi).sum()) if len(xyi) > 1 else np.int64(0),
+            "simplified_length_c": np.int64(seg_len_c(xyi[keep]).sum())
+            if keep.sum() > 1 else np.int64(0),
         }
 
     return per_shape(ds, _fn)
 
 
 def shape_slices(ds, n_slices: int = 3):
-    """Per shape: slice into n equal-length chunks; one row per chunk with
-    its own length — ≙ lineSliceAlong shape segmentation
-    (``GtfsNetworkDAO/loaders/index.js:31-168``)."""
+    """Per shape: slice into n ~equal-length chunks at VERTEX boundaries
+    (boundary = first vertex at/past each cumulative-length target, exact
+    integer centi-unit arithmetic); one row per chunk —
+    ≙ lineSliceAlong shape segmentation
+    (``GtfsNetworkDAO/loaders/index.js:31-168``), reformulated vertex-exact
+    for the DuckDB oracle."""
 
     def _fn(uid: int, xy: np.ndarray) -> list[dict]:
-        total = geom.polyline_length(xy)
+        xyi = xy.astype(np.int64)
+        cum = np.zeros(len(xyi), dtype=np.int64)
+        if len(xyi) > 1:
+            cum[1:] = np.cumsum(seg_len_c(xyi))
+        total = int(cum[-1])
         rows = []
         for i in range(n_slices):
-            a, b = total * i / n_slices, total * (i + 1) / n_slices
-            sl = geom.line_slice_along(xy, a, b) if total > 0 else xy[:1]
+            a = total * i // n_slices
+            b = total * (i + 1) // n_slices
+            s = int(np.searchsorted(cum, a, side="left"))
+            e = int(np.searchsorted(cum, b, side="left"))
             rows.append(
                 {
                     "user_id": uid,
                     "slice_idx": np.int64(i),
-                    "slice_len_q2": np.int64(np.floor(geom.polyline_length(sl) * 100 + 0.5)),
-                    "n_vertices": np.int64(len(sl)),
+                    "slice_len_c": np.int64(int(cum[e]) - int(cum[s])),
+                    "n_vertices": np.int64(e - s + 1),
                 }
             )
         return rows
@@ -154,59 +284,100 @@ def shape_slices(ds, n_slices: int = 3):
     return per_shape(ds, _fn)
 
 
-def shape_snap_stats(ds):
-    """Per shape: snap-deviation summary of the shape's own midpoints to its
-    RDP-simplified self — ≙ A10 snap statistics
-    (``utils/gis/getSimilarity.js:24-102``). Quantized outputs."""
+def shape_snap_stats(ds, tol2: int = 640000):
+    """Per shape: snap-deviation summary of the shape's vertices to its
+    RDP-simplified self (tol = 800 → tol² = 640000) — ≙ A10 snap statistics
+    (``utils/gis/getSimilarity.js:24-102``). dev per vertex = exact min
+    point-to-segment distance, quantized to centi-units; outputs the integer
+    deviation SUM and the exact-index p90 (sorted_devs[ceil(0.9·n)-1])."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
         if len(xy) < 4:
-            return {"user_id": uid, "mean_q2": np.int64(-1), "q90_q2": np.int64(-1)}
-        simp = geom.rdp_simplify(xy, 800.0)
-        if len(simp) < 2:
-            return {"user_id": uid, "mean_q2": np.int64(-1), "q90_q2": np.int64(-1)}
-        st = geom.snap_stats(xy, simp)
+            return {"user_id": uid, "n_points": np.int64(len(xy)),
+                    "sum_dev_c": np.int64(-1), "p90_c": np.int64(-1)}
+        xyi = xy.astype(np.int64)
+        simp = xyi[rdp_keep_int(xyi, tol2)]
+        d2 = point_seg_d2f(xyi[:, 0], xyi[:, 1], simp)
+        dev_c = np.floor(np.sqrt(d2) * 100 + 0.5).astype(np.int64)
+        n = len(dev_c)
+        p90 = int(np.sort(dev_c)[-(-9 * n // 10) - 1])  # ceil(0.9n)-1, 0-based
         return {
             "user_id": uid,
-            "mean_q2": np.int64(np.floor(st["mean"] * 100 + 0.5)),
-            "q90_q2": np.int64(np.floor(st["q90"] * 100 + 0.5)),
+            "n_points": np.int64(n),
+            "sum_dev_c": np.int64(dev_c.sum()),
+            "p90_c": np.int64(p90),
         }
 
     return per_shape(ds, _fn)
 
 
-def shape_bearing_splits(ds, max_turn_deg: float = 67.5):
-    """(user_id, n_parts, longest_part_len_q2): smoothness split per shape
-    (≙ M9)."""
+def shape_bearing_splits(ds):
+    """(user_id, n_parts, longest_part_len_c): smoothness split per shape at
+    turns sharper than 60° (≙ M9). The turn test is exact:
+    turn > 60° ⇔ cos < ½ ⇔ dot < 0, or 4·dot² < |a|²·|b|² for dot ≥ 0 —
+    pure integer except one mirrored double product pair; degenerate
+    zero-length segments never split."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
-        parts = geom.bearing_splits(xy, max_turn_deg)
-        lens = [geom.polyline_length(p) for p in parts]
+        xyi = xy.astype(np.int64)
+        n = len(xyi)
+        lens = seg_len_c(xyi) if n > 1 else np.zeros(0, dtype=np.int64)
+        if n < 3:
+            return {"user_id": uid, "n_parts": np.int64(1),
+                    "longest_part_len_c": np.int64(lens.sum())}
+        d = np.diff(xyi, axis=0)
+        ax, ay = d[:-1, 0], d[:-1, 1]
+        bx, by = d[1:, 0], d[1:, 1]
+        dot = ax * bx + ay * by
+        l2a = ax * ax + ay * ay
+        l2b = bx * bx + by * by
+        dotf = dot.astype(np.float64)
+        split = np.where(
+            (l2a == 0) | (l2b == 0),
+            False,
+            (dot < 0) | (4.0 * (dotf * dotf) < l2a.astype(np.float64) * l2b.astype(np.float64)),
+        )
+        cuts = np.flatnonzero(split) + 1  # segment index where a new part starts
+        part_of_seg = np.zeros(n - 1, dtype=np.int64)
+        part_of_seg[cuts] = 1
+        part_of_seg = np.cumsum(part_of_seg)
+        part_lens = np.bincount(part_of_seg, weights=lens).astype(np.int64)
         return {
             "user_id": uid,
-            "n_parts": np.int64(len(parts)),
-            "longest_part_len_q2": np.int64(np.floor(max(lens) * 100 + 0.5)) if lens else np.int64(0),
+            "n_parts": np.int64(len(part_lens)),
+            "longest_part_len_c": np.int64(part_lens.max()),
         }
 
     return per_shape(ds, _fn)
 
 
-def shape_cospatiality(ds, buffer_dist: float = 400.0, min_len: float = 2.0):
-    """(user_id, n_intervals, overlap_q2): cospatial along-intervals of each
-    shape against its RDP-simplified self (≙ J5 refine offsets). EXACT
-    analytic buffered intervals with the reference's short-island cleanup
-    (``geom.cospatial_intervals_exact`` replaces the round-1 512-sample
-    approximation)."""
+def shape_cospatiality(ds, buf2: int = 160000, tol2: int = 1440000):
+    """(user_id, n_intervals, overlap_c): cospatial along-intervals of each
+    shape against its RDP-simplified self (≙ J5 refine offsets) at vertex
+    resolution, integer-exact: a segment is cospatial iff BOTH endpoints lie
+    within buffer 400 (buf² = 160000) of the simplified polyline (exact
+    point-to-segment d²); intervals are maximal cospatial runs, overlap is
+    their per-segment-quantized length sum. (The sub-segment analytic
+    interval solver ``geom.cospatial_intervals_exact`` remains the
+    fine-grained kernel, pytest-verified against dense sampling.)"""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
-        simp = geom.rdp_simplify(xy, 1200.0)
-        iv = (geom.cospatial_intervals_exact(xy, simp, buffer_dist, min_len)
-              if len(simp) >= 2 else [])
-        overlap = sum(e - s for s, e in iv)
+        xyi = xy.astype(np.int64)
+        n = len(xyi)
+        if n < 2:
+            return {"user_id": uid, "n_intervals": np.int64(0),
+                    "overlap_c": np.int64(0)}
+        simp = xyi[rdp_keep_int(xyi, tol2)]
+        d2 = point_seg_d2f(xyi[:, 0], xyi[:, 1], simp)
+        near = d2 <= float(buf2)
+        cosp = near[:-1] & near[1:]  # both endpoints of the segment
+        lens = seg_len_c(xyi)
+        overlap = int(lens[cosp].sum())
+        starts = cosp & ~np.r_[False, cosp[:-1]]
         return {
             "user_id": uid,
-            "n_intervals": np.int64(len(iv)),
-            "overlap_q2": np.int64(np.floor(overlap * 100 + 0.5)),
+            "n_intervals": np.int64(int(starts.sum())),
+            "overlap_c": np.int64(overlap),
         }
 
     return per_shape(ds, _fn)
@@ -238,28 +409,40 @@ def shape_merge_roundtrip(ds, n_slices: int = 3):
 
 def stop_fit(ds, n_stops: int = 8):
     """Per shape: derive an ordered synthetic stop sequence (every k-th
-    vertex, jittered deterministically) and fit it to the shape with the
-    monotonic no-backtracking DP — ≙ fitStopsToPath
-    (``snapGtfsStopsSequenceToGtfsShape.js:33-204``). One row per stop:
-    (user_id, stop_idx, along_q2, dev_q2)."""
+    vertex, integer-jittered deterministically) and fit it to the shape with
+    the GREEDY monotonic no-backtracking rule: each stop snaps to the
+    closest vertex (exact integer squared distance, ties → smallest index)
+    at or after the previous stop's vertex — ≙ fitStopsToPath
+    (``snapGtfsStopsSequenceToGtfsShape.js:33-204``; the float least-squares
+    DP remains as ``geom.fit_points_monotonic``, pytest-covered). One row
+    per stop: (user_id, stop_idx, along_c, dev_sq) with along = cumulative
+    per-segment-quantized length at the snapped vertex."""
 
     def _fn(uid: int, xy: np.ndarray) -> list[dict]:
         if len(xy) < 3:
             return []
-        k = max(1, len(xy) // n_stops)
-        stops = xy[::k][:n_stops].copy()
-        # deterministic off-line jitter
-        jit = ((np.arange(len(stops)) * 2654435761 + uid) % 7).astype(np.float64) - 3.0
+        xyi = xy.astype(np.int64)
+        k = max(1, len(xyi) // n_stops)
+        stops = xyi[::k][:n_stops].copy()
+        jit = ((np.arange(len(stops), dtype=np.int64) * 2654435761 + uid) % 7) - 3
         stops += jit[:, None]
-        dev, along = geom.fit_points_monotonic(stops, xy)
-        return [
-            {
-                "user_id": uid,
-                "stop_idx": np.int64(i),
-                "along_q2": np.int64(np.floor(along[i] * 100 + 0.5)),
-                "dev_q2": np.int64(np.floor(dev[i] * 100 + 0.5)),
-            }
-            for i in range(len(stops))
-        ]
+        cum = np.zeros(len(xyi), dtype=np.int64)
+        cum[1:] = np.cumsum(seg_len_c(xyi))
+        rows = []
+        prev = 0
+        for i in range(len(stops)):
+            d2 = ((xyi[prev:, 0] - stops[i, 0]) ** 2
+                  + (xyi[prev:, 1] - stops[i, 1]) ** 2)
+            v = prev + int(np.argmin(d2))  # first min = smallest index
+            rows.append(
+                {
+                    "user_id": uid,
+                    "stop_idx": np.int64(i),
+                    "along_c": np.int64(cum[v]),
+                    "dev_sq": np.int64(d2[v - prev]),
+                }
+            )
+            prev = v
+        return rows
 
     return per_shape(ds, _fn)
