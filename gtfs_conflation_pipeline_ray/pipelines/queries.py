@@ -1490,24 +1490,10 @@ def q_shape_frechet(sf_dir: str):
     return segments.shape_frechet_halves(_event_shapes(sf_dir))
 
 
-SQL_SHAPE_FRECHET = "WITH RECURSIVE " + _SQL_SHAPE_PTS + f""",
-halves AS (
-  SELECT p.user_id,
-         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ax,
-         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ay,
-         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS bx,
-         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS "by"
-  FROM pts p JOIN nn n USING (user_id) WHERE n.n >= 4
-  GROUP BY p.user_id
-),
-picked AS (  -- stride_pick to 32 vertices per half (exact index selection)
-  SELECT user_id,
-         [ax[1 + _j * (len(ax) - 1) // 31] FOR _j IN range(32)] AS pax,
-         [ay[1 + _j * (len(ay) - 1) // 31] FOR _j IN range(32)] AS pay,
-         [bx[1 + _j * (len(bx) - 1) // 31] FOR _j IN range(32)] AS pbx,
-         ["by"[1 + _j * (len("by") - 1) // 31] FOR _j IN range(32)] AS pby
-  FROM halves
-),
+# anti-diagonal discrete-Fréchet DP over two 32-vertex picked polylines
+# (pax/pay vs pbx/pby from a `picked` CTE); all cells are int64 squared
+# distances, shared by SQL_SHAPE_FRECHET and SQL_CHOOSE_SCORE
+_SQL_FRECHET_DP = """
 fr AS (  -- discrete-Fréchet DP by anti-diagonals; lists are int64 d²
   SELECT user_id, 0 AS k,
          [(pax[1] - pbx[1]) * (pax[1] - pbx[1])
@@ -1529,7 +1515,27 @@ fr AS (  -- discrete-Fréchet DP by anti-diagonals; lists are int64 d²
            FOR _i IN range(greatest(0, k + 1 - 31), least(k + 1, 31) + 1) ] AS cur,
          cur AS prev, pax, pay, pbx, pby
   FROM fr WHERE k < 62
-)
+)"""
+
+SQL_SHAPE_FRECHET = "WITH RECURSIVE " + _SQL_SHAPE_PTS + f""",
+halves AS (
+  SELECT p.user_id,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ax,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ay,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS bx,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS "by"
+  FROM pts p JOIN nn n USING (user_id) WHERE n.n >= 4
+  GROUP BY p.user_id
+),
+picked AS (  -- stride_pick to 32 vertices per half (exact index selection)
+  SELECT user_id,
+         [ax[1 + _j * (len(ax) - 1) // 31] FOR _j IN range(32)] AS pax,
+         [ay[1 + _j * (len(ay) - 1) // 31] FOR _j IN range(32)] AS pay,
+         [bx[1 + _j * (len(bx) - 1) // 31] FOR _j IN range(32)] AS pbx,
+         ["by"[1 + _j * (len("by") - 1) // 31] FOR _j IN range(32)] AS pby
+  FROM halves
+),
+""" + _SQL_FRECHET_DP + """
 SELECT n.user_id,
        CAST(CASE WHEN n.n < 4 THEN -1 ELSE f.cur[1] END AS BIGINT) AS frechet_sq
 FROM nn n LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
@@ -2201,7 +2207,66 @@ FROM pairs WHERE sim >= 0.9
 """
 
 
-def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
+# ---------------------------------------------------------------------------
+# Exact SQL mirror of the Viterbi chooser (stages/choose.py::_viterbi): the
+# forward DP carries, per candidate, BOTH the running cost and the argmin-
+# backtracked chain (first-index ties = np.argmin / list_position), so no
+# backward pass is needed.  All costs are exact int64 (squared centroid
+# distances + integer switch penalty), so numpy-float64 and DuckDB-BIGINT
+# arithmetic agree bit-for-bit.  Every CTE a recursive block reads is
+# MATERIALIZED — DuckDB otherwise re-evaluates it per iteration.
+# ---------------------------------------------------------------------------
+
+_SQL_CHOOSE_CORE = f"""
+tiles AS MATERIALIZED ({td.TILES_SQL}),
+epts AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS seq,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS px,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS py
+  FROM events
+),
+cand AS MATERIALIZED (
+  SELECT e.user_id, e.seq, t.tile_id,
+         (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.user_id, e.seq
+           ORDER BY (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy), t.tile_id
+         ) AS rnk
+  FROM epts e JOIN tiles t
+    ON e.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND e.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+steps AS MATERIALIZED (
+  SELECT user_id, seq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq) AS BIGINT) AS si,
+         list(CAST(tile_id AS BIGINT) ORDER BY rnk) AS ts,
+         list(CAST(d2 AS BIGINT) ORDER BY rnk) AS cs
+  FROM cand WHERE rnk <= 16
+  GROUP BY user_id, seq
+),
+mx AS MATERIALIZED (SELECT user_id, MAX(si) AS m FROM steps GROUP BY user_id),
+dp AS (  -- forward Viterbi carrying the argmin-backtracked chain in-state
+  SELECT user_id, si, cs AS cost, ts, [[t] FOR t IN ts] AS paths
+  FROM steps WHERE si = 1
+  UNION ALL
+  SELECT s.user_id, s.si,
+         [ list_min(l.tr[j+1]) + s.cs[j+1] FOR j IN range(len(s.ts)) ] AS cost,
+         s.ts,
+         [ d.paths[list_position(l.tr[j+1], list_min(l.tr[j+1]))] || [s.ts[j+1]]
+           FOR j IN range(len(s.ts)) ] AS paths
+  FROM dp d
+  JOIN steps s ON s.user_id = d.user_id AND s.si = d.si + 1,
+  LATERAL (SELECT [ [ d.cost[i+1] + CASE WHEN d.ts[i+1] = s.ts[j+1] THEN 0 ELSE 10000000 END
+                      FOR i IN range(len(d.ts)) ]
+                    FOR j IN range(len(s.ts)) ] AS tr) l
+),
+fin AS MATERIALIZED (
+  SELECT d.user_id, d.paths[list_position(d.cost, list_min(d.cost))] AS path
+  FROM dp d JOIN mx USING (user_id) WHERE d.si = mx.m
+)"""
+
+
+def q_choose_path(sf_dir: str):
     """Chunked sequential path selection per user shape: one chosen tile per
     ordered event point, continuity-penalized — ≙ chooseShstMatchesForShape
     (see stages/choose.py)."""
@@ -2226,8 +2291,24 @@ def q_choose_path(sf_dir: str):  # rows-only (Viterbi DP, no SQL)
     return viterbi_choose(segs, conflation.tiles_ref(sf_dir), "user_id", "seq", "ex", "ey")
 
 
-def q_choose_score(sf_dir: str):  # rows-only (Viterbi + Frechet, no SQL)
-    """Score each shape's chosen tile chain against the shape (Step C)."""
+SQL_CHOOSE_PATH = "WITH RECURSIVE " + _SQL_CHOOSE_CORE + """,
+chosen AS (  -- unnest the winning chain back to (si, tile_id) rows
+  SELECT user_id, generate_subscripts(path, 1) AS si, unnest(path) AS tile_id
+  FROM fin
+)
+SELECT e.user_id, e.seq,
+       CAST(COALESCE(c.tile_id, -1) AS BIGINT) AS tile_id,
+       CAST(COALESCE(len(s.ts), 0) AS BIGINT) AS n_candidates
+FROM epts e
+LEFT JOIN steps s ON s.user_id = e.user_id AND s.seq = e.seq
+LEFT JOIN chosen c ON c.user_id = s.user_id AND c.si = s.si
+"""
+
+
+def q_choose_score(sf_dir: str):
+    """Score each shape's chosen tile chain against the shape (Step C):
+    integer-exact discrete-Fréchet² between the stride-picked shape polyline
+    and the chosen tiles' centroid chain."""
     from ..stages.choose import choose_and_score
 
     pts = _event_shapes(sf_dir)
@@ -2245,6 +2326,43 @@ def q_choose_score(sf_dir: str):  # rows-only (Viterbi + Frechet, no SQL)
     segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
     return choose_and_score(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
                             "ex", "ey")
+
+
+SQL_CHOOSE_SCORE = "WITH RECURSIVE " + _SQL_CHOOSE_CORE + """,
+chosen AS MATERIALIZED (
+  SELECT user_id, generate_subscripts(path, 1) AS si, unnest(path) AS tile_id
+  FROM fin
+),
+shp AS MATERIALIZED (  -- the shape polyline in seq order
+  SELECT user_id, COUNT(*) AS n_points,
+         list(px ORDER BY seq) AS sx, list(py ORDER BY seq) AS sy
+  FROM epts GROUP BY user_id
+),
+pathc AS MATERIALIZED (  -- the chosen chain's tile-centroid polyline
+  SELECT c.user_id, COUNT(*) AS n_matched,
+         list(CAST(t.cx AS BIGINT) ORDER BY c.si) AS bx,
+         list(CAST(t.cy AS BIGINT) ORDER BY c.si) AS "by"
+  FROM chosen c JOIN tiles t USING (tile_id)
+  GROUP BY c.user_id
+),
+picked AS MATERIALIZED (  -- stride_pick both curves to 32 vertices
+  SELECT s.user_id,
+         [s.sx[1 + _j * (len(s.sx) - 1) // 31] FOR _j IN range(32)] AS pax,
+         [s.sy[1 + _j * (len(s.sy) - 1) // 31] FOR _j IN range(32)] AS pay,
+         [p.bx[1 + _j * (len(p.bx) - 1) // 31] FOR _j IN range(32)] AS pbx,
+         [p."by"[1 + _j * (len(p."by") - 1) // 31] FOR _j IN range(32)] AS pby
+  FROM shp s JOIN pathc p USING (user_id)
+  WHERE p.n_matched >= 2
+),
+""" + _SQL_FRECHET_DP + """
+SELECT s.user_id,
+       CAST(s.n_points AS BIGINT) AS n_points,
+       CAST(COALESCE(p.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(f.cur[1], -1) AS BIGINT) AS frechet_sq
+FROM shp s
+LEFT JOIN pathc p USING (user_id)
+LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
+"""
 
 
 def q_choose_path_edges(sf_dir: str):
@@ -2727,4 +2845,6 @@ ORACLE_SQL = {
     "shape_bearing_split": SQL_SHAPE_BEARING_SPLIT,
     "shape_cospatiality": SQL_SHAPE_COSPATIALITY,
     "stop_fit": SQL_STOP_FIT,
+    "choose_path": SQL_CHOOSE_PATH,
+    "choose_score": SQL_CHOOSE_SCORE,
 }

@@ -591,10 +591,12 @@ def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
     """Step-C analog (SURVEY §3.2): choose the tile chain per shape (Viterbi),
     assemble the chosen tiles' centroid polyline in sequence order, and score
     it against the shape with the discrete Fréchet distance on equal-count
-    resampled curves — ≙ ``loadChosenShstMatchesScores`` + ``frechet.js:8-35``.
-    Returns one row per shape: (shape, n_points, n_matched, frechet_q2);
-    frechet_q2 = -1 when fewer than 2 segments matched."""
-    from ..functions import geom
+    curves — ≙ ``loadChosenShstMatchesScores`` + ``frechet.js:8-35``,
+    reformulated INTEGER-EXACT (stride-picked vertices + squared-distance
+    Fréchet DP, see ``stages.segments``) so the DuckDB oracle reproduces it
+    bit-for-bit. Returns one row per shape:
+    (shape, n_points, n_matched, frechet_sq);
+    frechet_sq = -1 when fewer than 2 segments matched."""
 
     def _score(g: pd.DataFrame) -> pd.DataFrame:
         from .spatial import _TileState
@@ -623,9 +625,11 @@ def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
                 cand_t[pi[s]] = tids[s:e]
                 cand_c[pi[s]] = d2[s:e]
 
-        # tile_id -> centroid lookup
-        centro = {int(t): (float(cx), float(cy))
+        # tile_id -> integer centroid lookup
+        centro = {int(t): (int(cx), int(cy))
                   for t, cx, cy in zip(ix.tile_id, st.cx, st.cy)}
+        from .segments import frechet_sq_int, stride_pick
+
         rows = []
         sh_starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]]) if n else []
         sh_ends = np.append(sh_starts[1:], n) if n else []
@@ -635,18 +639,17 @@ def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
             if len(idxs) >= 2:
                 chosen = _viterbi([cand_t[i] for i in idxs], [cand_c[i] for i in idxs],
                                   switch_penalty)
-                path = np.array([centro[int(t)] for t in chosen])
-                shape_xy = np.stack([px[ss:se], py[ss:se]], axis=1).astype(np.float64)
-                f = geom.frechet_distance(
-                    geom.resample(shape_xy, resample_n), geom.resample(path, resample_n)
-                )
-                score = np.int64(np.floor(f * 100 + 0.5))
+                path = np.array([centro[int(t)] for t in chosen], dtype=np.int64)
+                shape_xy = np.stack([px[ss:se], py[ss:se]], axis=1).astype(np.int64)
+                score = np.int64(frechet_sq_int(
+                    stride_pick(shape_xy, resample_n), stride_pick(path, resample_n)
+                ))
             rows.append(
                 {
                     shape_col: sid[ss],
                     "n_points": np.int64(se - ss),
                     "n_matched": np.int64(len(idxs)),
-                    "frechet_q2": score,
+                    "frechet_sq": score,
                 }
             )
         return pd.DataFrame(rows)
