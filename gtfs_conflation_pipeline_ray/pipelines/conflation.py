@@ -47,6 +47,20 @@ def spatial_join_pairs(sf_dir: str, concurrency: int | None = None):
     return joined.select_columns(["point_id", "tile_id", "ref_id", "level"])
 
 
+def spatial_join_pairs_sharded(sf_dir: str, n_shards: int = 8):
+    """Identical join semantics (and oracle) to ``spatial_join_pairs``, but
+    the reference side is x-range SHARDED (``stages.spatial.shard_tiles``) —
+    the beyond-worker-memory regime that matters at 100 TB (≙ reference J4,
+    `GtfsConflationMapJoinDAO/loaders.js:139-155` at statewide scale): no
+    worker ever builds the full tile index, each batch probes only the shards
+    its x-range touches."""
+    pts = read_points(sf_dir)
+    shards = spatial.shard_tiles(td.tiles_table(sf_dir), n_shards)
+    shard_refs = [(lo, hi, ray.put(t)) for lo, hi, t in shards]
+    joined = spatial.sharded_candidate_join(pts, shard_refs, "px", "py", ["point_id"])
+    return joined.select_columns(["point_id", "tile_id", "ref_id", "level"])
+
+
 def tile_stats(sf_dir: str, concurrency: int | None = None):
     """Flagship: candidate join + per-tile aggregate
     (tile_id, n_points, sum_qty_c). The join and the combiner are FUSED: each

@@ -69,6 +69,13 @@ FROM points p JOIN tiles t
 """
 
 
+def q_spatial_join_pairs_sharded(sf_dir: str):
+    """Same pairs, reference side x-range sharded (beyond-worker-memory
+    regime): forces ``spatial.shard_tiles`` + ``sharded_candidate_join`` so
+    the 100-TB code path is driver-hash-verified, not just pytest-parity."""
+    return conflation.spatial_join_pairs_sharded(sf_dir)
+
+
 def q_spatial_tile_stats(sf_dir: str):
     return conflation.tile_stats(sf_dir)
 
@@ -2365,6 +2372,30 @@ LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
 """
 
 
+def q_choose_path_topk(sf_dir: str):  # rows-only (k-best enumeration)
+    """Top-3 Viterbi chains per shape — the bounded analog of the
+    reference's all source→sink path enumeration
+    (``createPathLineStrings.js:47-78``) for branching candidate graphs.
+    Verified against brute-force enumeration in tests/test_choose.py."""
+    from ..stages.choose import viterbi_choose_topk
+
+    pts = _event_shapes(sf_dir)
+
+    def _seq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "seq": batch["event_id"],
+                "ex": batch["ex"],
+                "ey": batch["ey"],
+            }
+        )
+
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    return viterbi_choose_topk(segs, conflation.tiles_ref(sf_dir), "user_id",
+                               "seq", "ex", "ey", k=3)
+
+
 def q_choose_path_edges(sf_dir: str):
     """Path-decomposition data model (reference Step B output,
     ``gtfs_shape_shst_match_paths`` 4-level index) — one row per path EDGE:
@@ -2706,6 +2737,7 @@ QUERIES = {
     # registry entries, so every query with an exact DuckDB oracle must sit
     # inside that window; rows-only queries follow at the tail.
     "spatial_join_pairs": q_spatial_join_pairs,
+    "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
     "spatial_tile_stats": q_spatial_tile_stats,
     "knn_tiles": q_knn_tiles,
     "tile_assign_multilevel": q_tile_assign_multilevel,
@@ -2723,7 +2755,6 @@ QUERIES = {
     "segment_union_except": q_segment_union_except,
     "distinct_flag_status": q_distinct_flag_status,
     "weighted_avg_price": q_weighted_avg_price,
-    "season_bucket": q_season_bucket,
     "feed_extent": q_feed_extent,
     "order_lines_concat": q_order_lines_concat,
     "order_suppliers_concat": q_order_suppliers_concat,
@@ -2739,7 +2770,6 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "iterative_match": q_iterative_match,
     "value_distribution": q_value_distribution,
-    "season_pivot": q_season_pivot,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
     "row_parity_counts": q_row_parity_counts,
@@ -2755,6 +2785,11 @@ QUERIES = {
     "doc_containment": q_doc_containment,
     "time_parse": q_time_parse,
     "doc_langid": q_doc_langid,
+    "events_hopping": q_events_hopping,
+    # --- driver window ends here (first 50 entries); every entry below is
+    # still oracle- or rows-checked by the LOCAL gate at two scales ---
+    "season_bucket": q_season_bucket,
+    "season_pivot": q_season_pivot,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2773,8 +2808,8 @@ QUERIES = {
     "path_metadata_merge": q_path_metadata_merge,
     "choose_annealed": q_choose_annealed,
     "ann_ivf": q_ann_ivf,
-    "events_hopping": q_events_hopping,
     "path_linestrings": q_path_linestrings,
+    "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
     "embedding_neardup": q_embedding_neardup,
 }
@@ -2847,4 +2882,7 @@ ORACLE_SQL = {
     "stop_fit": SQL_STOP_FIT,
     "choose_path": SQL_CHOOSE_PATH,
     "choose_score": SQL_CHOOSE_SCORE,
+    # identical semantics (and SQL) to the unsharded join — the query differs
+    # only in the Ray execution path (x-range-sharded reference side)
+    "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,
 }

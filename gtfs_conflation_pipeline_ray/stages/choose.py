@@ -127,6 +127,122 @@ def viterbi_choose(segments_ds, tiles_ref, shape_col: str, seq_col: str,
     return bucketed_groups(segments_ds, [shape_col], _choose)
 
 
+def _viterbi_topk(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
+                  switch_penalty: int, k: int):
+    """K-best chains through per-step candidate sets — the engine's analog of
+    the reference's all-source→sink path ENUMERATION
+    (``createPathLineStrings.js:47-78``), bounded to the top k instead of
+    exponential. Returns a list of (total_cost, [chosen tile per step]),
+    ordered by (cost, lexicographic candidate-index chain).
+
+    Determinism: each surviving DP entry carries a ``lexid`` whose order
+    equals the lexicographic order of its full candidate-index chain — lex
+    order of equal-length chains is (prefix order, last index), so sorting
+    step i+1's entries by (prev_lexid, target index) reproduces it without
+    materializing chains. Tie-break on equal cost is therefore exactly
+    "smallest index chain first", the same rule a brute-force enumeration
+    sorted by (cost, index tuple) yields."""
+    n = len(cand_t)
+    # per step: entries[j] = list of (cost:int, lexid:int, back_j, back_r)
+    entries: list[list[list[tuple]]] = []
+    cur: list[list[tuple]] = []
+    for j in range(len(cand_t[0])):
+        cur.append([(int(cand_c[0][j]), j, -1, -1)])
+    entries.append(cur)
+    for i in range(1, n):
+        t_prev, t_now, c_now = cand_t[i - 1], cand_t[i], cand_c[i]
+        prev = entries[-1]
+        cur = []
+        for j2 in range(len(t_now)):
+            cands = []
+            for j in range(len(t_prev)):
+                pen = 0 if t_prev[j] == t_now[j2] else switch_penalty
+                for r, (c0, lx, _, _) in enumerate(prev[j]):
+                    cands.append((c0 + pen + int(c_now[j2]), lx, j, r))
+            cands.sort(key=lambda e: (e[0], e[1]))
+            cur.append(cands[:k])
+        # re-assign lexids: order by (prev lexid, target index) == chain lex order
+        flat = [(e[1], j2, r2) for j2 in range(len(cur)) for r2, e in enumerate(cur[j2])]
+        flat.sort()
+        for new_lx, (_, j2, r2) in enumerate(flat):
+            c0, _, bj, br = cur[j2][r2]
+            cur[j2][r2] = (c0, new_lx, bj, br)
+        entries.append(cur)
+    final = [(e[0], e[1], j, r) for j in range(len(entries[-1]))
+             for r, e in enumerate(entries[-1][j])]
+    final.sort(key=lambda e: (e[0], e[1]))
+    out = []
+    for cost, _, j, r in final[:k]:
+        chain = np.empty(n, dtype=np.int64)
+        for i in range(n - 1, -1, -1):
+            chain[i] = cand_t[i][j]
+            _, _, j, r = entries[i][j][r]
+        out.append((int(cost), chain))
+    return out
+
+
+def viterbi_choose_topk(segments_ds, tiles_ref, shape_col: str, seq_col: str,
+                        x_col: str, y_col: str, k: int = 3,
+                        switch_penalty: int = 10_000_000):
+    """Per shape: the K BEST tile chains (k-best Viterbi, O(n·c²·k)) instead
+    of just the argmin — mirrors the reference's multi-path enumeration for
+    branching candidate graphs. Emits one row per (shape, rank, matched
+    point): (shape, rank, total_cost, seq, tile_id); rank 1 = the optimum
+    (identical cost to ``viterbi_choose``)."""
+
+    def _choose(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values([shape_col, seq_col], kind="mergesort")
+        px = d[x_col].to_numpy().astype(np.int64)
+        py = d[y_col].to_numpy().astype(np.int64)
+        sid = d[shape_col].to_numpy()
+        seq = d[seq_col].to_numpy().astype(np.int64)
+        n = len(d)
+
+        pi, ti = ix.query_points(px, py)
+        d2 = (px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2
+        tids = ix.tile_id[ti]
+        order = np.lexsort((tids, d2, pi))
+        pi, tids, d2 = pi[order], tids[order], d2[order]
+
+        empty_t = np.empty(0, np.int64)
+        cand_t: list[np.ndarray] = [empty_t] * n
+        cand_c: list[np.ndarray] = [empty_t] * n
+        if len(pi):
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.append(starts[1:], len(pi))
+            for s, e in zip(starts, ends):
+                e = min(e, s + MAX_CANDIDATES)
+                cand_t[pi[s]] = tids[s:e]
+                cand_c[pi[s]] = d2[s:e]
+
+        cols: dict[str, list] = {shape_col: [], "rank": [], "total_cost": [],
+                                 seq_col: [], "tile_id": []}
+        sh_starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]]) if n else []
+        sh_ends = np.append(sh_starts[1:], n) if n else []
+        for ss, se in zip(sh_starts, sh_ends):
+            idxs = [i for i in range(ss, se) if len(cand_t[i])]
+            if not idxs:
+                continue
+            best = _viterbi_topk([cand_t[i] for i in idxs],
+                                 [cand_c[i] for i in idxs], switch_penalty, k)
+            for rank, (cost, chain) in enumerate(best, start=1):
+                cols[shape_col].extend([sid[ss]] * len(idxs))
+                cols["rank"].extend([rank] * len(idxs))
+                cols["total_cost"].extend([cost] * len(idxs))
+                cols[seq_col].extend(seq[i] for i in idxs)
+                cols["tile_id"].extend(chain.tolist())
+        df = pd.DataFrame(cols)
+        for c in ("rank", "total_cost", seq_col, "tile_id"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return bucketed_groups(segments_ds, [shape_col], _choose)
+
+
 def _decompose_bucket(g: pd.DataFrame, tiles_ref):
     """Shared per-bucket decomposition core: sort points, pick the best
     containing tile per point, split into paths (maximal matched runs) and

@@ -110,3 +110,68 @@ def test_anneal_axiomatic_fixpoint():
     # ambiguity with no neighbor help is left to the DP (undecided)
     chosen2, _ = anneal_axiomatic([t(1, 2)], [c(1.0, 1.0)], 2.0, 100.0)
     assert chosen2.tolist() == [-1]
+
+
+def test_viterbi_topk_vs_bruteforce():
+    """_viterbi_topk must equal exhaustive enumeration ranked by
+    (total cost, lexicographic candidate-index chain)."""
+    import itertools
+
+    import numpy as np
+
+    from gtfs_conflation_pipeline_ray.stages.choose import _viterbi_topk
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        n = rng.randint(2, 6)
+        pen = 1000
+        cand_t, cand_c = [], []
+        for _ in range(n):
+            c = rng.randint(1, 4)
+            cand_t.append(rng.randint(0, 4, size=c).astype(np.int64))
+            # small cost range forces plenty of exact ties
+            cand_c.append(rng.randint(0, 3, size=c).astype(np.int64))
+        k = int(rng.randint(1, 5))
+        got = _viterbi_topk(cand_t, cand_c, pen, k)
+
+        brute = []
+        for combo in itertools.product(*[range(len(t)) for t in cand_t]):
+            cost = int(sum(cand_c[i][j] for i, j in enumerate(combo)))
+            for i in range(1, n):
+                if cand_t[i - 1][combo[i - 1]] != cand_t[i][combo[i]]:
+                    cost += pen
+            brute.append((cost, combo))
+        brute.sort()
+        want = brute[:k]
+        assert len(got) == min(k, len(brute))
+        for (gc, gchain), (wc, wcombo) in zip(got, want):
+            assert gc == wc
+            assert gchain.tolist() == [int(cand_t[i][j]) for i, j in enumerate(wcombo)]
+
+
+def test_viterbi_topk_rank1_matches_viterbi_cost():
+    import numpy as np
+
+    from gtfs_conflation_pipeline_ray.stages.choose import _viterbi, _viterbi_topk
+
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        n = rng.randint(2, 8)
+        cand_t = [rng.randint(0, 5, size=rng.randint(1, 5)).astype(np.int64)
+                  for _ in range(n)]
+        cand_c = [rng.randint(0, 100, size=len(t)).astype(np.int64) for t in cand_t]
+        pen = 50
+        top = _viterbi_topk(cand_t, cand_c, pen, 1)[0]
+        chain = _viterbi(cand_t, [c.astype(np.float64) for c in cand_c], float(pen))
+        assert len(chain) == n
+        # chosen-tile chains can't be costed back unambiguously (a tile may
+        # appear twice in one step's candidate list), so compare the top-1
+        # COST against the brute-force optimum:
+        import itertools
+        best = min(
+            int(sum(cand_c[i][j] for i, j in enumerate(combo)))
+            + sum(pen for i in range(1, n)
+                  if cand_t[i - 1][combo[i - 1]] != cand_t[i][combo[i]])
+            for combo in itertools.product(*[range(len(t)) for t in cand_t])
+        )
+        assert top[0] == best
