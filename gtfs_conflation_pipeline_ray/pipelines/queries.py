@@ -2224,7 +2224,7 @@ FROM pairs WHERE sim >= 0.9
 # MATERIALIZED — DuckDB otherwise re-evaluates it per iteration.
 # ---------------------------------------------------------------------------
 
-_SQL_CHOOSE_CORE = f"""
+_SQL_CHOOSE_STEPS = f"""
 tiles AS MATERIALIZED ({td.TILES_SQL}),
 epts AS MATERIALIZED (
   SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS seq,
@@ -2251,7 +2251,10 @@ steps AS MATERIALIZED (
   FROM cand WHERE rnk <= 16
   GROUP BY user_id, seq
 ),
-mx AS MATERIALIZED (SELECT user_id, MAX(si) AS m FROM steps GROUP BY user_id),
+mx AS MATERIALIZED (SELECT user_id, MAX(si) AS m FROM steps GROUP BY user_id)"""
+
+
+_SQL_CHOOSE_CORE = _SQL_CHOOSE_STEPS + """,
 dp AS (  -- forward Viterbi carrying the argmin-backtracked chain in-state
   SELECT user_id, si, cs AS cost, ts, [[t] FOR t IN ts] AS paths
   FROM steps WHERE si = 1
@@ -2394,6 +2397,52 @@ def q_choose_path_topk(sf_dir: str):  # rows-only (k-best enumeration)
     segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
     return viterbi_choose_topk(segs, conflation.tiles_ref(sf_dir), "user_id",
                                "seq", "ex", "ey", k=3)
+
+
+# Exact SQL mirror of the K-BEST Viterbi (stages/choose.py::_viterbi_topk):
+# the DP state per (shape, step) is a flat list of {c:cost, ic:index-chain,
+# tc:tile-chain} structs — per new candidate j the extensions of every carried
+# entry are sorted by (cost, index-chain) [struct field order = compare order]
+# and truncated to k, exactly the engine's per-candidate top-k retention; the
+# final rank order is the same (cost, lex-chain) sort over the flattened
+# state.  All costs are exact int64, so numpy and DuckDB agree bit-for-bit.
+SQL_CHOOSE_PATH_TOPK = "WITH RECURSIVE " + _SQL_CHOOSE_STEPS + """,
+dpk AS (  -- k-best forward Viterbi; k = 3
+  SELECT user_id, si,
+         [{'c': cs[j+1], 'ic': [j], 'tc': [ts[j+1]]}
+          FOR j IN range(len(ts))] AS st
+  FROM steps WHERE si = 1
+  UNION ALL
+  SELECT s.user_id, s.si,
+         flatten([
+           list_sort([ {'c': e.c
+                             + (CASE WHEN e.tc[len(e.tc)] = s.ts[j+1]
+                                     THEN 0 ELSE 10000000 END)
+                             + s.cs[j+1],
+                        'ic': e.ic || [j],
+                        'tc': e.tc || [s.ts[j+1]]}
+                       FOR e IN d.st ])[1:3]
+           FOR j IN range(len(s.ts)) ]) AS st
+  FROM dpk d JOIN steps s ON s.user_id = d.user_id AND s.si = d.si + 1
+),
+fink AS MATERIALIZED (
+  SELECT d.user_id, list_sort(d.st)[1:3] AS best
+  FROM dpk d JOIN mx USING (user_id) WHERE d.si = mx.m
+),
+ranked AS MATERIALIZED (
+  SELECT user_id, generate_subscripts(best, 1) AS rank, unnest(best) AS ent
+  FROM fink
+),
+chain AS (
+  SELECT user_id, rank, ent.c AS total_cost,
+         generate_subscripts(ent.tc, 1) AS si, unnest(ent.tc) AS tile_id
+  FROM ranked
+)
+SELECT c.user_id, CAST(c.rank AS BIGINT) AS rank,
+       CAST(c.total_cost AS BIGINT) AS total_cost, s.seq,
+       CAST(c.tile_id AS BIGINT) AS tile_id
+FROM chain c JOIN steps s ON s.user_id = c.user_id AND s.si = c.si
+"""
 
 
 def q_choose_path_edges(sf_dir: str):
@@ -2882,6 +2931,7 @@ ORACLE_SQL = {
     "stop_fit": SQL_STOP_FIT,
     "choose_path": SQL_CHOOSE_PATH,
     "choose_score": SQL_CHOOSE_SCORE,
+    "choose_path_topk": SQL_CHOOSE_PATH_TOPK,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,
