@@ -1192,6 +1192,53 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Grouped quantile sketch of lineitem prices — the global-distribution
+    aggregate VERDICT r2 flagged as missing (A10 analog at dataset scale).
+    Fixed-width 4096-bin integer histogram, partial-combined per batch, so
+    the shuffle is bounded by groups x bins no matter the input size; the
+    reported quantile is the lower edge of the nearest-rank bin (error <= one
+    bin width). Integer-exact decisions -> exact DuckDB oracle."""
+    li = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "price_c": cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    d = li.map_batches(_prep, batch_format="pyarrow", batch_size=65536)
+    return rel.binned_quantiles(d, ["l_returnflag", "l_linestatus"], "price_c",
+                                vmax=11_000_000, est_rows=_nrows(sf_dir, "lineitem"))
+
+
+_Q_TARGETS = [("q10", 1, 10), ("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4), ("q90", 9, 10)]
+
+SQL_VALUE_QUANTILES = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * 4096 // 11000001 AS bin
+  FROM lineitem
+),
+h AS (SELECT l_returnflag, l_linestatus, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+c AS (SELECT l_returnflag, l_linestatus, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM h)
+SELECT l_returnflag, l_linestatus, CAST(MAX(n) AS BIGINT) AS n,
+""" + ",\n".join(
+    f"       CAST(MIN(CASE WHEN cum >= (n * {qn} + {qd - 1}) // {qd}"
+    f" AND cum - cnt < (n * {qn} + {qd - 1}) // {qd}"
+    f" THEN bin * 11000001 // 4096 END) AS BIGINT) AS {name}"
+    for name, qn, qd in _Q_TARGETS
+) + """
+FROM c GROUP BY 1, 2
+"""
+
+
 def q_season_pivot(sf_dir: str):
     """Pivot the season buckets into columns — ≙ A7 AADT peak pivot
     (``GtfsConflationScheduleJoinDAO/createTableFns.js:108-202``)."""
@@ -2861,6 +2908,7 @@ QUERIES = {
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
     "embedding_neardup": q_embedding_neardup,
+    "value_quantiles": q_value_quantiles,
 }
 
 ORACLE_SQL = {
@@ -2932,6 +2980,7 @@ ORACLE_SQL = {
     "choose_path": SQL_CHOOSE_PATH,
     "choose_score": SQL_CHOOSE_SCORE,
     "choose_path_topk": SQL_CHOOSE_PATH_TOPK,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

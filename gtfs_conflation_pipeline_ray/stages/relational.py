@@ -221,3 +221,54 @@ def anti_join_keys(ds, key_col: str, exclude_ref):
 
     return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=65536,
                           concurrency=pool_size(2))
+
+
+def binned_quantiles(ds, keys: list[str], value_col: str, vmax: int,
+                     n_bins: int = 4096,
+                     qs: tuple = ((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)),
+                     names: tuple = ("q10", "q25", "q50", "q75", "q90"),
+                     n_buckets: int | None = None, est_rows: int | None = None):
+    """Distributed APPROXIMATE-quantile aggregate via a fixed-width integer
+    histogram — the global-distribution analog of the per-pair snap stats
+    (A10, ``functions/geom.py::snap_stats``).
+
+    Each batch bins ``value_col`` (non-negative ints in [0, vmax]) into
+    ``bin = v * n_bins // (vmax + 1)`` and emits (keys, bin, cnt) partials, so
+    the shuffle moves at most ``groups x n_bins`` pre-combined rows per batch
+    regardless of input size — this is the 100 TB path where an exact global
+    quantile would need a full sort. The per-bucket final cumulates the
+    histogram and reports, for each q = qn/qd, the LOWER EDGE of the first bin
+    whose cumulative count reaches ``ceil(n * qn / qd)`` (nearest-rank on the
+    binned distribution; error bounded by one bin width = (vmax+1)/n_bins).
+    Every decision is integer arithmetic, so a SQL oracle reproduces the
+    output bit-for-bit even though the quantile itself is approximate.
+    """
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy().astype(np.int64)
+        d = df[keys].assign(_bin=v * np.int64(n_bins) // np.int64(vmax + 1),
+                            _cnt=np.int64(1))
+        return d.groupby(keys + ["_bin"], as_index=False, sort=False,
+                         observed=True)["_cnt"].sum()
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(keys + ["_bin"], as_index=False, sort=False,
+                      observed=True)["_cnt"].sum()
+        h = h.sort_values(keys + ["_bin"], kind="mergesort")
+        gb = h.groupby(keys, sort=False, observed=True)
+        cum = gb["_cnt"].cumsum().to_numpy()
+        n = gb["_cnt"].transform("sum").to_numpy()
+        edge = h["_bin"].to_numpy() * np.int64(vmax + 1) // np.int64(n_bins)
+        out = h[keys].drop_duplicates().reset_index(drop=True)
+        out["n"] = gb["_cnt"].sum().to_numpy()
+        cnt = h["_cnt"].to_numpy()
+        for (qn, qd), name in zip(qs, names):
+            target = (n * np.int64(qn) + np.int64(qd) - 1) // np.int64(qd)
+            pick = (cum >= target) & (cum - cnt < target)
+            sel = h.loc[pick, keys].assign(**{name: edge[pick]})
+            out = out.merge(sel, on=keys, how="left")
+            out[name] = out[name].fillna(-1).astype(np.int64)
+        return out
+
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)

@@ -103,3 +103,32 @@ def test_fnv_batch_skewed_lengths_identity():
     got = fnv1a64_batch(strs)
     want = np.array([fnv1a64(s) for s in strs], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_binned_quantiles_matches_brute_force(ray_session):
+    """binned_quantiles == nearest-rank quantile computed brute-force on the
+    SAME binned values, for every group and q, on random skewed data."""
+    import pandas as pd
+    import ray as _ray
+    from gtfs_conflation_pipeline_ray.stages.relational import binned_quantiles
+
+    rng = np.random.default_rng(7)
+    n, vmax, bins = 20_000, 100_000, 256
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, n),
+        "v": (rng.pareto(2.0, n) * 5000).astype(np.int64).clip(0, vmax),
+    })
+    ds = _ray.data.from_pandas(df).repartition(8)
+    got = (binned_quantiles(ds, ["g"], "v", vmax=vmax, n_bins=bins)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+
+    qs = [("q10", 1, 10), ("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4), ("q90", 9, 10)]
+    for g, sub in df.groupby("g"):
+        binned = np.sort(sub["v"].to_numpy() * bins // (vmax + 1))
+        m = len(binned)
+        row = got[got["g"] == g].iloc[0]
+        assert row["n"] == m
+        for name, qn, qd in qs:
+            target = (m * qn + qd - 1) // qd
+            want_edge = int(binned[target - 1]) * (vmax + 1) // bins
+            assert row[name] == want_edge, (g, name)
