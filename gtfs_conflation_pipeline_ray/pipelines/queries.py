@@ -2731,13 +2731,137 @@ def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
                                est_rows=_nrows(sf_dir, "events"))
 
 
-def q_choose_annealed(sf_dir: str):  # rows-only (annealing fixpoint, no SQL)
+def q_choose_annealed(sf_dir: str):
     """Threshold-annealed axiomatic chooser + Viterbi remainder (see
-    ``stages.choose.annealed_choose``)."""
+    ``stages.choose.annealed_choose``). Jacobi sweeps + integer-exact costs
+    make the whole anneal ladder SQL-mirrorable (oracle below)."""
     from ..stages.choose import annealed_choose
 
     return annealed_choose(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
                            est_rows=_nrows(sf_dir, "events"))
+
+
+# Exact SQL mirror of the annealed chooser (stages/choose.py::anneal_axiomatic
+# + the Viterbi remainder): the recursion carries, per shape, the full chosen/
+# level arrays plus the float threshold; one iteration = one SYNCHRONOUS
+# (Jacobi) sweep recomputing every undecided position from the previous
+# sweep's state, then fixpoint/relax/terminate bookkeeping identical to the
+# engine's while-loops.  The threshold ladder repeats the SAME IEEE-double ops
+# (thr = least(thr * sqrt(2), relaxed)) so numpy and DuckDB agree bit-for-bit;
+# candidate costs are exact int64 squared distances.
+_SQL_ANNEAL_CORE = f"""
+tiles AS MATERIALIZED ({{tiles_sql}}),
+eptsa AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS seq,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS px,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS py,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS si
+  FROM events
+),
+canda AS MATERIALIZED (
+  SELECT e.user_id, e.si, t.tile_id,
+         (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.user_id, e.si
+           ORDER BY (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy), t.tile_id
+         ) AS rnk
+  FROM eptsa e JOIN tiles t
+    ON e.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND e.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+posl AS MATERIALIZED (
+  SELECT user_id, si, list(CAST(tile_id AS BIGINT) ORDER BY rnk) AS ts,
+         list(CAST(d2 AS BIGINT) ORDER BY rnk) AS cs
+  FROM canda WHERE rnk <= 16 GROUP BY user_id, si
+),
+usr AS MATERIALIZED (
+  SELECT e.user_id,
+         list(COALESCE(p.ts, []::BIGINT[]) ORDER BY e.si) AS tsa,
+         list(COALESCE(p.cs, []::BIGINT[]) ORDER BY e.si) AS csa,
+         COUNT(*) AS n
+  FROM eptsa e LEFT JOIN posl p ON p.user_id = e.user_id AND p.si = e.si
+  GROUP BY e.user_id
+),
+ann AS (  -- one iteration = one Jacobi sweep + fixpoint/relax bookkeeping
+  SELECT user_id, 0 AS it,
+         [CAST(-1 AS BIGINT) FOR j IN range(n)] AS ch,
+         [CAST(-1 AS BIGINT) FOR j IN range(n)] AS lv,
+         CAST(250000.0 AS DOUBLE) AS thr, CAST(0 AS BIGINT) AS level,
+         false AS done
+  FROM usr
+  UNION ALL
+  SELECT a.user_id, a.it + 1,
+         l2.ch2,
+         [CASE WHEN a.ch[k+1] < 0 AND l2.ch2[k+1] >= 0 THEN a.level
+               ELSE a.lv[k+1] END FOR k IN range(len(a.ch))] AS lv,
+         CASE WHEN l2.ch2 <> a.ch OR a.thr >= 16000000.0 THEN a.thr
+              ELSE LEAST(a.thr * sqrt(2.0), 16000000.0) END AS thr,
+         CASE WHEN l2.ch2 <> a.ch OR a.thr >= 16000000.0 THEN a.level
+              ELSE a.level + 1 END AS level,
+         (l2.ch2 = a.ch AND a.thr >= 16000000.0) AS done
+  FROM ann a JOIN usr u USING (user_id),
+  LATERAL (SELECT [ [u.tsa[k+1][m+1] FOR m IN range(len(u.tsa[k+1]))
+                     IF CAST(u.csa[k+1][m+1] AS DOUBLE) <= a.thr]
+                    FOR k IN range(len(a.ch)) ] AS pl) l1,
+  LATERAL (SELECT [ CASE WHEN a.ch[k+1] >= 0 OR len(l1.pl[k+1]) = 0 THEN a.ch[k+1]
+                         ELSE COALESCE(
+                           CASE WHEN list_contains(l1.pl[k+1], a.ch[k]) THEN a.ch[k] END,
+                           CASE WHEN list_contains(l1.pl[k+1], a.ch[k+2]) THEN a.ch[k+2] END,
+                           CASE WHEN len(l1.pl[k+1]) = 1 THEN l1.pl[k+1][1] END,
+                           CAST(-1 AS BIGINT)) END
+                    FOR k IN range(len(a.ch)) ] AS ch2) l2
+  WHERE NOT a.done
+),
+fina AS MATERIALIZED (SELECT user_id, ch, lv FROM ann WHERE done),
+remp AS (
+  SELECT f.user_id, generate_subscripts(f.ch, 1) AS pos, unnest(f.ch) AS chv
+  FROM fina f
+),
+rem AS MATERIALIZED (  -- undecided positions with candidates -> Viterbi chain
+  SELECT r.user_id, r.pos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.pos)
+              AS BIGINT) AS si,
+         u.tsa[r.pos] AS ts, u.csa[r.pos] AS cs
+  FROM remp r JOIN usr u USING (user_id)
+  WHERE r.chv < 0 AND len(u.tsa[r.pos]) > 0
+),
+mx2 AS MATERIALIZED (SELECT user_id, MAX(si) AS m FROM rem GROUP BY user_id),
+dp2 AS (
+  SELECT user_id, si, cs AS cost, ts, [[t] FOR t IN ts] AS paths
+  FROM rem WHERE si = 1
+  UNION ALL
+  SELECT s.user_id, s.si,
+         [ list_min(l.tr[j+1]) + s.cs[j+1] FOR j IN range(len(s.ts)) ] AS cost,
+         s.ts,
+         [ d.paths[list_position(l.tr[j+1], list_min(l.tr[j+1]))] || [s.ts[j+1]]
+           FOR j IN range(len(s.ts)) ] AS paths
+  FROM dp2 d JOIN rem s ON s.user_id = d.user_id AND s.si = d.si + 1,
+  LATERAL (SELECT [ [ d.cost[i+1] + CASE WHEN d.ts[i+1] = s.ts[j+1] THEN 0 ELSE 10000000 END
+                      FOR i IN range(len(d.ts)) ]
+                    FOR j IN range(len(s.ts)) ] AS tr) l
+),
+fin2 AS MATERIALIZED (
+  SELECT d.user_id, d.paths[list_position(d.cost, list_min(d.cost))] AS path
+  FROM dp2 d JOIN mx2 USING (user_id) WHERE d.si = mx2.m
+),
+vit AS MATERIALIZED (
+  SELECT v.user_id, r.pos, v.tile_id
+  FROM (SELECT user_id, generate_subscripts(path, 1) AS vsi, unnest(path) AS tile_id
+        FROM fin2) v
+  JOIN rem r ON r.user_id = v.user_id AND r.si = v.vsi
+)"""
+
+SQL_CHOOSE_ANNEALED = ("WITH RECURSIVE " + _SQL_ANNEAL_CORE + """
+SELECT e.user_id, e.seq,
+       CAST(CASE WHEN f.ch[e.si] >= 0 THEN f.ch[e.si]
+                 ELSE COALESCE(v.tile_id, -1) END AS BIGINT) AS tile_id,
+       CAST(CASE WHEN f.ch[e.si] >= 0 THEN 1
+                 WHEN v.tile_id IS NOT NULL THEN 2 ELSE 0 END AS BIGINT) AS decided_by,
+       CAST(f.lv[e.si] AS BIGINT) AS anneal_level
+FROM eptsa e JOIN fina f USING (user_id)
+LEFT JOIN vit v ON v.user_id = e.user_id AND v.pos = e.si
+""").replace("{tiles_sql}", td.TILES_SQL)
 
 
 def q_time_parse(sf_dir: str):
@@ -2981,6 +3105,7 @@ ORACLE_SQL = {
     "choose_score": SQL_CHOOSE_SCORE,
     "choose_path_topk": SQL_CHOOSE_PATH_TOPK,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "choose_annealed": SQL_CHOOSE_ANNEALED,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

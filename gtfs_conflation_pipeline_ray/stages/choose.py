@@ -411,31 +411,34 @@ def anneal_axiomatic(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
     it constrains its neighbors (a neighbor keeps only its fixed-adjacent
     tile when it has it among passing candidates — the reference's
     cross-segment axiomatic propagation). Levels iterate each to a fixpoint.
-    Returns (chosen_value_per_step with -1 for undecided, level_decided_at
-    per step with -1 for undecided). The undecided remainder is what the
-    reference hands to its O(2^n) search (here: the Viterbi DP)."""
+    Sweeps are SYNCHRONOUS (Jacobi): every undecided step is recomputed from
+    the PREVIOUS sweep's fixed set, so the fixpoint is scan-order-independent
+    and a recursive-SQL oracle mirrors it bit-for-bit (the i-1 neighbor still
+    wins ties over i+1 within a sweep). Returns (chosen_value_per_step with
+    -1 for undecided, level_decided_at per step with -1 for undecided). The
+    undecided remainder is what the reference hands to its O(2^n) search
+    (here: the Viterbi DP)."""
     n = len(cand_t)
     chosen = np.full(n, -1, dtype=np.int64)
     level_at = np.full(n, -1, dtype=np.int64)
     thr = float(strict)
     level = 0
     while True:
-        # fixpoint at this threshold level
+        # fixpoint at this threshold level (synchronous sweeps)
         progressed = True
         while progressed:
             progressed = False
+            prev = chosen.copy()
             for i in range(n):
-                if chosen[i] >= 0 or len(cand_t[i]) == 0:
+                if prev[i] >= 0 or len(cand_t[i]) == 0:
                     continue
                 passing = cand_t[i][cand_c[i] <= thr]
-                # neighbor constraint: if a fixed neighbor's tile is among
-                # the passing candidates, it wins outright (continuity)
-                neigh = [chosen[j] for j in (i - 1, i + 1)
-                         if 0 <= j < n and chosen[j] >= 0]
+                # neighbor constraint: a PREV-sweep-fixed neighbor's tile
+                # among the passing candidates wins outright (continuity)
                 pick = -1
-                for nb in neigh:
-                    if nb in passing:
-                        pick = nb
+                for j in (i - 1, i + 1):
+                    if 0 <= j < n and prev[j] >= 0 and prev[j] in passing:
+                        pick = int(prev[j])
                         break
                 if pick < 0 and len(passing) == 1:
                     pick = int(passing[0])  # the axiom: unique passing candidate
