@@ -141,43 +141,68 @@ def _viterbi_topk(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
     step i+1's entries by (prev_lexid, target index) reproduces it without
     materializing chains. Tie-break on equal cost is therefore exactly
     "smallest index chain first", the same rule a brute-force enumeration
-    sorted by (cost, index tuple) yields."""
+    sorted by (cost, index tuple) yields.
+
+    Vectorized: per step the DP state is (C, k) cost/lex arrays; the top-k
+    selection per target candidate is one stable argsort on the injective
+    combined key ``cost * LEXCAP + lex`` (lex ids < LEXCAP = C*k <= 1024, so
+    the key preserves exactly the (cost, lex) order), and lex re-assignment
+    is a rank over ``lex * C2 + j2`` — the same (prefix order, last index)
+    chain-lex order the tuple sort produced."""
     n = len(cand_t)
-    # per step: entries[j] = list of (cost:int, lexid:int, back_j, back_r)
-    entries: list[list[list[tuple]]] = []
-    cur: list[list[tuple]] = []
-    for j in range(len(cand_t[0])):
-        cur.append([(int(cand_c[0][j]), j, -1, -1)])
-    entries.append(cur)
+    BIG = np.int64(2**62)
+    LEXCAP = np.int64(1024)  # > MAX_CANDIDATES * k for any sane k
+    # per step: cost (C,k) int64 (BIG = empty), lex (C,k), back (C,k) flat
+    # index into the previous step's (C_prev * k) state
+    costs: list[np.ndarray] = []
+    backs: list[np.ndarray] = []
+    c0 = len(cand_t[0])
+    cost = np.full((c0, k), BIG, dtype=np.int64)
+    lex = np.full((c0, k), BIG, dtype=np.int64)
+    cost[:, 0] = cand_c[0].astype(np.int64)
+    lex[:, 0] = np.arange(c0)
+    costs.append(cost)
+    backs.append(np.full((c0, k), -1, dtype=np.int64))
     for i in range(1, n):
-        t_prev, t_now, c_now = cand_t[i - 1], cand_t[i], cand_c[i]
-        prev = entries[-1]
-        cur = []
-        for j2 in range(len(t_now)):
-            cands = []
-            for j in range(len(t_prev)):
-                pen = 0 if t_prev[j] == t_now[j2] else switch_penalty
-                for r, (c0, lx, _, _) in enumerate(prev[j]):
-                    cands.append((c0 + pen + int(c_now[j2]), lx, j, r))
-            cands.sort(key=lambda e: (e[0], e[1]))
-            cur.append(cands[:k])
-        # re-assign lexids: order by (prev lexid, target index) == chain lex order
-        flat = [(e[1], j2, r2) for j2 in range(len(cur)) for r2, e in enumerate(cur[j2])]
-        flat.sort()
-        for new_lx, (_, j2, r2) in enumerate(flat):
-            c0, _, bj, br = cur[j2][r2]
-            cur[j2][r2] = (c0, new_lx, bj, br)
-        entries.append(cur)
-    final = [(e[0], e[1], j, r) for j in range(len(entries[-1]))
-             for r, e in enumerate(entries[-1][j])]
-    final.sort(key=lambda e: (e[0], e[1]))
+        t_prev, t_now, c_now = cand_t[i - 1], cand_t[i], cand_c[i].astype(np.int64)
+        pc, pl = costs[-1].ravel(), lex.ravel()  # (P,)
+        c2 = len(t_now)
+        pen = np.where(np.repeat(t_prev, k)[:, None] == t_now[None, :],
+                       np.int64(0), np.int64(switch_penalty))
+        total = np.where(pc[:, None] >= BIG, BIG,
+                         pc[:, None] + pen + c_now[None, :])  # (P, c2)
+        key = np.where(total >= BIG, np.int64(2**63 - 1),
+                       total * LEXCAP + pl[:, None])
+        order = np.argsort(key, axis=0, kind="stable")[:k]  # (k', c2)
+        kk = order.shape[0]
+        cost = np.full((c2, k), BIG, dtype=np.int64)
+        back = np.full((c2, k), -1, dtype=np.int64)
+        cost[:, :kk] = np.take_along_axis(total, order, axis=0).T
+        back[:, :kk] = order.T
+        lex_tmp = np.where(cost >= BIG, BIG, pl[back] * np.int64(c2)
+                           + np.arange(c2, dtype=np.int64)[:, None])
+        # rank valid entries by (prev lex, target index) == chain lex order
+        flat = lex_tmp.ravel()
+        valid = flat < BIG
+        lex = np.full(flat.shape, BIG, dtype=np.int64)
+        vorder = np.argsort(flat[valid], kind="stable")
+        ranks = np.empty(len(vorder), dtype=np.int64)
+        ranks[vorder] = np.arange(len(vorder))
+        lex[valid] = ranks
+        lex = lex.reshape(c2, k)
+        costs.append(cost)
+        backs.append(back)
+    fc, fl = costs[-1].ravel(), lex.ravel()
+    fkey = np.where(fc >= BIG, np.int64(2**63 - 1), fc * LEXCAP + fl)
+    forder = np.argsort(fkey, kind="stable")
     out = []
-    for cost, _, j, r in final[:k]:
+    for p in forder[: min(k, int((fc < BIG).sum()))]:
         chain = np.empty(n, dtype=np.int64)
+        pp = int(p)
         for i in range(n - 1, -1, -1):
-            chain[i] = cand_t[i][j]
-            _, _, j, r = entries[i][j][r]
-        out.append((int(cost), chain))
+            chain[i] = cand_t[i][pp // k]
+            pp = int(backs[i].ravel()[pp])
+        out.append((int(fc[p]), chain))
     return out
 
 
