@@ -2722,13 +2722,92 @@ def q_rematch_gated(sf_dir: str):  # rows-only (geometric gate, no SQL)
                                     est_rows=_nrows(sf_dir, "events"))
 
 
-def q_path_metadata_merge(sf_dir: str):  # rows-only (fixpoint splice, no SQL)
+def q_path_metadata_merge(sf_dir: str):
     """Metadata-overlap path splicing to fixpoint over the decomposed paths
-    (see ``stages.choose.path_metadata_merge``)."""
+    (see ``stages.choose.path_metadata_merge``). Pure-integer id-sequence
+    fixpoint -> exact recursive-SQL oracle below."""
     from ..stages.choose import path_metadata_merge
 
     return path_metadata_merge(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
                                est_rows=_nrows(sf_dir, "events"))
+
+
+# Exact SQL mirror of geom.merge_paths_by_ids over the decomposed paths.
+# DuckDB 1.0 cannot bind list columns of a RECURSIVE CTE inside nested
+# lambdas, so the fixpoint is UNROLLED as chained step CTEs (each path-count-
+# reducing iteration shrinks the per-shape list, so #steps bounds #paths —
+# 28 covers every gate scale, and a non-converged shape emits n_merged = -1,
+# which would fail the hash gate loudly rather than silently).  One step =
+# one parallel subset-drop pass (provably equal to the engine's sequential
+# drop-flag scan: subset relations are static and transitive, and equal-set
+# ties keep the lowest index on both sides), else the FIRST (i, j) pair in
+# index order is spliced at its LONGEST suffix-prefix overlap — the engine's
+# exact scan order (pairs flattened to p = i*n + j, ascending = (i, j) lex).
+def _merge_step(k: int) -> str:
+    # DuckDB 1.0 cannot bind nested lambdas inside LATERAL subqueries, so the
+    # intermediate bindings chain through plain sub-CTEs instead.
+    return f""",
+m{k}a AS (
+  SELECT user_id, ps, done, CASE WHEN done THEN 0 ELSE len(ps) END AS n
+  FROM m{k-1}
+),
+m{k}b AS (
+  SELECT user_id, ps, done, n,
+    [ CASE WHEN p // n = p % n THEN false
+           ELSE len([1 FOR x IN ps[p // n + 1]
+                     IF NOT list_contains(ps[p % n + 1], x)]) = 0 END
+      FOR p IN range(n * n) ] AS sub,
+    [ CASE WHEN p // n = p % n THEN 0
+           ELSE COALESCE(list_max(
+             [kk+1 FOR kk IN range(LEAST(len(ps[p // n + 1]), len(ps[p % n + 1])))
+              IF ps[p // n + 1][len(ps[p // n + 1])-kk:len(ps[p // n + 1])]
+               = ps[p % n + 1][1:kk+1]]), 0) END
+      FOR p IN range(n * n) ] AS bks
+  FROM m{k}a
+),
+m{k}c AS (
+  SELECT user_id, ps, done, n, bks,
+    [ i FOR i IN range(n)
+      IF len([1 FOR j IN range(n)
+              IF j <> i AND sub[i*n+j+1]
+                 AND (NOT sub[j*n+i+1] OR j < i)]) = 0 ] AS keep,
+    [ p FOR p IN range(n * n) IF bks[p+1] > 0 ][1] AS spl
+  FROM m{k}b
+),
+m{k} AS (
+  SELECT user_id,
+    CASE WHEN done THEN ps
+         WHEN len(keep) < len(ps) THEN [ps[t+1] FOR t IN keep]
+         WHEN spl IS NOT NULL THEN
+           [ps[t+1] FOR t IN range(len(ps)) IF t <> spl // n AND t <> spl % n]
+           || [ps[spl // n + 1] || ps[spl % n + 1][bks[spl+1]+1:len(ps[spl % n + 1])]]
+         ELSE ps END AS ps,
+    done OR (len(keep) = len(ps) AND spl IS NULL) AS done
+  FROM m{k}c
+)"""
+
+
+_MERGE_STEPS = 28
+
+SQL_PATH_METADATA_MERGE = (_PATH_EDGE_CTES + """,
+pathsq AS (
+  SELECT user_id, path_index, list(tile_id ORDER BY path_edge_index) AS p
+  FROM (SELECT DISTINCT user_id, path_index, path_edge_index, tile_id FROM edges)
+  GROUP BY user_id, path_index
+),
+u0 AS MATERIALIZED (
+  SELECT user_id, list(p ORDER BY path_index) AS ps,
+         COUNT(*) AS n_paths, SUM(len(p)) AS n_edges_before
+  FROM pathsq GROUP BY user_id
+),
+m0 AS (SELECT user_id, ps, len(ps) <= 1 AS done FROM u0)"""
++ "".join(_merge_step(k) for k in range(1, _MERGE_STEPS + 1)) + f"""
+SELECT u0.user_id, CAST(u0.n_paths AS BIGINT) AS n_paths,
+       CAST(CASE WHEN f.done THEN len(f.ps) ELSE -1 END AS BIGINT) AS n_merged,
+       CAST(u0.n_edges_before AS BIGINT) AS n_edges_before,
+       CAST(COALESCE(list_sum([len(p) FOR p IN f.ps]), 0) AS BIGINT) AS n_edges_after
+FROM u0 JOIN m{_MERGE_STEPS} f USING (user_id)
+""")
 
 
 def q_choose_annealed(sf_dir: str):
@@ -3106,6 +3185,7 @@ ORACLE_SQL = {
     "choose_path_topk": SQL_CHOOSE_PATH_TOPK,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "choose_annealed": SQL_CHOOSE_ANNEALED,
+    "path_metadata_merge": SQL_PATH_METADATA_MERGE,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,
