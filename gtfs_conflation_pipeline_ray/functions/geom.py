@@ -371,6 +371,63 @@ def line_similarity(a: np.ndarray, b: np.ndarray, buffer_dist: float,
     return diff_len * (1.0 + start_dist) ** 2
 
 
+_CROSS_GUARD = np.int64(742_000_000)  # |cross| beyond this always exceeds buf2*L2
+
+
+def points_within_polyline_exact(points: np.ndarray, poly: np.ndarray,
+                                 buf2: int) -> np.ndarray:
+    """Per-point boolean: is the point within sqrt(buf2) of the polyline —
+    decided entirely in int64 (point-to-segment distance as the exact
+    rational compare cross^2 <= buf2 * L2, endpoint cases as integer d2),
+    so a SQL oracle reproduces every decision bit-for-bit. The cross term
+    can exceed int64 when squared, so values past ``_CROSS_GUARD`` (which
+    already guarantee cross^2 > buf2 * L2 for in-range coordinates) are
+    clamped before squaring — the same clamp the SQL mirror applies."""
+    p = np.asarray(points, dtype=np.int64)[:, None, :]    # (P, 1, 2)
+    s0 = np.asarray(poly, dtype=np.int64)[:-1][None]      # (1, S, 2)
+    s1 = np.asarray(poly, dtype=np.int64)[1:][None]
+    seg = s1 - s0
+    L2 = (seg * seg).sum(-1)                              # (1, S)
+    w = p - s0                                            # (P, S, 2)
+    dot = (w * seg).sum(-1)
+    d0 = (w * w).sum(-1)
+    w1 = p - s1
+    d1 = (w1 * w1).sum(-1)
+    cross = w[..., 0] * seg[..., 1] - w[..., 1] * seg[..., 0]
+    crs = np.where(np.abs(cross) <= _CROSS_GUARD, cross, _CROSS_GUARD + 1)
+    perp_ok = crs * crs <= np.int64(buf2) * L2
+    ok = np.where(
+        (L2 == 0) | (dot <= 0), d0 <= buf2,
+        np.where(dot >= L2, d1 <= buf2, perp_ok),
+    )
+    return ok.any(axis=1)
+
+
+def line_similarity_exact(a: np.ndarray, b: np.ndarray, buffer_dist: int) -> float:
+    """Integer-exact similarity comparator — same objective shape as
+    ``line_similarity`` (≙ lineStringsComparator): translate B to A's start,
+    take the CENTS length of A's segments NOT cospatial with translated B
+    (segment cospatial iff BOTH endpoints within ``buffer_dist`` — the same
+    vertex-in-buffer reformulation ``shape_cospatiality``'s exact oracle
+    uses), scaled by the squared start-distance penalty. Every decision is
+    an int64 predicate and every float op is a correctly-rounded sqrt /
+    mul / add in a fixed order, so numpy and a SQL mirror agree bit-for-bit.
+    0 = identical; larger = less similar (cents scale)."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) < 2 or len(b) < 2:
+        return float("inf")
+    d2start = int((a[0, 0] - b[0, 0]) ** 2 + (a[0, 1] - b[0, 1]) ** 2)
+    bt = b - b[0] + a[0]
+    within = points_within_polyline_exact(a, bt, int(buffer_dist) ** 2)
+    d = np.diff(a, axis=0)
+    len_c = np.floor(np.sqrt((d * d).sum(1).astype(np.float64)) * 100 + 0.5).astype(np.int64)
+    cos_c = int(len_c[within[:-1] & within[1:]].sum())
+    diff_c = int(len_c.sum()) - cos_c
+    start_dist = float(np.sqrt(np.float64(d2start)))
+    return float(diff_c) * ((1.0 + start_dist) * (1.0 + start_dist))
+
+
 def merge_paths_by_ids(paths: list) -> list[list[int]]:
     """Metadata path merge — ≙ ``mergePathLineStringsUsingMetadata``
     (``/root/reference/src/services/Conflation/chooseShstMatchesForShape/

@@ -2713,13 +2713,133 @@ FROM x GROUP BY 1, 2
 """
 
 
-def q_rematch_gated(sf_dir: str):  # rows-only (geometric gate, no SQL)
+def q_rematch_gated(sf_dir: str):
     """Iterative re-match whose round-2 radius matches pass only through the
-    similarity accept-gate (see ``stages.choose.similarity_gated_rematch``)."""
+    similarity accept-gate (see ``stages.choose.similarity_gated_rematch``).
+    The gate similarity is integer-exact (``geom.line_similarity_exact``) so
+    the whole two-round match + gate has an exact DuckDB oracle."""
     from ..stages.choose import similarity_gated_rematch
 
     return similarity_gated_rematch(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
                                     est_rows=_nrows(sf_dir, "events"))
+
+
+# Exact SQL mirror of similarity_gated_rematch: round 1 = best containing
+# tile; round 2 = nearest centroid within radius for the unmatched remainder
+# (the +-radius window prefilter is lossless: any centroid within euclidean
+# radius lies in the window, and a window-nearest with d2 <= radius^2 IS the
+# global nearest); the accept-gate recomputes line_similarity_exact — the
+# vertex-in-buffer decisions are exact int64 predicates (cross^2 <= buf2*L2
+# with the same 742e6 overflow clamp as the kernel), lengths are cents via
+# correctly-rounded sqrt, and the final float ops repeat the kernel's exact
+# IEEE sequence.
+SQL_REMATCH_GATED = f"""
+WITH tiles AS ({td.TILES_SQL}),
+ptsr AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS px,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS py,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS si
+  FROM events
+),
+r1 AS (
+  SELECT user_id, si, tile_id, cx, cy FROM (
+    SELECT p.user_id, p.si, t.tile_id, t.cx, t.cy,
+           ROW_NUMBER() OVER (PARTITION BY p.user_id, p.si
+             ORDER BY (p.px-t.cx)*(p.px-t.cx)+(p.py-t.cy)*(p.py-t.cy), t.tile_id) AS rn
+    FROM ptsr p JOIN tiles t
+      ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+     AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+  ) WHERE rn = 1
+),
+r2 AS (
+  SELECT user_id, si, tile_id, cx, cy FROM (
+    SELECT p.user_id, p.si, t.tile_id, t.cx, t.cy,
+           (p.px-t.cx)*(p.px-t.cx)+(p.py-t.cy)*(p.py-t.cy) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.user_id, p.si
+             ORDER BY (p.px-t.cx)*(p.px-t.cx)+(p.py-t.cy)*(p.py-t.cy), t.tile_id) AS rn
+    FROM ptsr p JOIN tiles t
+      ON t.cx BETWEEN p.px - 4000 AND p.px + 4000
+     AND t.cy BETWEEN p.py - 4000 AND p.py + 4000
+    WHERE NOT EXISTS (SELECT 1 FROM r1 WHERE r1.user_id = p.user_id AND r1.si = p.si)
+  ) WHERE rn = 1 AND d2 <= 16000000
+),
+m2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+cnts AS (
+  SELECT b.user_id, b.n_points,
+         COALESCE(c1.n, 0) AS n_r1,
+         COALESCE(cm.n, 0) - COALESCE(c1.n, 0) AS n_r2,
+         COALESCE(cm.n, 0) AS n_m2
+  FROM (SELECT user_id, COUNT(*) AS n_points FROM ptsr GROUP BY 1) b
+  LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM r1 GROUP BY 1) c1 USING (user_id)
+  LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM m2 GROUP BY 1) cm USING (user_id)
+),
+a0 AS (SELECT user_id, px AS a0x, py AS a0y FROM ptsr WHERE si = 1),
+b0 AS (SELECT user_id, min_by(cx, si) AS b0x, min_by(cy, si) AS b0y
+       FROM m2 GROUP BY user_id),
+ch AS (
+  SELECT user_id, si, cx, cy,
+         LEAD(cx) OVER w AS nx, LEAD(cy) OVER w AS ny
+  FROM m2 WINDOW w AS (PARTITION BY user_id ORDER BY si)
+),
+segs2 AS (  -- chain segments translated to the shape's start
+  SELECT c.user_id,
+         c.cx - b.b0x + a.a0x AS s0x, c.cy - b.b0y + a.a0y AS s0y,
+         c.nx - b.b0x + a.a0x AS s1x, c.ny - b.b0y + a.a0y AS s1y
+  FROM ch c JOIN a0 a USING (user_id) JOIN b0 b USING (user_id)
+  WHERE c.nx IS NOT NULL
+),
+win AS (  -- shape vertex within buffer of the translated chain?
+  SELECT p.user_id, p.si, MAX(CASE WHEN l2.ok THEN 1 ELSE 0 END) AS w
+  FROM ptsr p JOIN segs2 s ON s.user_id = p.user_id,
+  LATERAL (SELECT (s.s1x-s.s0x)*(s.s1x-s.s0x) + (s.s1y-s.s0y)*(s.s1y-s.s0y) AS L2,
+                  (p.px-s.s0x)*(s.s1x-s.s0x) + (p.py-s.s0y)*(s.s1y-s.s0y) AS dt,
+                  (p.px-s.s0x)*(p.px-s.s0x) + (p.py-s.s0y)*(p.py-s.s0y) AS d0,
+                  (p.px-s.s1x)*(p.px-s.s1x) + (p.py-s.s1y)*(p.py-s.s1y) AS d1,
+                  (p.px-s.s0x)*(s.s1y-s.s0y) - (p.py-s.s0y)*(s.s1x-s.s0x) AS crs) l1,
+  LATERAL (SELECT CASE WHEN l1.L2 = 0 OR l1.dt <= 0 THEN l1.d0 <= 4000000
+                       WHEN l1.dt >= l1.L2 THEN l1.d1 <= 4000000
+                       WHEN abs(l1.crs) > 742000000 THEN false
+                       ELSE l1.crs * l1.crs <= 4000000 * l1.L2 END AS ok) l2
+  GROUP BY p.user_id, p.si
+),
+sims AS (
+  SELECT p.user_id,
+         SUM(CAST(FLOOR(sqrt(CAST((n.px-p.px)*(n.px-p.px) + (n.py-p.py)*(n.py-p.py)
+                                  AS DOUBLE)) * 100 + 0.5) AS BIGINT))
+       - SUM(CASE WHEN w1.w = 1 AND w2.w = 1
+                  THEN CAST(FLOOR(sqrt(CAST((n.px-p.px)*(n.px-p.px) + (n.py-p.py)*(n.py-p.py)
+                                            AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS diff_c
+  FROM ptsr p
+  JOIN ptsr n ON n.user_id = p.user_id AND n.si = p.si + 1
+  LEFT JOIN win w1 ON w1.user_id = p.user_id AND w1.si = p.si
+  LEFT JOIN win w2 ON w2.user_id = p.user_id AND w2.si = n.si
+  GROUP BY p.user_id
+),
+gate AS (
+  SELECT user_id,
+         CASE WHEN sim <= 6000000.0 THEN 1 ELSE 0 END AS accepted,
+         CAST(FLOOR(LEAST(sim, 1000000000000.0) * 100 + 0.5) AS BIGINT) AS sim_q2
+  FROM (
+    SELECT c.user_id,
+           CAST(s.diff_c AS DOUBLE)
+           * ((1.0 + sqrt(CAST((a.a0x-b.b0x)*(a.a0x-b.b0x) + (a.a0y-b.b0y)*(a.a0y-b.b0y) AS DOUBLE)))
+            * (1.0 + sqrt(CAST((a.a0x-b.b0x)*(a.a0x-b.b0x) + (a.a0y-b.b0y)*(a.a0y-b.b0y) AS DOUBLE)))) AS sim
+    FROM cnts c JOIN sims s USING (user_id)
+    JOIN a0 a USING (user_id) JOIN b0 b USING (user_id)
+    WHERE c.n_r2 > 0 AND c.n_m2 >= 2 AND c.n_points >= 2
+  )
+)
+SELECT c.user_id, CAST(c.n_points AS BIGINT) AS n_points,
+       CAST(c.n_r1 AS BIGINT) AS n_round1,
+       CAST(CASE WHEN COALESCE(g.accepted, 0) = 1 OR c.n_r2 = 0
+                 THEN c.n_r2 ELSE 0 END AS BIGINT) AS n_round2,
+       CAST(COALESCE(g.accepted, 0) AS BIGINT) AS accepted,
+       CAST(COALESCE(g.sim_q2, -1) AS BIGINT) AS sim_q2
+FROM cnts c LEFT JOIN gate g USING (user_id)
+"""
 
 
 def q_path_metadata_merge(sf_dir: str):
@@ -3186,6 +3306,7 @@ ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "choose_annealed": SQL_CHOOSE_ANNEALED,
     "path_metadata_merge": SQL_PATH_METADATA_MERGE,
+    "rematch_gated": SQL_REMATCH_GATED,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

@@ -547,8 +547,8 @@ def annealed_choose(points_ds, tiles_ref, strict: float = 250_000.0,
 
 
 def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
-                             sim_threshold: float = 60000.0,
-                             buffer_dist: float = 2000.0,
+                             sim_threshold: float = 6_000_000.0,
+                             buffer_dist: int = 2000,
                              est_rows: int | None = None):
     """Iterative re-match with the reference's similarity accept-gate — ≙ the
     T3 loop whose round-2+ geometry mutations are only accepted when the
@@ -557,7 +557,8 @@ def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
     point to its best containing tile; round 2 relaxes to the nearest
     centroid within ``radius`` for the unmatched remainder, but the round-2
     matches are kept ONLY if the full chosen chain stays similar to the
-    shape (``geom.line_similarity`` <= ``sim_threshold``). One row per
+    shape (``geom.line_similarity_exact`` <= ``sim_threshold``; cents
+    scale, integer-exact decisions -> SQL-mirrorable). One row per
     shape: (user_id, n_points, n_round1, n_round2, accepted, sim_q2)."""
     from ..functions import geom
 
@@ -605,9 +606,9 @@ def similarity_gated_rematch(points_ds, tiles_ref, radius: int = 4000,
             sim_q2 = np.int64(-1)
             if n_r2 > 0 and m2.sum() >= 2 and (e - s) >= 2:
                 sel = tidx2[s:e][m2]
-                chain = np.stack([st.cx[sel], st.cy[sel]], axis=1).astype(np.float64)
-                shape_xy = np.stack([px[s:e], py[s:e]], axis=1).astype(np.float64)
-                sim = geom.line_similarity(shape_xy, chain, buffer_dist)
+                chain = np.stack([st.cx[sel], st.cy[sel]], axis=1).astype(np.int64)
+                shape_xy = np.stack([px[s:e], py[s:e]], axis=1).astype(np.int64)
+                sim = geom.line_similarity_exact(shape_xy, chain, buffer_dist)
                 sim_q2 = np.int64(np.floor(min(sim, 1e12) * 100 + 0.5))
                 accepted = np.int64(1) if sim <= sim_threshold else np.int64(0)
             rows.append({

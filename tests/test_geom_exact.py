@@ -123,3 +123,32 @@ def test_coords_to_vertex_ids():
     c = np.array([[5.0, 5.0], [6.0, 6.0], [5.0, 5.0]])
     (ic,) = geom.coords_to_vertex_ids(c)
     assert ic[0] == ic[2] and ic[0] != ic[1]
+
+
+def test_points_within_polyline_exact_vs_float():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        pts = rng.integers(-500, 500, (40, 2)).astype(np.int64)
+        poly = np.cumsum(rng.integers(-80, 80, (7, 2)), axis=0).astype(np.int64)
+        buf = 60
+        got = geom.points_within_polyline_exact(pts, poly, buf * buf)
+        d, _ = geom.project_points(pts.astype(np.float64), poly.astype(np.float64))
+        want = d <= buf + 1e-9
+        # exclude knife-edge ties where float roundoff is ambiguous
+        clear = np.abs(d - buf) > 1e-6
+        assert (got[clear] == want[clear]).all()
+
+
+def test_line_similarity_exact_basics():
+    a = np.array([[0, 0], [1000, 0], [2000, 0]], dtype=np.int64)
+    # identical -> 0
+    assert geom.line_similarity_exact(a, a.copy(), buffer_dist=50) == 0.0
+    # same shape translated: cospatial after translation, penalty x0 diff = 0
+    b = a + np.array([300, 400])
+    assert geom.line_similarity_exact(a, b, buffer_dist=50) == 0.0
+    # orthogonal: nothing cospatial -> full cents length, no start penalty
+    c = np.array([[0, 0], [0, 1000], [0, 2000]], dtype=np.int64)
+    s = geom.line_similarity_exact(a, c, buffer_dist=50)
+    assert s == 200000.0  # 2000 units = 200000 cents, start dist 0 -> x1
+    # degenerate input
+    assert geom.line_similarity_exact(a[:1], c, 50) == float("inf")
