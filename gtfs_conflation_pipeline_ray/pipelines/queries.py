@@ -735,6 +735,41 @@ GROUP BY 1, 2
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each click/view event annotated with the SAME
+    user's most recent purchase at-or-before it (ties -> largest event_id)
+    and the exact microsecond lag — the classic as-of/point-in-time join the
+    interval join can't express (it returns ALL windows in range; as-of
+    returns exactly the latest). Reference side broadcast once
+    (``windows.asof_join``); unmatched rows carry -1."""
+    ptab = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filters=[("event_type", "==", "purchase")],
+    ).select(["event_id", "user_id", "ts"])
+    ptab = ptab.rename_columns(["purchase_id", "user_id", "ts"])
+    probes = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    probes = probes.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "view"]))),
+        batch_format="pyarrow",
+    ).select_columns(["event_id", "user_id", "ts"])
+    joined = windows.asof_join(probes, ray.put(ptab), "user_id", "ts", "purchase_id")
+    return joined.select_columns(["event_id", "user_id", "purchase_id", "lag_us"])
+
+
+SQL_EVENTS_ASOF = """
+SELECT e.event_id, e.user_id,
+       COALESCE(x.purchase_id, -1) AS purchase_id,
+       COALESCE(epoch_us(e.ts) - epoch_us(x.ts), -1) AS lag_us
+FROM events e LEFT JOIN LATERAL (
+  SELECT p.event_id AS purchase_id, p.ts FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) x ON true
+WHERE e.event_type IN ('click', 'view')
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type", "user_id"])
     pairs = rel.distinct(ev, ["event_type", "user_id"])
@@ -3232,6 +3267,7 @@ QUERIES = {
     "doc_minhash_verified": q_doc_minhash_verified,
     "embedding_neardup": q_embedding_neardup,
     "value_quantiles": q_value_quantiles,
+    "events_asof": q_events_asof,
 }
 
 ORACLE_SQL = {
@@ -3307,6 +3343,7 @@ ORACLE_SQL = {
     "choose_annealed": SQL_CHOOSE_ANNEALED,
     "path_metadata_merge": SQL_PATH_METADATA_MERGE,
     "rematch_gated": SQL_REMATCH_GATED,
+    "events_asof": SQL_EVENTS_ASOF,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

@@ -179,3 +179,93 @@ def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int
         return pa.table(cols)
 
     return probes.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+
+
+class _AsofState:
+    """Per-worker as-of-join state: reference rows sorted by (dense key rank,
+    ts, ref_id) — the backward probe is ONE binary search on the composite
+    (rank << ts_bits | ts offset); ties on (key, ts) resolve to the LARGEST
+    ref_id because equal composites are id-ascending and the probe takes the
+    last entry <= its own composite. Same data-sized bit budget / dict
+    fallback as ``_WindowState``."""
+
+    def __init__(self, r: pa.Table, key: str, ts_col: str, id_col: str):
+        rk = r[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rts = r[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        rid = r[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.base = np.int64(rts.min() if len(rts) else 0)
+        self.keys = np.unique(rk)
+        span = int(rts.max() - self.base) if len(rts) else 0
+        self.ts_bits = np.int64(max(int(span + 2).bit_length(), 2))
+        rank_bits = int(len(self.keys)).bit_length()
+        self.use_dict = int(self.ts_bits) + rank_bits > 62
+        order = np.lexsort((rid, rts, rk))
+        rk, rts, rid = rk[order], rts[order], rid[order]
+        if self.use_dict:
+            bounds = np.searchsorted(rk, self.keys, side="left")
+            bounds = np.append(bounds, len(rk))
+            self.per_key = {
+                int(k): (rts[bounds[i]:bounds[i + 1]], rid[bounds[i]:bounds[i + 1]])
+                for i, k in enumerate(self.keys)
+            }
+            return
+        r_rank = np.searchsorted(self.keys, rk)
+        off = rts - self.base + 1  # strictly inside [1, 2^ts_bits - 1]
+        self.comp = (r_rank.astype(np.int64) << self.ts_bits) | off
+        self.rts, self.rid = rts, rid
+
+    def probe_comp(self, k: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        rank = np.searchsorted(self.keys, k)
+        rc = np.minimum(rank, len(self.keys) - 1) if len(self.keys) else rank * 0
+        missing = ((rank >= len(self.keys)) | (self.keys[rc] != k)
+                   if len(self.keys) else k == k)
+        off = np.clip(ts - self.base, -1, (np.int64(1) << self.ts_bits) - 2) + 1
+        comp = (rank.astype(np.int64) << self.ts_bits) | off
+        return np.where(missing, np.int64(-1), comp), rank
+
+
+def asof_join(probes, ref_ref, key: str, ts_col: str, ref_id_col: str,
+              lag_col: str = "lag_us"):
+    """Backward as-of join: annotate each probe row with the reference row of
+    the SAME key whose ts is the latest at-or-before the probe's ts
+    (ties on ts -> largest ref id), plus the exact microsecond lag.
+    Unmatched probes keep the row with id = -1 / lag = -1 (left semantics
+    without nullable-type drift). The reference side is broadcast once and
+    index-sorted once per worker (``cached_state``); probes stream through
+    stateless Arrow tasks — the same small-side partitioning assumption as
+    the T1 matcher (shard by key range via ``spatial.shard_tiles``-style
+    splitting when the reference outgrows worker memory). ``ref_ref`` is a
+    ``ray.put`` ObjectRef of the reference pa.Table (id/key/ts columns)."""
+    from .util import cached_state
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _AsofState = cached_state(ref_ref, lambda r: _AsofState(r, key, ts_col, ref_id_col))
+        pk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        rid_out = np.full(len(pk), -1, dtype=np.int64)
+        lag_out = np.full(len(pk), -1, dtype=np.int64)
+        if st.use_dict:
+            for k in np.unique(pk):
+                sub = st.per_key.get(int(k))
+                if sub is None:
+                    continue
+                sts, srid = sub
+                rows = np.flatnonzero(pk == k)
+                idx = np.searchsorted(sts, pts[rows], side="right") - 1
+                hit = idx >= 0
+                r = rows[hit]
+                rid_out[r] = srid[idx[hit]]
+                lag_out[r] = pts[r] - sts[idx[hit]]
+        elif len(st.keys):
+            comp, rank = st.probe_comp(pk, pts)
+            idx = np.searchsorted(st.comp, comp, side="right") - 1
+            safe = np.maximum(idx, 0)
+            hit = (idx >= 0) & (comp >= 0) & ((st.comp[safe] >> st.ts_bits) == rank)
+            rid_out[hit] = st.rid[idx[hit]]
+            lag_out[hit] = pts[hit] - st.rts[idx[hit]]
+        cols = {c: batch[c] for c in batch.column_names}
+        cols[ref_id_col] = pa.array(rid_out)
+        cols[lag_col] = pa.array(lag_out)
+        return pa.table(cols)
+
+    return probes.map_batches(_probe, batch_format="pyarrow", batch_size=32768)

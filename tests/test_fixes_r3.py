@@ -132,3 +132,58 @@ def test_binned_quantiles_matches_brute_force(ray_session):
             target = (m * qn + qd - 1) // qd
             want_edge = int(binned[target - 1]) * (vmax + 1) // bins
             assert row[name] == want_edge, (g, name)
+
+
+def _brute_asof(pk, pts, rk, rts, rid):
+    out_id, out_lag = [], []
+    for k, t in zip(pk, pts):
+        best = None
+        for k2, t2, i2 in zip(rk, rts, rid):
+            if k2 == k and t2 <= t and (best is None or (t2, i2) > best):
+                best = (t2, i2)
+        out_id.append(best[1] if best else -1)
+        out_lag.append(t - best[0] if best else -1)
+    return out_id, out_lag
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """Backward as-of join vs quadratic brute force: tie-break to largest
+    ref id, unmatched -> -1, exact microsecond lag — on BOTH the composite
+    and the per-key-dict fallback index layouts."""
+    from gtfs_conflation_pipeline_ray.stages.windows import _AsofState, asof_join
+
+    rng = np.random.default_rng(3)
+    n_ref, n_probe = 200, 400
+    rk = rng.integers(0, 12, n_ref)
+    rts = rng.integers(0, 10_000, n_ref)
+    rts[50:60] = rts[40:50]  # force (key, ts) ties
+    rk[50:60] = rk[40:50]
+    rid = rng.permutation(n_ref).astype(np.int64)
+    pk = rng.integers(0, 15, n_probe)  # keys 12-14 unmatched
+    pts = rng.integers(-100, 10_100, n_probe)
+
+    ref = pa.table({"rid": rid, "k": rk,
+                    "ts": rts.astype("datetime64[us]")})
+    probes = ray.data.from_arrow(pa.table({
+        "pid": np.arange(n_probe, dtype=np.int64), "k": pk,
+        "ts": pts.astype("datetime64[us]")}))
+    out = asof_join(probes, ray.put(ref), "k", "ts", "rid").to_pandas()
+    out = out.sort_values("pid")
+    want_id, want_lag = _brute_asof(pk, pts, rk, rts, rid)
+    assert out["rid"].tolist() == want_id
+    assert out["lag_us"].tolist() == want_lag
+
+    # dict fallback: a 2^60-us span forces use_dict; decisions must agree
+    wide_rts = rts.astype(np.int64) + (rk.astype(np.int64) << 58)
+    wide_pts = pts.astype(np.int64) + (np.clip(pk, 0, 11).astype(np.int64) << 58)
+    ref_w = pa.table({"rid": rid, "k": rk, "ts": wide_rts.astype("datetime64[us]")})
+    st = _AsofState(ref_w, "k", "ts", "rid")
+    assert st.use_dict
+    probes_w = ray.data.from_arrow(pa.table({
+        "pid": np.arange(n_probe, dtype=np.int64), "k": pk,
+        "ts": wide_pts.astype("datetime64[us]")}))
+    out_w = asof_join(probes_w, ray.put(ref_w), "k", "ts", "rid").to_pandas()
+    out_w = out_w.sort_values("pid")
+    want_id_w, want_lag_w = _brute_asof(pk, wide_pts, rk, wide_rts, rid)
+    assert out_w["rid"].tolist() == want_id_w
+    assert out_w["lag_us"].tolist() == want_lag_w
