@@ -784,6 +784,25 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 # documents: text analysis + dedup (training-data-pipeline operators)
 # ---------------------------------------------------------------------------
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified sample of the documents table: English docs
+    kept at 5%, everything else at 20% (up-sampling the rare strata — the
+    standard training-data-mix move). Pure integer hash decision per row
+    (``relational.hash_sample``), so the driver oracle reproduces the exact
+    keep-set; no shuffle, no RNG."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return rel.hash_sample(docs, "doc_id", 200, strata_col="lang",
+                           strata_permille={"en": 50})
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 1000
+      < CASE WHEN lang = 'en' THEN 50 ELSE 200 END
+"""
+
+
 def q_doc_token_stats(sf_dir: str):
     return textops.token_stats(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2094,6 +2113,33 @@ def q_doc_containment(sf_dir: str):
                                est_rows=_nrows(sf_dir, "documents"))
 
 
+def q_doc_ngram_jaccard(sf_dir: str):
+    """Exact word-set Jaccard pairs (J >= 1/2) inside (lang, source) blocks —
+    the exact-verification sibling of the MinHash estimate family (see
+    ``dedup.ngram_jaccard_pairs``; integer predicate den*inter >= num*union,
+    counts over 64-bit FNV word-hash sets)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return dedup.ngram_jaccard_pairs(docs, 1, 2,
+                                     est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.tok, b.tok)) AS n_inter,
+       len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS n_union
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.tok) > 0 AND len(b.tok) > 0
+  AND 2 * len(list_intersect(a.tok, b.tok))
+      >= len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))
+"""
+
+
 SQL_DOC_CONTAINMENT = r"""
 WITH toks AS (
   SELECT doc_id, lang, source,
@@ -2107,7 +2153,7 @@ WHERE len(a.tok) > 0 AND list_has_all(b.tok, a.tok)
 """
 
 
-def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
+def q_ann_lsh(sf_dir: str):  # exact oracle (integer bucket decisions)
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                          filters=[("vec_id", "<", 8)])  # pushed-down query-side read
@@ -2116,7 +2162,7 @@ def q_ann_lsh(sf_dir: str):  # rows-only (approximate LSH search, no SQL)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
-def q_ann_ivf(sf_dir: str):  # rows-only (approximate IVF search, no SQL)
+def q_ann_ivf(sf_dir: str):  # exact oracle (integer list routing)
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                          filters=[("vec_id", "<", 8)])  # pushed-down query-side read
@@ -2125,7 +2171,7 @@ def q_ann_ivf(sf_dir: str):  # rows-only (approximate IVF search, no SQL)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
-def q_doc_minhash_verified(sf_dir: str):  # rows-only (LSH + estimate, no SQL)
+def q_doc_minhash_verified(sf_dir: str):  # exact oracle (FNV recomputed in SQL)
     """Full near-dup chain: banded LSH candidates verified in-shuffle by
     MinHash signature agreement (see ``dedup.lsh_verified_pairs``)."""
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -2133,7 +2179,7 @@ def q_doc_minhash_verified(sf_dir: str):  # rows-only (LSH + estimate, no SQL)
     return dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
 
 
-def q_embedding_neardup(sf_dir: str):  # rows-only (LSH-bucketed, no SQL)
+def q_embedding_neardup(sf_dir: str):  # exact oracle (integer bucket + verify)
     """Embedding-cosine near-duplicate pairs (exact-verified LSH buckets;
     see ``ann.cosine_neardup_pairs``). The synthetic embeddings are
     near-orthogonal (max pairwise cosine ~0.51), so the corpus is augmented
@@ -2457,7 +2503,7 @@ LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
 """
 
 
-def q_choose_path_topk(sf_dir: str):  # rows-only (k-best enumeration)
+def q_choose_path_topk(sf_dir: str):  # exact oracle (struct-list k-best DP)
     """Top-3 Viterbi chains per shape — the bounded analog of the
     reference's all source→sink path enumeration
     (``createPathLineStrings.js:47-78``) for branching candidate graphs.
@@ -3268,6 +3314,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "value_quantiles": q_value_quantiles,
     "events_asof": q_events_asof,
+    "doc_sample": q_doc_sample,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
 }
 
 ORACLE_SQL = {
@@ -3344,6 +3392,8 @@ ORACLE_SQL = {
     "path_metadata_merge": SQL_PATH_METADATA_MERGE,
     "rematch_gated": SQL_REMATCH_GATED,
     "events_asof": SQL_EVENTS_ASOF,
+    "doc_sample": SQL_DOC_SAMPLE,
+    "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

@@ -247,3 +247,58 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: batch[id_col], "simhash": out})
 
     return ds.map_batches(_sh, batch_format="pyarrow", batch_size=4096)
+
+
+def ngram_jaccard_pairs(docs, threshold_num: int = 1, threshold_den: int = 2,
+                        block_cols: tuple = ("lang", "source"),
+                        text_col: str = "text", id_col: str = "doc_id",
+                        block_cap: int = 256, est_rows: int | None = None):
+    """EXACT n-gram (word-set) Jaccard similarity for pairs inside a
+    blocking key — the exact-verification sibling of the MinHash ESTIMATE
+    (``lsh_verified_pairs``): every decision is the integer predicate
+    ``den * |A∩B| >= num * |A∪B|`` over 64-bit word-hash sets, so a SQL
+    oracle reproduces the pair set and counts bit-for-bit. Blocks shuffle
+    by ``block_cols`` (bucketed combine); within a block, pairs are
+    prefiltered by the lossless size-ratio bound (J >= t needs
+    den*|A| >= num*|B| for |A| <= |B|) and a hot block is capped at
+    ``block_cap`` docs (keep smallest ids, logged, never silent).
+    Returns (doc_a, doc_b, n_inter, n_union), doc_a < doc_b."""
+    import logging
+
+    from ..functions.text import _WORD_ASCII_RE, fnv1a64_batch
+    from .relational import bucketed_groups
+
+    num, den = np.int64(threshold_num), np.int64(threshold_den)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for _, grp in g.groupby(list(block_cols), sort=False):
+            if len(grp) > block_cap:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard: block capped %d -> %d docs", len(grp), block_cap)
+                grp = grp.sort_values(id_col).head(block_cap)
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            hsets = []
+            for t in grp[text_col]:
+                ws = list({w.lower() for w in _WORD_ASCII_RE.findall(t)})
+                hsets.append(np.sort(fnv1a64_batch(ws)))
+            sizes = np.array([len(h) for h in hsets], dtype=np.int64)
+            lo = np.minimum(sizes[:, None], sizes[None, :])
+            hi = np.maximum(sizes[:, None], sizes[None, :])
+            cand = np.triu((lo > 0) & (den * lo >= num * hi), k=1)
+            for i, j in zip(*np.nonzero(cand)):
+                a, b = hsets[i], hsets[j]
+                pos = np.searchsorted(b, a)
+                pos_ok = pos < len(b)
+                ni = int(np.count_nonzero(b[pos[pos_ok]] == a[pos_ok]))
+                nu = int(sizes[i] + sizes[j] - ni)
+                if den * ni >= num * nu:
+                    out_a.append(ids[i]); out_b.append(ids[j])
+                    out_i.append(ni); out_u.append(nu)
+        return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
+                             "doc_b": np.array(out_b, dtype=np.int64),
+                             "n_inter": np.array(out_i, dtype=np.int64),
+                             "n_union": np.array(out_u, dtype=np.int64)})
+
+    return bucketed_groups(docs, list(block_cols), _pairs, est_rows=est_rows)

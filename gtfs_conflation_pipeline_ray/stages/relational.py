@@ -272,3 +272,30 @@ def binned_quantiles(ds, keys: list[str], value_col: str, vmax: int,
 
     return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
                            est_rows=est_rows)
+
+
+def hash_sample(ds, id_col: str, default_permille: int,
+                strata_col: str | None = None,
+                strata_permille: dict | None = None):
+    """Deterministic stratified sampling: keep a row iff
+    ``((id * 2654435761) mod 2^32) mod 1000 < rate``, where the rate comes
+    from the row's stratum (``strata_permille``) or ``default_permille``.
+    The Knuth multiplicative hash decorrelates the keep-set from any id
+    ordering/assignment pattern while staying a pure integer function — the
+    sample is reproducible across runs/cluster sizes and SQL-mirrorable
+    (no RNG state, no per-partition seed to coordinate). Embarrassingly
+    parallel: a stateless Arrow mask per batch, no shuffle."""
+    m = np.uint64(2654435761)
+    rates = {k: np.int64(v) for k, v in (strata_permille or {}).items()}
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * m) % np.uint64(1 << 32)) % np.uint64(1000)
+        rate = np.full(len(ids), default_permille, dtype=np.int64)
+        if strata_col is not None and rates:
+            sv = batch[strata_col].to_numpy(zero_copy_only=False)
+            for k, r in rates.items():
+                rate[sv == k] = r
+        return batch.filter(pa.array(h.astype(np.int64) < rate))
+
+    return ds.map_batches(_mask, batch_format="pyarrow", batch_size=65536)
