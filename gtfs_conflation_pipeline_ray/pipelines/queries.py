@@ -803,6 +803,23 @@ WHERE (doc_id * 2654435761) % 4294967296 % 1000
 """
 
 
+def q_doc_vocab(sf_dir: str):
+    """Global top-50 token vocabulary over the corpus (vocabulary-building
+    pass; see ``textops.vocab_topk``) — partial counts per batch, token-hash
+    bucketed combine, deterministic (n desc, token asc) tie-break."""
+    docs = _rp(sf_dir, "documents", ["text"])
+    return textops.vocab_topk(docs, k=50, est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_VOCAB = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def q_doc_token_stats(sf_dir: str):
     return textops.token_stats(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -3316,6 +3333,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_vocab": q_doc_vocab,
 }
 
 ORACLE_SQL = {
@@ -3394,6 +3412,7 @@ ORACLE_SQL = {
     "events_asof": SQL_EVENTS_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_vocab": SQL_DOC_VOCAB,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

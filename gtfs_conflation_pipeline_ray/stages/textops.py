@@ -90,3 +90,39 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({id_col: batch[id_col], "fp": fps})
 
     return ds.map_batches(_fp, batch_format="pyarrow", batch_size=4096)
+
+
+def vocab_topk(ds, k: int = 50, text_col: str = "text",
+               est_rows: int | None = None):
+    """Global top-k token vocabulary (vocabulary-building pass of a training
+    corpus): per-batch partial token counts (one pandas value_counts per
+    batch — the shuffle moves (token, n) partials, never raw text), bucketed
+    combine by token hash (complete per-token totals land in one bucket), a
+    per-bucket top-k, and a final k·B-row merge. Deterministic tie-break
+    (n desc, token asc) end-to-end. Returns a pa.Table (token, n)."""
+    from ..functions.text import _WORD_ASCII_RE
+    from .relational import bucketed_groups
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df[text_col]:
+            toks.extend(_WORD_ASCII_RE.findall(t.lower()))
+        vc = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", as_index=False, sort=False)["n"].sum()
+        tot = tot.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort")
+        return tot.head(k)
+
+    parts = bucketed_groups(ds.select_columns([text_col]), ["token"], _final,
+                            pre_fn=_pre, est_rows=est_rows)
+    # k rows per bucket: the global merge is k x n_buckets rows — bounded by
+    # construction, safe to finalize locally
+    merged = parts.to_pandas().sort_values(["n", "token"],
+                                           ascending=[False, True],
+                                           kind="mergesort").head(k)
+    return pa.table({"token": merged["token"].astype(str).to_numpy(),
+                     "n": merged["n"].to_numpy().astype(np.int64)})

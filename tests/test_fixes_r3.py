@@ -187,3 +187,23 @@ def test_asof_join_matches_bruteforce(ray_session):
     want_id_w, want_lag_w = _brute_asof(pk, wide_pts, rk, wide_rts, rid)
     assert out_w["rid"].tolist() == want_id_w
     assert out_w["lag_us"].tolist() == want_lag_w
+
+
+def test_vocab_topk_matches_bruteforce(ray_session):
+    """Global top-k vocabulary vs a driver-side brute count, including the
+    deterministic (n desc, token asc) tie-break at the cutoff."""
+    import collections
+    import re
+
+    from gtfs_conflation_pipeline_ray.stages.textops import vocab_topk
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i:02d}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 40)))
+             for _ in range(300)]
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(7)
+    got = vocab_topk(ds, k=10).to_pandas()
+    cnt = collections.Counter(w for t in texts
+                              for w in re.findall(r"\w+", t.lower(), re.ASCII))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
