@@ -201,6 +201,19 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
+def _affine_mod_m61(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·x + b) mod (2^61-1) as a (len(a), len(x)) matrix with ONE output
+    allocation and in-place ops — the naive broadcast expression allocates
+    3-4 full-size temporaries, and first-touch page faults on those dominate
+    the minhash hot loop for large batches. Bit-identical to the plain
+    expression (numpy's uint64 ``%`` is exact)."""
+    h = np.empty((len(a), len(x)), dtype=np.uint64)
+    np.multiply(a[:, None], x[None, :], out=h)
+    h += b[:, None]
+    h %= _MERSENNE61
+    return h
+
+
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) parameters for num_perm universal-hash
     permutations h(x) = (a*(x & 0xFFFFFFFF) + b) mod 2^61-1, with a < 2^31 so
@@ -232,7 +245,7 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     if len(hashes) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     x = hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    h = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE61
+    h = _affine_mod_m61(x, a, b)
     return np.min(h, axis=1)
 
 
@@ -247,7 +260,7 @@ def minhash_batch(flat: np.ndarray, offsets: np.ndarray, a: np.ndarray,
     if len(flat) == 0:
         return sigs
     x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    h = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE61
+    h = _affine_mod_m61(x, a, b)
     counts = np.diff(offsets)
     nz = counts > 0
     # flat is doc-contiguous, so reduceat over the non-empty doc starts

@@ -1667,6 +1667,40 @@ FROM nn n LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
 """
 
 
+def q_shape_hausdorff(sf_dir: str):
+    from ..stages import segments
+
+    return segments.shape_hausdorff_halves(_event_shapes(sf_dir))
+
+
+# Symmetric discrete Hausdorff between the two halves of each shape: a plain
+# max-of-min over the integer d² cross matrix — exactly the engine kernel
+# (stages/segments.shape_hausdorff_halves), no float ops anywhere.
+SQL_SHAPE_HAUSDORFF = "WITH " + _SQL_SHAPE_PTS + """,
+d AS (
+  SELECT a.user_id, a.gi AS ga, b.gi AS gb,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a
+  JOIN nn n ON n.user_id = a.user_id
+  JOIN pts b ON b.user_id = a.user_id
+  WHERE n.n >= 4 AND a.gi <= n.n // 2 AND b.gi > n.n // 2
+),
+hab AS (SELECT user_id, MAX(m) AS h
+        FROM (SELECT user_id, ga, MIN(d2) AS m FROM d GROUP BY user_id, ga)
+        GROUP BY user_id),
+hba AS (SELECT user_id, MAX(m) AS h
+        FROM (SELECT user_id, gb, MIN(d2) AS m FROM d GROUP BY user_id, gb)
+        GROUP BY user_id)
+SELECT n.user_id,
+       CAST(COALESCE(a.h, -1) AS BIGINT) AS h_ab_sq,
+       CAST(COALESCE(b.h, -1) AS BIGINT) AS h_ba_sq,
+       CAST(COALESCE(greatest(a.h, b.h), -1) AS BIGINT) AS hausdorff_sq
+FROM nn n
+LEFT JOIN hab a USING (user_id)
+LEFT JOIN hba b USING (user_id)
+"""
+
+
 def q_shape_simplify(sf_dir: str):
     from ..stages import segments
 
@@ -3314,6 +3348,7 @@ QUERIES = {
     "choose_score": q_choose_score,
     "ann_lsh": q_ann_lsh,
     "shape_frechet": q_shape_frechet,
+    "shape_hausdorff": q_shape_hausdorff,
     "shape_simplify": q_shape_simplify,
     "shape_slices": q_shape_slices,
     "shape_snap_stats": q_shape_snap_stats,
@@ -3396,6 +3431,7 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "shape_frechet": SQL_SHAPE_FRECHET,
+    "shape_hausdorff": SQL_SHAPE_HAUSDORFF,
     "shape_simplify": SQL_SHAPE_SIMPLIFY,
     "shape_slices": SQL_SHAPE_SLICES,
     "shape_snap_stats": SQL_SHAPE_SNAP_STATS,

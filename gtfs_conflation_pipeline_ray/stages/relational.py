@@ -153,7 +153,15 @@ def group_concat(ds, keys: list[str], value_col: str, out_col: str, sep: str = "
         s = g.groupby(keys, sort=False, observed=True)[value_col].agg(_concat)
         return s.rename(out_col).reset_index()
 
-    return bucketed_groups(ds, keys, _final, n_buckets=n_buckets, est_rows=est_rows)
+    # distinct mode has a valid combiner (dedup is idempotent): per-batch
+    # (key, value) dedup shrinks a hot key's duplicated values BEFORE the
+    # shuffle — the salting-equivalent for this holistic aggregate. The
+    # non-distinct mode moves every value by definition (output is
+    # group-sized), so there is nothing to combine.
+    _pre = (lambda df: df.drop_duplicates(keys + [value_col])) if distinct else None
+
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)
 
 
 def distinct(ds, cols: list[str], n_buckets: int | None = None, est_rows: int | None = None):

@@ -230,6 +230,35 @@ def shape_frechet_halves(ds):
     return per_shape(ds, _fn)
 
 
+def shape_hausdorff_halves(ds):
+    """(user_id, h_ab_sq, h_ba_sq, hausdorff_sq): directed + symmetric
+    discrete Hausdorff distance (squared, exact int64) between the first and
+    second half of each shape over ALL vertices — no stride pick needed,
+    Hausdorff is a max-of-min computed as one vectorized O(n_a·n_b) distance
+    matrix per shape. ≙ the reference's curve-similarity scoring
+    (``frechet.js:8-35`` computes Fréchet; Hausdorff is its cheap lower
+    bound used as a pre-gate), reformulated integer-exact for the DuckDB
+    oracle."""
+
+    def _fn(uid: int, xy: np.ndarray) -> dict:
+        if len(xy) < 4:
+            neg = np.int64(-1)
+            return {"user_id": uid, "h_ab_sq": neg, "h_ba_sq": neg,
+                    "hausdorff_sq": neg}
+        xyi = xy.astype(np.int64)
+        mid = len(xyi) // 2
+        a, b = xyi[:mid], xyi[mid:]
+        d2 = ((a[:, None, 0] - b[None, :, 0]) ** 2
+              + (a[:, None, 1] - b[None, :, 1]) ** 2)
+        h_ab = int(d2.min(axis=1).max())
+        h_ba = int(d2.min(axis=0).max())
+        return {"user_id": uid, "h_ab_sq": np.int64(h_ab),
+                "h_ba_sq": np.int64(h_ba),
+                "hausdorff_sq": np.int64(max(h_ab, h_ba))}
+
+    return per_shape(ds, _fn)
+
+
 def shape_simplify_stats(ds, tol2: int = 250000):
     """(user_id, n_points, n_simplified, length_c, simplified_length_c) —
     RDP simplification stats (≙ similarity preprocessing, M9/RDP), with the

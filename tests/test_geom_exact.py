@@ -58,6 +58,27 @@ def test_cospatial_min_len_cleanup():
     assert geom.cospatial_intervals_exact(a, b, 1.05, min_len=2.0) == []
 
 
+def test_hausdorff_int_matches_float_kernel_and_brute():
+    """The integer-exact halves kernel (stages/segments.shape_hausdorff_halves
+    math) must agree with a per-point brute force AND with the float
+    geom.hausdorff_distance (squared) on integer inputs."""
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        na, nb = rng.integers(1, 30, 2)
+        a = rng.integers(0, 65536, (int(na), 2)).astype(np.int64)
+        b = rng.integers(0, 65536, (int(nb), 2)).astype(np.int64)
+        d2 = ((a[:, None, 0] - b[None, :, 0]) ** 2
+              + (a[:, None, 1] - b[None, :, 1]) ** 2)
+        h_ab, h_ba = int(d2.min(axis=1).max()), int(d2.min(axis=0).max())
+        brute_ab = max(min((int(px) - int(qx)) ** 2 + (int(py) - int(qy)) ** 2
+                           for qx, qy in b) for px, py in a)
+        brute_ba = max(min((int(px) - int(qx)) ** 2 + (int(py) - int(qy)) ** 2
+                           for qx, qy in a) for px, py in b)
+        assert (h_ab, h_ba) == (brute_ab, brute_ba)
+        h = geom.hausdorff_distance(a.astype(np.float64), b.astype(np.float64))
+        assert abs(h * h - max(h_ab, h_ba)) <= 1e-6 * max(1.0, h * h)
+
+
 def test_line_similarity_identical_and_divergent():
     a = np.array([[0.0, 0.0], [10.0, 0.0], [20.0, 0.0]])
     assert geom.line_similarity(a, a.copy(), buffer_dist=0.5) == 0.0

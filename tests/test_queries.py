@@ -24,6 +24,7 @@ SUBSET = [
     "unit_normalize",         # mixed-unit inference
     "traffic_rollup",         # sequential segments + spatial + rollup
     "ann_topk",               # brute-force cosine top-k
+    "shape_hausdorff",        # integer-exact symmetric Hausdorff halves
 ]
 
 
