@@ -2230,6 +2230,80 @@ def q_doc_minhash_verified(sf_dir: str):  # exact oracle (FNV recomputed in SQL)
     return dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
 
 
+def q_doc_phash_neardup(sf_dir: str):  # exact oracle (pigeonhole-complete bands)
+    """Perceptual-hash Hamming near-dup pairs (``dedup.phash_neardup_pairs``)
+    over a content-derived 64-bit hash. FNV is avalanche (textual near-dups
+    don't yield nearby hashes), so the corpus is augmented map-side with
+    DETERMINISTIC <=2-bit-flipped copies of doc_id < 32 (id + 1,000,000) —
+    the same planted-pair recipe as ``embedding_neardup``. With 4 x 16-bit
+    bands and max_hamming=3, banding recall is pigeonhole-EXACT."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ph(batch: pa.Table) -> pa.Table:
+        from ..functions import text as tx
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = tx.fnv1a64_batch(batch["text"].to_pylist())
+        sel = ids < 32
+        b1 = (ids[sel] % 64).astype(np.uint64)
+        b2 = ((ids[sel] * 31 + 7) % 64).astype(np.uint64)
+        mask = (np.uint64(1) << b1) | (np.uint64(1) << b2)
+        return pa.table({
+            "doc_id": np.concatenate([ids, ids[sel] + 1_000_000]),
+            "phash": np.concatenate([ph, ph[sel] ^ mask]).view(np.int64),
+        })
+
+    return dedup.phash_neardup_pairs(
+        docs.map_batches(_ph, batch_format="pyarrow"))
+
+
+# Engine mirror: FNV-derived 64-bit hash; HUGEINT domain for logical shifts
+# (banding), BIGINT two's complement for xor/bit_count (DuckDB's bit_count on
+# BIGINT counts the raw 64-bit pattern, matching uint64 popcount).
+_SQL_H1 = "(CAST(1 AS HUGEINT) << 63)"
+_SQL_H64 = "(CAST(1 AS HUGEINT) << 64)"
+SQL_DOC_PHASH_NEARDUP = f"""
+WITH raw AS (
+  SELECT doc_id, {_sql_fnv('text')} AS ph FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN ph >= {_SQL_H1} THEN ph - {_SQL_H64} ELSE ph END AS BIGINT) AS pb
+  FROM raw
+),
+aug AS (
+  SELECT doc_id + 1000000 AS doc_id, xor(pb, m.mask) AS pb
+  FROM base,
+  LATERAL (SELECT CAST(doc_id % 64 AS INTEGER) AS b1,
+                  CAST((doc_id * 31 + 7) % 64 AS INTEGER) AS b2) t,
+  LATERAL (SELECT CAST(CASE WHEN mh >= {_SQL_H1} THEN mh - {_SQL_H64} ELSE mh END AS BIGINT) AS mask
+           FROM (SELECT (CAST(1 AS HUGEINT) << t.b1) | (CAST(1 AS HUGEINT) << t.b2) AS mh)) m
+  WHERE doc_id < 32
+),
+p AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
+hu AS (
+  SELECT doc_id, pb,
+         CASE WHEN pb < 0 THEN CAST(pb AS HUGEINT) + {_SQL_H64}
+              ELSE CAST(pb AS HUGEINT) END AS h
+  FROM p
+),
+b AS (
+  SELECT doc_id, pb, v.band_id,
+         CAST((h // (CAST(1 AS HUGEINT) << (v.band_id * 16))) % 65536 AS BIGINT) AS band_key
+  FROM hu, (VALUES (0), (1), (2), (3)) v(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.pb AS pa_, c.pb AS pb_
+  FROM b a
+  JOIN b c ON a.band_id = c.band_id AND a.band_key = c.band_key
+          AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa_, pb_)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa_, pb_)) <= 3
+"""
+
+
 def q_embedding_neardup(sf_dir: str):  # exact oracle (integer bucket + verify)
     """Embedding-cosine near-duplicate pairs (exact-verified LSH buckets;
     see ``ann.cosine_neardup_pairs``). The synthetic embeddings are
@@ -3363,6 +3437,7 @@ QUERIES = {
     "path_linestrings": q_path_linestrings,
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
+    "doc_phash_neardup": q_doc_phash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "value_quantiles": q_value_quantiles,
     "events_asof": q_events_asof,
@@ -3427,6 +3502,7 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_minhash_verified": SQL_DOC_MINHASH_VERIFIED,
+    "doc_phash_neardup": SQL_DOC_PHASH_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
