@@ -2230,6 +2230,68 @@ def q_doc_minhash_verified(sf_dir: str):  # exact oracle (FNV recomputed in SQL)
     return dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
 
 
+def q_events_approx_users(sf_dir: str):  # exact oracle (integer HLL registers)
+    """Approximate distinct users per day-of-week via the HyperLogLog
+    register sketch (``relational.approx_distinct``) — shuffle bounded at
+    groups x 1024 register rows per batch, the 100 TB cardinality path
+    (the exact sibling is ``events_distinct_users``)."""
+    ev = _rp(sf_dir, "events", ["ts", "user_id"])
+
+    def _dow(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"dow": (us // 86400000000) % 7,
+                         "user_id": batch["user_id"]})
+
+    mapped = ev.map_batches(_dow, batch_format="pyarrow", batch_size=65536)
+    return rel.approx_distinct(mapped, ["dow"], "user_id", p=10)
+
+
+_SQL_M64 = "18446744073709551616"
+# splitmix64 of user_id (same mulmod decomposition as the minhash perms CTE),
+# then HLL registers: reg = low 10 bits, rank = 54-bit leading-zero rank,
+# est_x1000 = floor(m^2*1000*2^64 / S) in exact HUGEINT arithmetic.
+SQL_EVENTS_APPROX_USERS = f"""
+WITH h AS (
+  SELECT dow, xor(z2, z2 >> 31) AS hh
+  FROM (
+    SELECT dow,
+           ((xor(z1, z1 >> 27) * 321982955) % {_SQL_M64}
+            + ((xor(z1, z1 >> 27) * 2496678331) % 4294967296) * 4294967296)
+             % {_SQL_M64} AS z2
+    FROM (
+      SELECT dow,
+             ((xor(z0, z0 >> 30) * 484763065) % {_SQL_M64}
+              + ((xor(z0, z0 >> 30) * 3210233709) % 4294967296) * 4294967296)
+               % {_SQL_M64} AS z1
+      FROM (
+        SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow,
+               (CAST(user_id AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT))
+                 % {_SQL_M64} AS z0
+        FROM events
+      )
+    )
+  )
+),
+regs AS (
+  SELECT dow, CAST(hh % 1024 AS BIGINT) AS reg,
+         MAX(CASE WHEN hh // 1024 = 0 THEN 55
+                  ELSE 55 - length(format('{{:b}}', CAST(hh // 1024 AS BIGINT)))
+             END) AS mrank
+  FROM h GROUP BY dow, reg
+),
+agg AS (
+  SELECT dow, COUNT(*) AS n_regs,
+         SUM(CAST(1 AS HUGEINT) << (64 - mrank)) AS s_present
+  FROM regs GROUP BY dow
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n_regs AS BIGINT) AS n_regs,
+       CAST((CAST(1048576000 AS HUGEINT) << 64)
+            // ((CAST(1024 - n_regs AS HUGEINT) << 64) + s_present) AS BIGINT)
+         AS est_x1000
+FROM agg
+"""
+
+
 def q_doc_phash_neardup(sf_dir: str):  # exact oracle (pigeonhole-complete bands)
     """Perceptual-hash Hamming near-dup pairs (``dedup.phash_neardup_pairs``)
     over a content-derived 64-bit hash. FNV is avalanche (textual near-dups
@@ -3438,6 +3500,7 @@ QUERIES = {
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
     "doc_phash_neardup": q_doc_phash_neardup,
+    "events_approx_users": q_events_approx_users,
     "embedding_neardup": q_embedding_neardup,
     "value_quantiles": q_value_quantiles,
     "events_asof": q_events_asof,
@@ -3503,6 +3566,7 @@ ORACLE_SQL = {
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_minhash_verified": SQL_DOC_MINHASH_VERIFIED,
     "doc_phash_neardup": SQL_DOC_PHASH_NEARDUP,
+    "events_approx_users": SQL_EVENTS_APPROX_USERS,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

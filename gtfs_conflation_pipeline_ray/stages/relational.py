@@ -231,6 +231,81 @@ def anti_join_keys(ds, key_col: str, exclude_ref):
                           concurrency=pool_size(2))
 
 
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values, vectorized (binary-search shifts;
+    no float log2, whose 53-bit mantissa misrounds near high powers of 2)."""
+    r = np.zeros(w.shape, dtype=np.int64)
+    x = w.astype(np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        hit = x >= (np.uint64(1) << np.uint64(s))
+        r[hit] += s
+        x = np.where(hit, x >> np.uint64(s), x)
+    r[x > 0] += 1
+    return r
+
+
+def approx_distinct(ds, keys: list[str], value_col: str, p: int = 10,
+                    n_buckets: int | None = None, est_rows: int | None = None):
+    """Distributed approximate-distinct-count sketch (HyperLogLog registers)
+    — the cardinality analog of ``binned_quantiles``: the shuffle moves at
+    most ``groups x 2^p`` pre-combined register rows per batch regardless of
+    input size (an exact global distinct needs a full key shuffle; see
+    ``distinct``). 100 TB path for "how many unique users/urls per key".
+
+    Every decision is integer-exact and therefore SQL-mirrorable: values
+    hash through the closed-form ``splitmix64`` (same mulmod decomposition
+    the minhash oracle uses), register = low ``p`` bits, rank = leading-zero
+    rank of the remaining 64-p bits (exact bit-length, no float log), and
+    the returned estimate is the raw harmonic mean scaled to x1000 with the
+    division done in exact big-int arithmetic:
+
+        est_x1000 = floor(m^2 * 1000 * 2^64 / sum_j 2^(64 - M_j))
+
+    (empty registers contribute 2^64). Alpha/bias/linear-counting correction
+    is left to the caller — ``n_regs`` (occupied registers) is returned so a
+    consumer can apply linear counting in the small-cardinality regime; the
+    pytest applies the standard corrections and checks accuracy vs truth."""
+    from ..functions import text as tx
+
+    m = 1 << p
+    wbits = 64 - p
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.ascontiguousarray(
+            df[value_col].to_numpy().astype(np.int64)).view(np.uint64)
+        h = tx.splitmix64(v)
+        reg = (h & np.uint64(m - 1)).astype(np.int64)
+        w = h >> np.uint64(p)
+        rank = np.int64(wbits) - _bitlen_u64(w) + np.int64(1)
+        d = df[keys].assign(_reg=reg, _rank=rank)
+        return d.groupby(keys + ["_reg"], as_index=False, sort=False,
+                         observed=True)["_rank"].max()
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(keys + ["_reg"], as_index=False, sort=False,
+                      observed=True)["_rank"].max()
+        h = h.sort_values(keys + ["_reg"], kind="mergesort")
+        ranks = h["_rank"].to_numpy()
+        kv = h[keys].to_numpy()
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = (kv[1:] != kv[:-1]).any(axis=1)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(h))
+        rows = []
+        num = (m * m * 1000) << 64  # exact big-int numerator
+        for s, e in zip(starts, ends):
+            n_regs = int(e - s)
+            S = (m - n_regs) << 64
+            for r in ranks[s:e]:
+                S += 1 << (64 - int(r))
+            rows.append(tuple(h.iloc[s][keys]) + (n_regs, num // S))
+        return pd.DataFrame(rows, columns=keys + ["n_regs", "est_x1000"]) \
+            .astype({"n_regs": np.int64, "est_x1000": np.int64})
+
+    return bucketed_groups(ds, keys, _final, pre_fn=_pre, n_buckets=n_buckets,
+                           est_rows=est_rows)
+
+
 def binned_quantiles(ds, keys: list[str], value_col: str, vmax: int,
                      n_bins: int = 4096,
                      qs: tuple = ((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)),
