@@ -30,7 +30,7 @@ def read_points(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
     )
-    return ds.map_batches(td.points_batch, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(td.points_batch, batch_format="pyarrow", batch_size=8192)
 
 
 def tiles_ref(sf_dir: str):

@@ -124,7 +124,7 @@ def sharded_candidate_join(points, shard_refs: list, x_col: str, y_col: str,
             return pa.table(empty)
         return pa.concat_tables(parts)
 
-    return points.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+    return points.map_batches(_probe, batch_format="pyarrow", batch_size=8192)
 
 
 def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
@@ -148,7 +148,7 @@ def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[s
         cols["level"] = st.level[ti]
         return pa.table(cols)
 
-    return points.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+    return points.map_batches(_probe, batch_format="pyarrow", batch_size=8192)
 
 
 def best_tile_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
@@ -199,7 +199,10 @@ def best_tile_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[s
         cols["match_round"] = rounds
         return pa.table(cols)
 
-    return points.map_batches(_best, batch_format="pyarrow", batch_size=32768)
+    # batch_size 8192: <= one read block at bench scale (so tasks = blocks and
+    # all cores engage); at production block sizes this only sets UDF call
+    # granularity inside a task, not task parallelism
+    return points.map_batches(_best, batch_format="pyarrow", batch_size=8192)
 
 
 def knn_join(points, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str],
@@ -242,7 +245,7 @@ def assign_cells(points, x_col: str, y_col: str, levels: list[int], world: int =
             {"level_size": lsz, "cell_x": pxr // lsz, "cell_y": pyr // lsz}
         )
 
-    return points.map_batches(_assign, batch_format="pyarrow", batch_size=65536)
+    return points.map_batches(_assign, batch_format="pyarrow", batch_size=8192)
 
 
 def tile_overlap_pairs(tiles_ds, tiles_ref, concurrency=None):
