@@ -93,7 +93,7 @@ GROUP BY t.tile_id
 
 def q_knn_tiles(sf_dir: str):
     cust = _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
-        td.cpoints_batch, batch_format="pyarrow", batch_size=65536
+        td.cpoints_batch, batch_format="pyarrow", batch_size=8192
     )
     ref = conflation.tiles_ref(sf_dir)
     out = spatial.knn_join(cust, ref, 3, "cx", "cy", ["c_custkey"])
@@ -187,7 +187,7 @@ def q_cell_point_counts(sf_dir: str):
             }
         )
 
-    cells = pts.map_batches(_cell, batch_format="pyarrow", batch_size=65536)
+    cells = pts.map_batches(_cell, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(cells, ["cell_id"], [], count_as="n_points")
 
 
@@ -221,7 +221,7 @@ def q_pricing_summary(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(
         d, ["l_returnflag", "l_linestatus"], ["sum_qty_c", "sum_base_c", "sum_disc_c"],
         count_as="n_rows",
@@ -248,7 +248,7 @@ def _revenue_per_order(sf_dir: str):
             {"l_orderkey": batch["l_orderkey"], "revenue_c": cents(price * (1.0 - disc))}
         )
 
-    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(d, ["l_orderkey"], ["revenue_c"],
                                    est_rows=_nrows(sf_dir, "lineitem"))
 
@@ -311,7 +311,7 @@ def q_order_line_counts(sf_dir: str):
         n = pc.fill_null(batch["n_lines"], 0)
         return pa.table({"o_orderkey": batch["o_orderkey"], "n_lines": pc.cast(n, pa.int64())})
 
-    return joined.map_batches(_fill, batch_format="pyarrow", batch_size=65536)
+    return joined.map_batches(_fill, batch_format="pyarrow", batch_size=8192)
 
 
 SQL_ORDER_LINE_COUNTS = """
@@ -419,7 +419,7 @@ def q_supplier_top_line(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_rev, batch_format="pyarrow", batch_size=8192)
     return rel.group_topk(
         d,
         ["l_suppkey"],
@@ -498,7 +498,7 @@ def q_weighted_avg_price(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
     agg = rel.partial_groupby_sum(d, ["l_returnflag"], ["disc_c", "qty_c"], count_as="n_rows")
 
     def _ratio(batch: pa.Table) -> pa.Table:
@@ -539,7 +539,7 @@ def q_season_bucket(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
     agg = rel.partial_groupby_sum(d, ["l_returnflag", "season"], ["qty_c"])
     return agg.map_batches(
         lambda t: t.rename_columns(["l_returnflag", "season", "sum_qty_c"]),
@@ -565,7 +565,7 @@ def q_feed_extent(sf_dir: str):
         v = batch["l_shipdate"].cast(pa.int64())
         return pa.table({"sd": v})
 
-    d = li.map_batches(_i64, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_i64, batch_format="pyarrow", batch_size=8192)
     res = d.aggregate(Min("sd"), Max("sd"), Count(alias_name="n_lines"))
     fmt = lambda us: str(np.datetime64(int(us), "us").astype("datetime64[D]"))
     return pa.table(
@@ -622,7 +622,7 @@ def q_date_order_counts(sf_dir: str):
     def _i64(batch: pa.Table) -> pa.Table:
         return pa.table({"od": pc.floor_temporal(batch["o_orderdate"], unit="day").cast(pa.int64())})
 
-    d = orders.map_batches(_i64, batch_format="pyarrow", batch_size=65536)
+    d = orders.map_batches(_i64, batch_format="pyarrow", batch_size=8192)
     m = d.aggregate(Min("od"))["min(od)"]
     day_us = 86400 * 1_000_000
     in_window = d.filter(expr=f"od >= {m} and od < {m + 30 * day_us}")
@@ -700,7 +700,7 @@ def q_event_props_parse(sf_dir: str):
             {"event_type": batch["event_type"], "k_bucket": ks // 10, "k": ks}
         )
 
-    d = ev.map_batches(_parse, batch_format="pyarrow", batch_size=65536)
+    d = ev.map_batches(_parse, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(d, ["event_type", "k_bucket"], ["k"], count_as="n")
 
 
@@ -1225,7 +1225,7 @@ def q_value_distribution(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_qc, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_qc, batch_format="pyarrow", batch_size=8192)
     # combiner-first plan: the per-order qty totals pre-aggregate (tiny
     # shuffle), then join back and compute shares MAP-SIDE — the raw fact
     # rows never enter a whole-group shuffle (the round-1 grouped_agg moved
@@ -1251,7 +1251,7 @@ def q_value_distribution(sf_dir: str):
             }
         )
 
-    return j2.map_batches(_share, batch_format="pyarrow", batch_size=65536)
+    return j2.map_batches(_share, batch_format="pyarrow", batch_size=8192)
 
 
 SQL_VALUE_DISTRIBUTION = """
@@ -1281,7 +1281,7 @@ def q_value_quantiles(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_prep, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
     return rel.binned_quantiles(d, ["l_returnflag", "l_linestatus"], "price_c",
                                 vmax=11_000_000, est_rows=_nrows(sf_dir, "lineitem"))
 
@@ -1324,7 +1324,7 @@ def q_season_pivot(sf_dir: str):
             cols[name] = np.where(np.isin(month, months), qc, 0)
         return pa.table(cols)
 
-    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(d, ["l_returnflag"], ["win_c", "spr_c", "sum_c", "fal_c"])
 
 
@@ -1364,7 +1364,7 @@ def q_season_pivot_json(sf_dir: str):
             }
         )
 
-    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    d = li.map_batches(_derive, batch_format="pyarrow", batch_size=8192)
     agg = rel.partial_groupby_sum(d, ["l_returnflag", "season"], ["qty_c"])
 
     def _to_json(g: pd.DataFrame) -> pd.DataFrame:
@@ -1474,7 +1474,7 @@ def _event_shapes(sf_dir: str):
 
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
     return ev.map_batches(segments.event_points_batch, batch_format="pyarrow",
-                          batch_size=65536)
+                          batch_size=8192)
 
 
 def q_shape_stats(sf_dir: str):
@@ -2091,7 +2091,7 @@ def q_order_dow_counts(sf_dir: str):
         us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({"dow": ((us // 86400000000) + 4) % 7})
 
-    d = orders.map_batches(_dow, batch_format="pyarrow", batch_size=65536)
+    d = orders.map_batches(_dow, batch_format="pyarrow", batch_size=8192)
     return rel.partial_groupby_sum(d, ["dow"], [], count_as="n_orders")
 
 
@@ -2242,7 +2242,7 @@ def q_events_approx_users(sf_dir: str):  # exact oracle (integer HLL registers)
         return pa.table({"dow": (us // 86400000000) % 7,
                          "user_id": batch["user_id"]})
 
-    mapped = ev.map_batches(_dow, batch_format="pyarrow", batch_size=65536)
+    mapped = ev.map_batches(_dow, batch_format="pyarrow", batch_size=8192)
     return rel.approx_distinct(mapped, ["dow"], "user_id", p=10)
 
 
@@ -2612,7 +2612,7 @@ def q_choose_path(sf_dir: str):
             }
         )
 
-    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=8192)
     return viterbi_choose(segs, conflation.tiles_ref(sf_dir), "user_id", "seq", "ex", "ey")
 
 
@@ -2648,7 +2648,7 @@ def q_choose_score(sf_dir: str):
             }
         )
 
-    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=8192)
     return choose_and_score(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
                             "ex", "ey")
 
@@ -2709,7 +2709,7 @@ def q_choose_path_topk(sf_dir: str):  # exact oracle (struct-list k-best DP)
             }
         )
 
-    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=65536)
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=8192)
     return viterbi_choose_topk(segs, conflation.tiles_ref(sf_dir), "user_id",
                                "seq", "ex", "ey", k=3)
 
@@ -2886,7 +2886,7 @@ def _event_shapes_typed(sf_dir: str):
             }
         )
 
-    return ev.map_batches(_pts, batch_format="pyarrow", batch_size=65536)
+    return ev.map_batches(_pts, batch_format="pyarrow", batch_size=8192)
 
 
 def q_trip_traversals(sf_dir: str):
@@ -3350,7 +3350,7 @@ def q_time_parse(sf_dir: str):
         sec = flat[0::3] * 3600 + flat[1::3] * 60 + flat[2::3]
         return pa.table({"event_id": eid, "time_str": tstr, "sec": sec})
 
-    return ev.map_batches(_mk, batch_format="pyarrow", batch_size=65536)
+    return ev.map_batches(_mk, batch_format="pyarrow", batch_size=8192)
 
 
 SQL_TIME_PARSE = """

@@ -78,7 +78,7 @@ def bucketed_groups(ds, keys: list[str], final_fn, pre_fn=None, n_buckets: int |
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return final_fn(g.drop(columns=["_b"]))
 
-    staged = ds.map_batches(_pre, batch_format="pandas", batch_size=65536)
+    staged = ds.map_batches(_pre, batch_format="pandas", batch_size=8192)
     return staged.groupby("_b").map_groups(_final, batch_format="pandas")
 
 
@@ -205,7 +205,7 @@ def broadcast_lookup(ds, small_ref, on: str, mapping: dict[str, str]):
                 how="inner",
             )
 
-    return ds.map_batches(_Lookup, batch_format="pandas", batch_size=65536,
+    return ds.map_batches(_Lookup, batch_format="pandas", batch_size=8192,
                           concurrency=pool_size(2))
 
 
@@ -227,7 +227,7 @@ def anti_join_keys(ds, key_col: str, exclude_ref):
             hit = self.keys[idx] == v
             return batch.filter(pa.array(~hit))
 
-    return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=65536,
+    return ds.map_batches(_Anti, batch_format="pyarrow", batch_size=8192,
                           concurrency=pool_size(2))
 
 
@@ -381,4 +381,4 @@ def hash_sample(ds, id_col: str, default_permille: int,
                 rate[sv == k] = r
         return batch.filter(pa.array(h.astype(np.int64) < rate))
 
-    return ds.map_batches(_mask, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(_mask, batch_format="pyarrow", batch_size=8192)

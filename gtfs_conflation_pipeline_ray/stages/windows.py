@@ -61,7 +61,7 @@ def tumbling_window(ds, ts_col: str, out_ts_col: str = "hour_ts"):
         h = pc.strftime(pc.floor_temporal(batch[ts_col], unit="hour"), format="%Y-%m-%d %H:00:00")
         return batch.append_column(out_ts_col, h)
 
-    return ds.map_batches(_floor, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(_floor, batch_format="pyarrow", batch_size=8192)
 
 
 def hopping_window(ds, ts_col: str, size_s: int = 3600, hop_s: int = 1800,
@@ -86,7 +86,7 @@ def hopping_window(ds, ts_col: str, size_s: int = 3600, hop_s: int = 1800,
         cols[out_col] = m * hop_s
         return pa.table(cols)
 
-    return ds.map_batches(_hop, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(_hop, batch_format="pyarrow", batch_size=8192)
 
 
 class _WindowState:
