@@ -193,9 +193,30 @@ def shard_partitions(images_dir: str, n_partitions: int) -> list[tuple[str, list
     ]
 
 
+def neardup_images(images_dir: str, max_hamming: int = 3,
+                   band_member_cap: int = 4096):
+    """phash Hamming near-duplicate image pairs — the dedup-before-training
+    stage a 10^12-image corpus runs first. Column-pruned read of
+    (image_id, phash) only (bytes never leave storage); the band shuffle
+    moves 4 small rows per image (see ``dedup.phash_neardup_pairs``; with
+    max_hamming=3 banding recall is pigeonhole-exact UNLESS a band bucket
+    exceeds ``band_member_cap``). This corpus's Morton-derived phash only
+    occupies the low 32 bits, so the two upper bands are degenerate (one
+    bucket holding everything) — the cap bounds that bucket's quadratic
+    verify and every capped drop is logged; a well-distributed perceptual
+    hash never concentrates a 16-bit band like this."""
+    from ..stages.dedup import phash_neardup_pairs
+
+    src = ray.data.read_parquet(images_dir, columns=["image_id", "phash"])
+    return phash_neardup_pairs(src, phash_col="phash", id_col="image_id",
+                               max_hamming=max_hamming,
+                               band_member_cap=band_member_cap)
+
+
 def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
                  n_partitions: int = 8, concurrency: int | None = None,
-                 validate: bool = False, partition_by: str = "shard") -> dict:
+                 validate: bool = False, partition_by: str = "shard",
+                 neardup: bool = False) -> dict:
     """Checkpointed end-to-end run: per partition, write ``matches/part-K``
     (all candidate pairs + best flags); then global tile_stats + cell_stats
     from the committed partitions. Returns metrics.
@@ -297,6 +318,15 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
         "partitions": [(r.key, r.rows, r.skipped) for r in results],
         "match_rows": sum(r.rows for r in results),
     }
+    if neardup:
+        # near-dup pair report (dedup-before-processing stage)
+        neardup_images(images_dir).write_parquet(f"{out_dir}/neardup_pairs")
+        import glob as _glob
+
+        metrics["neardup_pairs"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(f"{out_dir}/neardup_pairs/*.parquet")
+        )
     if validate:
         # payload validation pass (the per-row invariant: decode + dims +
         # lossy round-trip >= 40dB) — quarantined failures land in errors/

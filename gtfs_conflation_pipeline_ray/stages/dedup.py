@@ -271,7 +271,9 @@ def phash_neardup_pairs(ds, phash_col: str = "phash", id_col: str = "doc_id",
         ph = np.ascontiguousarray(
             batch[phash_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ).view(np.uint64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if ids.dtype.kind in "iu":  # string ids (image_id) pass through
+            ids = ids.astype(np.int64)
         band_id = np.repeat(np.arange(bands, dtype=np.int64), n)
         keys = np.concatenate([
             ((ph >> np.uint64(b * band_bits)) & bmask).view(np.int64)
@@ -291,7 +293,9 @@ def phash_neardup_pairs(ds, phash_col: str = "phash", id_col: str = "doc_id",
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["band_id", "band_key", id_col], kind="mergesort")
         bk = d[["band_id", "band_key"]].to_numpy()
-        ids = d[id_col].to_numpy().astype(np.int64)
+        ids = d[id_col].to_numpy()
+        if ids.dtype.kind in "iu":
+            ids = ids.astype(np.int64)
         ph = d[phash_col].to_numpy().astype(np.int64).view(np.uint64)
         new = np.ones(len(d), dtype=bool)
         new[1:] = (bk[1:] != bk[:-1]).any(axis=1)
@@ -319,9 +323,12 @@ def phash_neardup_pairs(ds, phash_col: str = "phash", id_col: str = "doc_id",
                 n_dropped, band_member_cap,
             )
         if not a_out:
-            return pd.DataFrame({"doc_a": np.array([], np.int64),
-                                 "doc_b": np.array([], np.int64),
-                                 "hamming": np.array([], np.int64)})
+            # typed empty frame: a bare object-dtype empty column loses the
+            # schema when every block is empty (Ray can't size/unify it)
+            id_dtype = "string" if ids.dtype.kind in "OU" else ids.dtype
+            return pd.DataFrame({"doc_a": pd.Series(dtype=id_dtype),
+                                 "doc_b": pd.Series(dtype=id_dtype),
+                                 "hamming": pd.Series(dtype=np.int64)})
         return pd.DataFrame({"doc_a": np.concatenate(a_out),
                              "doc_b": np.concatenate(b_out),
                              "hamming": np.concatenate(h_out)})

@@ -51,3 +51,62 @@ def test_phash_neardup_pigeonhole_exact(ray_session):
     exp = _brute_pairs(ids, ph, 3)
     assert got == exp
     assert len(exp) >= 30  # the planted copies are actually in the answer
+
+
+def test_neardup_images_matches_brute_force(ray_session, fixture_dir, tmp_path):
+    """Pipeline wrapper over the image fixture (string image_id, real phash
+    column, column-pruned read): band-candidate + verify == brute force.
+    The raw fixture has no pairs within hamming 3 (Morton codes of random
+    coords), so plant bit-flipped copies of the first rows first."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gtfs_conflation_pipeline_ray.pipelines.image_conflation import neardup_images
+
+    images = str(tmp_path / "images")
+    shutil.copytree(f"{fixture_dir}/images", images)
+    base = pq.read_table(images).slice(0, 12)
+    ph = base["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    flips = np.array([(np.uint64(1) << np.uint64((3 * k) % 32))
+                      | (np.uint64(1) << np.uint64((5 * k + 7) % 32))
+                      for k in range(12)], dtype=np.uint64)
+    planted = base.set_column(
+        base.schema.get_field_index("phash"), "phash",
+        pa.array((ph ^ flips).view(np.int64)))
+    planted = planted.set_column(
+        base.schema.get_field_index("image_id"), "image_id",
+        pa.array([f"dup-{i:04d}" for i in range(12)]))
+    pq.write_table(planted, f"{images}/part-dups.parquet")
+
+    t = pq.read_table(images, columns=["image_id", "phash"])
+    ids = np.asarray(t["image_id"].to_pylist())
+    ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    x = ph[:, None] ^ ph[None, :]
+    ham = popcount64(x.ravel()).reshape(x.shape)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ok = ham[ii, jj] <= 3
+    exp = set()
+    for i, j, h in zip(ii[ok], jj[ok], ham[ii[ok], jj[ok]]):
+        a, b = sorted((ids[i], ids[j]))
+        exp.add((a, b, int(h)))
+    assert len(exp) >= 12  # the planted copies qualify
+
+    out = neardup_images(images).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"], out["hamming"].astype(int)))
+    assert got == exp
+
+
+def test_pipeline_neardup_stage(ray_session, fixture_dir, tmp_path):
+    """run_pipeline(neardup=True) writes the pair report + metric."""
+    import glob
+
+    from gtfs_conflation_pipeline_ray.pipelines import image_conflation as ic
+
+    out = str(tmp_path / "out")
+    m = ic.run_pipeline(f"{fixture_dir}/images", f"{fixture_dir}/ref_tiles.parquet",
+                        out, n_partitions=2, neardup=True)
+    assert m["neardup_pairs"] == 0  # raw fixture has no pairs within h<=3
+    # a 0-pair report writes no files; the metric still records the stage ran
+    assert glob.glob(f"{out}/matches/part-*")
