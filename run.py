@@ -81,13 +81,15 @@ def cmd_image_pipeline(args) -> int:
     t0 = time.time()
     metrics = run_pipeline(args.images, args.tiles, args.out,
                            n_partitions=args.partitions, validate=args.validate,
-                           partition_by=args.partition_by)
+                           partition_by=args.partition_by, neardup=args.neardup)
     out = {"match_rows": metrics.get("match_rows"),
            "partitions": len(metrics.get("partitions", [])),
            "skipped": sum(1 for _, _, sk in metrics.get("partitions", []) if sk),
            "sec": round(time.time() - t0, 3)}
     if "invalid_rows" in metrics:
         out["invalid_rows"] = metrics["invalid_rows"]
+    if "neardup_pairs" in metrics:
+        out["neardup_pairs"] = metrics["neardup_pairs"]
     print(json.dumps(out))
     return 0
 
@@ -107,6 +109,8 @@ def main(argv=None) -> int:
     ip.add_argument("--partitions", type=int, default=8)
     ip.add_argument("--validate", action="store_true")
     ip.add_argument("--partition-by", choices=["shard", "phash"], default="shard")
+    ip.add_argument("--neardup", action="store_true",
+                    help="also emit the phash Hamming near-dup pair report")
     args = p.parse_args(argv)
     return {"list": cmd_list, "query": cmd_query, "image-pipeline": cmd_image_pipeline}[args.cmd](args)
 

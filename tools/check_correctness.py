@@ -61,6 +61,9 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     return problems
 
 
+_sql_cache: dict = {}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -97,7 +100,12 @@ def main():
             n_ok += 1
             continue
         try:
-            sql_df = con.execute(oracles[name]).df()
+            # memoize by SQL text: shared oracles (e.g. the sharded join
+            # variant reuses the unsharded join's SQL) run once per gate
+            key = oracles[name]
+            if key not in _sql_cache:
+                _sql_cache[key] = con.execute(key).df()
+            sql_df = _sql_cache[key]
         except Exception as ex:
             print(f"FAIL {name}: sql error: {ex}")
             n_bad += 1
