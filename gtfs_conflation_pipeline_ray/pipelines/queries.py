@@ -3459,7 +3459,6 @@ QUERIES = {
     "value_distribution": q_value_distribution,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
-    "row_parity_counts": q_row_parity_counts,
     "unit_normalize": q_unit_normalize,
     "redundant_candidates": q_redundant_candidates,
     "order_dow_counts": q_order_dow_counts,
@@ -3470,11 +3469,14 @@ QUERIES = {
     "trip_seg_traffic": q_trip_seg_traffic,
     "season_pivot_json": q_season_pivot_json,
     "doc_containment": q_doc_containment,
-    "time_parse": q_time_parse,
     "doc_langid": q_doc_langid,
     "events_hopping": q_events_hopping,
+    "doc_phash_neardup": q_doc_phash_neardup,
+    "events_approx_users": q_events_approx_users,
     # --- driver window ends here (first 50 entries); every entry below is
     # still oracle- or rows-checked by the LOCAL gate at two scales ---
+    "time_parse": q_time_parse,
+    "row_parity_counts": q_row_parity_counts,
     "season_bucket": q_season_bucket,
     "season_pivot": q_season_pivot,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3499,8 +3501,6 @@ QUERIES = {
     "path_linestrings": q_path_linestrings,
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
-    "doc_phash_neardup": q_doc_phash_neardup,
-    "events_approx_users": q_events_approx_users,
     "embedding_neardup": q_embedding_neardup,
     "value_quantiles": q_value_quantiles,
     "events_asof": q_events_asof,
