@@ -105,8 +105,8 @@ def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int 
         )
 
     ds = read_images_meta(images_dir, phash_range)
-    ds = ds.map_batches(decode_cells_batch, batch_format="pyarrow", batch_size=65536)
-    return ds.map_batches(_match, batch_format="pyarrow", batch_size=65536)
+    ds = ds.map_batches(decode_cells_batch, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(_match, batch_format="pyarrow", batch_size=8192)
 
 
 class _Validator:
