@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.numeric import cents
 from ..sources import testdata as td
-from ..stages import ann, dedup, relational as rel, spatial, textops, windows
+from ..stages import ann, dedup, media as mstage, relational as rel, spatial, textops, windows
 from . import conflation
 
 # ---------------------------------------------------------------------------
@@ -3416,6 +3416,119 @@ SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
 
 
 # ---------------------------------------------------------------------------
+# multimodal audio / video stages (stages/media.py) with closed-form oracles
+# ---------------------------------------------------------------------------
+
+def q_audio_decode_features(sf_dir: str):
+    """Multimodal audio decode + feature extraction (``stages/media.py``):
+    square-wave clips synthesized map-side from doc_id, encoded as REAL
+    RIFF/WAVE PCM16 bytes, then decoded back by the actor-pool
+    ``AudioFeaturizer``. Every emitted feature is exact int64 arithmetic over
+    the DECODED samples, so the oracle is the closed form of the synthesis —
+    any encode/decode/plumbing defect breaks the hash. ≙ the per-row payload
+    invariant of BASELINE.json applied to the audio modality."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            sr = 8000 + (i % 3) * 4000
+            n = 1000 + (i * 101) % 4000
+            amp = 1000 + (i * 37) % 20000
+            p = 2 + i % 14
+            t = np.arange(n, dtype=np.int64)
+            s = np.where((t // p) % 2 == 0, amp, -amp).astype(np.int16)
+            blobs.append(M.encode_wav(s, int(sr)))
+        return pa.table(
+            {
+                "audio_id": ids,
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "fmt": pa.array(["wav"] * len(ids), type=pa.string()),
+            }
+        )
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    feats = mstage.audio_features(synth, batch_size=512)
+    return feats.select_columns(
+        ["audio_id", "sr", "n_samples", "peak", "sum_sq", "n_zero_cross"]
+    )
+
+
+# square wave ±amp, half-period p, n samples: peak = amp, sum_sq = n*amp²,
+# sign flips exactly at sample indices t ≡ 0 (mod p), t ∈ [1, n-1].
+SQL_AUDIO_DECODE_FEATURES = """
+SELECT doc_id AS audio_id,
+       8000 + (doc_id % 3) * 4000 AS sr,
+       1000 + (doc_id * 101) % 4000 AS n_samples,
+       1000 + (doc_id * 37) % 20000 AS peak,
+       (1000 + (doc_id * 101) % 4000)
+         * (1000 + (doc_id * 37) % 20000)
+         * (1000 + (doc_id * 37) % 20000) AS sum_sq,
+       (999 + (doc_id * 101) % 4000) // (2 + doc_id % 14) AS n_zero_cross
+FROM documents
+"""
+
+
+def q_video_frame_means(sf_dir: str):
+    """Multimodal video frame-sampling (``stages/media.py``): seekable QVID
+    clips synthesized map-side from doc_id (frame f = solid color + red
+    horizontal gradient, both closed-form in (id, f)), then the actor-pool
+    ``FrameSampler`` reads the container header, picks every 3rd frame, and
+    decodes ONLY those frames via the seek index. Per-channel int64 pixel
+    sums over the DECODED frames mirror the synthesis closed form in SQL."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            nf, w, h = int(4 + i % 28), int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+            for f in range(nf):
+                frames[f, :, :, 0] = np.uint8((i * 7 + f * 13) % 200) + grad[None, :]
+                frames[f, :, :, 1] = (i * 11 + f * 5) % 200
+                frames[f, :, :, 2] = (i * 3 + f * 17) % 200
+            blobs.append(M.encode_video(frames, fps=24))
+        return pa.table(
+            {"video_id": ids, "bytes": pa.array(blobs, type=pa.binary())}
+        )
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=256)
+    frames = mstage.sample_frames(synth, every_n=3, with_ahash=False,
+                                  batch_size=256)
+    return frames.select_columns(
+        ["video_id", "frame_idx", "sum_r", "sum_g", "sum_b"]
+    )
+
+
+# gradient row sum S(w) = Σ_j (j*55)//(w-1) per fixture width (16/24/32/40)
+SQL_VIDEO_FRAME_MEANS = """
+WITH v AS (
+  SELECT doc_id AS video_id,
+         4 + doc_id % 28 AS n_frames,
+         16 + (doc_id % 4) * 8 AS w,
+         12 + (doc_id % 3) * 6 AS h
+  FROM documents
+), vf AS (
+  SELECT video_id, w, h, unnest(range(0, n_frames, 3)) AS frame_idx FROM v
+)
+SELECT video_id, frame_idx,
+       h * (w * ((video_id * 7 + frame_idx * 13) % 200)
+            + CASE w WHEN 16 THEN 435 WHEN 24 THEN 649
+                     WHEN 32 THEN 865 ELSE 1081 END) AS sum_r,
+       w * h * ((video_id * 11 + frame_idx * 5) % 200) AS sum_g,
+       w * h * ((video_id * 3 + frame_idx * 17) % 200) AS sum_b
+FROM vf
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3444,10 +3557,8 @@ QUERIES = {
     "weighted_avg_price": q_weighted_avg_price,
     "feed_extent": q_feed_extent,
     "order_lines_concat": q_order_lines_concat,
-    "order_suppliers_concat": q_order_suppliers_concat,
     "date_order_counts": q_date_order_counts,
     "events_sessionize": q_events_sessionize,
-    "events_tumbling": q_events_tumbling,
     "events_distinct_users": q_events_distinct_users,
     "event_props_parse": q_event_props_parse,
     "doc_token_stats": q_doc_token_stats,
@@ -3473,8 +3584,12 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "doc_phash_neardup": q_doc_phash_neardup,
     "events_approx_users": q_events_approx_users,
+    "audio_decode_features": q_audio_decode_features,
+    "video_frame_means": q_video_frame_means,
     # --- driver window ends here (first 50 entries); every entry below is
     # still oracle- or rows-checked by the LOCAL gate at two scales ---
+    "order_suppliers_concat": q_order_suppliers_concat,
+    "events_tumbling": q_events_tumbling,
     "time_parse": q_time_parse,
     "row_parity_counts": q_row_parity_counts,
     "season_bucket": q_season_bucket,
@@ -3589,6 +3704,8 @@ ORACLE_SQL = {
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_vocab": SQL_DOC_VOCAB,
+    "audio_decode_features": SQL_AUDIO_DECODE_FEATURES,
+    "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

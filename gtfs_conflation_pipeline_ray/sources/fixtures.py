@@ -140,6 +140,90 @@ def ref_tiles_table(n_tiles: int, seed: int = SEED) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal fixtures: audio + video tables (deterministic, per-row seeded)
+# ---------------------------------------------------------------------------
+
+_AUDIO_FMTS = ["wav", "wav", "qaud"]  # mostly-real WAV, 1/3 stub-compressed
+_AUDIO_SRS = [8000, 16000, 44100]
+
+
+def audio_table(n: int, seed: int = SEED) -> pa.Table:
+    """(audio_id:int64, bytes:binary, sr:int32, n_samples:int32, fmt:string,
+    transcript:string) — square-wave clips; every per-row value depends only
+    on (row index, seed) so sharded generation is order-independent."""
+    from ..functions import media
+
+    ids = np.arange(n, dtype=np.int64)
+    srs = np.array([_AUDIO_SRS[i % 3] for i in range(n)], dtype=np.int32)
+    lens = (2000 + (ids * 101) % 6000).astype(np.int32)
+    fmts = np.array([_AUDIO_FMTS[i % 3] for i in range(n)], dtype=object)
+    blobs = []
+    for i in range(n):
+        amp = 1000 + (i * 37) % 20000
+        period = 2 + i % 14
+        t = np.arange(int(lens[i]), dtype=np.int64)
+        s = np.where((t // period) % 2 == 0, amp, -amp).astype(np.int16)
+        blobs.append(media.encode_audio(s, int(srs[i]), str(fmts[i])))
+    return pa.table(
+        {
+            "audio_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "sr": srs,
+            "n_samples": lens,
+            "fmt": pa.array(fmts, type=pa.string()),
+            "transcript": pa.array(
+                [f"synthetic transcript {i} {_NOISE_WORDS[i % len(_NOISE_WORDS)]}"
+                 for i in range(n)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
+def videos_table(n: int, seed: int = SEED) -> pa.Table:
+    """(video_id:int64, bytes:binary, n_frames:int32, w:int32, h:int32,
+    fps:int32, fmt:string, caption:string) — QVID clips whose frame ``f`` is
+    a solid color + per-row gradient, both closed-form in (video_id, f)."""
+    from ..functions import media
+
+    ids = np.arange(n, dtype=np.int64)
+    nf = (4 + ids % 28).astype(np.int32)
+    ws = (16 + (ids % 4) * 8).astype(np.int32)
+    hs = (12 + (ids % 3) * 6).astype(np.int32)
+    blobs = []
+    for i in range(n):
+        frames = np.empty((int(nf[i]), int(hs[i]), int(ws[i]), 3), dtype=np.uint8)
+        for f in range(int(nf[i])):
+            base = np.array(
+                [(i * 7 + f * 13) % 200, (i * 11 + f * 5) % 200, (i * 3 + f * 17) % 200],
+                dtype=np.uint8,
+            )
+            frames[f] = base[None, None, :]
+            # horizontal gradient on the red channel (keeps aHash nontrivial)
+            frames[f, :, :, 0] += (
+                (np.arange(int(ws[i]), dtype=np.int64) * 55 // max(int(ws[i]) - 1, 1))
+                .astype(np.uint8)[None, :]
+            )
+        blobs.append(media.encode_video(frames, fps=24))
+    return pa.table(
+        {
+            "video_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "n_frames": nf,
+            "w": ws,
+            "h": hs,
+            "fps": pa.array(np.full(n, 24, dtype=np.int32)),
+            "fmt": pa.array(["qvid"] * n, type=pa.string()),
+            "caption": pa.array(
+                [f"synthetic clip {i} {_NOISE_WORDS[(i * 5) % len(_NOISE_WORDS)]}"
+                 for i in range(n)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
 def _write_shard(args) -> str:
     import pyarrow.parquet as pq
 

@@ -1,0 +1,291 @@
+"""Multimodal (audio / video) actor-pool stages over opaque binary columns.
+
+The task shape mirrors the image pipeline (``pipelines/image_conflation.py``):
+binary payloads are decoded INSIDE a stage and reduced to small typed rows —
+bytes never ride a shuffle. Decode itself goes through
+``functions/media`` (real WAV + seekable QVID container; compressed formats
+are clearly-marked stubs — swap one function for ffmpeg/libsndfile in
+production).
+
+Reference parity: these extend the engine beyond SURVEY §2 into the
+training-data-pipeline operator set (multimodal decode / feature-extract /
+resample / frame-sample) the 100 TB deployment needs; the Ray-side plumbing
+(schemas, actor signatures, batch sizes, shard-local byte handling) is real
+and tested even where a codec is a stand-in.
+
+Integer-exact feature math: every emitted feature (sum of squares, peak,
+zero-crossings, per-channel frame sums, aHash bits) is exact int64
+arithmetic, so the stages carry closed-form DuckDB oracles
+(``pipelines/queries.py``: ``audio_decode_features``, ``video_frame_means``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import media
+from .util import pool_size
+
+
+# ---------------------------------------------------------------------------
+# audio: decode + feature extraction
+# ---------------------------------------------------------------------------
+
+_AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.int64()),
+        ("sr", pa.int64()),
+        ("n_samples", pa.int64()),
+        ("peak", pa.int64()),
+        ("sum_sq", pa.int64()),
+        ("n_zero_cross", pa.int64()),
+        ("ok", pa.bool_()),
+        ("err", pa.string()),
+    ]
+)
+
+
+class AudioFeaturizer:
+    """Actor-pool batch fn: decode each audio payload, emit integer-exact
+    features. Per-actor ``__init__`` holds the decode dispatch (the slot a
+    real deployment fills with a loaded codec/model); per-row decode is
+    unavoidable Python (variable-length blobs), feature math is vectorized
+    numpy over each sample array."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "audio_id",
+                 fmt_col: str = "fmt"):
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = media.decode_audio  # codec handle: loaded once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out = {k: np.zeros(n, dtype=np.int64)
+               for k in ("sr", "n_samples", "peak", "sum_sq", "n_zero_cross")}
+        ok = np.ones(n, dtype=bool)
+        errs = []
+        for i in range(n):
+            try:
+                s, sr = self.decode(blobs[i], fmts[i])
+                s64 = s.astype(np.int64)
+                out["sr"][i] = sr
+                out["n_samples"][i] = len(s)
+                out["peak"][i] = np.max(np.abs(s64)) if len(s) else 0
+                out["sum_sq"][i] = np.sum(s64 * s64)
+                out["n_zero_cross"][i] = (
+                    np.count_nonzero(s64[1:] * s64[:-1] < 0) if len(s) > 1 else 0
+                )
+                errs.append("")
+            except Exception as e:  # poison-row quarantine, not job abort
+                ok[i] = False
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, type=pa.int64()),
+                "sr": out["sr"],
+                "n_samples": out["n_samples"],
+                "peak": out["peak"],
+                "sum_sq": out["sum_sq"],
+                "n_zero_cross": out["n_zero_cross"],
+                "ok": ok,
+                "err": pa.array(errs, type=pa.string()),
+            }
+        )
+
+
+def audio_features(ds, bytes_col: str = "bytes", id_col: str = "audio_id",
+                   fmt_col: str = "fmt", concurrency: int | None = None,
+                   batch_size: int = 256):
+    """Decode + featurize an audio table. Actor pool (stateful decode handle);
+    small batches — a batch of payloads must fit a worker heap."""
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+class AudioResampler:
+    """Actor-pool batch fn: decode → linear-interpolation resample to
+    ``target_sr`` → re-encode WAV. The interpolation grid cache is per-actor
+    state (built once in ``__init__``'s closure dict, reused across batches
+    of equal (n, sr))."""
+
+    def __init__(self, target_sr: int, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        self.target_sr = target_sr
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+        self._grid_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _grid(self, n: int, sr: int) -> np.ndarray:
+        key = (n, sr)
+        g = self._grid_cache.get(key)
+        if g is None:
+            n_out = max(1, (n * self.target_sr) // sr)
+            g = (np.arange(n_out, dtype=np.float64) * sr) / self.target_sr
+            self._grid_cache[key] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out_bytes, out_n = [], np.zeros(batch.num_rows, dtype=np.int64)
+        for i, (buf, fmt) in enumerate(zip(blobs, fmts)):
+            s, sr = media.decode_audio(buf, fmt)
+            if sr == self.target_sr:
+                res = s
+            else:
+                g = self._grid(len(s), sr)
+                res = np.interp(g, np.arange(len(s), dtype=np.float64),
+                                s.astype(np.float64))
+                res = np.clip(np.rint(res), -32768, 32767).astype(np.int16)
+            out_bytes.append(media.encode_wav(res, self.target_sr))
+            out_n[i] = len(res)
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in (self.bytes_col, self.fmt_col)}
+        cols[self.bytes_col] = pa.array(out_bytes, type=pa.binary())
+        cols[self.fmt_col] = pa.array(["wav"] * batch.num_rows, type=pa.string())
+        cols["n_samples_out"] = out_n
+        return pa.table(cols)
+
+
+def resample_audio_shards(files: list[str], target_sr: int, out_dir: str,
+                          concurrency: int | None = None):
+    """Bytes-in / bytes-out resample over (file, row_group) shard descriptors —
+    the payloads never transit the object store (same structure as
+    ``image_conflation.validate_images``): each task reads its row group
+    locally, resamples, and writes its own output file under ``out_dir``.
+    Returns a Dataset of (path, rows) receipts."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    units = []
+    for f in sorted(files):
+        n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+        units.extend({"path": f, "rg": g} for g in range(n_rg))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _resample_shard(batch: pa.Table) -> pa.Table:
+        rs = AudioResampler(target_sr)
+        outs = []
+        for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            tab = _pq.ParquetFile(path).read_row_group(rg)
+            res = rs(tab)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_path = f"{out_dir}/{stem}-rg{rg}.parquet"
+            _pq.write_table(res, out_path)
+            outs.append((out_path, res.num_rows))
+        return pa.table({"path": [o[0] for o in outs],
+                         "rows": np.array([o[1] for o in outs], dtype=np.int64)})
+
+    return ray.data.from_items(units).map_batches(
+        _resample_shard, batch_format="pyarrow", batch_size=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: frame sampling + per-frame features
+# ---------------------------------------------------------------------------
+
+_FRAME_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.int64()),
+        ("frame_idx", pa.int64()),
+        ("sum_r", pa.int64()),
+        ("sum_g", pa.int64()),
+        ("sum_b", pa.int64()),
+        ("ahash", pa.int64()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool batch fn: per video, read the container HEADER, pick every
+    ``every_n``-th frame, and decode ONLY those frames via the container's
+    seek index (``media.decode_frame``) — never the whole video. Emits one
+    row per sampled frame with exact int64 per-channel sums + aHash."""
+
+    def __init__(self, every_n: int, bytes_col: str = "bytes",
+                 id_col: str = "video_id", with_ahash: bool = True):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.with_ahash = with_ahash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        blobs = batch[self.bytes_col].to_pylist()
+        vid_out, idx_out, sums, hashes = [], [], [], []
+        for vid, buf in zip(ids, blobs):
+            _w, _h, n, _fps = media.video_info(buf)
+            for k in range(0, n, self.every_n):
+                frame = media.decode_frame(buf, k)
+                f64 = frame.astype(np.int64)
+                vid_out.append(vid)
+                idx_out.append(k)
+                sums.append(f64.sum(axis=(0, 1)))
+                hashes.append(media.ahash64(frame) if self.with_ahash else 0)
+        if not vid_out:
+            return _FRAME_SCHEMA.empty_table()
+        s = np.asarray(sums, dtype=np.int64)
+        return pa.table(
+            {
+                "video_id": np.asarray(vid_out, dtype=np.int64),
+                "frame_idx": np.asarray(idx_out, dtype=np.int64),
+                "sum_r": s[:, 0],
+                "sum_g": s[:, 1],
+                "sum_b": s[:, 2],
+                "ahash": np.asarray(hashes, dtype=np.int64),
+            }
+        )
+
+
+def sample_frames(ds, every_n: int = 3, bytes_col: str = "bytes",
+                  id_col: str = "video_id", with_ahash: bool = True,
+                  concurrency: int | None = None, batch_size: int = 64):
+    """Frame-sampling stage: header read + seek-index decode of sampled
+    frames only. Small batches (each row may carry a multi-MB payload)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n, "bytes_col": bytes_col,
+                               "id_col": id_col, "with_ahash": with_ahash},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def video_keyframe_neardup(ds, every_n: int = 3, max_hamming: int = 3,
+                           bytes_col: str = "bytes", id_col: str = "video_id"):
+    """Cross-modal reuse: sampled-frame aHash keys feed the SAME banded
+    Hamming near-dup machinery the image corpus uses
+    (``dedup.phash_neardup_pairs``) — near-duplicate keyframes across a video
+    corpus without any frame ever entering a shuffle. Key = composite
+    (video_id << 20 | frame_idx) string id per frame."""
+    from . import dedup
+
+    frames = sample_frames(ds, every_n, bytes_col, id_col)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        vid = batch["video_id"].to_numpy(zero_copy_only=False)
+        idx = batch["frame_idx"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "frame_key": vid * np.int64(1 << 20) + idx,
+                "phash": batch["ahash"],
+            }
+        )
+
+    keyed = frames.map_batches(_key, batch_format="pyarrow")
+    return dedup.phash_neardup_pairs(keyed, phash_col="phash",
+                                     id_col="frame_key",
+                                     max_hamming=max_hamming)
