@@ -1854,10 +1854,53 @@ FROM nn n LEFT JOIN agg a USING (user_id)
 """
 
 
-def q_shape_merge_roundtrip(sf_dir: str):  # rows-only (geospatial merge)
+def q_shape_merge_roundtrip(sf_dir: str):  # exact oracle (sentinel-guarded)
     from ..stages import segments
 
     return segments.shape_merge_roundtrip(_event_shapes(sf_dir))
+
+
+# slice at vertices n//3 and 2n//3 (gi is 1-based), middle chunk jittered +4x
+# for uid%5==0; merge branches: 1 part unjittered, 3 jittered. An accidental
+# endpoint coincidence (the 4 non-construction directed end->start pairs)
+# emits the -1 sentinel on BOTH sides — see stages/segments.py docstring.
+SQL_SHAPE_MERGE_ROUNDTRIP = "WITH " + _SQL_SHAPE_PTS + """,
+tot AS (SELECT user_id, CAST(SUM(len_c) AS BIGINT) AS total FROM segs GROUP BY user_id),
+e AS (
+  SELECT nn.user_id, nn.n, COALESCE(t.total, 0) AS total,
+         p0.x AS x0, p0.y AS y0,
+         p1.x AS xk1, p1.y AS yk1,
+         p2.x AS xk2, p2.y AS yk2,
+         p3.x AS xn, p3.y AS yn,
+         CASE WHEN nn.user_id % 5 = 0 THEN 4 ELSE 0 END AS j
+  FROM nn
+  LEFT JOIN tot t USING (user_id)
+  LEFT JOIN pts p0 ON p0.user_id = nn.user_id AND p0.gi = 1
+  LEFT JOIN pts p1 ON p1.user_id = nn.user_id AND p1.gi = nn.n // 3 + 1
+  LEFT JOIN pts p2 ON p2.user_id = nn.user_id AND p2.gi = (2 * nn.n) // 3 + 1
+  LEFT JOIN pts p3 ON p3.user_id = nn.user_id AND p3.gi = nn.n
+),
+u AS (
+  SELECT *,
+         n >= 4 AND (
+              (xk1 = xk2 AND yk1 = yk2)        -- a.end -> c.start
+           OR (xk2 + j = x0 AND yk2 = y0)      -- b.end -> a.start
+           OR (xn = x0 AND yn = y0)            -- c.end -> a.start
+           OR (xn = xk1 + j AND yn = yk1)      -- c.end -> b.start
+         ) AS coincident
+  FROM e
+)
+SELECT user_id,
+       CAST(CASE WHEN n < 2 THEN 0
+                 WHEN n < 4 THEN 1
+                 WHEN coincident THEN -1
+                 WHEN user_id % 5 = 0 THEN 3
+                 ELSE 1 END AS BIGINT) AS merged_parts,
+       CAST(CASE WHEN n < 2 THEN 0
+                 WHEN coincident AND n >= 4 THEN -1
+                 ELSE total END AS BIGINT) AS merged_len_q2
+FROM u
+"""
 
 
 def q_stop_fit(sf_dir: str):
@@ -3706,6 +3749,7 @@ ORACLE_SQL = {
     "doc_vocab": SQL_DOC_VOCAB,
     "audio_decode_features": SQL_AUDIO_DECODE_FEATURES,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
+    "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

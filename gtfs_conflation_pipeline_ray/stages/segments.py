@@ -412,25 +412,57 @@ def shape_cospatiality(ds, buf2: int = 160000, tol2: int = 1440000):
     return per_shape(ds, _fn)
 
 
-def shape_merge_roundtrip(ds, n_slices: int = 3):
-    """Slice each shape into chunks, merge them back end-to-start, and report
-    part count + merged length (≙ merge kernels; a fixpoint sanity: slices of
-    a connected shape merge back to one part)."""
+def shape_merge_roundtrip(ds, jitter_mod: int = 5):
+    """Slice each shape into three chunks, merge them back end-to-start with
+    the REAL greedy merge kernel (``geom.merge_chains`` ≙
+    ``mergeLineStringsGeospatially.js:8-107``), and report part count +
+    merged length — INTEGER-EXACT reformulation (SURVEY §7.6 exact-oracle
+    rule): cuts at vertex indices (n//3, 2n//3), exact endpoint equality
+    (tol=0), per-segment quantized lengths (``seg_len_c``). Shapes with
+    ``uid % jitter_mod == 0`` get their middle chunk translated +4 in x —
+    beyond tol, so the merge genuinely branches (3 parts instead of 1).
+
+    Exactness guard: an ACCIDENTAL endpoint coincidence (two cut vertices
+    sharing coordinates) could let the greedy merge join an unintended pair;
+    both engine and oracle detect that predicate exactly and emit a loud -1
+    sentinel row for such a shape (same pattern as ``path_metadata_merge``'s
+    non-convergence sentinel), so the SQL mirror stays exact without
+    replicating the greedy loop's order-dependent fallout."""
 
     def _fn(uid: int, xy: np.ndarray) -> dict:
-        total = geom.polyline_length(xy)
-        if total <= 0:
-            return {"user_id": uid, "merged_parts": np.int64(0), "merged_len_q2": np.int64(0)}
-        slices = [
-            geom.line_slice_along(xy, total * i / n_slices, total * (i + 1) / n_slices)
-            for i in range(n_slices)
-        ]
-        merged = geom.merge_chains(slices, tol=1e-6)
-        mlen = sum(geom.polyline_length(p) for p in merged)
+        xyi = xy.astype(np.int64)
+        n = len(xyi)
+        if n < 2:
+            return {"user_id": uid, "merged_parts": np.int64(0),
+                    "merged_len_q2": np.int64(0)}
+        total = int(seg_len_c(xyi).sum())
+        if n < 4:
+            return {"user_id": uid, "merged_parts": np.int64(1),
+                    "merged_len_q2": np.int64(total)}
+        k1, k2 = n // 3, (2 * n) // 3
+        j = 4 if uid % jitter_mod == 0 else 0
+        a = xyi[: k1 + 1]
+        b = xyi[k1 : k2 + 1].copy()
+        c = xyi[k2:]
+        b[:, 0] += j
+        ends = {"a": (tuple(a[0]), tuple(a[-1])),
+                "b": (tuple(b[0]), tuple(b[-1])),
+                "c": (tuple(c[0]), tuple(c[-1]))}
+        allowed = {("a", "b"), ("b", "c")}  # the construction's shared cuts
+        unintended = any(
+            ends[p][1] == ends[q][0]
+            for p in ends for q in ends
+            if p != q and (p, q) not in allowed
+        )
+        if unintended:
+            return {"user_id": uid, "merged_parts": np.int64(-1),
+                    "merged_len_q2": np.int64(-1)}
+        merged = geom.merge_chains([b, c, a], tol=0.0)
+        mlen = sum(int(seg_len_c(p).sum()) for p in merged)
         return {
             "user_id": uid,
             "merged_parts": np.int64(len(merged)),
-            "merged_len_q2": np.int64(np.floor(mlen * 100 + 0.5)),
+            "merged_len_q2": np.int64(mlen),
         }
 
     return per_shape(ds, _fn)

@@ -173,3 +173,57 @@ def test_line_similarity_exact_basics():
     assert s == 200000.0  # 2000 units = 200000 cents, start dist 0 -> x1
     # degenerate input
     assert geom.line_similarity_exact(a[:1], c, 50) == float("inf")
+
+
+def test_shape_merge_roundtrip_stage(ray_session):
+    """Integer-exact slice->merge roundtrip: 1 part for ordinary shapes,
+    3 parts when the middle chunk is jittered apart (uid%5==0), real
+    merge_chains doing the joining, lengths = sum of quantized seg lengths."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from gtfs_conflation_pipeline_ray.stages import segments as sg
+
+    ray = ray_session
+    rows = []
+    rng = np.random.default_rng(7)
+    for uid in range(1, 12):  # uid 5 and 10 jittered
+        n = int(rng.integers(4, 30))
+        for k in range(n):
+            rows.append({"user_id": uid, "ts": k, "event_id": uid * 1000 + k,
+                         "ex": int(rng.integers(0, 60000)),
+                         "ey": int(rng.integers(0, 60000))})
+    # degenerate shapes: single point (0 parts) and 3 points (1 part, no cut)
+    rows.append({"user_id": 50, "ts": 0, "event_id": 1, "ex": 5, "ey": 5})
+    for k in range(3):
+        rows.append({"user_id": 51, "ts": k, "event_id": 2 + k,
+                     "ex": 10 * k, "ey": 0})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = sg.shape_merge_roundtrip(ds).to_pandas().set_index("user_id")
+    for uid in range(1, 12):
+        expect_parts = 3 if uid % 5 == 0 else 1
+        assert got.loc[uid, "merged_parts"] == expect_parts, uid
+        pts = pd.DataFrame([r for r in rows if r["user_id"] == uid])
+        xyi = pts.sort_values(["ts", "event_id"])[["ex", "ey"]].to_numpy(np.int64)
+        assert got.loc[uid, "merged_len_q2"] == sg.seg_len_c(xyi).sum()
+    assert got.loc[50, "merged_parts"] == 0 and got.loc[50, "merged_len_q2"] == 0
+    assert got.loc[51, "merged_parts"] == 1
+
+
+def test_shape_merge_roundtrip_coincidence_sentinel(ray_session):
+    """A cut-vertex coincidence (a.end == c.start) must yield the -1 sentinel
+    on the engine side (the SQL mirror computes the same predicate)."""
+    import pandas as pd
+
+    from gtfs_conflation_pipeline_ray.stages import segments as sg
+
+    ray = ray_session
+    # 6 points; cuts at k1=2, k2=4 (0-based); make v2 == v4 exactly
+    xs = [0, 10, 20, 30, 20, 50]
+    ys = [0, 0, 7, 0, 7, 0]
+    rows = [{"user_id": 1, "ts": k, "event_id": k, "ex": xs[k], "ey": ys[k]}
+            for k in range(6)]
+    got = sg.shape_merge_roundtrip(
+        ray.data.from_pandas(pd.DataFrame(rows))).to_pandas()
+    assert got["merged_parts"].iloc[0] == -1
+    assert got["merged_len_q2"].iloc[0] == -1
