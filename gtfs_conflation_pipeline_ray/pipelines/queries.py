@@ -76,6 +76,62 @@ def q_spatial_join_pairs_sharded(sf_dir: str):
     return conflation.spatial_join_pairs_sharded(sf_dir)
 
 
+def q_point_in_polygon(sf_dir: str):
+    """TRUE point-in-polygon join (``spatial.point_in_polygon_join``): bbox
+    grid-index candidates refined by the integer-exact crossing-parity test
+    over per-tile hexagons. ≙ the reference's geopoly_contains_point probe
+    (``ConflationMapDAO/generators.js:9-47``) — the rect joins cover only the
+    bbox half of that semantics."""
+    from ..sources import testdata as _td
+
+    pts = _rp(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+               "l_quantity"]).map_batches(
+        _td.points_batch, batch_format="pyarrow", batch_size=8192)
+    return spatial.point_in_polygon_counts(
+        pts, conflation.tiles_ref(sf_dir), "px", "py")
+
+
+# hexagon vertices e=0..5: (cx+hw,cy) (cx+h2,cy+hh) (cx-h2,cy+hh) (cx-hw,cy)
+# (cx-h2,cy-hh) (cx+h2,cy-hh); edge e runs v_e -> v_{(e+1)%6}. The crossing
+# predicate is the same division-free int64 form the engine evaluates.
+SQL_POINT_IN_POLYGON = _CTES + """,
+verts AS (
+  SELECT t.tile_id, e.e,
+         CASE e.e WHEN 0 THEN t.cx + t.hw WHEN 1 THEN t.cx + t.hw // 2
+                  WHEN 2 THEN t.cx - t.hw // 2 WHEN 3 THEN t.cx - t.hw
+                  WHEN 4 THEN t.cx - t.hw // 2 ELSE t.cx + t.hw // 2 END AS vx,
+         CASE e.e WHEN 0 THEN t.cy WHEN 1 THEN t.cy + t.hh
+                  WHEN 2 THEN t.cy + t.hh WHEN 3 THEN t.cy
+                  ELSE t.cy - t.hh END AS vy
+  FROM tiles t, (SELECT unnest(range(6)) AS e) e
+),
+edges AS (
+  SELECT a.tile_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM verts a JOIN verts b
+    ON b.tile_id = a.tile_id AND b.e = (a.e + 1) % 6
+),
+cand AS (
+  SELECT p.point_id, p.px, p.py, t.tile_id
+  FROM points p JOIN tiles t
+    ON p.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND p.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+inside AS (
+  SELECT c.point_id, c.tile_id
+  FROM cand c JOIN edges e USING (tile_id)
+  GROUP BY c.point_id, c.tile_id
+  HAVING SUM(CASE WHEN ((e.y1 > c.py) != (e.y2 > c.py))
+                   AND ( (e.y2 > e.y1 AND
+                          (c.px - e.x1) * (e.y2 - e.y1) - (c.py - e.y1) * (e.x2 - e.x1) < 0)
+                      OR (e.y2 < e.y1 AND
+                          (c.px - e.x1) * (e.y2 - e.y1) - (c.py - e.y1) * (e.x2 - e.x1) > 0) )
+                  THEN 1 ELSE 0 END) % 2 = 1
+)
+SELECT tile_id, COUNT(*) AS n_inside FROM inside GROUP BY tile_id
+"""
+
+
 def q_spatial_tile_stats(sf_dir: str):
     return conflation.tile_stats(sf_dir)
 
@@ -3581,6 +3637,7 @@ QUERIES = {
     # inside that window; rows-only queries follow at the tail.
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
+    "point_in_polygon": q_point_in_polygon,
     "spatial_tile_stats": q_spatial_tile_stats,
     "knn_tiles": q_knn_tiles,
     "tile_assign_multilevel": q_tile_assign_multilevel,
@@ -3613,7 +3670,6 @@ QUERIES = {
     "value_distribution": q_value_distribution,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
-    "unit_normalize": q_unit_normalize,
     "redundant_candidates": q_redundant_candidates,
     "order_dow_counts": q_order_dow_counts,
     "shape_stats": q_shape_stats,
@@ -3633,6 +3689,7 @@ QUERIES = {
     # still oracle- or rows-checked by the LOCAL gate at two scales ---
     "order_suppliers_concat": q_order_suppliers_concat,
     "events_tumbling": q_events_tumbling,
+    "unit_normalize": q_unit_normalize,
     "time_parse": q_time_parse,
     "row_parity_counts": q_row_parity_counts,
     "season_bucket": q_season_bucket,
@@ -3750,6 +3807,7 @@ ORACLE_SQL = {
     "audio_decode_features": SQL_AUDIO_DECODE_FEATURES,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,
+    "point_in_polygon": SQL_POINT_IN_POLYGON,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

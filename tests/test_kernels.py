@@ -179,3 +179,56 @@ def test_sharded_candidate_join_matches_unsharded(ray_session):
     pd.testing.assert_frame_equal(canon(base), canon(shard))
     # boundary tiles are replicated, so shard tile counts exceed the total
     assert sum(t.num_rows for _, _, t in spatial.shard_tiles(tiles, 4)) >= tiles.num_rows
+
+
+def test_point_in_polygon_vs_bruteforce(ray_session):
+    """Hexagon crossing-parity probe vs a per-pair brute-force evaluation of
+    the same integer predicate over ALL (point, tile) pairs (no index)."""
+    import pyarrow as pa
+
+    from gtfs_conflation_pipeline_ray.stages import spatial as sp
+
+    ray = ray_session
+    rng = np.random.default_rng(11)
+    n_t, n_p = 40, 400
+    cx = rng.integers(500, 6000, n_t)
+    cy = rng.integers(500, 6000, n_t)
+    hw = rng.integers(40, 900, n_t)
+    hh = rng.integers(40, 900, n_t)
+    tiles = pa.table({
+        "tile_id": np.arange(n_t, dtype=np.int64),
+        "ref_id": [f"T{i}" for i in range(n_t)],
+        "level": np.zeros(n_t, dtype=np.int64),
+        "cx": cx.astype(np.int64), "cy": cy.astype(np.int64),
+        "hw": hw.astype(np.int64), "hh": hh.astype(np.int64),
+    })
+    px = rng.integers(0, 7000, n_p).astype(np.int64)
+    py = rng.integers(0, 7000, n_p).astype(np.int64)
+    # plant exact-boundary probes: hexagon vertices and edge midpoints
+    px[:n_t] = (cx + hw).astype(np.int64); py[:n_t] = cy.astype(np.int64)
+    px[n_t:2*n_t] = (cx + hw // 2).astype(np.int64); py[n_t:2*n_t] = (cy + hh).astype(np.int64)
+    pts = pa.table({"point_id": np.arange(n_p, dtype=np.int64), "px": px, "py": py})
+
+    got = sp.point_in_polygon_join(
+        ray.data.from_arrow(pts), ray.put(tiles), "px", "py", ["point_id"]
+    ).to_pandas()
+    got_pairs = set(zip(got["point_id"], got["tile_id"]))
+
+    h2 = hw // 2
+    vx = np.stack([cx + hw, cx + h2, cx - h2, cx - hw, cx - h2, cx + h2]).astype(np.int64)
+    vy = np.stack([cy, cy + hh, cy + hh, cy, cy - hh, cy - hh]).astype(np.int64)
+    expect = set()
+    for p in range(n_p):
+        for t in range(n_t):
+            k = 0
+            for e in range(6):
+                x1, y1 = int(vx[e][t]), int(vy[e][t])
+                x2, y2 = int(vx[(e + 1) % 6][t]), int(vy[(e + 1) % 6][t])
+                if (y1 > py[p]) != (y2 > py[p]):
+                    tt = (int(px[p]) - x1) * (y2 - y1) - (int(py[p]) - y1) * (x2 - x1)
+                    if (y2 > y1 and tt < 0) or (y2 < y1 and tt > 0):
+                        k += 1
+            if k % 2 == 1:
+                expect.add((p, t))
+    assert got_pairs == expect
+    assert len(expect) > 50  # sanity: the fixture genuinely overlaps
