@@ -205,6 +205,11 @@ def videos_table(n: int, seed: int = SEED) -> pa.Table:
                 (np.arange(int(ws[i]), dtype=np.int64) * 55 // max(int(ws[i]) - 1, 1))
                 .astype(np.uint8)[None, :]
             )
+            # per-frame seeded texture: aHash is mean-relative, so without
+            # this every solid+gradient frame hashes identically and any
+            # near-dup report degenerates to all-pairs
+            rng = np.random.default_rng(seed + i * 1009 + f)
+            frames[f] += rng.integers(0, 40, frames[f].shape, dtype=np.int64).astype(np.uint8)
         blobs.append(media.encode_video(frames, fps=24))
     return pa.table(
         {

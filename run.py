@@ -37,7 +37,7 @@ def cmd_list(_args) -> int:
         kind = "oracle" if name in ORACLE_SQL else "rows-only"
         print(f"{name:28s} {kind}")
     print(f"\n{len(QUERIES)} queries ({len(ORACLE_SQL)} with exact DuckDB oracles); "
-          "plus stage: image-pipeline")
+          "plus stages: image-pipeline, media-pipeline")
     return 0
 
 
@@ -94,6 +94,45 @@ def cmd_image_pipeline(args) -> int:
     return 0
 
 
+def cmd_media_pipeline(args) -> int:
+    """Multimodal demo pipeline over deterministic audio/video fixtures:
+    audio decode+featurize (+ optional resample to --target-sr), video
+    frame-sample features, and the keyframe near-dup pair report."""
+    ray = _ensure_ray()
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gtfs_conflation_pipeline_ray.sources import fixtures as fx
+    from gtfs_conflation_pipeline_ray.stages import media as ms
+
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+    audio_path = f"{args.out}/audio.parquet"
+    video_path = f"{args.out}/videos.parquet"
+    pq.write_table(fx.audio_table(args.rows), audio_path, row_group_size=1024)
+    pq.write_table(fx.videos_table(args.rows), video_path, row_group_size=1024)
+    out = {"rows": args.rows}
+    feats = ms.audio_features(ray.data.read_parquet(audio_path))
+    feats.write_parquet(f"{args.out}/audio_features")
+    out["audio_ok"] = int(feats.sum("ok") or 0)
+    if args.target_sr:
+        receipts = ms.resample_audio_shards([audio_path], args.target_sr,
+                                            f"{args.out}/audio_resampled")
+        out["resampled"] = int(receipts.sum("rows") or 0)
+    frames = ms.sample_frames(ray.data.read_parquet(video_path),
+                              every_n=args.every_n)
+    frames.write_parquet(f"{args.out}/frame_features")
+    out["frames_sampled"] = frames.count()
+    nd = ms.video_keyframe_neardup(ray.data.read_parquet(video_path),
+                                   every_n=args.every_n)
+    nd.write_parquet(f"{args.out}/keyframe_neardup")
+    out["neardup_pairs"] = nd.count()
+    out["sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="run.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,8 +150,17 @@ def main(argv=None) -> int:
     ip.add_argument("--partition-by", choices=["shard", "phash"], default="shard")
     ip.add_argument("--neardup", action="store_true",
                     help="also emit the phash Hamming near-dup pair report")
+    mp = sub.add_parser("media-pipeline",
+                        help="audio/video multimodal demo over fixtures")
+    mp.add_argument("--out", required=True)
+    mp.add_argument("--rows", type=int, default=2000)
+    mp.add_argument("--every-n", type=int, default=3)
+    mp.add_argument("--target-sr", type=int, default=0,
+                    help="also resample audio to this rate (0 = skip)")
     args = p.parse_args(argv)
-    return {"list": cmd_list, "query": cmd_query, "image-pipeline": cmd_image_pipeline}[args.cmd](args)
+    return {"list": cmd_list, "query": cmd_query,
+            "image-pipeline": cmd_image_pipeline,
+            "media-pipeline": cmd_media_pipeline}[args.cmd](args)
 
 
 if __name__ == "__main__":
