@@ -32,20 +32,6 @@ from .util import pool_size
 # audio: decode + feature extraction
 # ---------------------------------------------------------------------------
 
-_AUDIO_FEATURES_SCHEMA = pa.schema(
-    [
-        ("audio_id", pa.int64()),
-        ("sr", pa.int64()),
-        ("n_samples", pa.int64()),
-        ("peak", pa.int64()),
-        ("sum_sq", pa.int64()),
-        ("n_zero_cross", pa.int64()),
-        ("ok", pa.bool_()),
-        ("err", pa.string()),
-    ]
-)
-
-
 class AudioFeaturizer:
     """Actor-pool batch fn: decode each audio payload, emit integer-exact
     features. Per-actor ``__init__`` holds the decode dispatch (the slot a
@@ -60,7 +46,6 @@ class AudioFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         blobs = batch[self.bytes_col].to_pylist()
         fmts = batch[self.fmt_col].to_pylist()
         out = {k: np.zeros(n, dtype=np.int64)
@@ -84,7 +69,9 @@ class AudioFeaturizer:
                 errs.append(f"{type(e).__name__}: {e}")
         return pa.table(
             {
-                "audio_id": pa.array(ids, type=pa.int64()),
+                # id column passes through with its ORIGINAL type (string ids
+                # are as valid as ints — same contract as phash_neardup_pairs)
+                "audio_id": batch[self.id_col],
                 "sr": out["sr"],
                 "n_samples": out["n_samples"],
                 "peak": out["peak"],
@@ -113,24 +100,15 @@ def audio_features(ds, bytes_col: str = "bytes", id_col: str = "audio_id",
 
 class AudioResampler:
     """Actor-pool batch fn: decode → linear-interpolation resample to
-    ``target_sr`` → re-encode WAV. The interpolation grid cache is per-actor
-    state (built once in ``__init__``'s closure dict, reused across batches
-    of equal (n, sr))."""
+    ``target_sr`` → re-encode WAV. (No grid memoization: the grid is a single
+    O(n_out) arange — the same cost as the interp itself — and caching it
+    per distinct (n, sr) would grow without bound over variable-length
+    clips.)"""
 
     def __init__(self, target_sr: int, bytes_col: str = "bytes",
                  fmt_col: str = "fmt"):
         self.target_sr = target_sr
         self.bytes_col, self.fmt_col = bytes_col, fmt_col
-        self._grid_cache: dict[tuple[int, int], np.ndarray] = {}
-
-    def _grid(self, n: int, sr: int) -> np.ndarray:
-        key = (n, sr)
-        g = self._grid_cache.get(key)
-        if g is None:
-            n_out = max(1, (n * self.target_sr) // sr)
-            g = (np.arange(n_out, dtype=np.float64) * sr) / self.target_sr
-            self._grid_cache[key] = g
-        return g
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.bytes_col].to_pylist()
@@ -141,7 +119,8 @@ class AudioResampler:
             if sr == self.target_sr:
                 res = s
             else:
-                g = self._grid(len(s), sr)
+                n_out = max(1, (len(s) * self.target_sr) // sr)
+                g = (np.arange(n_out, dtype=np.float64) * sr) / self.target_sr
                 res = np.interp(g, np.arange(len(s), dtype=np.float64),
                                 s.astype(np.float64))
                 res = np.clip(np.rint(res), -32768, 32767).astype(np.int16)
@@ -195,18 +174,6 @@ def resample_audio_shards(files: list[str], target_sr: int, out_dir: str,
 # video: frame sampling + per-frame features
 # ---------------------------------------------------------------------------
 
-_FRAME_SCHEMA = pa.schema(
-    [
-        ("video_id", pa.int64()),
-        ("frame_idx", pa.int64()),
-        ("sum_r", pa.int64()),
-        ("sum_g", pa.int64()),
-        ("sum_b", pa.int64()),
-        ("ahash", pa.int64()),
-    ]
-)
-
-
 class FrameSampler:
     """Actor-pool batch fn: per video, read the container HEADER, pick every
     ``every_n``-th frame, and decode ONLY those frames via the container's
@@ -222,24 +189,25 @@ class FrameSampler:
         self.with_ahash = with_ahash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         blobs = batch[self.bytes_col].to_pylist()
-        vid_out, idx_out, sums, hashes = [], [], [], []
-        for vid, buf in zip(ids, blobs):
+        row_out, idx_out, sums, hashes = [], [], [], []
+        for row, buf in enumerate(blobs):
             _w, _h, n, _fps = media.video_info(buf)
             for k in range(0, n, self.every_n):
                 frame = media.decode_frame(buf, k)
                 f64 = frame.astype(np.int64)
-                vid_out.append(vid)
+                row_out.append(row)
                 idx_out.append(k)
                 sums.append(f64.sum(axis=(0, 1)))
                 hashes.append(media.ahash64(frame) if self.with_ahash else 0)
-        if not vid_out:
-            return _FRAME_SCHEMA.empty_table()
-        s = np.asarray(sums, dtype=np.int64)
+        # id column gathered from the input with its ORIGINAL type (string
+        # ids are as valid as ints); empty batches keep that schema too
+        ids = batch[self.id_col].take(pa.array(row_out, type=pa.int64()))
+        s = (np.asarray(sums, dtype=np.int64) if sums
+             else np.zeros((0, 3), dtype=np.int64))
         return pa.table(
             {
-                "video_id": np.asarray(vid_out, dtype=np.int64),
+                "video_id": ids,
                 "frame_idx": np.asarray(idx_out, dtype=np.int64),
                 "sum_r": s[:, 0],
                 "sum_g": s[:, 1],
@@ -270,7 +238,9 @@ def video_keyframe_neardup(ds, every_n: int = 3, max_hamming: int = 3,
     Hamming near-dup machinery the image corpus uses
     (``dedup.phash_neardup_pairs``) — near-duplicate keyframes across a video
     corpus without any frame ever entering a shuffle. Key = composite
-    (video_id << 20 | frame_idx) string id per frame."""
+    (video_id << 20 | frame_idx) int64 key per frame (requires integer
+    video ids; string-id corpora can pass a composite string key straight to
+    ``dedup.phash_neardup_pairs`` instead)."""
     from . import dedup
 
     frames = sample_frames(ds, every_n, bytes_col, id_col)
