@@ -3514,6 +3514,32 @@ SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
 """
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-doc distinctive terms (tf-idf-style, integer-exact ranking):
+    ``textops.distinctive_terms`` — token-bucket df attach + doc-bucket
+    top-k, two bounded shuffles."""
+    return textops.distinctive_terms(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), k=5,
+        est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, rk FROM ranked WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal audio / video stages (stages/media.py) with closed-form oracles
 # ---------------------------------------------------------------------------
@@ -3722,6 +3748,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
+    "doc_tfidf": q_doc_tfidf,
 }
 
 ORACLE_SQL = {
@@ -3808,6 +3835,7 @@ ORACLE_SQL = {
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,
     "point_in_polygon": SQL_POINT_IN_POLYGON,
+    "doc_tfidf": SQL_DOC_TFIDF,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

@@ -126,3 +126,46 @@ def vocab_topk(ds, k: int = 50, text_col: str = "text",
                                            kind="mergesort").head(k)
     return pa.table({"token": merged["token"].astype(str).to_numpy(),
                      "n": merged["n"].to_numpy().astype(np.int64)})
+
+
+def distinctive_terms(ds, k: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id", est_rows: int | None = None):
+    """Per-document distinctive terms — the tf-idf-style ranking pass of a
+    training corpus, made INTEGER-EXACT: rank each doc's tokens by
+    (tf DESC, df ASC, token ASC) — most frequent in the doc, rarest in the
+    corpus — and keep the top ``k`` with ranks.
+
+    Two bounded shuffles, no join operator:
+      1. per-batch (doc, token, tf) partials shuffle by TOKEN-hash bucket —
+         every doc owning a token lands in that token's bucket, so the bucket
+         computes the token's COMPLETE document frequency and attaches it;
+      2. the (doc, token, tf, df) rows shuffle by DOC-hash bucket for the
+         per-group top-k (``relational.group_topk``, the high-cardinality-
+         safe pattern).
+    The shuffles move one row per (doc, distinct-token), never raw text."""
+    from ..functions.text import _WORD_ASCII_RE
+    from .relational import bucketed_groups, group_topk
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            words = _WORD_ASCII_RE.findall(t.lower())
+            ids.extend([i] * len(words))
+            toks.extend(words)
+        out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                            "token": np.asarray(toks, dtype=object)})
+        return out.groupby([id_col, "token"], as_index=False, sort=False).agg(
+            tf=("token", "size"))
+
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, token) globally -> df = rows per token
+        g = g.copy()
+        g["df"] = g.groupby("token", sort=False)["token"].transform("size").astype(np.int64)
+        return g
+
+    pairs = bucketed_groups(ds.select_columns([id_col, text_col]), ["token"],
+                            _attach_df, pre_fn=_pairs, est_rows=est_rows)
+    out = group_topk(pairs, [id_col],
+                     [("tf", False), ("df", True), ("token", True)],
+                     k, rank_col="rk", est_rows=est_rows)
+    return out.select_columns([id_col, "token", "tf", "df", "rk"])

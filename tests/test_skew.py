@@ -58,3 +58,34 @@ def test_hot_key_distinct_concat_combiner(ray_session):
            .agg(lambda s: ",".join(str(x) for x in np.unique(s.to_numpy())))
            .rename("vals").reset_index().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out[["k", "vals"]], exp)
+
+
+def test_distinctive_terms_vs_bruteforce(ray_session):
+    """tf-df top-k vs a single-frame pandas computation of the same ranking,
+    including a hot token shared by every doc (max df) and exact ties."""
+    import pandas as pd
+
+    from gtfs_conflation_pipeline_ray.stages.textops import distinctive_terms
+
+    ray = ray_session
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        words = ["common"] * 3 + list(rng.choice(vocab, size=rng.integers(5, 40)))
+        docs.append({"doc_id": d, "text": " ".join(words)})
+    df = pd.DataFrame(docs)
+    got = distinctive_terms(ray.data.from_pandas(df), k=4).to_pandas()
+    got = got.sort_values(["doc_id", "rk"]).reset_index(drop=True)
+
+    toks = df.assign(token=df["text"].str.lower().str.findall(r"\w+")).explode("token")
+    tf = toks.groupby(["doc_id", "token"], as_index=False).agg(tf=("token", "size"))
+    dfreq = tf.groupby("token", as_index=False).agg(df=("doc_id", "size"))
+    m = tf.merge(dfreq, on="token")
+    m = m.sort_values(["doc_id", "tf", "df", "token"],
+                      ascending=[True, False, True, True], kind="mergesort")
+    m["rk"] = m.groupby("doc_id").cumcount() + 1
+    expect = m[m["rk"] <= 4].reset_index(drop=True)
+    assert len(got) == len(expect)
+    for c in ["doc_id", "token", "tf", "df", "rk"]:
+        assert (got[c].to_numpy() == expect[c].to_numpy()).all(), c
