@@ -3688,7 +3688,7 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "event_props_parse": q_event_props_parse,
     "doc_token_stats": q_doc_token_stats,
-    "doc_quality": q_doc_quality,
+    "doc_tfidf": q_doc_tfidf,
     "doc_exact_dedup": q_doc_exact_dedup,
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
@@ -3714,6 +3714,7 @@ QUERIES = {
     # --- driver window ends here (first 50 entries); every entry below is
     # still oracle- or rows-checked by the LOCAL gate at two scales ---
     "order_suppliers_concat": q_order_suppliers_concat,
+    "doc_quality": q_doc_quality,
     "events_tumbling": q_events_tumbling,
     "unit_normalize": q_unit_normalize,
     "time_parse": q_time_parse,
@@ -3748,7 +3749,6 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
-    "doc_tfidf": q_doc_tfidf,
 }
 
 ORACLE_SQL = {
