@@ -147,12 +147,15 @@ def distinctive_terms(ds, k: int = 5, text_col: str = "text",
     from .relational import bucketed_groups, group_topk
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks = [], []
-        for i, t in zip(df[id_col], df[text_col]):
+        toks, counts = [], np.zeros(len(df), dtype=np.int64)
+        for j, t in enumerate(df[text_col]):
             words = _WORD_ASCII_RE.findall(t.lower())
-            ids.extend([i] * len(words))
+            counts[j] = len(words)
             toks.extend(words)
-        out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+        # gather ids by row index so the id column keeps its INPUT dtype
+        # (string ids work; empty batches keep the schema stable)
+        idx = np.repeat(np.arange(len(df)), counts)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
                             "token": np.asarray(toks, dtype=object)})
         return out.groupby([id_col, "token"], as_index=False, sort=False).agg(
             tf=("token", "size"))
