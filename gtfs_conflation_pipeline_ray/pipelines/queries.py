@@ -1292,8 +1292,12 @@ def q_value_distribution(sf_dir: str):
         lambda t: t.rename_columns(["l_orderkey", "tot_qc"]), batch_format="pyarrow"
     )
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    j1 = d.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
-    j2 = j1.join(totals, "inner", 8, on=("l_orderkey",), right_on=("l_orderkey",))
+    # re-associated join order: the two ORDER-grained sides (each ~n_orders
+    # rows) join first, so the FACT table passes through one hash-join
+    # shuffle instead of two — halves the fact-table exchange volume (at
+    # bench scale the two plans time within host noise of each other)
+    aux = totals.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = d.join(aux, "inner", 8, on=("l_orderkey",), right_on=("l_orderkey",))
 
     def _share(batch: pa.Table) -> pa.Table:
         share = (batch["o_totalprice"].to_numpy(zero_copy_only=False)
