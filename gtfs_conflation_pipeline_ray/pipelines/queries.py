@@ -333,7 +333,12 @@ def q_nation_revenue(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     j1 = orders.join(rev, "inner", 8, on=("o_orderkey",), right_on=("l_orderkey",))
-    j2 = j1.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+    # pre-aggregate to CUSTOMER grain before the dimension join: the second
+    # hash join then exchanges n_cust rows instead of n_orders (10x less in
+    # TPC-H shape; the groupby itself is a combiner-first bucketed shuffle)
+    bycust = rel.partial_groupby_sum(j1, ["o_custkey"], ["revenue_c"],
+                                     est_rows=_nrows(sf_dir, "orders"))
+    j2 = bycust.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).set_index(
         "n_nationkey"
     )
