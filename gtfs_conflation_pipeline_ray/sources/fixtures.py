@@ -229,6 +229,63 @@ def videos_table(n: int, seed: int = SEED) -> pa.Table:
     )
 
 
+def gtfs_feed_zip(path: str, n_shapes: int = 40, pts_per_shape: int = 60,
+                  trips_per_shape: int = 2, stops_per_shape: int = 8,
+                  seed: int = SEED) -> str:
+    """Deterministic synthetic GTFS feed zip (the reference's S1 input shape:
+    ``agency routes shapes stops trips stop_times`` members) — seeded
+    random-walk shape polylines in a lat/lon box, per-shape stop sequences
+    sampled along the shape with jitter, fixed-interval stop_times."""
+    import io as _io
+    import zipfile
+
+    rng = np.random.default_rng(seed + 7)
+    shapes_rows = ["shape_id,shape_pt_lat,shape_pt_lon,shape_pt_sequence"]
+    stops_rows = ["stop_id,stop_name,stop_lat,stop_lon"]
+    trips_rows = ["route_id,service_id,trip_id,shape_id"]
+    st_rows = ["trip_id,arrival_time,departure_time,stop_id,stop_sequence"]
+    for s in range(n_shapes):
+        lat = 40.0 + rng.random() * 0.9
+        lon = -74.5 + rng.random() * 0.9
+        pts = []
+        for q in range(pts_per_shape):
+            lat += (rng.random() - 0.5) * 0.01
+            lon += (rng.random() - 0.5) * 0.01
+            pts.append((lat, lon))
+            shapes_rows.append(f"shp{s},{lat:.6f},{lon:.6f},{q + 1}")
+        k = max(1, pts_per_shape // stops_per_shape)
+        stop_ids = []
+        for j, q in enumerate(range(0, pts_per_shape, k)[:stops_per_shape]):
+            sl = pts[q][0] + (rng.random() - 0.5) * 0.002
+            so = pts[q][1] + (rng.random() - 0.5) * 0.002
+            sid = f"stp{s}_{j}"
+            stop_ids.append(sid)
+            stops_rows.append(f"{sid},Stop {s}-{j},{sl:.6f},{so:.6f}")
+        for t in range(trips_per_shape):
+            tid = f"trip{s}_{t}"
+            trips_rows.append(f"r{s % 7},svc1,{tid},shp{s}")
+            for j, sid in enumerate(stop_ids):
+                hh, mm = 6 + t, (j * 7) % 60
+                st_rows.append(f"{tid},{hh:02d}:{mm:02d}:00,{hh:02d}:{mm:02d}:30,{sid},{j + 1}")
+    members = {
+        "agency.txt": "agency_id,agency_name,agency_url,agency_timezone\n"
+                      "a1,Synthetic Transit,https://example.invalid,UTC",
+        "routes.txt": "route_id,agency_id,route_short_name,route_type\n"
+                      + "\n".join(f"r{i},a1,R{i},3" for i in range(7)),
+        "shapes.txt": "\n".join(shapes_rows),
+        "stops.txt": "\n".join(stops_rows),
+        "trips.txt": "\n".join(trips_rows),
+        "stop_times.txt": "\n".join(st_rows),
+    }
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, body in members.items():
+            zf.writestr(name, body + "\n")
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return path
+
+
 def _write_shard(args) -> str:
     import pyarrow.parquet as pq
 

@@ -133,6 +133,23 @@ def cmd_media_pipeline(args) -> int:
     return 0
 
 
+def cmd_gtfs_pipeline(args) -> int:
+    """End-to-end GTFS feed conflation: zip -> match -> choose -> paths ->
+    stop fit -> layered outputs (the reference's primary user journey)."""
+    _ensure_ray()
+    from gtfs_conflation_pipeline_ray.pipelines.gtfs_pipeline import run_pipeline
+
+    t0 = time.time()
+    m = run_pipeline(args.zip, args.tiles, args.out, n_partitions=args.partitions)
+    print(json.dumps({
+        "match_rows": m["match_rows"], "path_edges": m["path_edges"],
+        "stop_fit_rows": m["stop_fit_rows"], "tiles_matched": m["tiles_matched"],
+        "skipped": sum(1 for _, _, sk in m["partitions"] if sk),
+        "sec": round(time.time() - t0, 3),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="run.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,10 +174,17 @@ def main(argv=None) -> int:
     mp.add_argument("--every-n", type=int, default=3)
     mp.add_argument("--target-sr", type=int, default=0,
                     help="also resample audio to this rate (0 = skip)")
+    gp = sub.add_parser("gtfs-pipeline",
+                        help="end-to-end GTFS zip -> conflation outputs")
+    gp.add_argument("--zip", required=True)
+    gp.add_argument("--tiles", required=True)
+    gp.add_argument("--out", required=True)
+    gp.add_argument("--partitions", type=int, default=4)
     args = p.parse_args(argv)
     return {"list": cmd_list, "query": cmd_query,
             "image-pipeline": cmd_image_pipeline,
-            "media-pipeline": cmd_media_pipeline}[args.cmd](args)
+            "media-pipeline": cmd_media_pipeline,
+            "gtfs-pipeline": cmd_gtfs_pipeline}[args.cmd](args)
 
 
 if __name__ == "__main__":
