@@ -244,8 +244,20 @@ def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
         return sum(pq.ParquetFile(f).metadata.num_rows
                    for f in glob.glob(f"{tmp_dir}/*.parquet"))
 
-    results = [ck.run_partition(f"{p:04d}", lambda tmp, p=p: _write(tmp, p))
-               for p in range(n_partitions)]
+    # partitions run CONCURRENTLY (the image pipeline's lesson — a
+    # sequential partition loop pays per-execution spinup serially); the
+    # manifest is thread-safe
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    workers = max(1, min(n_partitions, 8, cpus // 2))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(pool.map(
+            lambda p: ck.run_partition(f"{p:04d}", lambda tmp: _write(tmp, p)),
+            range(n_partitions)))
     match_files = [f for r in results
                    for f in glob.glob(f"{ck.part_dir(r.key)}/*.parquet")
                    if pq.ParquetFile(f).metadata.num_rows > 0]
