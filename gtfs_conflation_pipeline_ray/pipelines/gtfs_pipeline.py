@@ -146,12 +146,24 @@ def decompose_paths(chosen_ds, est_rows: int | None = None):
     return bucketed_groups(chosen_ds, ["shape_key"], _decomp, est_rows=est_rows)
 
 
-def fit_trip_stops(shape_pts_ds, stop_pts_ds, est_rows: int | None = None):
-    """Greedy monotonic stop→shape fitting per trip (≙
-    ``snapGtfsStopsSequenceToGtfsShape.js``): each stop snaps to the exact
-    integer-squared-distance-closest shape vertex at or after the previous
-    stop's vertex. Shape rows and trip-stop rows co-shuffle into the same
-    shape-key bucket via a tagged union — no shape-table broadcast."""
+def fit_trip_stops(shape_pts_ds, stop_pts_ds, est_rows: int | None = None,
+                   method: str = "greedy"):
+    """Monotonic stop→shape fitting per trip (≙
+    ``snapGtfsStopsSequenceToGtfsShape.js``). Two fidelity levels:
+
+    - ``method="greedy"`` (default): each stop snaps to the exact
+      integer-squared-distance-closest shape VERTEX at or after the previous
+      stop's vertex (integer-exact; the ``segments.stop_fit`` rule).
+    - ``method="dp"``: the reference's least-squares DP — minimize TOTAL
+      squared segment-projection deviation subject to monotone along-order
+      (``geom.fit_points_monotonic``, the global optimum the reference's
+      O(P·S²) DP computes; snap_gi then reports the chosen segment's left
+      vertex, dev_sq/along_c the projection values floored to ints).
+
+    Shape rows and trip-stop rows co-shuffle into the same shape-key bucket
+    via a tagged union — no shape-table broadcast."""
+    if method not in ("greedy", "dp"):
+        raise ValueError(f"unknown fit method {method!r}")
 
     def _tag(kind: int):
         def _f(batch: pa.Table) -> pa.Table:
@@ -187,6 +199,22 @@ def fit_trip_stops(shape_pts_ds, stop_pts_ds, est_rows: int | None = None):
                 sx = td["x"].to_numpy().astype(np.int64)
                 sy = td["y"].to_numpy().astype(np.int64)
                 seqs = td["gi"].to_numpy().astype(np.int64)
+                if method == "dp":
+                    from ..functions import geom
+
+                    pts = np.stack([sx, sy], axis=1).astype(np.float64)
+                    d, along = geom.fit_points_monotonic(pts, xyi.astype(np.float64))
+                    cl = geom.cum_lengths(xyi.astype(np.float64))
+                    seg = np.clip(np.searchsorted(cl, along, side="right") - 1,
+                                  0, len(xyi) - 2)
+                    for i in range(len(td)):
+                        out.append({"trip_id": trip,
+                                    "stop_sequence": int(seqs[i]),
+                                    "snap_gi": int(seg[i]) + 1,
+                                    "dev_sq": int(np.floor(d[i] * d[i] + 0.5)),
+                                    "along_c": int(np.floor(along[i] * 100 + 0.5)),
+                                    "shape_key": int(key)})
+                    continue
                 prev = 0
                 for i in range(len(td)):
                     d2 = ((xyi[prev:, 0] - sx[i]) ** 2
@@ -214,7 +242,8 @@ def fit_trip_stops(shape_pts_ds, stop_pts_ds, est_rows: int | None = None):
 
 
 def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
-                 n_partitions: int = 4, extract_dir: str | None = None) -> dict:
+                 n_partitions: int = 4, extract_dir: str | None = None,
+                 stop_fit_method: str = "greedy") -> dict:
     """Checkpointed end-to-end run. Returns metrics; resumable (completed
     match partitions are skipped via the manifest)."""
     tables = read_gtfs_zip(
@@ -299,8 +328,8 @@ def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
     trip_stops = trip_stops.join(stops, "inner", 4, on=("stop_id",), right_on=("stop_id",))
     stop_pts = trip_stops.map_batches(_stop_pts, batch_format="pyarrow", batch_size=8192)
     shape_pts = ray.data.read_parquet(pts_dir, columns=["shape_key", "gi", "x", "y"])
-    fit_trip_stops(shape_pts, stop_pts, est_rows=est
-                   ).write_parquet(f"{out_dir}/stop_fit")
+    fit_trip_stops(shape_pts, stop_pts, est_rows=est,
+                   method=stop_fit_method).write_parquet(f"{out_dir}/stop_fit")
 
     # stage E: per-tile rollup over chosen matches (combiner-first)
     chosen = ray.data.read_parquet(match_files, columns=["tile_id"])

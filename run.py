@@ -140,7 +140,8 @@ def cmd_gtfs_pipeline(args) -> int:
     from gtfs_conflation_pipeline_ray.pipelines.gtfs_pipeline import run_pipeline
 
     t0 = time.time()
-    m = run_pipeline(args.zip, args.tiles, args.out, n_partitions=args.partitions)
+    m = run_pipeline(args.zip, args.tiles, args.out, n_partitions=args.partitions,
+                     stop_fit_method=args.stop_fit)
     print(json.dumps({
         "match_rows": m["match_rows"], "path_edges": m["path_edges"],
         "stop_fit_rows": m["stop_fit_rows"], "tiles_matched": m["tiles_matched"],
@@ -180,6 +181,8 @@ def main(argv=None) -> int:
     gp.add_argument("--tiles", required=True)
     gp.add_argument("--out", required=True)
     gp.add_argument("--partitions", type=int, default=4)
+    gp.add_argument("--stop-fit", choices=["greedy", "dp"], default="greedy",
+                    help="vertex-greedy (exact ints) or the reference's least-squares DP")
     args = p.parse_args(argv)
     return {"list": cmd_list, "query": cmd_query,
             "image-pipeline": cmd_image_pipeline,

@@ -109,3 +109,36 @@ def test_gtfs_pipeline_deterministic(ray_session, feed, tmp_path):
             ["shape_key", "path_index", "edge_index"]).reset_index(drop=True)
         outs.append(paths)
     assert outs[0].equals(outs[1])
+
+
+def test_stop_fit_dp_beats_or_ties_greedy(ray_session):
+    """The DP fit is the monotone global optimum over segment projections,
+    so its total squared deviation never exceeds the greedy vertex snap's;
+    alongs stay monotone per trip."""
+    import pyarrow as pa
+
+    ray = ray_session
+    rng = np.random.default_rng(33)
+    n = 30
+    xy = rng.integers(0, 2000, (n, 2)).astype(np.int64)
+    shape_rows = pa.table({
+        "shape_key": np.full(n, 3, dtype=np.int64),
+        "gi": np.arange(1, n + 1, dtype=np.int64),
+        "x": xy[:, 0], "y": xy[:, 1],
+    })
+    m = 6
+    stop_rows = pa.table({
+        "shape_key": np.full(m, 3, dtype=np.int64),
+        "trip_id": ["t"] * m,
+        "gi": np.arange(1, m + 1, dtype=np.int64),
+        "x": xy[::5][:m, 0] + 7, "y": xy[::5][:m, 1] - 4,
+    })
+    res = {}
+    for method in ("greedy", "dp"):
+        got = gp.fit_trip_stops(ray.data.from_arrow(shape_rows),
+                                ray.data.from_arrow(stop_rows),
+                                method=method).to_pandas()
+        got = got.sort_values("stop_sequence")
+        assert (np.diff(got["along_c"].to_numpy()) >= 0).all(), method
+        res[method] = got["dev_sq"].sum()
+    assert res["dp"] <= res["greedy"]
