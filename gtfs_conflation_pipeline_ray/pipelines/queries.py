@@ -3641,6 +3641,76 @@ def q_video_frame_means(sf_dir: str):
     )
 
 
+def q_image_decode_features(sf_dir: str):
+    """Image decode + feature extraction through ALL THREE image codecs
+    (real BMP, real PNG incl. zlib/filter path, deterministic QJPG stub):
+    images synthesized map-side from doc_id (solid color + red gradient),
+    ENCODED for real, then the actor-pool ``ImageFeaturizer`` decodes and
+    emits exact int64 per-channel pixel sums. The oracle mirrors the
+    synthesis closed form — including the QJPG 6-bit dequantization
+    arithmetic — so a codec defect in any format breaks the hash."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (i * 11) % 200
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table(
+            {
+                "image_id": ids,
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "fmt": pa.array(fmts, type=pa.string()),
+            }
+        )
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    feats = mstage.image_features(synth, with_ahash=False, batch_size=512)
+    return feats.select_columns(["image_id", "w", "h", "sum_r", "sum_g", "sum_b"])
+
+
+# QJPG 6-bit dequant: q = v // 4; d(v) = q*4 + q//16  (== (q<<2)|(q>>4) since
+# q>>4 < 4 occupies exactly the low 2 zero bits). fmt index 2 = jpeg.
+SQL_IMAGE_DECODE_FEATURES = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rsum AS (
+  SELECT image_id,
+         SUM(CASE WHEN fi = 2
+                  THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                       + ((br + (j * 55) // (w - 1)) // 4) // 16
+                  ELSE br + (j * 55) // (w - 1) END) AS row_r
+  FROM im, (SELECT unnest(range(40)) AS j) js
+  WHERE j < w
+  GROUP BY image_id
+)
+SELECT i.image_id, i.w, i.h,
+       i.h * r.row_r AS sum_r,
+       i.w * i.h * (CASE WHEN i.fi = 2 THEN (i.bg // 4) * 4 + (i.bg // 4) // 16
+                         ELSE i.bg END) AS sum_g,
+       i.w * i.h * (CASE WHEN i.fi = 2 THEN (i.bb // 4) * 4 + (i.bb // 4) // 16
+                         ELSE i.bb END) AS sum_b
+FROM im i JOIN rsum r USING (image_id)
+"""
+
+
 # gradient row sum S(w) = Σ_j (j*55)//(w-1) per fixture width (16/24/32/40)
 SQL_VIDEO_FRAME_MEANS = """
 WITH v AS (
@@ -3686,7 +3756,6 @@ QUERIES = {
     "event_window_join": q_event_window_join,
     "price_rank_topk": q_price_rank_topk,
     "supplier_top_line": q_supplier_top_line,
-    "top_orders": q_top_orders,
     "segment_union_except": q_segment_union_except,
     "distinct_flag_status": q_distinct_flag_status,
     "weighted_avg_price": q_weighted_avg_price,
@@ -3720,8 +3789,10 @@ QUERIES = {
     "events_approx_users": q_events_approx_users,
     "audio_decode_features": q_audio_decode_features,
     "video_frame_means": q_video_frame_means,
+    "image_decode_features": q_image_decode_features,
     # --- driver window ends here (first 50 entries); every entry below is
     # still oracle- or rows-checked by the LOCAL gate at two scales ---
+    "top_orders": q_top_orders,
     "order_suppliers_concat": q_order_suppliers_concat,
     "doc_quality": q_doc_quality,
     "events_tumbling": q_events_tumbling,
@@ -3845,6 +3916,7 @@ ORACLE_SQL = {
     "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,
     "point_in_polygon": SQL_POINT_IN_POLYGON,
     "doc_tfidf": SQL_DOC_TFIDF,
+    "image_decode_features": SQL_IMAGE_DECODE_FEATURES,
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,

@@ -259,3 +259,123 @@ def video_keyframe_neardup(ds, every_n: int = 3, max_hamming: int = 3,
     return dedup.phash_neardup_pairs(keyed, phash_col="phash",
                                      id_col="frame_key",
                                      max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# image: decode + feature extraction + resize (completing the multimodal
+# verb set for the image payload: decode / feature-extract / resize)
+# ---------------------------------------------------------------------------
+
+class ImageFeaturizer:
+    """Actor-pool batch fn: decode each image payload (real BMP/PNG codecs,
+    deterministic QJPG stub — ``functions/codecs``), emit exact int64
+    per-channel pixel sums + dims + aHash. Same poison-row quarantine
+    contract as the audio featurizer."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt", with_ahash: bool = True):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.with_ahash = with_ahash
+        self.decode = codecs.decode  # codec handle held per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out = {k: np.zeros(n, dtype=np.int64)
+               for k in ("w", "h", "sum_r", "sum_g", "sum_b", "ahash")}
+        ok = np.ones(n, dtype=bool)
+        errs = []
+        for i in range(n):
+            try:
+                img = self.decode(blobs[i], fmts[i])
+                f64 = img.astype(np.int64)
+                out["h"][i], out["w"][i] = img.shape[0], img.shape[1]
+                s = f64.sum(axis=(0, 1))
+                out["sum_r"][i], out["sum_g"][i], out["sum_b"][i] = s
+                if self.with_ahash:
+                    out["ahash"][i] = media.ahash64(img)
+                errs.append("")
+            except Exception as e:  # poison-row quarantine
+                ok[i] = False
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table({"image_id": batch[self.id_col], **out,
+                         "ok": ok, "err": pa.array(errs, type=pa.string())})
+
+
+def image_features(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                   fmt_col: str = "fmt", with_ahash: bool = True,
+                   concurrency: int | None = None, batch_size: int = 256):
+    return ds.map_batches(
+        ImageFeaturizer,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col, "with_ahash": with_ahash},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def _area_resize(img: np.ndarray, ow: int, oh: int) -> np.ndarray:
+    """Exact integer area-average resize via 2-D prefix sums: output pixel =
+    rounded mean of its source box (the same integer prefix-sum machinery as
+    ``media.ahash64``) — deterministic across platforms."""
+    h, w, _ = img.shape
+    rb = (np.arange(oh + 1, dtype=np.int64) * h) // oh
+    cb = (np.arange(ow + 1, dtype=np.int64) * w) // ow
+    out = np.empty((oh, ow, 3), dtype=np.uint8)
+    for c in range(3):
+        ps = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(img[:, :, c].astype(np.int64), axis=0), axis=1,
+                  out=ps[1:, 1:])
+        cell = (ps[rb[1:], :][:, cb[1:]] - ps[rb[:-1], :][:, cb[1:]]
+                - ps[rb[1:], :][:, cb[:-1]] + ps[rb[:-1], :][:, cb[:-1]])
+        npix = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+        out[:, :, c] = ((cell + npix // 2) // npix).astype(np.uint8)
+    return out
+
+
+def resize_images_shards(files: list[str], out_w: int, out_h: int,
+                         out_dir: str, fmt: str = "png"):
+    """Bytes-in/bytes-out image resize over (file, row_group) shards — the
+    image sibling of ``resample_audio_shards``; payloads never transit the
+    object store."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..functions import codecs
+
+    units = []
+    for f in sorted(files):
+        n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+        units.extend({"path": f, "rg": g} for g in range(n_rg))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _resize_shard(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            tab = _pq.ParquetFile(path).read_row_group(rg)
+            blobs, fmts = tab["bytes"].to_pylist(), tab["fmt"].to_pylist()
+            new_bytes = []
+            for buf, f in zip(blobs, fmts):
+                img = codecs.decode(buf, f)
+                new_bytes.append(codecs.encode(_area_resize(img, out_w, out_h), fmt))
+            cols = {name: tab[name] for name in tab.column_names
+                    if name not in ("bytes", "fmt", "w", "h")}
+            cols["bytes"] = pa.array(new_bytes, type=pa.binary())
+            cols["fmt"] = pa.array([fmt] * tab.num_rows, type=pa.string())
+            cols["w"] = np.full(tab.num_rows, out_w, dtype=np.int32)
+            cols["h"] = np.full(tab.num_rows, out_h, dtype=np.int32)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_path = f"{out_dir}/{stem}-rg{rg}.parquet"
+            _pq.write_table(pa.table(cols), out_path)
+            outs.append((out_path, tab.num_rows))
+        return pa.table({"path": [o[0] for o in outs],
+                         "rows": np.array([o[1] for o in outs], dtype=np.int64)})
+
+    return ray.data.from_items(units).map_batches(
+        _resize_shard, batch_format="pyarrow", batch_size=1)

@@ -231,3 +231,62 @@ def test_fixture_tables_deterministic():
                                "transcript"]
     assert v1.schema.names == ["video_id", "bytes", "n_frames", "w", "h",
                                "fps", "fmt", "caption"]
+
+
+def test_image_features_vs_bruteforce(ray_session):
+    from gtfs_conflation_pipeline_ray.stages import media as ms
+
+    ray = ray_session
+    tab = fx.images_table(45)  # cycles bmp/png/jpeg
+    got = ms.image_features(
+        ray.data.from_arrow(tab.select(["image_id", "bytes", "fmt"])),
+        batch_size=16).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert got["ok"].all()
+    from gtfs_conflation_pipeline_ray.functions import codecs
+
+    for i in range(len(tab)):
+        img = codecs.decode(tab["bytes"][i].as_py(), tab["fmt"][i].as_py())
+        row = got.iloc[i]
+        assert (row["h"], row["w"]) == img.shape[:2]
+        s = img.astype(np.int64).sum(axis=(0, 1))
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(s)
+        assert row["ahash"] == M.ahash64(img)
+
+
+def test_area_resize_exact_means():
+    from gtfs_conflation_pipeline_ray.stages.media import _area_resize
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+    out = _area_resize(img, 12, 8)
+    assert out.shape == (8, 12, 3)
+    # each output pixel is the rounded mean of its exact source box
+    for r in (0, 3, 7):
+        for c in (0, 5, 11):
+            r0, r1 = r * 24 // 8, (r + 1) * 24 // 8
+            c0, c1 = c * 36 // 12, (c + 1) * 36 // 12
+            for ch in range(3):
+                box = img[r0:r1, c0:c1, ch].astype(np.int64)
+                exp = (box.sum() + box.size // 2) // box.size
+                assert out[r, c, ch] == exp
+    # identity resize is exact
+    assert np.array_equal(_area_resize(img, 36, 24), img)
+
+
+def test_resize_images_shards(ray_session, tmp_path):
+    from gtfs_conflation_pipeline_ray.functions import codecs
+    from gtfs_conflation_pipeline_ray.stages import media as ms
+
+    tab = fx.images_table(20)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    pq.write_table(tab, f"{src}/part-0.parquet", row_group_size=8)
+    out = tmp_path / "resized"
+    receipts = ms.resize_images_shards(
+        [f"{src}/part-0.parquet"], 16, 12, str(out)).to_pandas()
+    assert receipts["rows"].sum() == 20
+    res = pq.read_table(str(out)).to_pandas()
+    assert (res["fmt"] == "png").all() and (res["w"] == 16).all()
+    for _, row in res.iterrows():
+        img = codecs.decode(row["bytes"], "png")
+        assert img.shape == (12, 16, 3)
