@@ -174,6 +174,36 @@ def validate_images(images_dir: str, concurrency: int | None = None):
     return ds.map_batches(_validate_shard, batch_format="pyarrow", batch_size=1)
 
 
+def featurize_images(images_dir: str):
+    """Per-image feature extraction (exact channel sums + aHash) with the
+    same shard-local byte handling as :func:`validate_images`: work units are
+    (file, row_group) descriptors; each task reads + decodes its shard
+    locally, so the binary payloads never transit the object store. Output
+    rows are the small typed feature table."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.media import ImageFeaturizer
+
+    units = []
+    for f in sorted(_glob.glob(f"{images_dir}/*.parquet")):
+        n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+        units.extend({"path": f, "rg": g} for g in range(n_rg))
+    featurizer = ImageFeaturizer()
+
+    def _featurize_shard(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            tab = _pq.ParquetFile(path).read_row_group(
+                rg, columns=["image_id", "bytes", "fmt"])
+            outs.append(featurizer(tab))
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(units).map_batches(
+        _featurize_shard, batch_format="pyarrow", batch_size=1)
+
+
 def shard_partitions(images_dir: str, n_partitions: int) -> list[tuple[str, list[str]]]:
     """Input-shard partitioning: the sorted file list chunked into
     ``n_partitions`` contiguous groups — "one output directory per input
@@ -216,7 +246,7 @@ def neardup_images(images_dir: str, max_hamming: int = 3,
 def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
                  n_partitions: int = 8, concurrency: int | None = None,
                  validate: bool = False, partition_by: str = "shard",
-                 neardup: bool = False) -> dict:
+                 neardup: bool = False, features: bool = False) -> dict:
     """Checkpointed end-to-end run: per partition, write ``matches/part-K``
     (all candidate pairs + best flags); then global tile_stats + cell_stats
     from the committed partitions. Returns metrics.
@@ -326,6 +356,15 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
         metrics["neardup_pairs"] = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(f"{out_dir}/neardup_pairs/*.parquet")
+        )
+    if features:
+        # per-image feature layer (channel sums + aHash) — shard-local bytes
+        featurize_images(images_dir).write_parquet(f"{out_dir}/features")
+        import glob as _glob
+
+        metrics["feature_rows"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(f"{out_dir}/features/*.parquet")
         )
     if validate:
         # payload validation pass (the per-row invariant: decode + dims +

@@ -81,7 +81,8 @@ def cmd_image_pipeline(args) -> int:
     t0 = time.time()
     metrics = run_pipeline(args.images, args.tiles, args.out,
                            n_partitions=args.partitions, validate=args.validate,
-                           partition_by=args.partition_by, neardup=args.neardup)
+                           partition_by=args.partition_by, neardup=args.neardup,
+                           features=args.features)
     out = {"match_rows": metrics.get("match_rows"),
            "partitions": len(metrics.get("partitions", [])),
            "skipped": sum(1 for _, _, sk in metrics.get("partitions", []) if sk),
@@ -90,6 +91,8 @@ def cmd_image_pipeline(args) -> int:
         out["invalid_rows"] = metrics["invalid_rows"]
     if "neardup_pairs" in metrics:
         out["neardup_pairs"] = metrics["neardup_pairs"]
+    if "feature_rows" in metrics:
+        out["feature_rows"] = metrics["feature_rows"]
     print(json.dumps(out))
     return 0
 
@@ -168,6 +171,8 @@ def main(argv=None) -> int:
     ip.add_argument("--partition-by", choices=["shard", "phash"], default="shard")
     ip.add_argument("--neardup", action="store_true",
                     help="also emit the phash Hamming near-dup pair report")
+    ip.add_argument("--features", action="store_true",
+                    help="also emit the per-image feature layer (sums + aHash)")
     mp = sub.add_parser("media-pipeline",
                         help="audio/video multimodal demo over fixtures")
     mp.add_argument("--out", required=True)

@@ -119,3 +119,30 @@ def test_phash_partition_pruning(ray_session, fixture_dir):
     for _, lo, hi in parts:
         total += ic.read_images_meta(f"{fixture_dir}/images", (lo, hi)).count()
     assert total == 300  # partitions tile the key space exactly once
+
+
+def test_featurize_images_layer(ray_session, fixture_dir, tmp_path):
+    """Feature layer: one row per image, exact sums vs direct decode."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gtfs_conflation_pipeline_ray.functions import codecs
+    from gtfs_conflation_pipeline_ray.functions.media import ahash64
+    from gtfs_conflation_pipeline_ray.pipelines.image_conflation import featurize_images
+
+    got = featurize_images(f"{fixture_dir}/images").to_pandas()
+    assert len(got) == 300 and got["ok"].all()
+    got = got.set_index("image_id")
+    import glob
+
+    checked = 0
+    for f in sorted(glob.glob(f"{fixture_dir}/images/*.parquet"))[:1]:
+        tab = pq.read_table(f, columns=["image_id", "bytes", "fmt"])
+        for i in range(0, tab.num_rows, 17):
+            img = codecs.decode(tab["bytes"][i].as_py(), tab["fmt"][i].as_py())
+            row = got.loc[tab["image_id"][i].as_py()]
+            s = img.astype(np.int64).sum(axis=(0, 1))
+            assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(s)
+            assert row["ahash"] == ahash64(img)
+            checked += 1
+    assert checked >= 5
