@@ -38,11 +38,15 @@ def tiles_ref(sf_dir: str):
     return ray.put(td.tiles_table(sf_dir))
 
 
-def spatial_join_pairs(sf_dir: str, concurrency: int | None = None):
-    """Candidate point-in-tile join: (point_id, tile_id, ref_id, level)."""
+def spatial_join_pairs(sf_dir: str, concurrency: int | None = None,
+                       backend: str = "grid"):
+    """Candidate point-in-tile join: (point_id, tile_id, ref_id, level).
+    ``backend`` selects the per-worker index (uniform grid or packed STR
+    R-tree) — output identical either way."""
     pts = read_points(sf_dir)
     joined = spatial.candidate_join(
-        pts, tiles_ref(sf_dir), "px", "py", ["point_id"], concurrency=concurrency
+        pts, tiles_ref(sf_dir), "px", "py", ["point_id"], concurrency=concurrency,
+        backend=backend,
     )
     return joined.select_columns(["point_id", "tile_id", "ref_id", "level"])
 

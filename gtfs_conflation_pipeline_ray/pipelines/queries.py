@@ -76,6 +76,25 @@ def q_spatial_join_pairs_sharded(sf_dir: str):
     return conflation.spatial_join_pairs_sharded(sf_dir)
 
 
+def q_spatial_join_pairs_strtree(sf_dir: str):
+    """Same pairs through the packed STR R-tree backend
+    (``state/strtree.py``) instead of the uniform grid — the north star's
+    "STRtree-backed" candidate join, sharing ``SQL_SPATIAL_JOIN_PAIRS``."""
+    return conflation.spatial_join_pairs(sf_dir, backend="strtree")
+
+
+def q_knn_tiles_strtree(sf_dir: str):
+    """kNN join through the STR R-tree's box-doubling exact kNN; shares
+    ``SQL_KNN_TILES`` with the grid-pruned variant."""
+    cust = _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        td.cpoints_batch, batch_format="pyarrow", batch_size=8192
+    )
+    ref = conflation.tiles_ref(sf_dir)
+    out = spatial.knn_join(cust, ref, 3, "cx", "cy", ["c_custkey"],
+                           backend="strtree")
+    return out.select_columns(["c_custkey", "tile_id", "knn_rank", "dist2"])
+
+
 def q_point_in_polygon(sf_dir: str):
     """TRUE point-in-polygon join (``spatial.point_in_polygon_join``): bbox
     grid-index candidates refined by the integer-exact crossing-parity test
@@ -3829,6 +3848,8 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
+    "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
+    "knn_tiles_strtree": q_knn_tiles_strtree,
 }
 
 ORACLE_SQL = {
@@ -3920,4 +3941,7 @@ ORACLE_SQL = {
     # identical semantics (and SQL) to the unsharded join — the query differs
     # only in the Ray execution path (x-range-sharded reference side)
     "spatial_join_pairs_sharded": SQL_SPATIAL_JOIN_PAIRS,
+    # identical semantics through the STR R-tree backend (state/strtree.py)
+    "spatial_join_pairs_strtree": SQL_SPATIAL_JOIN_PAIRS,
+    "knn_tiles_strtree": SQL_KNN_TILES,
 }

@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 
 from ..state.grid_index import GridIndex
+from ..state.strtree import STRtree
 from .util import cached_state
 
 
@@ -60,6 +61,22 @@ class _TileState:
         self.level = tiles["level"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.cx = tiles["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.cy = tiles["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+class _TileStateSTR(_TileState):
+    """Same join state over the packed STR R-tree backend
+    (``state/strtree.py`` — the north star's "STRtree-backed" wording;
+    results are identical, the tree wins on heavily skewed tile extents)."""
+
+    def __init__(self, tiles: pa.Table):
+        super().__init__(tiles)
+        self.index = STRtree(
+            self.index.tile_id, self.index.x0, self.index.y0,
+            self.index.x1, self.index.y1,
+        )
+
+
+_BACKENDS = {"grid": _TileState, "strtree": _TileStateSTR}
 
 
 def shard_tiles(tiles: pa.Table, n_shards: int, world: int = 65536) -> list[tuple[int, int, pa.Table]]:
@@ -128,13 +145,16 @@ def sharded_candidate_join(points, shard_refs: list, x_col: str, y_col: str,
 
 
 def candidate_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[str],
-                   concurrency=None):
+                   concurrency=None, backend: str = "grid"):
     """Point-in-tile candidate spatial join: one output row per (point, tile)
     containment pair. ``tiles_ref`` is a `ray.put` handle to the tile table
-    (shipped once; indexed once per worker)."""
+    (shipped once; indexed once per worker). ``backend``: "grid" (uniform
+    buckets; near-uniform extents) or "strtree" (packed R-tree; skewed
+    extents) — identical output either way."""
+    state_cls = _BACKENDS[backend]
 
     def _probe(batch: pa.Table) -> pa.Table:
-        st: _TileState = cached_state(tiles_ref, _TileState)
+        st: _TileState = cached_state(tiles_ref, state_cls)
         px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pi, ti = st.index.query_points(px, py)
@@ -292,11 +312,12 @@ def best_tile_join(points, tiles_ref, x_col: str, y_col: str, carry_cols: list[s
 
 
 def knn_join(points, tiles_ref, k: int, x_col: str, y_col: str, carry_cols: list[str],
-             concurrency=None):
+             concurrency=None, backend: str = "grid"):
     """k-nearest-tile join (exact, deterministic tie-break by tile_id)."""
+    state_cls = _BACKENDS[backend]
 
     def _knn(batch: pa.Table) -> pa.Table:
-        st: _TileState = cached_state(tiles_ref, _TileState)
+        st: _TileState = cached_state(tiles_ref, state_cls)
         qx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         qy = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         qi, ti, d2 = st.index.knn_centroids(qx, qy, k)

@@ -42,11 +42,14 @@ _WORKER_STATE_CACHE: dict = {}
 
 
 def cached_state(ref, builder):
-    """Build-once-per-worker state from a `ray.put` broadcast ref."""
-    st = _WORKER_STATE_CACHE.get(ref)
+    """Build-once-per-worker state from a `ray.put` broadcast ref. Keyed on
+    (ref, builder) so two index backends over the SAME broadcast table (e.g.
+    grid vs STRtree tile states) each get their own cached build."""
+    key = (ref, builder)
+    st = _WORKER_STATE_CACHE.get(key)
     if st is None:
         st = builder(ray.get(ref))
-        _WORKER_STATE_CACHE[ref] = st
+        _WORKER_STATE_CACHE[key] = st
     return st
 
 
