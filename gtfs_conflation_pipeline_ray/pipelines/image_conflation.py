@@ -74,15 +74,33 @@ class _MatcherState:
         self.ref_id = t["ref_id"].to_numpy(zero_copy_only=False)
 
 
-def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int | None = None):
+class _MatcherStateSTR(_MatcherState):
+    """Matcher state over the packed STR R-tree (``state/strtree.py``) —
+    identical probe results; the right backend when ref-tile extents are
+    heavily skewed (see the backend note in ``stages/spatial.py``)."""
+
+    def __init__(self, t: pa.Table):
+        super().__init__(t)
+        from ..state.strtree import STRtree
+
+        ix = self.index
+        self.index = STRtree(ix.tile_id, ix.x0, ix.y0, ix.x1, ix.y1)
+
+
+_MATCHER_BACKENDS = {"grid": _MatcherState, "strtree": _MatcherStateSTR}
+
+
+def match_images(images_dir: str, tiles_ref, phash_range=None, concurrency: int | None = None,
+                 backend: str = "grid"):
     """decode cells → candidate join + best-tile choose, one stateless-task
     pass (tile index broadcast once, built once per worker via cached_state).
     Per batch: emit each probe's candidate tiles AND its chosen best tile
     (min squared centroid distance among containing tiles, tie tile_id) —
     the scored-matching step, fully map-side (no shuffle)."""
+    state_cls = _MATCHER_BACKENDS[backend]
 
     def _match(batch: pa.Table) -> pa.Table:
-        st: _MatcherState = cached_state(tiles_ref, _MatcherState)
+        st: _MatcherState = cached_state(tiles_ref, state_cls)
         px = batch["x"].to_numpy(zero_copy_only=False)
         py = batch["y"].to_numpy(zero_copy_only=False)
         pi, ti = st.index.query_points(px, py)
@@ -246,7 +264,8 @@ def neardup_images(images_dir: str, max_hamming: int = 3,
 def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
                  n_partitions: int = 8, concurrency: int | None = None,
                  validate: bool = False, partition_by: str = "shard",
-                 neardup: bool = False, features: bool = False) -> dict:
+                 neardup: bool = False, features: bool = False,
+                 index_backend: str = "grid") -> dict:
     """Checkpointed end-to-end run: per partition, write ``matches/part-K``
     (all candidate pairs + best flags); then global tile_stats + cell_stats
     from the committed partitions. Returns metrics.
@@ -264,10 +283,12 @@ def run_pipeline(images_dir: str, ref_tiles_path: str, out_dir: str,
     ck = StageCheckpoint(f"{out_dir}/matches", "matches",
                          lineage={"images": images_dir, "ref_tiles": ref_tiles_path,
                                   "cell_bits": CELL_BITS, "n_partitions": n_partitions,
-                                  "partition_by": partition_by})
+                                  "partition_by": partition_by,
+                                  "index_backend": index_backend})
 
     def _write(tmp_dir: str, src, phash_range) -> int:
-        ds = match_images(src, tiles_ref, phash_range, concurrency)
+        ds = match_images(src, tiles_ref, phash_range, concurrency,
+                          backend=index_backend)
         # Local (per-block) canonical ordering instead of a global sort: the
         # row MULTISET per partition is deterministic (content-derived), and
         # parity/resume checks compare canonically sorted content — so the

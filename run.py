@@ -82,7 +82,8 @@ def cmd_image_pipeline(args) -> int:
     metrics = run_pipeline(args.images, args.tiles, args.out,
                            n_partitions=args.partitions, validate=args.validate,
                            partition_by=args.partition_by, neardup=args.neardup,
-                           features=args.features)
+                           features=args.features,
+                           index_backend=args.index_backend)
     out = {"match_rows": metrics.get("match_rows"),
            "partitions": len(metrics.get("partitions", [])),
            "skipped": sum(1 for _, _, sk in metrics.get("partitions", []) if sk),
@@ -173,6 +174,8 @@ def main(argv=None) -> int:
                     help="also emit the phash Hamming near-dup pair report")
     ip.add_argument("--features", action="store_true",
                     help="also emit the per-image feature layer (sums + aHash)")
+    ip.add_argument("--index-backend", choices=["grid", "strtree"], default="grid",
+                    help="per-worker spatial index (strtree for skewed tile extents)")
     mp = sub.add_parser("media-pipeline",
                         help="audio/video multimodal demo over fixtures")
     mp.add_argument("--out", required=True)

@@ -81,6 +81,14 @@ def test_determinism(ray_session, fixture_dir, tmp_path):
     assert a.equals(b)
 
 
+def test_strtree_backend_parity(ray_session, fixture_dir, tmp_path):
+    # the packed STR R-tree matcher backend produces the exact same matches
+    out_g, out_s = str(tmp_path / "grid"), str(tmp_path / "str")
+    _run(ray_session, fixture_dir, out_g)
+    _run(ray_session, fixture_dir, out_s, index_backend="strtree")
+    assert _read_matches(out_g).equals(_read_matches(out_s))
+
+
 def test_resume_skips_completed_and_is_identical(ray_session, fixture_dir, tmp_path):
     out_full = str(tmp_path / "full")
     _run(ray_session, fixture_dir, out_full)
