@@ -97,3 +97,48 @@ def test_ahash_brightness_shift_invariant(w, h, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 200, (h, w, 3)).astype(np.uint8)
     assert media.ahash64(img) == media.ahash64(img + np.uint8(40))
+
+
+# ---- STRtree: random-shape parity with brute force ------------------------
+_rects = st.integers(2, 300).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(st.integers(0, 4000), min_size=2 * n, max_size=2 * n),
+        st.lists(st.integers(0, 200), min_size=2 * n, max_size=2 * n),
+        st.integers(2, 23),  # node_cap, incl. tiny fan-outs
+    )
+)
+
+
+@given(_rects, st.lists(st.integers(0, 4200), min_size=8, max_size=8),
+       st.integers(1, 9))
+@settings(max_examples=60, deadline=None)
+def test_strtree_probes_match_bruteforce_property(spec, probes, k):
+    from gtfs_conflation_pipeline_ray.state.strtree import STRtree
+
+    n, centers, halves, cap = spec
+    cx = np.asarray(centers[:n], dtype=np.int64)
+    cy = np.asarray(centers[n:], dtype=np.int64)
+    hw = np.asarray(halves[:n], dtype=np.int64)
+    hh = np.asarray(halves[n:], dtype=np.int64)
+    x0, x1 = cx - hw, cx + hw
+    y0, y1 = cy - hh, cy + hh
+    tid = np.arange(n, dtype=np.int64)[::-1].copy()  # ids != positions
+    tree = STRtree(tid, x0, y0, x1, y1, node_cap=cap)
+    px = np.asarray(probes[:4], dtype=np.int64)
+    py = np.asarray(probes[4:], dtype=np.int64)
+    qi, ti = tree.query_points(px, py)
+    m = (px[:, None] >= x0) & (px[:, None] <= x1) & \
+        (py[:, None] >= y0) & (py[:, None] <= y1)
+    bq, bt = np.nonzero(m)
+    assert set(zip(qi.tolist(), tid[ti].tolist())) == \
+        set(zip(bq.tolist(), tid[bt].tolist()))
+    # exact kNN with (d2, tile_id) total order
+    kq, kt, kd = tree.knn_centroids(px, py, k)
+    kk = min(k, n)
+    for q in range(len(px)):
+        d2 = (int(px[q]) - cx) ** 2 + (int(py[q]) - cy) ** 2
+        order = np.lexsort((tid, d2))[:kk]
+        sl = slice(q * kk, (q + 1) * kk)
+        assert np.array_equal(kd[sl], d2[order])
+        assert np.array_equal(tid[kt[sl]], tid[order])
