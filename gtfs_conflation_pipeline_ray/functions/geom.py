@@ -565,6 +565,45 @@ def union_paths_fixpoint(coords: list, id_lists: list, tol: float):
     return ps, ids
 
 
+def union_paths_by_ids_geo(paths: list, centro: dict, tol2: int) -> list[list[int]]:
+    """Id-centric two-algorithm path union to a fixpoint — ≙
+    ``unionPathLineStrings.js:54-135`` with the path geometry DERIVED from
+    the id chain (each id's tile centroid, exact int64 coords), so the whole
+    fixpoint is a pure-integer id-list computation with an exact SQL mirror
+    (cf. the coordinate-carrying ``union_paths_fixpoint`` variant above).
+
+    Deterministic per-step priority order, identical to the oracle's
+    unrolled step CTEs: (1) the metadata algorithm to ITS fixpoint
+    (``merge_paths_by_ids``: parallel subset-drop pass, else first-lex
+    longest suffix-prefix splice), then (2) ONE geospatial concat — the
+    first (i, j) in index order with
+    ``dist2(centro[ps[i][-1]], centro[ps[j][0]]) <= tol2`` — then back to
+    (1). Every action removes >= 1 path, so the fixpoint is reached in
+    < len(paths) steps. Returns the merged id lists (merge results append
+    at the END, matching the engine/oracle list bookkeeping)."""
+    ps = merge_paths_by_ids(paths)
+    while True:
+        hit = None
+        for i in range(len(ps)):
+            for j in range(len(ps)):
+                if i == j:
+                    continue
+                lx, ly = centro[ps[i][-1]]
+                fx, fy = centro[ps[j][0]]
+                if (lx - fx) * (lx - fx) + (ly - fy) * (ly - fy) <= tol2:
+                    hit = (i, j)
+                    break
+            if hit is not None:
+                break
+        if hit is None:
+            return ps
+        i, j = hit
+        joined = ps[i] + ps[j]
+        ps = [p for t, p in enumerate(ps) if t not in (i, j)]
+        ps.append(joined)
+        ps = merge_paths_by_ids(ps)
+
+
 def merge_chains(lines: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Greedy end-to-start geospatial merge: repeatedly join a line whose
     start is within ``tol`` of another's end (gap bridged by concatenation)

@@ -3495,13 +3495,127 @@ FROM t
 """
 
 
-def q_path_linestrings(sf_dir: str):  # rows-only (fixpoint union, no SQL)
+def q_path_linestrings(sf_dir: str):
     """Path → LineString + pathDecompositionInfo + two-algorithm union to
-    fixpoint (see ``stages.choose.path_linestrings``)."""
+    fixpoint (see ``stages.choose.path_linestrings``). Id-centric: the
+    polyline is the centroid chain of the id list, so the fixpoint is a
+    pure-integer computation with the exact unrolled-CTE oracle below."""
     from ..stages.choose import path_linestrings
 
     return path_linestrings(_event_shapes(sf_dir), conflation.tiles_ref(sf_dir),
                             est_rows=_nrows(sf_dir, "events"))
+
+
+# Exact SQL mirror of geom.union_paths_by_ids_geo + the path emission: the
+# same unrolled step-CTE fixpoint as SQL_PATH_METADATA_MERGE (one reducing
+# action per step, done-flag when none applies, -1/'NOT_CONVERGED' sentinel
+# rows on step exhaustion) extended with the GEOSPATIAL merge as the
+# lowest-priority action: when no subset drop and no splice exists, the
+# FIRST (i, j) pair in index order whose endpoint centroids are within
+# union_tol concatenates (ids i ++ j, appended at the end). Each path
+# element is encoded as ONE BIGINT (tile_id * 2^32 + cx * 2^16 + cy,
+# injective since 0 <= cx, cy < 65536), so subset / splice equality on the
+# encoded lists equals id-list equality and the geo predicate decodes the
+# endpoints with // and %. Per-edge lengths are cents of correctly-rounded
+# sqrt over exact int64 squared distances — the engine repeats the identical
+# IEEE sequence, and path_len_c sums the INT cents (order-free).
+def _union_step(k: int, tol2: int) -> str:
+    return f""",
+g{k}a AS (
+  SELECT user_id, ps, done, CASE WHEN done THEN 0 ELSE len(ps) END AS n
+  FROM g{k-1}
+),
+g{k}b AS (
+  SELECT user_id, ps, done, n,
+    [ CASE WHEN p // n = p % n THEN false
+           ELSE len([1 FOR x IN ps[p // n + 1]
+                     IF NOT list_contains(ps[p % n + 1], x)]) = 0 END
+      FOR p IN range(n * n) ] AS sub,
+    [ CASE WHEN p // n = p % n THEN 0
+           ELSE COALESCE(list_max(
+             [kk+1 FOR kk IN range(LEAST(len(ps[p // n + 1]), len(ps[p % n + 1])))
+              IF ps[p // n + 1][len(ps[p // n + 1])-kk:len(ps[p // n + 1])]
+               = ps[p % n + 1][1:kk+1]]), 0) END
+      FOR p IN range(n * n) ] AS bks,
+    [ (ps[t+1][len(ps[t+1])] // 65536) % 65536 FOR t IN range(n) ] AS lxs,
+    [  ps[t+1][len(ps[t+1])] % 65536           FOR t IN range(n) ] AS lys,
+    [ (ps[t+1][1] // 65536) % 65536            FOR t IN range(n) ] AS fxs,
+    [  ps[t+1][1] % 65536                      FOR t IN range(n) ] AS fys
+  FROM g{k}a
+),
+g{k}c AS (
+  SELECT user_id, ps, done, n, bks,
+    [ i FOR i IN range(n)
+      IF len([1 FOR j IN range(n)
+              IF j <> i AND sub[i*n+j+1]
+                 AND (NOT sub[j*n+i+1] OR j < i)]) = 0 ] AS keep,
+    [ p FOR p IN range(n * n) IF bks[p+1] > 0 ][1] AS spl,
+    [ p FOR p IN range(n * n)
+      IF p // n <> p % n
+         AND (lxs[p//n+1]-fxs[p%n+1])*(lxs[p//n+1]-fxs[p%n+1])
+           + (lys[p//n+1]-fys[p%n+1])*(lys[p//n+1]-fys[p%n+1]) <= {tol2} ][1] AS geo
+  FROM g{k}b
+),
+g{k} AS (
+  SELECT user_id,
+    CASE WHEN done THEN ps
+         WHEN len(keep) < len(ps) THEN [ps[t+1] FOR t IN keep]
+         WHEN spl IS NOT NULL THEN
+           [ps[t+1] FOR t IN range(len(ps)) IF t <> spl // n AND t <> spl % n]
+           || [ps[spl // n + 1] || ps[spl % n + 1][bks[spl+1]+1:len(ps[spl % n + 1])]]
+         WHEN geo IS NOT NULL THEN
+           [ps[t+1] FOR t IN range(len(ps)) IF t <> geo // n AND t <> geo % n]
+           || [ps[geo // n + 1] || ps[geo % n + 1]]
+         ELSE ps END AS ps,
+    done OR (len(keep) = len(ps) AND spl IS NULL AND geo IS NULL) AS done
+  FROM g{k}c
+)"""
+
+
+SQL_PATH_LINESTRINGS = (_PATH_EDGE_CTES + """,
+pathsg AS (
+  SELECT e.user_id, e.path_index,
+         list((e.tile_id * 65536 + t.cx) * 65536 + t.cy
+              ORDER BY e.path_edge_index) AS p
+  FROM (SELECT DISTINCT user_id, path_index, path_edge_index, tile_id FROM edges) e
+  JOIN tiles t USING (tile_id)
+  GROUP BY e.user_id, e.path_index
+),
+g0 AS MATERIALIZED (
+  SELECT user_id, list(p ORDER BY path_index) AS ps,
+         COUNT(*) <= 1 AS done
+  FROM pathsg GROUP BY user_id
+)"""
++ "".join(_union_step(k, tol2=1) for k in range(1, _MERGE_STEPS + 1)) + f""",
+gf AS MATERIALIZED (SELECT user_id, ps, done FROM g{_MERGE_STEPS}),
+gout AS (
+  SELECT user_id, generate_subscripts(ps, 1) - 1 AS path_index, unnest(ps) AS pv
+  FROM gf WHERE done
+),
+glen AS (
+  SELECT user_id, path_index, pv,
+    [ CAST(FLOOR(sqrt(CAST(
+        ((pv[e+1] // 65536) % 65536 - (pv[e+2] // 65536) % 65536)
+      * ((pv[e+1] // 65536) % 65536 - (pv[e+2] // 65536) % 65536)
+      + (pv[e+1] % 65536 - pv[e+2] % 65536)
+      * (pv[e+1] % 65536 - pv[e+2] % 65536) AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+      FOR e IN range(len(pv) - 1) ] AS cents
+  FROM gout
+)
+SELECT user_id,
+       CAST(path_index AS BIGINT) AS path_index,
+       CAST(len(pv) AS BIGINT) AS n_edges,
+       CAST(COALESCE(list_sum(cents), 0) AS BIGINT) AS path_len_c,
+       '[' || array_to_string(
+         [ printf('{{"id":%d,"len":%d}}', pv[e+1] // 4294967296,
+                  CASE WHEN e < len(pv) - 1 THEN cents[e+1] ELSE 0 END)
+           FOR e IN range(len(pv)) ], ',') || ']' AS decomp_json
+FROM glen
+UNION ALL
+SELECT user_id, CAST(-1 AS BIGINT) AS path_index, CAST(-1 AS BIGINT) AS n_edges,
+       CAST(-1 AS BIGINT) AS path_len_c, 'NOT_CONVERGED' AS decomp_json
+FROM gf WHERE NOT done
+""")
 
 
 def q_row_parity_counts(sf_dir: str):
@@ -3927,6 +4041,7 @@ ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "choose_annealed": SQL_CHOOSE_ANNEALED,
     "path_metadata_merge": SQL_PATH_METADATA_MERGE,
+    "path_linestrings": SQL_PATH_LINESTRINGS,
     "rematch_gated": SQL_REMATCH_GATED,
     "events_asof": SQL_EVENTS_ASOF,
     "doc_sample": SQL_DOC_SAMPLE,

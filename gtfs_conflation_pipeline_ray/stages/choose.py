@@ -663,16 +663,24 @@ def path_linestrings(points_ds, tiles_ref, est_rows: int | None = None,
                      union_tol: float = 1.0):
     """Path → LineString materialization with ``pathDecompositionInfo`` — ≙
     ``createPathLineStrings.js:80-174``: each decomposed path becomes a
-    polyline of its chosen tiles' centroids (in edge order) carrying a
-    decomposition-info list of ``{id, section: [seq_start, seq_end], len}``
-    per edge, then the per-shape path set is UNIONED to a fixpoint with the
-    two merge algorithms (``geom.union_paths_fixpoint`` ≙
-    ``unionPathLineStrings.js:54-135``). One row per unioned path:
-    (user_id, path_index, n_edges, path_len_c, decomp_json) — decomp_json
-    is the compact-JSON pathDecompositionInfo (deterministic key order)."""
+    polyline of its chosen tiles' centroids (in edge order), then the
+    per-shape path set is UNIONED to a fixpoint with the two merge
+    algorithms (``geom.union_paths_by_ids_geo`` ≙
+    ``unionPathLineStrings.js:54-135``, id-centric: the polyline is always
+    the centroid chain of the id list, so the whole fixpoint is a
+    pure-integer computation with an exact SQL mirror). One row per unioned
+    path: (user_id, path_index, n_edges, path_len_c, decomp_json) —
+    decomp_json is the compact-JSON pathDecompositionInfo
+    (``[{"id":..,"len":..}, ...]``, the last edge carries no onward
+    segment, len 0); per-edge lengths are cents
+    ``floor(sqrt(d2) * 100 + 0.5)`` of exact int64 squared distances and
+    path_len_c is their INT sum (order-free, bit-equal in SQL)."""
     import json
 
     from ..functions import geom
+
+    # centroid coords are exact ints, so dist <= tol  <=>  d2 <= floor(tol^2)
+    tol2 = int(np.floor(np.float64(union_tol) * np.float64(union_tol)))
 
     def _paths(g: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "path_index", "n_edges", "path_len_c", "decomp_json"]
@@ -684,45 +692,29 @@ def path_linestrings(points_ds, tiles_ref, est_rows: int | None = None,
         from .spatial import _TileState
 
         st: _TileState = cached_state(tiles_ref, _TileState)
-        centro = {int(t): (float(cx), float(cy))
+        centro = {int(t): (int(cx), int(cy))
                   for t, cx, cy in zip(st.index.tile_id, st.cx, st.cy)}
-        edges = rows.groupby(
-            ["user_id", "path_index", "path_edge_index", "tile_id"],
-            as_index=False, sort=False,
-        ).agg(seq_start=("pt_seq", "min"), seq_end=("pt_seq", "max"))
+        edges = rows.drop_duplicates(["user_id", "path_index", "path_edge_index"])
         out = []
         for u, grp in edges.groupby("user_id", sort=False):
-            coords, ids, infos = [], [], []
-            for _, p in grp.groupby("path_index", sort=False):
-                p = p.sort_values("path_edge_index")
-                tile_seq = p["tile_id"].tolist()
-                xy = np.array([centro[int(t)] for t in tile_seq])
-                info = [
-                    {"id": int(t), "section": [int(a), int(b)],
-                     "len": int(np.floor(np.hypot(*(xy[min(k + 1, len(xy) - 1)] - xy[k]))
-                                         * 100 + 0.5))}
-                    for k, (t, a, b) in enumerate(
-                        zip(tile_seq, p["seq_start"], p["seq_end"]))
-                ]
-                coords.append(xy)
-                ids.append(tile_seq)
-                infos.append(info)
-            merged_coords, merged_ids = geom.union_paths_fixpoint(coords, ids, union_tol)
-            for k, (xy, idl) in enumerate(zip(merged_coords, merged_ids)):
-                # decomposition info re-derived over the UNIONED path (the
-                # last edge carries no onward segment, len 0)
-                info = []
-                for e, t in enumerate(idl):
-                    p0 = xy[min(e, len(xy) - 1)]
-                    p1 = xy[min(e + 1, len(xy) - 1)]
-                    info.append({"id": int(t),
-                                 "len": int(np.floor(np.hypot(*(p1 - p0)) * 100 + 0.5))})
+            paths = [
+                p.sort_values("path_edge_index")["tile_id"].tolist()
+                for _, p in grp.groupby("path_index", sort=False)
+            ]
+            merged = geom.union_paths_by_ids_geo(paths, centro, tol2)
+            for k, idl in enumerate(merged):
+                xy = np.array([centro[int(t)] for t in idl], dtype=np.int64)
+                d = np.diff(xy, axis=0)
+                cents = np.floor(
+                    np.sqrt((d * d).sum(1).astype(np.float64)) * 100 + 0.5
+                ).astype(np.int64)
+                lens = np.concatenate([cents, np.zeros(1, dtype=np.int64)])
+                info = [{"id": int(t), "len": int(c)} for t, c in zip(idl, lens)]
                 out.append({
                     "user_id": np.int64(u),
                     "path_index": np.int64(k),
                     "n_edges": np.int64(len(idl)),
-                    "path_len_c": np.int64(np.floor(geom.polyline_length(xy) * 100 + 0.5))
-                    if len(xy) >= 2 else np.int64(0),
+                    "path_len_c": np.int64(cents.sum()),
                     "decomp_json": json.dumps(info, separators=(",", ":")),
                 })
         return pd.DataFrame(out)

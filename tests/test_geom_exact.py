@@ -131,6 +131,33 @@ def test_union_paths_fixpoint():
     assert len(ps4) == 1
 
 
+def test_union_paths_by_ids_geo():
+    # id-centric variant (the path_linestrings oracle mirror): geometry is
+    # the centroid chain of the id list, merges are pure-integer decisions
+    centro = {1: (0, 0), 2: (1, 0), 3: (2, 0), 7: (3, 0), 9: (50, 50),
+              8: (4, 0)}
+    # metadata splice joins [1,2]+[2,3]; [9] stays apart
+    out = geom.union_paths_by_ids_geo([[1, 2], [2, 3], [9]], centro, tol2=0)
+    assert sorted(map(tuple, out)) == [(1, 2, 3), (9,)]
+    # geospatial concat: end of [1,2,3] at (2,0) within tol of [7] at (3,0)
+    out2 = geom.union_paths_by_ids_geo([[1, 2], [2, 3], [7]], centro, tol2=1)
+    assert out2 == [[1, 2, 3, 7]]
+    # subset absorbed before any geo action
+    out3 = geom.union_paths_by_ids_geo([[1, 2, 3], [2]], centro, tol2=0)
+    assert out3 == [[1, 2, 3]]
+    # geo concat enables a follow-up metadata splice: [1,2]+geo[3] -> then
+    # [3,8] splices onto the tail
+    out4 = geom.union_paths_by_ids_geo([[1, 2], [3], [3, 8]], centro, tol2=1)
+    assert out4 == [[1, 2, 3, 8]]
+    # first-lex (i, j) scan order: both (0->1) and (0->2) are in range;
+    # j = 1 wins, then the remainder concatenates
+    out5 = geom.union_paths_by_ids_geo([[1], [2], [3]], centro, tol2=1)
+    assert out5 == [[1, 2, 3]]
+    # engine/emission parity fixture used by the SQL oracle comment: the
+    # encoded-BIGINT predicate equals this integer predicate by construction
+    assert geom.union_paths_by_ids_geo([[9], [1]], centro, tol2=1) == [[9], [1]]
+
+
 def test_coords_to_vertex_ids():
     a = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 4.0]])
     b = np.array([[3.0, 4.0], [1.0, 2.0], [9.0, 9.0]])
