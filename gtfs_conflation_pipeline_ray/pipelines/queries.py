@@ -3890,7 +3890,7 @@ QUERIES = {
     "price_rank_topk": q_price_rank_topk,
     "supplier_top_line": q_supplier_top_line,
     "segment_union_except": q_segment_union_except,
-    "distinct_flag_status": q_distinct_flag_status,
+    "path_linestrings": q_path_linestrings,
     "weighted_avg_price": q_weighted_avg_price,
     "feed_extent": q_feed_extent,
     "order_lines_concat": q_order_lines_concat,
@@ -3953,7 +3953,7 @@ QUERIES = {
     "path_metadata_merge": q_path_metadata_merge,
     "choose_annealed": q_choose_annealed,
     "ann_ivf": q_ann_ivf,
-    "path_linestrings": q_path_linestrings,
+    "distinct_flag_status": q_distinct_flag_status,
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
     "embedding_neardup": q_embedding_neardup,
