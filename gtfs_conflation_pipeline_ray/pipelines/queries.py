@@ -927,6 +927,46 @@ FROM documents
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style in-document repetition metrics (duplicate-word fraction,
+    most-repeated word / word-bigram counts) — the repetition-quality filter
+    of a training-data pipeline (`textops.repetition_stats`)."""
+    return textops.repetition_stats(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+  FROM w
+), wcount AS (
+  SELECT doc_id, wd, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd
+), tw AS (
+  SELECT doc_id, MAX(c) AS top_word_n FROM wcount GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+        FROM w WHERE len(ws) >= 2)
+), bcount AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bigrams GROUP BY doc_id, w1, w2
+), tb AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM bcount GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.n_distinct_words,
+       CAST(b.n_words - b.n_distinct_words AS DOUBLE)
+         / GREATEST(b.n_words, 1) AS dup_word_ratio,
+       CAST(COALESCE(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
+       CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(COALESCE(tb.top_bigram_n, 0) AS DOUBLE)
+         / GREATEST(b.n_words - 1, 1) AS top_bigram_ratio
+FROM base b LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+"""
+
+
 def q_doc_exact_dedup(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     hashed = textops.content_hash(docs).select_columns(["doc_id", "text_hash"])
@@ -3962,6 +4002,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
+    "doc_repetition": q_doc_repetition,
     "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
     "knn_tiles_strtree": q_knn_tiles_strtree,
 }
@@ -4047,6 +4088,7 @@ ORACLE_SQL = {
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_vocab": SQL_DOC_VOCAB,
+    "doc_repetition": SQL_DOC_REPETITION,
     "audio_decode_features": SQL_AUDIO_DECODE_FEATURES,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,

@@ -92,6 +92,73 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_fp, batch_format="pyarrow", batch_size=4096)
 
 
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition metrics — the Gopher-style training-data
+    quality filters (duplicate-word fraction, most-repeated word and word
+    bigram): (doc_id, n_words, n_distinct_words, dup_word_ratio,
+    top_word_n, top_bigram_n, top_bigram_ratio).
+
+    The Python loop only splits; all counting is ONE whole-batch pandas
+    groupby over (doc, word) / (doc, w1, w2) pairs. Counts are exact
+    integers and both ratios are int/int double divisions, so the DuckDB
+    oracle is bit-identical.
+    """
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        d_idx: list[int] = []
+        words: list[str] = []
+        b_d: list[int] = []
+        b1: list[str] = []
+        b2: list[str] = []
+        for j, t in enumerate(texts):
+            ws = tx._WORD_ASCII_RE.findall(t.lower())
+            n_words[j] = len(ws)
+            d_idx.extend([j] * len(ws))
+            words.extend(ws)
+            if len(ws) >= 2:
+                b_d.extend([j] * (len(ws) - 1))
+                b1.extend(ws[:-1])
+                b2.extend(ws[1:])
+        n_distinct = np.zeros(n, np.int64)
+        top_word = np.zeros(n, np.int64)
+        if words:
+            wc = pd.DataFrame(
+                {"d": np.asarray(d_idx, np.int64), "w": np.asarray(words, dtype=object)}
+            ).groupby(["d", "w"], sort=False).size()
+            agg = wc.groupby(level=0).agg(["size", "max"])
+            rows = agg.index.to_numpy()
+            n_distinct[rows] = agg["size"].to_numpy()
+            top_word[rows] = agg["max"].to_numpy()
+        top_big = np.zeros(n, np.int64)
+        if b1:
+            bc = pd.DataFrame(
+                {
+                    "d": np.asarray(b_d, np.int64),
+                    "w1": np.asarray(b1, dtype=object),
+                    "w2": np.asarray(b2, dtype=object),
+                }
+            ).groupby(["d", "w1", "w2"], sort=False).size()
+            m = bc.groupby(level=0).max()
+            top_big[m.index.to_numpy()] = m.to_numpy()
+        n_big = np.maximum(n_words - 1, 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": n_words,
+                "n_distinct_words": n_distinct,
+                "dup_word_ratio": (n_words - n_distinct) / np.maximum(n_words, 1),
+                "top_word_n": top_word,
+                "top_bigram_n": top_big,
+                "top_bigram_ratio": top_big / np.maximum(n_big, 1),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow", batch_size=4096)
+
+
 def vocab_topk(ds, k: int = 50, text_col: str = "text",
                est_rows: int | None = None):
     """Global top-k token vocabulary (vocabulary-building pass of a training

@@ -232,3 +232,42 @@ def test_point_in_polygon_vs_bruteforce(ray_session):
                 expect.add((p, t))
     assert got_pairs == expect
     assert len(expect) > 50  # sanity: the fixture genuinely overlaps
+
+
+def test_repetition_stats_vs_bruteforce(ray_session):
+    """textops.repetition_stats (whole-batch pandas groupby counting) must
+    equal a per-doc Counter brute force, including the empty / one-word /
+    all-same-word / punctuation-only edge cases."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages import textops
+
+    docs = [
+        "",                              # no words at all
+        "solo",                          # single word, no bigrams
+        "a a a a a",                     # one word repeated
+        "a b a b a b",                   # repeated bigram
+        "The quick brown fox: THE fox!", # case folding + punctuation
+        "... !!! ???",                   # punctuation only
+        "x1 y_2 x1 y_2 x1",              # \w covers digits/underscore
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = textops.repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    word_re = re.compile(r"\w+", re.ASCII)
+    for i, t in enumerate(docs):
+        ws = word_re.findall(t.lower())
+        bigs = list(zip(ws[:-1], ws[1:]))
+        wc, bc = Counter(ws), Counter(bigs)
+        row = got.iloc[i]
+        assert row["n_words"] == len(ws)
+        assert row["n_distinct_words"] == len(wc)
+        assert row["top_word_n"] == (max(wc.values()) if wc else 0)
+        assert row["top_bigram_n"] == (max(bc.values()) if bc else 0)
+        assert row["dup_word_ratio"] == (len(ws) - len(wc)) / max(len(ws), 1)
+        assert row["top_bigram_ratio"] == (max(bc.values()) if bc else 0) / max(len(bigs), 1)
+    assert got["n_words"].dtype == np.int64 and got["top_bigram_n"].dtype == np.int64
