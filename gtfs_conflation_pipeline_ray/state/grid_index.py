@@ -195,7 +195,7 @@ class GridIndex:
     def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact k nearest tile centroids per query point by integer squared
         distance, ties broken by tile_id ascending. Routes to the grid-pruned
-        ring search (``knn_centroids_pruned``) when the tile count is large
+        box search (``knn_centroids_pruned``) when the tile count is large
         enough for pruning to pay; both paths return identical results.
         Returns (query_index, tile_index, dist2) with per-query rank order."""
         if len(self.x0) > 4096 and len(np.asarray(qx)) > 0:
@@ -248,81 +248,88 @@ class GridIndex:
             counts = np.bincount(cb, minlength=self.nb * self.nb).astype(np.int64)
             self._cb_start = np.concatenate(([0], np.cumsum(counts)))
             self._cent_x, self._cent_y = cx, cy
+            if len(cx):
+                self._cext = (int(cx.min()), int(cy.min()), int(cx.max()), int(cy.max()))
+            else:
+                self._cext = (0, 0, 0, 0)
         return self._cent_x, self._cent_y
 
-    def _ring_cells(self, bx: int, by: int, r: int) -> np.ndarray:
-        """Bucket ids at exactly Chebyshev distance r from (bx, by), clipped."""
-        if r == 0:
-            return np.array([by * self.nb + bx], dtype=np.int64)
-        xs = np.arange(max(bx - r, 0), min(bx + r, self.nb - 1) + 1)
-        cells = []
-        if by - r >= 0:
-            cells.append((by - r) * self.nb + xs)
-        if by + r < self.nb:
-            cells.append((by + r) * self.nb + xs)
-        ys = np.arange(max(by - r + 1, 0), min(by + r - 1, self.nb - 1) + 1)
-        if bx - r >= 0:
-            cells.append(ys * self.nb + (bx - r))
-        if bx + r < self.nb:
-            cells.append(ys * self.nb + (bx + r))
-        return np.concatenate(cells) if cells else np.empty(0, dtype=np.int64)
-
     def knn_centroids_pruned(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Grid-pruned EXACT kNN: queries sharing a bucket expand rings of
-        centroid buckets outward, stopping once the k-th best distance of
-        every query in the group is strictly below the minimum possible
-        distance to any unsearched ring ((r * bucket) ** 2) — so candidate
-        counts stay ~O(k) instead of O(T) at large tile counts (the
-        IVF/grid-pruned scale path; identical output to ``_knn_brute``)."""
+        """Grid-pruned EXACT kNN by search-box doubling (the same resolution
+        rule as ``STRtree.knn_centroids``; identical output to ``_knn_brute``):
+        gather candidates from the centroid buckets overlapping a Chebyshev
+        box of half-width ``r`` around each pending query, filter to exact
+        in-box centroids, and resolve a query once its k-th smallest
+        Euclidean d² ≤ r² (everything outside the box is farther than r) or
+        its box provably covers the whole centroid extent; unresolved
+        queries re-probe at 4r. Every round is ONE vectorized bucket-range
+        gather over the still-pending queries — the previous per-bucket ring
+        walk ran a Python iteration per occupied bucket, which dominated
+        wall time whenever probes outnumbered queries-per-bucket."""
         qx = np.asarray(qx, dtype=np.int64)
         qy = np.asarray(qy, dtype=np.int64)
         cx, cy = self._centroid_buckets()
         n = len(self.x0)
         k = min(k, n)
-        if k == 0:
+        if k == 0 or not len(qx):
             e = np.empty(0, dtype=np.int64)
             return e, e, e
-        qb = np.clip(qy // self.bs, 0, self.nb - 1) * self.nb + np.clip(
-            qx // self.bs, 0, self.nb - 1
-        )
-        out_q = np.empty(len(qx) * k, dtype=np.int64)
-        out_t = np.empty(len(qx) * k, dtype=np.int64)
-        out_d = np.empty(len(qx) * k, dtype=np.int64)
-        for b in np.unique(qb):
-            rows = np.flatnonzero(qb == b)
-            bx, by = int(b % self.nb), int(b // self.nb)
-            gathered: list[np.ndarray] = []
-            total = 0
-            r = 0
-            max_r = self.nb  # searched everything beyond this
-            while r <= max_r:
-                cells = self._ring_cells(bx, by, r)
-                if len(cells):
-                    starts = self._cb_start[cells]
-                    counts = self._cb_start[cells + 1] - starts
-                    new = self._cb_tiles[_gather_ranges(starts, counts)]
-                    if len(new):
-                        gathered.append(new)
-                        total += len(new)
-                if total >= k:
-                    cand = np.concatenate(gathered)
-                    d2 = (qx[rows, None] - cx[cand]) ** 2 + (qy[rows, None] - cy[cand]) ** 2
-                    kth_max = int(np.partition(d2, k - 1, axis=1)[:, k - 1].max())
-                    if (r * self.bs) ** 2 > kth_max:
-                        break
-                r += 1
-            cand = np.concatenate(gathered)
-            d2 = (qx[rows, None] - cx[cand]) ** 2 + (qy[rows, None] - cy[cand]) ** 2
-            part = (
-                np.argpartition(d2, k - 1, axis=1)[:, :k]
-                if k < d2.shape[1]
-                else np.tile(np.arange(d2.shape[1]), (len(rows), 1))
-            )
-            pd = np.take_along_axis(d2, part, axis=1)
-            ptile = cand[part]
-            order = np.lexsort((self.tile_id[ptile], pd), axis=1)[:, :k]
-            sl = np.repeat(rows * k, k) + np.tile(np.arange(k), len(rows))
-            out_q[sl] = np.repeat(rows, k)
-            out_t[sl] = np.take_along_axis(ptile, order, axis=1).ravel()
-            out_d[sl] = np.take_along_axis(pd, order, axis=1).ravel()
-        return out_q, out_t, out_d
+        ex0, ey0, ex1, ey1 = self._cext
+        span = max(ex1 - ex0, ey1 - ey0, 1)
+        r = max(int(span * np.sqrt(k / n)), 1)
+        nq = len(qx)
+        out_t = np.empty((nq, k), dtype=np.int64)
+        out_d = np.empty((nq, k), dtype=np.int64)
+        pending = np.arange(nq, dtype=np.int64)
+        while len(pending):
+            px_, py_ = qx[pending], qy[pending]
+            bx0 = np.clip((px_ - r) // self.bs, 0, self.nb - 1)
+            bx1 = np.clip((px_ + r) // self.bs, 0, self.nb - 1)
+            by0 = np.clip((py_ - r) // self.bs, 0, self.nb - 1)
+            by1 = np.clip((py_ + r) // self.bs, 0, self.nb - 1)
+            # box covers every centroid -> candidate set is complete and the
+            # kth distance is exact regardless of r (mirrors STRtree)
+            full = (px_ - r <= ex0) & (py_ - r <= ey0) & (px_ + r >= ex1) & (py_ + r >= ey1)
+            ncol = bx1 - bx0 + 1
+            ncells = (by1 - by0 + 1) * ncol
+            qrep = np.repeat(np.arange(len(pending), dtype=np.int64), ncells)
+            offs = _gather_ranges(np.zeros(len(pending), dtype=np.int64), ncells)
+            cells = (by0[qrep] + offs // ncol[qrep]) * self.nb + bx0[qrep] + offs % ncol[qrep]
+            starts = self._cb_start[cells]
+            counts = self._cb_start[cells + 1] - starts
+            fq = np.repeat(qrep, counts)
+            cand = self._cb_tiles[_gather_ranges(starts, counts)]
+            dx = cx[cand] - px_[fq]
+            dy = cy[cand] - py_[fq]
+            # exact Chebyshev in-box filter (bucket cells overshoot the box;
+            # clamped edge-bucket centroids are covered because clipping is
+            # monotone: |c - q| <= r puts c's clipped bucket inside the
+            # clipped bucket range)
+            inbox = (np.abs(dx) <= r) & (np.abs(dy) <= r)
+            fq, cand = fq[inbox], cand[inbox]
+            d2 = dx[inbox] ** 2 + dy[inbox] ** 2
+            cnts = np.bincount(fq, minlength=len(pending))
+            enough = cnts >= k
+            if enough.any():
+                order = np.lexsort((self.tile_id[cand], d2, fq))
+                fq_s, cand_s, d2_s = fq[order], cand[order], d2[order]
+                gstart = np.concatenate(([0], np.cumsum(cnts)))
+                rank = np.arange(len(fq_s), dtype=np.int64) - gstart[fq_s]
+                topk = rank < k
+                # k-th best distance per enough-query, aligned with
+                # flatnonzero(enough) (rank==k-1 rows appear in fq order)
+                kth = d2_s[topk][rank[topk] == k - 1]
+                eidx = np.flatnonzero(enough)
+                r2 = min(r * r, 1 << 62)  # int64-safe; huge-r queries resolve via `full`
+                resolved_local = eidx[(kth <= r2) | full[eidx]]
+                if len(resolved_local):
+                    res_set = np.zeros(len(pending), dtype=bool)
+                    res_set[resolved_local] = True
+                    keep = topk & res_set[fq_s]
+                    rows = pending[fq_s[keep]]
+                    out_t[rows, rank[keep]] = cand_s[keep]
+                    out_d[rows, rank[keep]] = d2_s[keep]
+                    pending = pending[~res_set]
+            r *= 4
+        qi = np.repeat(np.arange(nq, dtype=np.int64), k)
+        return qi, out_t.ravel(), out_d.ravel()
