@@ -217,23 +217,32 @@ class GridIndex:
         qf = np.stack([qx, qy], axis=1).astype(np.float64)
         cf = np.stack([cx, cy], axis=1).astype(np.float64)
         c_sq = (cf * cf).sum(axis=1)
+        # tie-SAFE top-k: fold the tile_id tie-break into the selection key
+        # (d2 * n + rank-of-tile_id, unique per candidate; d2 < 2^35 and the
+        # brute path caps n at 4096, so the product stays well inside int64).
+        # A plain argpartition on d2 truncates to k BEFORE the tie-break and
+        # can drop an equal-distance tile with a smaller id (caught by the
+        # grid-kNN hypothesis property test).
+        rank = np.empty(n, dtype=np.int64)
+        rank[np.argsort(self.tile_id, kind="stable")] = np.arange(n, dtype=np.int64)
         out_q, out_t, out_d = [], [], []
         chunk = max(1, (1 << 23) // max(n, 1))
         for s in range(0, len(qx), chunk):
             qc = qf[s : s + chunk]
             dq = ((qc * qc).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (qc @ cf.T))
             dqi = np.rint(dq).astype(np.int64)  # exact integer distances
+            key = dqi * n + rank[None, :]
             part = (
-                np.argpartition(dqi, k - 1, axis=1)[:, :k]
+                np.argpartition(key, k - 1, axis=1)[:, :k]
                 if k < n
-                else np.tile(np.arange(n), (dqi.shape[0], 1))
+                else np.tile(np.arange(n), (key.shape[0], 1))
             )
-            pd = np.take_along_axis(dqi, part, axis=1)
-            ptid = self.tile_id[part]
-            order = np.lexsort((ptid, pd), axis=1)  # by (dist2, tile_id)
+            pk = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(pk, axis=1, kind="stable")  # unique keys: total order
+            sel = np.take_along_axis(part, order, axis=1)
             out_q.append(np.repeat(np.arange(s, s + dqi.shape[0], dtype=np.int64), k))
-            out_t.append(np.take_along_axis(part, order, axis=1).ravel())
-            out_d.append(np.take_along_axis(pd, order, axis=1).ravel())
+            out_t.append(sel.ravel())
+            out_d.append(np.take_along_axis(dqi, sel, axis=1).ravel())
         return np.concatenate(out_q), np.concatenate(out_t), np.concatenate(out_d)
 
     def _centroid_buckets(self):

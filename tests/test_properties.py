@@ -142,3 +142,31 @@ def test_strtree_probes_match_bruteforce_property(spec, probes, k):
         sl = slice(q * kk, (q + 1) * kk)
         assert np.array_equal(kd[sl], d2[order])
         assert np.array_equal(tid[kt[sl]], tid[order])
+
+
+# ---- GridIndex pruned kNN: random-shape parity with brute force ------------
+@given(_rects, st.lists(st.integers(0, 4200), min_size=8, max_size=8),
+       st.integers(1, 9), st.sampled_from([128, 512, 2048]))
+@settings(max_examples=60, deadline=None)
+def test_grid_knn_pruned_matches_bruteforce_property(spec, probes, k, bs):
+    """The box-doubling knn_centroids_pruned (called directly, bypassing the
+    small-n brute routing) must equal the exact (d2, tile_id) order for any
+    rect/probe/bucket-size shape — incl. clamped out-of-grid centroids and
+    duplicate distances."""
+    from gtfs_conflation_pipeline_ray.state.grid_index import GridIndex
+
+    n, centers, halves, _cap = spec
+    cx = np.asarray(centers[:n], dtype=np.int64)
+    cy = np.asarray(centers[n:], dtype=np.int64)
+    hw = np.asarray(halves[:n], dtype=np.int64)
+    hh = np.asarray(halves[n:], dtype=np.int64)
+    tid = np.arange(n, dtype=np.int64)[::-1].copy()  # ids != positions
+    idx = GridIndex(tid, cx - hw, cy - hh, cx + hw, cy + hh,
+                    world=65536, bucket_size=bs)
+    px = np.asarray(probes[:4], dtype=np.int64)
+    py = np.asarray(probes[4:], dtype=np.int64)
+    kq, kt, kd = idx.knn_centroids_pruned(px, py, k)
+    bq, bt, bd = idx._knn_brute(px, py, k)
+    assert np.array_equal(kq, bq)
+    assert np.array_equal(kt, bt)
+    assert np.array_equal(kd, bd)
