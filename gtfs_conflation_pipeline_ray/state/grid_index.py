@@ -263,7 +263,8 @@ class GridIndex:
                 self._cext = (0, 0, 0, 0)
         return self._cent_x, self._cent_y
 
-    def knn_centroids_pruned(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def knn_centroids_pruned(self, qx: np.ndarray, qy: np.ndarray, k: int,
+                             cell_cap: int = 1 << 24) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Grid-pruned EXACT kNN by search-box doubling (the same resolution
         rule as ``STRtree.knn_centroids``; identical output to ``_knn_brute``):
         gather candidates from the centroid buckets overlapping a Chebyshev
@@ -274,7 +275,14 @@ class GridIndex:
         queries re-probe at 4r. Every round is ONE vectorized bucket-range
         gather over the still-pending queries — the previous per-bucket ring
         walk ran a Python iteration per occupied bucket, which dominated
-        wall time whenever probes outnumbered queries-per-bucket."""
+        wall time whenever probes outnumbered queries-per-bucket.
+
+        ``cell_cap`` bounds peak memory: a late round with many unresolved
+        queries and a near-extent-sized box could otherwise expand to
+        O(pending x nb²) cell rows (sparse/far-probe worst case), so each
+        round processes pending in slices whose total bucket-cell expansion
+        stays ≤ cell_cap — identical results, bounded intermediates (the
+        tiny-cap hypothesis property test forces the sliced path)."""
         qx = np.asarray(qx, dtype=np.int64)
         qy = np.asarray(qy, dtype=np.int64)
         cx, cy = self._centroid_buckets()
@@ -301,44 +309,57 @@ class GridIndex:
             full = (px_ - r <= ex0) & (py_ - r <= ey0) & (px_ + r >= ex1) & (py_ + r >= ey1)
             ncol = bx1 - bx0 + 1
             ncells = (by1 - by0 + 1) * ncol
-            qrep = np.repeat(np.arange(len(pending), dtype=np.int64), ncells)
-            offs = _gather_ranges(np.zeros(len(pending), dtype=np.int64), ncells)
-            cells = (by0[qrep] + offs // ncol[qrep]) * self.nb + bx0[qrep] + offs % ncol[qrep]
-            starts = self._cb_start[cells]
-            counts = self._cb_start[cells + 1] - starts
-            fq = np.repeat(qrep, counts)
-            cand = self._cb_tiles[_gather_ranges(starts, counts)]
-            dx = cx[cand] - px_[fq]
-            dy = cy[cand] - py_[fq]
-            # exact Chebyshev in-box filter (bucket cells overshoot the box;
-            # clamped edge-bucket centroids are covered because clipping is
-            # monotone: |c - q| <= r puts c's clipped bucket inside the
-            # clipped bucket range)
-            inbox = (np.abs(dx) <= r) & (np.abs(dy) <= r)
-            fq, cand = fq[inbox], cand[inbox]
-            d2 = dx[inbox] ** 2 + dy[inbox] ** 2
-            cnts = np.bincount(fq, minlength=len(pending))
-            enough = cnts >= k
-            if enough.any():
-                order = np.lexsort((self.tile_id[cand], d2, fq))
-                fq_s, cand_s, d2_s = fq[order], cand[order], d2[order]
-                gstart = np.concatenate(([0], np.cumsum(cnts)))
-                rank = np.arange(len(fq_s), dtype=np.int64) - gstart[fq_s]
-                topk = rank < k
-                # k-th best distance per enough-query, aligned with
-                # flatnonzero(enough) (rank==k-1 rows appear in fq order)
-                kth = d2_s[topk][rank[topk] == k - 1]
-                eidx = np.flatnonzero(enough)
-                r2 = min(r * r, 1 << 62)  # int64-safe; huge-r queries resolve via `full`
-                resolved_local = eidx[(kth <= r2) | full[eidx]]
-                if len(resolved_local):
-                    res_set = np.zeros(len(pending), dtype=bool)
-                    res_set[resolved_local] = True
-                    keep = topk & res_set[fq_s]
-                    rows = pending[fq_s[keep]]
-                    out_t[rows, rank[keep]] = cand_s[keep]
-                    out_d[rows, rank[keep]] = d2_s[keep]
-                    pending = pending[~res_set]
+            csum = np.cumsum(ncells)
+            resolved = np.zeros(len(pending), dtype=bool)
+            start = 0
+            while start < len(pending):
+                base = csum[start - 1] if start else 0
+                stop = max(int(np.searchsorted(csum, base + cell_cap, side="right")),
+                           start + 1)
+                sl = slice(start, stop)
+                m = stop - start
+                qrep = np.repeat(np.arange(m, dtype=np.int64), ncells[sl])
+                offs = _gather_ranges(np.zeros(m, dtype=np.int64), ncells[sl])
+                ncol_s = ncol[sl]
+                cells = ((by0[sl][qrep] + offs // ncol_s[qrep]) * self.nb
+                         + bx0[sl][qrep] + offs % ncol_s[qrep])
+                starts_ = self._cb_start[cells]
+                counts = self._cb_start[cells + 1] - starts_
+                fq = np.repeat(qrep, counts)
+                cand = self._cb_tiles[_gather_ranges(starts_, counts)]
+                dx = cx[cand] - px_[sl][fq]
+                dy = cy[cand] - py_[sl][fq]
+                # exact Chebyshev in-box filter (bucket cells overshoot the
+                # box; clamped edge-bucket centroids are covered because
+                # clipping is monotone: |c - q| <= r puts c's clipped bucket
+                # inside the clipped bucket range)
+                inbox = (np.abs(dx) <= r) & (np.abs(dy) <= r)
+                fq, cand = fq[inbox], cand[inbox]
+                d2 = dx[inbox] ** 2 + dy[inbox] ** 2
+                cnts = np.bincount(fq, minlength=m)
+                enough = cnts >= k
+                if enough.any():
+                    order = np.lexsort((self.tile_id[cand], d2, fq))
+                    fq_s, cand_s, d2_s = fq[order], cand[order], d2[order]
+                    gstart = np.concatenate(([0], np.cumsum(cnts)))
+                    rank = np.arange(len(fq_s), dtype=np.int64) - gstart[fq_s]
+                    topk = rank < k
+                    # k-th best distance per enough-query, aligned with
+                    # flatnonzero(enough) (rank==k-1 rows appear in fq order)
+                    kth = d2_s[topk][rank[topk] == k - 1]
+                    eidx = np.flatnonzero(enough)
+                    r2 = min(r * r, 1 << 62)  # int64-safe; huge-r queries resolve via `full`
+                    resolved_local = eidx[(kth <= r2) | full[sl][eidx]]
+                    if len(resolved_local):
+                        res_set = np.zeros(m, dtype=bool)
+                        res_set[resolved_local] = True
+                        keep = topk & res_set[fq_s]
+                        rows = pending[sl][fq_s[keep]]
+                        out_t[rows, rank[keep]] = cand_s[keep]
+                        out_d[rows, rank[keep]] = d2_s[keep]
+                        resolved[start + np.flatnonzero(res_set)] = True
+                start = stop
+            pending = pending[~resolved]
             r *= 4
         qi = np.repeat(np.arange(nq, dtype=np.int64), k)
         return qi, out_t.ravel(), out_d.ravel()

@@ -173,7 +173,8 @@ class STRtree:
         return fq, self.item_idx[fn]
 
     # ---- exact kNN over rect centroids --------------------------------------
-    def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def knn_centroids(self, qx: np.ndarray, qy: np.ndarray, k: int,
+                      cand_cap: int = 1 << 24) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact k nearest rect centroids by integer squared Euclidean
         distance, ties by tile_id ascending — identical contract to
         ``GridIndex.knn_centroids``. Search-box doubling: probe a Chebyshev
@@ -201,48 +202,58 @@ class STRtree:
         out_d = np.empty((len(qx), k), dtype=np.int64)
         pending = np.arange(len(qx), dtype=np.int64)
         while len(pending):
-            bx0, by0 = qx[pending] - r, qy[pending] - r
-            bx1, by1 = qx[pending] + r, qy[pending] + r
-            # box covers every centroid -> the candidate set is complete and
-            # the kth distance is exact regardless of r
-            full = (bx0 <= ex0) & (by0 <= ey0) & (bx1 >= ex1) & (by1 >= ey1)
+            # bounded intermediates: once the box reaches span scale, tree
+            # pruning no longer bounds the frontier (worst case pending x n
+            # item rows — the sparse/far-probe regime), so process pending in
+            # slices of ≤ cand_cap/n queries; early rounds keep one slice
+            step = max(1, cand_cap // max(n, 1)) if 2 * r >= span else len(pending)
+            resolved = np.zeros(len(pending), dtype=bool)
+            for start in range(0, len(pending), step):
+                sl = pending[start:start + step]
+                m_sl = len(sl)
+                bx0, by0 = qx[sl] - r, qy[sl] - r
+                bx1, by1 = qx[sl] + r, qy[sl] + r
+                # box covers every centroid -> the candidate set is complete
+                # and the kth distance is exact regardless of r
+                full = (bx0 <= ex0) & (by0 <= ey0) & (bx1 >= ex1) & (by1 >= ey1)
 
-            def _overlap(q, n, boxes):
-                # inclusive: a centroid exactly at Chebyshev distance r counts
-                keep = np.flatnonzero((bx0[q] <= boxes[2][n]) & (bx1[q] >= boxes[0][n]))
-                qk, nk = q[keep], n[keep]
-                m = np.zeros(len(q), dtype=bool)
-                m[keep[(by0[qk] <= boxes[3][nk]) & (by1[qk] >= boxes[1][nk])]] = True
-                return m
+                def _overlap(q, nn, boxes):
+                    # inclusive: a centroid exactly at Chebyshev distance r counts
+                    keep = np.flatnonzero((bx0[q] <= boxes[2][nn]) & (bx1[q] >= boxes[0][nn]))
+                    qk, nk = q[keep], nn[keep]
+                    m = np.zeros(len(q), dtype=bool)
+                    m[keep[(by0[qk] <= boxes[3][nk]) & (by1[qk] >= boxes[1][nk])]] = True
+                    return m
 
-            fq, fn = self._descend(len(pending), _overlap)
-            cx, cy = ccx[fn], ccy[fn]
-            inbox = (cx >= bx0[fq]) & (cx <= bx1[fq]) & (cy >= by0[fq]) & (cy <= by1[fq])
-            fq, fn = fq[inbox], fn[inbox]
-            d2 = (qx[pending][fq] - ccx[fn]) ** 2 + (qy[pending][fq] - ccy[fn]) ** 2
-            counts = np.bincount(fq, minlength=len(pending))
-            enough = counts >= k
-            if enough.any():
-                order = np.lexsort((tid_packed[fn], d2, fq))
-                fq_s, fn_s, d2_s = fq[order], fn[order], d2[order]
-                gstart = np.concatenate(([0], np.cumsum(counts)))
-                rank = np.arange(len(fq_s), dtype=np.int64) - gstart[fq_s]
-                topk = rank < k
-                # k-th best distance per enough-query, aligned with
-                # flatnonzero(enough) (rank==k-1 rows appear in fq order)
-                kth = d2_s[topk][rank[topk] == k - 1]
-                eidx = np.flatnonzero(enough)
-                r2 = min(r * r, 1 << 62)  # keep the int64 comparison safe;
-                # a query whose kth distance exceeds 2^62 resolves via `full`
-                resolved_local = eidx[(kth <= r2) | full[eidx]]
-                if len(resolved_local):
-                    res_set = np.zeros(len(pending), dtype=bool)
-                    res_set[resolved_local] = True
-                    keep = topk & res_set[fq_s]
-                    rows = pending[fq_s[keep]]
-                    out_t[rows, rank[keep]] = self.item_idx[fn_s[keep]]
-                    out_d[rows, rank[keep]] = d2_s[keep]
-                    pending = pending[~res_set]
+                fq, fn = self._descend(m_sl, _overlap)
+                cx, cy = ccx[fn], ccy[fn]
+                inbox = (cx >= bx0[fq]) & (cx <= bx1[fq]) & (cy >= by0[fq]) & (cy <= by1[fq])
+                fq, fn = fq[inbox], fn[inbox]
+                d2 = (qx[sl][fq] - ccx[fn]) ** 2 + (qy[sl][fq] - ccy[fn]) ** 2
+                counts = np.bincount(fq, minlength=m_sl)
+                enough = counts >= k
+                if enough.any():
+                    order = np.lexsort((tid_packed[fn], d2, fq))
+                    fq_s, fn_s, d2_s = fq[order], fn[order], d2[order]
+                    gstart = np.concatenate(([0], np.cumsum(counts)))
+                    rank = np.arange(len(fq_s), dtype=np.int64) - gstart[fq_s]
+                    topk = rank < k
+                    # k-th best distance per enough-query, aligned with
+                    # flatnonzero(enough) (rank==k-1 rows appear in fq order)
+                    kth = d2_s[topk][rank[topk] == k - 1]
+                    eidx = np.flatnonzero(enough)
+                    r2 = min(r * r, 1 << 62)  # keep the int64 comparison safe;
+                    # a query whose kth distance exceeds 2^62 resolves via `full`
+                    resolved_local = eidx[(kth <= r2) | full[eidx]]
+                    if len(resolved_local):
+                        res_set = np.zeros(m_sl, dtype=bool)
+                        res_set[resolved_local] = True
+                        keep = topk & res_set[fq_s]
+                        rows = sl[fq_s[keep]]
+                        out_t[rows, rank[keep]] = self.item_idx[fn_s[keep]]
+                        out_d[rows, rank[keep]] = d2_s[keep]
+                        resolved[start + np.flatnonzero(res_set)] = True
+            pending = pending[~resolved]
             r *= 4
         qi = np.repeat(np.arange(len(qx), dtype=np.int64), k)
         return qi, out_t.ravel(), out_d.ravel()

@@ -142,6 +142,10 @@ def test_strtree_probes_match_bruteforce_property(spec, probes, k):
         sl = slice(q * kk, (q + 1) * kk)
         assert np.array_equal(kd[sl], d2[order])
         assert np.array_equal(tid[kt[sl]], tid[order])
+    # tiny candidate budget forces span-scale rounds into pending slices
+    # (the bounded-memory path) — results must not change
+    cq, ct, cd = tree.knn_centroids(px, py, k, cand_cap=2)
+    assert np.array_equal(cd, kd) and np.array_equal(tid[ct], tid[kt])
 
 
 # ---- GridIndex pruned kNN: random-shape parity with brute force ------------
@@ -170,3 +174,7 @@ def test_grid_knn_pruned_matches_bruteforce_property(spec, probes, k, bs):
     assert np.array_equal(kq, bq)
     assert np.array_equal(kt, bt)
     assert np.array_equal(kd, bd)
+    # tiny cell budget forces the per-round pending slicing (the bounded-
+    # memory path for the sparse/far-probe regime) — results must not change
+    cq, ct, cd = idx.knn_centroids_pruned(px, py, k, cell_cap=2)
+    assert np.array_equal(ct, bt) and np.array_equal(cd, bd)
