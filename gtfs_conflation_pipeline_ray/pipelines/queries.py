@@ -883,6 +883,37 @@ WHERE (doc_id * 2654435761) % 4294967296 % 1000
 """
 
 
+def q_doc_cap_per_source(sf_dir: str):
+    """Per-domain cap — the training-data-mix pass that keeps at most N docs
+    per source, chosen DETERMINISTICALLY (by Knuth-multiplicative hash of
+    doc_id, ties by doc_id) so every re-run and the SQL oracle select the
+    identical set. Routed through ``relational.group_topk`` (bucketed
+    partial-top-k — high-source-cardinality safe, no map_groups)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def _hv(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = (ids * 2654435761) % 4294967296
+        return pa.table({"source": batch["source"], "doc_id": batch["doc_id"],
+                         "hv": hv})
+
+    hashed = docs.map_batches(_hv, batch_format="pyarrow", batch_size=8192)
+    capped = rel.group_topk(hashed, ["source"], [("hv", True), ("doc_id", True)],
+                            50, rank_col="rk", est_rows=_nrows(sf_dir, "documents"))
+    return capped.select_columns(["source", "doc_id", "rk"])
+
+
+SQL_DOC_CAP_PER_SOURCE = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 50
+"""
+
+
 def q_doc_vocab(sf_dir: str):
     """Global top-50 token vocabulary over the corpus (vocabulary-building
     pass; see ``textops.vocab_topk``) — partial counts per batch, token-hash
@@ -4003,6 +4034,7 @@ QUERIES = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
     "doc_repetition": q_doc_repetition,
+    "doc_cap_per_source": q_doc_cap_per_source,
     "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
     "knn_tiles_strtree": q_knn_tiles_strtree,
 }
@@ -4089,6 +4121,7 @@ ORACLE_SQL = {
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_vocab": SQL_DOC_VOCAB,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
     "audio_decode_features": SQL_AUDIO_DECODE_FEATURES,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     "shape_merge_roundtrip": SQL_SHAPE_MERGE_ROUNDTRIP,
