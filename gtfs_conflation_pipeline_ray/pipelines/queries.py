@@ -3896,11 +3896,15 @@ WITH im AS (
   FROM documents
 ),
 rsum AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as float64 —
+  -- the Ray side is int64, so an un-cast sum hash-mismatches on the driver
+  -- even though values are numerically equal (round-3 image_decode_features
+  -- red row).
   SELECT image_id,
-         SUM(CASE WHEN fi = 2
+         CAST(SUM(CASE WHEN fi = 2
                   THEN ((br + (j * 55) // (w - 1)) // 4) * 4
                        + ((br + (j * 55) // (w - 1)) // 4) // 16
-                  ELSE br + (j * 55) // (w - 1) END) AS row_r
+                  ELSE br + (j * 55) // (w - 1) END) AS BIGINT) AS row_r
   FROM im, (SELECT unnest(range(40)) AS j) js
   WHERE j < w
   GROUP BY image_id

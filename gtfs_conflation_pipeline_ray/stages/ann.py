@@ -84,7 +84,8 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     from .util import cached_state
 
     def _local(batch: pa.Table) -> pa.Table:
-        st: _QueryState = cached_state(queries_ref, lambda q: _QueryState(q, vec_col))
+        st: _QueryState = cached_state(queries_ref, lambda q: _QueryState(q, vec_col),
+                                       token=f"_QueryState:{vec_col}")
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _batch_matrix(batch, vec_col, dim=st.qm.shape[1])
         if len(ids) == 0:
@@ -162,7 +163,8 @@ def lsh_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
         return st, planes, qsig.astype(np.int64)
 
     def _local(batch: pa.Table) -> pa.Table:
-        st, planes, qsig = cached_state(queries_ref, _build)
+        st, planes, qsig = cached_state(
+            queries_ref, _build, token=f"lsh:{vec_col}:{n_planes}:{seed}")
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _batch_matrix(batch, vec_col, dim=planes.shape[0])
         if len(ids) == 0:
@@ -231,7 +233,9 @@ def ivf_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
         return st, cents, np.sort(q_probe, axis=1)
 
     def _local(batch: pa.Table) -> pa.Table:
-        st, cents, q_probe = cached_state(queries_ref, _build)
+        st, cents, q_probe = cached_state(
+            queries_ref, _build,
+            token=f"ivf:{vec_col}:{n_centroids}:{nprobe}:{seed}")
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
         if len(ids) == 0:

@@ -38,18 +38,34 @@ except Exception:  # pragma: no cover
 # CPUs (pools that reserve the whole node starve the read/write operators)
 # and without per-stage actor spinup latency. Heavy state (big models, slow
 # builds) should still use an actor pool.
-_WORKER_STATE_CACHE: dict = {}
+from collections import OrderedDict
+
+_WORKER_STATE_CACHE: OrderedDict = OrderedDict()
+_WORKER_STATE_CAP = 32  # LRU bound: dead refs must not pin state forever
 
 
-def cached_state(ref, builder):
-    """Build-once-per-worker state from a `ray.put` broadcast ref. Keyed on
-    (ref, builder) so two index backends over the SAME broadcast table (e.g.
-    grid vs STRtree tile states) each get their own cached build."""
-    key = (ref, builder)
+def cached_state(ref, builder, token: str | None = None):
+    """Build-once-per-worker state from a `ray.put` broadcast ref.
+
+    Keyed on (ref, token) — token defaults to the builder's ``__qualname__``
+    so two index backends over the SAME broadcast table (e.g. grid vs STRtree
+    tile states) each get their own cached build, while a builder lambda
+    recreated on every batch still maps to ONE stable key (a raw function
+    object as key meant every batch rebuilt the state and leaked the old
+    entry). Callers whose builder closes over parameters that change the
+    built state (column names, plane counts) must pass an explicit ``token``
+    encoding those parameters. The cache is a small per-worker LRU so state
+    for dropped refs ages out instead of pinning worker heap."""
+    key = (ref, token if token is not None else
+           getattr(builder, "__qualname__", repr(builder)))
     st = _WORKER_STATE_CACHE.get(key)
     if st is None:
         st = builder(ray.get(ref))
         _WORKER_STATE_CACHE[key] = st
+        while len(_WORKER_STATE_CACHE) > _WORKER_STATE_CAP:
+            _WORKER_STATE_CACHE.popitem(last=False)
+    else:
+        _WORKER_STATE_CACHE.move_to_end(key)
     return st
 
 

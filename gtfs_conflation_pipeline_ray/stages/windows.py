@@ -150,7 +150,8 @@ def interval_join(probes, windows_ref, key: str, ts_col: str, window_len_us: int
     len_us = np.int64(window_len_us)
 
     def _probe(batch: pa.Table) -> pa.Table:
-        st: _WindowState = cached_state(windows_ref, lambda w: _WindowState(w, key, ts_col))
+        st: _WindowState = cached_state(windows_ref, lambda w: _WindowState(w, key, ts_col),
+                                        token=f"_WindowState:{key}:{ts_col}")
         pk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         pts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         if st.use_dict:
@@ -239,7 +240,8 @@ def asof_join(probes, ref_ref, key: str, ts_col: str, ref_id_col: str,
     from .util import cached_state
 
     def _probe(batch: pa.Table) -> pa.Table:
-        st: _AsofState = cached_state(ref_ref, lambda r: _AsofState(r, key, ts_col, ref_id_col))
+        st: _AsofState = cached_state(ref_ref, lambda r: _AsofState(r, key, ts_col, ref_id_col),
+                                      token=f"_AsofState:{key}:{ts_col}:{ref_id_col}")
         pk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         pts = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         rid_out = np.full(len(pk), -1, dtype=np.int64)

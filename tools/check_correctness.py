@@ -51,12 +51,29 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                ok = np.allclose(av.astype(np.float64), bv.astype(np.float64), rtol=0, atol=0, equal_nan=True)
+            ka, kb = av.dtype.kind, bv.dtype.kind
+            # driver-hash proxy: a value hash over rendered/encoded values is
+            # dtype-sensitive (e.g. DuckDB SUM -> HUGEINT -> float64 renders
+            # 304800.0 vs int64 304800) even when values are numerically
+            # equal — the exact failure mode of round-3 image_decode_features.
+            kind_norm = {"i": "i", "u": "i", "b": "b", "f": "f"}
+            if kind_norm.get(ka, "O") != kind_norm.get(kb, "O"):
+                problems.append(
+                    f"col {c}: dtype-kind ray={av.dtype} sql={bv.dtype}"
+                    " (numerically equal values would still hash-diverge)")
+            if ka == "f" or kb == "f":
+                af = av.astype(np.float64)
+                bf = bv.astype(np.float64)
+                # bit-exact (catches 0.0 vs -0.0), NaN==NaN
+                same = (af.view(np.int64) == bf.view(np.int64)) | (
+                    np.isnan(af) & np.isnan(bf))
+                ok = bool(same.all())
+                bad = np.flatnonzero(~same)
             else:
-                ok = (av == bv).all()
+                same = av == bv
+                ok = bool(np.asarray(same).all())
+                bad = np.flatnonzero(~np.asarray(same))
             if not ok:
-                bad = np.flatnonzero(~(av == bv) if av.dtype.kind != "f" else ~np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=0))
                 problems.append(f"col {c}: {len(bad)} mismatched (first: row {bad[0]}: ray={av[bad[0]]!r} sql={bv[bad[0]]!r})")
     return problems
 
