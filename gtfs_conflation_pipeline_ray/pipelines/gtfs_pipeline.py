@@ -24,6 +24,7 @@ the (potentially huge) shape table.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -252,10 +253,33 @@ def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
     extent = feed_extent(tables["shapes"])
     tiles_ref = ray.put(pq.read_table(tiles_path))
 
-    # stage A: quantized shape points (one streaming pass, written once)
+    # stage A: quantized shape points (one streaming pass, written once).
+    # write_parquet is not atomic, so a killed run must not leave a partial
+    # directory the next run silently accepts: write to a temp dir, stamp a
+    # lineage marker, and os.rename into place — the resume guard then
+    # requires BOTH the directory and a marker matching this run's inputs
+    # (reusing out_dir with a different zip/extent/partitioning rebuilds).
     pts_dir = f"{out_dir}/shape_points"
-    if not glob.glob(f"{pts_dir}/*.parquet"):
-        shape_points(tables["shapes"], extent, n_partitions).write_parquet(pts_dir)
+    pts_lineage = {"zip": zip_path, "extent": extent,
+                   "n_partitions": n_partitions}
+    marker = os.path.join(pts_dir, "_LINEAGE.json")
+
+    def _pts_complete() -> bool:
+        try:
+            with open(marker) as f:
+                return json.load(f) == pts_lineage
+        except (OSError, ValueError):
+            return False
+
+    if not _pts_complete():
+        import shutil as _sh
+        import uuid as _uuid
+        _sh.rmtree(pts_dir, ignore_errors=True)  # drop any partial output
+        tmp = f"{pts_dir}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        shape_points(tables["shapes"], extent, n_partitions).write_parquet(tmp)
+        with open(os.path.join(tmp, "_LINEAGE.json"), "w") as f:
+            json.dump(pts_lineage, f, sort_keys=True)
+        os.rename(tmp, pts_dir)  # atomic commit
 
     # stage B (checkpointed): candidate match + Viterbi choose per partition
     ck = StageCheckpoint(f"{out_dir}/matches", "gtfs_matches",

@@ -876,9 +876,11 @@ def q_doc_sample(sf_dir: str):
 
 
 SQL_DOC_SAMPLE = """
+-- mask to 32 bits BEFORE the multiply (mirrors relational.hash_sample):
+-- exact over the full int64 id domain; HUGEINT keeps the product exact
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 % 1000
+WHERE (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296 % 1000
       < CASE WHEN lang = 'en' THEN 50 ELSE 200 END
 """
 
@@ -893,7 +895,10 @@ def q_doc_cap_per_source(sf_dir: str):
 
     def _hv(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hv = (ids * 2654435761) % 4294967296
+        # 32-bit mask before multiply: product fits uint64 exactly, matching
+        # the oracle's HUGEINT arithmetic over the full int64 id domain
+        masked = (ids & np.int64(0xFFFFFFFF)).astype(np.uint64)
+        hv = ((masked * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
         return pa.table({"source": batch["source"], "doc_id": batch["doc_id"],
                          "hv": hv})
 
@@ -908,7 +913,8 @@ SELECT source, doc_id, rk FROM (
   SELECT source, doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+           ORDER BY (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761)
+                    % 4294967296, doc_id) AS rk
   FROM documents
 ) WHERE rk <= 50
 """

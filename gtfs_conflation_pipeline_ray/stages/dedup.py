@@ -383,7 +383,11 @@ def ngram_jaccard_pairs(docs, threshold_num: int = 1, threshold_den: int = 2,
             hsets = []
             for t in grp[text_col]:
                 ws = list({w.lower() for w in _WORD_ASCII_RE.findall(t)})
-                hsets.append(np.sort(fnv1a64_batch(ws)))
+                # np.unique, not np.sort: two distinct words colliding in
+                # 64-bit FNV must degrade to ONE set element, matching the
+                # hash-set semantics the size-ratio prefilter and the
+                # |A|/|B| counts assume
+                hsets.append(np.unique(fnv1a64_batch(ws)))
             sizes = np.array([len(h) for h in hsets], dtype=np.int64)
             lo = np.minimum(sizes[:, None], sizes[None, :])
             hi = np.maximum(sizes[:, None], sizes[None, :])

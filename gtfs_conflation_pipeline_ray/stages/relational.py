@@ -361,19 +361,25 @@ def hash_sample(ds, id_col: str, default_permille: int,
                 strata_col: str | None = None,
                 strata_permille: dict | None = None):
     """Deterministic stratified sampling: keep a row iff
-    ``((id * 2654435761) mod 2^32) mod 1000 < rate``, where the rate comes
-    from the row's stratum (``strata_permille``) or ``default_permille``.
-    The Knuth multiplicative hash decorrelates the keep-set from any id
-    ordering/assignment pattern while staying a pure integer function — the
-    sample is reproducible across runs/cluster sizes and SQL-mirrorable
-    (no RNG state, no per-partition seed to coordinate). Embarrassingly
-    parallel: a stateless Arrow mask per batch, no shuffle."""
+    ``(((id & 0xFFFFFFFF) * 2654435761) mod 2^32) mod 1000 < rate``, where
+    the rate comes from the row's stratum (``strata_permille``) or
+    ``default_permille``. The Knuth multiplicative hash decorrelates the
+    keep-set from any id ordering/assignment pattern while staying a pure
+    integer function — the sample is reproducible across runs/cluster sizes
+    and SQL-mirrorable (no RNG state, no per-partition seed to coordinate).
+    The id is masked to its low 32 bits BEFORE the multiply: the product
+    then fits uint64 exactly (no wrap), and the two's-complement mask is the
+    same operation DuckDB's ``id & 4294967295`` performs, so engine and
+    oracle agree over the FULL int64 id domain (negative ids included), not
+    just ids < 2^32. Embarrassingly parallel: a stateless Arrow mask per
+    batch, no shuffle."""
     m = np.uint64(2654435761)
     rates = {k: np.int64(v) for k, v in (strata_permille or {}).items()}
 
     def _mask(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids * m) % np.uint64(1 << 32)) % np.uint64(1000)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        masked = (ids & np.int64(0xFFFFFFFF)).astype(np.uint64)
+        h = ((masked * m) % np.uint64(1 << 32)) % np.uint64(1000)
         rate = np.full(len(ids), default_permille, dtype=np.int64)
         if strata_col is not None and rates:
             sv = batch[strata_col].to_numpy(zero_copy_only=False)
