@@ -244,9 +244,18 @@ def fit_trip_stops(shape_pts_ds, stop_pts_ds, est_rows: int | None = None,
 
 def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
                  n_partitions: int = 4, extract_dir: str | None = None,
-                 stop_fit_method: str = "greedy") -> dict:
+                 stop_fit_method: str = "greedy",
+                 choose_method: str = "viterbi") -> dict:
     """Checkpointed end-to-end run. Returns metrics; resumable (completed
-    match partitions are skipped via the manifest)."""
+    match partitions are skipped via the manifest).
+
+    ``choose_method`` selects the sequential matcher: ``"viterbi"`` (flat
+    switch penalty, the reference's chooseShstMatches analog) or ``"hmm"``
+    (gap-feasibility transitions, the reference's OSRM .match() recovery
+    analog — ``stages.choose.hmm_match``). Recorded in the checkpoint
+    lineage so a resume with a different matcher rebuilds."""
+    if choose_method not in ("viterbi", "hmm"):
+        raise ValueError(f"unknown choose method {choose_method!r}")
     tables = read_gtfs_zip(
         zip_path, ["shapes", "stops", "trips", "stop_times"],
         extract_dir=extract_dir or f"{out_dir}/_feed")
@@ -285,11 +294,15 @@ def run_pipeline(zip_path: str, tiles_path: str, out_dir: str,
     ck = StageCheckpoint(f"{out_dir}/matches", "gtfs_matches",
                          lineage={"zip": zip_path, "tiles": tiles_path,
                                   "extent": extent,
-                                  "n_partitions": n_partitions})
+                                  "n_partitions": n_partitions,
+                                  "choose_method": choose_method})
 
     def _write(tmp_dir: str, part: int) -> int:
         src = ray.data.read_parquet(pts_dir, filter=pc.field("part") == part)
-        chosen = chs.viterbi_choose(src, tiles_ref, "shape_key", "gi", "x", "y")
+        if choose_method == "hmm":
+            chosen = chs.hmm_match(src, tiles_ref, "shape_key", "gi", "x", "y")
+        else:
+            chosen = chs.viterbi_choose(src, tiles_ref, "shape_key", "gi", "x", "y")
         chosen = chosen.map_batches(
             lambda t: t.sort_by([("shape_key", "ascending"), ("gi", "ascending")]),
             batch_format="pyarrow")

@@ -2834,6 +2834,228 @@ LEFT JOIN chosen c ON c.user_id = s.user_id AND c.si = s.si
 """
 
 
+def q_path_dijkstra(sf_dir: str):
+    """Graph-native path construction (reference fidelity option, see
+    ``stages/graphpaths.py``): per-order match subgraph → every source→sink
+    shortest path, deterministic min-predecessor backtracking, one row per
+    path step. Edge weights are the integer stand-in for the reference's
+    len×rmsd (``getEdgeWeight``, buildShstMatchSubGraphsPerGtfsShapeSegment
+    .js:34-44). Parity vs the Viterbi chain DP is pinned in
+    tests/test_graphpaths.py."""
+    from ..stages.graphpaths import dijkstra_paths
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "group_key": ok,
+                "src": (pk * 7 + ln) % 12,
+                "dst": (sk * 11 + ln * 3) % 12,
+                "w": 1 + (pk * 31 + sk * 17) % 97,
+                "eid": pk * 1009 + sk * 13 + ln,
+            }
+        )
+
+    edges = li.map_batches(_edges, batch_format="pyarrow", batch_size=8192)
+    return dijkstra_paths(edges, "group_key", "src", "dst", "w", "eid",
+                          n_slots=12, est_rows=_nrows(sf_dir, "lineitem"))
+
+
+# Exact mirror of stages/graphpaths.py: 12-slot dist vector carried as a
+# list through 12 Bellman-Ford rounds (fixpoint for V<=12), predecessor =
+# MIN u achieving dist(u)+w = dist(v) post-fixpoint, path by backtracking.
+SQL_PATH_DIJKSTRA = """
+WITH RECURSIVE
+li AS (
+  SELECT l_orderkey AS gk,
+         (l_partkey * 7 + l_linenumber) % 12  AS src,
+         (l_suppkey * 11 + l_linenumber * 3) % 12 AS dst,
+         1 + (l_partkey * 31 + l_suppkey * 17) % 97 AS w,
+         l_partkey * 1009 + l_suppkey * 13 + l_linenumber AS eid
+  FROM lineitem
+),
+edges AS MATERIALIZED (  -- self-loops out; parallel edges -> lightest (w, eid)
+  SELECT gk, src, dst, w FROM (
+    SELECT gk, src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY gk, src, dst ORDER BY w, eid) AS rn
+    FROM li WHERE src <> dst) WHERE rn = 1
+),
+deg AS MATERIALIZED (
+  SELECT gk, v,
+         BOOL_OR(isin) AS has_in, BOOL_OR(isout) AS has_out
+  FROM (SELECT gk, src AS v, FALSE AS isin, TRUE AS isout FROM edges
+        UNION ALL
+        SELECT gk, dst AS v, TRUE, FALSE FROM edges)
+  GROUP BY gk, v
+),
+eg AS MATERIALIZED (
+  SELECT gk, list(src ORDER BY src, dst) AS es,
+             list(dst ORDER BY src, dst) AS ed,
+             list(w   ORDER BY src, dst) AS ew
+  FROM edges GROUP BY gk
+),
+dp AS (  -- Bellman-Ford: dl[k+1] = dist to node k (BIG = unreachable)
+  SELECT d.gk, d.v AS src, 0 AS it,
+         [CASE WHEN k = d.v THEN CAST(0 AS BIGINT)
+               ELSE CAST(4611686018427387904 AS BIGINT) END
+          FOR k IN range(12)] AS dl
+  FROM deg d WHERE NOT d.has_in
+  UNION ALL
+  SELECT p.gk, p.src, p.it + 1,
+         [ least(p.dl[k+1],
+                 COALESCE(list_min([ p.dl[g.es[i+1]+1] + g.ew[i+1]
+                                     FOR i IN range(len(g.es))
+                                     IF g.ed[i+1] = k
+                                        AND p.dl[g.es[i+1]+1]
+                                            < 4611686018427387904 ]),
+                          CAST(4611686018427387904 AS BIGINT)))
+           FOR k IN range(12) ] AS dl
+  FROM dp p JOIN eg g USING (gk)
+  WHERE p.it < 12
+),
+fin AS MATERIALIZED (SELECT gk, src, dl FROM dp WHERE it = 12),
+preds AS MATERIALIZED (  -- min u achieving dist(u) + w = dist(v)
+  SELECT f.gk, f.src, e.dst AS v, MIN(e.src) AS pred
+  FROM fin f JOIN edges e ON e.gk = f.gk
+  WHERE f.dl[e.src+1] < 4611686018427387904
+    AND f.dl[e.src+1] + e.w = f.dl[e.dst+1]
+  GROUP BY f.gk, f.src, e.dst
+),
+pairs AS MATERIALIZED (  -- every (source, sink) with finite directed distance
+  SELECT f.gk, f.src, d.v AS dst, f.dl[d.v+1] AS dist_w
+  FROM fin f JOIN deg d USING (gk)
+  WHERE NOT d.has_out AND d.v <> f.src
+    AND f.dl[d.v+1] < 4611686018427387904
+),
+walk AS (  -- backtrack the predecessor chain from each sink
+  SELECT gk, src, dst, dst AS v, 0 AS back FROM pairs
+  UNION ALL
+  SELECT w.gk, w.src, w.dst, p.pred AS v, w.back + 1
+  FROM walk w JOIN preds p
+    ON p.gk = w.gk AND p.src = w.src AND p.v = w.v
+  WHERE w.v <> w.src AND w.back < 12
+),
+plen AS (SELECT gk, src, dst, MAX(back) AS n_back
+         FROM walk GROUP BY gk, src, dst)
+SELECT w.gk AS group_key,
+       CAST(w.src AS BIGINT) AS src_node,
+       CAST(w.dst AS BIGINT) AS dst_node,
+       CAST(p.dist_w AS BIGINT) AS dist_w,
+       CAST(l.n_back - w.back + 1 AS BIGINT) AS si,
+       CAST(w.v AS BIGINT) AS node
+FROM walk w
+JOIN plen l ON l.gk = w.gk AND l.src = w.src AND l.dst = w.dst
+JOIN pairs p ON p.gk = w.gk AND p.src = w.src AND p.dst = w.dst
+"""
+
+
+def q_trajectory_match_hmm(sf_dir: str):
+    """Sequence-aware HMM map matching per user trajectory (T2/T4/T5 parity
+    with the reference's OSRM ``.match()`` recovery,
+    ``replaceFeaturesGeomsWithOsrmRoute.js:44-126``): emission = squared
+    centroid distance, transition = gap-feasibility
+    ``64*|L1(tile_gap) - L1(obs_gap)|`` — see ``stages.choose.hmm_match``.
+    Integer-exact, so the recursive-CTE oracle reproduces the DP
+    bit-for-bit; verified against brute-force chain enumeration in
+    tests/test_choose.py."""
+    from ..stages.choose import hmm_match
+
+    pts = _event_shapes(sf_dir)
+
+    def _seq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "seq": batch["event_id"],
+                "ex": batch["ex"],
+                "ey": batch["ey"],
+            }
+        )
+
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=8192)
+    return hmm_match(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
+                     "ex", "ey", gap_weight=64)
+
+
+# Exact mirror of stages/choose.py::_viterbi_hmm: the dp rows carry each
+# step's observation coords (px, py) and candidate centroid lists (xs, ys);
+# the LATERAL transition matrix prices every (i -> j) extension at
+# 64 * |L1(centroid_i, centroid_j) - L1(obs_prev, obs_now)| — the HMM
+# gap-feasibility cost. list_position(list_min) = first-min tie-break =
+# np.argmin over (d2, tile_id)-presorted candidates.
+SQL_TRAJECTORY_MATCH_HMM = "WITH RECURSIVE " + f"""
+tiles AS MATERIALIZED ({td.TILES_SQL}),
+epts AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS seq,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS px,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS py
+  FROM events
+),
+cand AS MATERIALIZED (
+  SELECT e.user_id, e.seq, e.px, e.py, t.tile_id,
+         CAST(t.cx AS BIGINT) AS cx, CAST(t.cy AS BIGINT) AS cy,
+         (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.user_id, e.seq
+           ORDER BY (e.px - t.cx)*(e.px - t.cx) + (e.py - t.cy)*(e.py - t.cy), t.tile_id
+         ) AS rnk
+  FROM epts e JOIN tiles t
+    ON e.px BETWEEN t.cx - t.hw AND t.cx + t.hw
+   AND e.py BETWEEN t.cy - t.hh AND t.cy + t.hh
+),
+steps AS MATERIALIZED (
+  SELECT user_id, seq, MIN(px) AS px, MIN(py) AS py,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq) AS BIGINT) AS si,
+         list(CAST(tile_id AS BIGINT) ORDER BY rnk) AS ts,
+         list(CAST(d2 AS BIGINT) ORDER BY rnk) AS cs,
+         list(cx ORDER BY rnk) AS xs,
+         list(cy ORDER BY rnk) AS ys
+  FROM cand WHERE rnk <= 16
+  GROUP BY user_id, seq
+),
+mx AS MATERIALIZED (SELECT user_id, MAX(si) AS m FROM steps GROUP BY user_id),
+dp AS (
+  SELECT user_id, si, px, py, cs AS cost, ts, xs, ys,
+         [[t] FOR t IN ts] AS paths
+  FROM steps WHERE si = 1
+  UNION ALL
+  SELECT s.user_id, s.si, s.px, s.py,
+         [ list_min(l.tr[j+1]) + s.cs[j+1] FOR j IN range(len(s.ts)) ] AS cost,
+         s.ts, s.xs, s.ys,
+         [ d.paths[list_position(l.tr[j+1], list_min(l.tr[j+1]))] || [s.ts[j+1]]
+           FOR j IN range(len(s.ts)) ] AS paths
+  FROM dp d
+  JOIN steps s ON s.user_id = d.user_id AND s.si = d.si + 1,
+  LATERAL (SELECT [ [ d.cost[i+1]
+                      + 64 * abs( (abs(d.xs[i+1] - s.xs[j+1])
+                                   + abs(d.ys[i+1] - s.ys[j+1]))
+                                  - (abs(d.px - s.px) + abs(d.py - s.py)) )
+                      FOR i IN range(len(d.ts)) ]
+                    FOR j IN range(len(s.ts)) ] AS tr) l
+),
+fin AS MATERIALIZED (
+  SELECT d.user_id, d.paths[list_position(d.cost, list_min(d.cost))] AS path
+  FROM dp d JOIN mx USING (user_id) WHERE d.si = mx.m
+),
+chosen AS (
+  SELECT user_id, generate_subscripts(path, 1) AS si, unnest(path) AS tile_id
+  FROM fin
+)
+SELECT e.user_id, e.seq,
+       CAST(COALESCE(c.tile_id, -1) AS BIGINT) AS tile_id,
+       CAST(COALESCE(len(s.ts), 0) AS BIGINT) AS n_candidates
+FROM epts e
+LEFT JOIN steps s ON s.user_id = e.user_id AND s.seq = e.seq
+LEFT JOIN chosen c ON c.user_id = s.user_id AND c.si = s.si
+"""
+
+
 def q_choose_score(sf_dir: str):
     """Score each shape's chosen tile chain against the shape (Step C):
     integer-exact discrete-Fréchet² between the stride-picked shape polyline
@@ -4019,6 +4241,8 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "choose_path": q_choose_path,
+    "trajectory_match_hmm": q_trajectory_match_hmm,
+    "path_dijkstra": q_path_dijkstra,
     "choose_score": q_choose_score,
     "ann_lsh": q_ann_lsh,
     "shape_frechet": q_shape_frechet,
@@ -4119,6 +4343,8 @@ ORACLE_SQL = {
     "shape_cospatiality": SQL_SHAPE_COSPATIALITY,
     "stop_fit": SQL_STOP_FIT,
     "choose_path": SQL_CHOOSE_PATH,
+    "trajectory_match_hmm": SQL_TRAJECTORY_MATCH_HMM,
+    "path_dijkstra": SQL_PATH_DIJKSTRA,
     "choose_score": SQL_CHOOSE_SCORE,
     "choose_path_topk": SQL_CHOOSE_PATH_TOPK,
     "value_quantiles": SQL_VALUE_QUANTILES,

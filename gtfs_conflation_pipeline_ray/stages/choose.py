@@ -792,3 +792,128 @@ def choose_and_score(points_ds, tiles_ref, shape_col: str, seq_col: str,
         return pd.DataFrame(rows)
 
     return bucketed_groups(points_ds, [shape_col], _score)
+
+
+def _viterbi_hmm(cand_t: list[np.ndarray], cand_c: list[np.ndarray],
+                 cand_x: list[np.ndarray], cand_y: list[np.ndarray],
+                 obs_x: np.ndarray, obs_y: np.ndarray,
+                 gap_weight: int) -> np.ndarray:
+    """Exact min-cost chain with MOVEMENT-FEASIBILITY transitions (the HMM
+    map-matching core, Newson & Krumm 2009 in integer form): extending
+    candidate i at step t-1 to candidate j at step t costs
+
+        gap_weight * | L1(centroid_i, centroid_j) - L1(obs_{t-1}, obs_t) |
+
+    so a jump between distant tiles is cheap exactly when the observations
+    jumped the same distance — unlike ``_viterbi``'s flat switch penalty.
+    All int64; ties resolve to the FIRST (lowest-index) minimum, matching
+    the SQL mirror's list_position(list_min) and the (d2, tile_id) candidate
+    pre-sort. Returns the chosen candidate VALUE per step."""
+    w = np.int64(gap_weight)
+    backs: list[np.ndarray] = []
+    prev_cost: np.ndarray | None = None
+    for t in range(len(cand_t)):
+        c = cand_c[t].astype(np.int64)
+        if prev_cost is None:
+            cost = c.copy()
+            backs.append(np.full(len(c), -1, dtype=np.int64))
+        else:
+            gap = np.int64(abs(int(obs_x[t]) - int(obs_x[t - 1]))
+                           + abs(int(obs_y[t]) - int(obs_y[t - 1])))
+            l1 = (np.abs(cand_x[t - 1][:, None] - cand_x[t][None, :])
+                  + np.abs(cand_y[t - 1][:, None] - cand_y[t][None, :]))
+            trans = prev_cost[:, None] + w * np.abs(l1 - gap)
+            back = np.argmin(trans, axis=0)  # first min == SQL list_position
+            cost = trans[back, np.arange(len(c))] + c
+            backs.append(back)
+        prev_cost = cost
+    out = np.empty(len(cand_t), dtype=np.int64)
+    j = int(np.argmin(prev_cost))
+    for k in range(len(cand_t) - 1, -1, -1):
+        out[k] = cand_t[k][j]
+        j = int(backs[k][j])
+    return out
+
+
+def hmm_match(segments_ds, tiles_ref, shape_col: str, seq_col: str,
+              x_col: str, y_col: str, gap_weight: int = 64):
+    """Sequence-aware (HMM-style) trajectory→tile matching — the engine's
+    analog of the reference's OSRM ``.match()`` recovery path
+    (``/root/reference/src/services/Conflation/SharedStreetsMatcher/geometryMutators/replaceFeaturesGeomsWithOsrmRoute.js:44-126``,
+    which ships unmatched features through an HMM map matcher before
+    re-matching). Per trajectory, choose one tile per observation minimizing
+
+        Σ_t d2(obs_t, tile_t)                                     (emission)
+      + Σ_t gap_weight·|L1(tile_{t-1}, tile_t) − L1(obs_{t-1}, obs_t)|
+                                                                (transition)
+
+    The transition term is the inter-candidate GAP-FEASIBILITY cost of
+    classic HMM map matching: candidate pairs whose centroid displacement
+    disagrees with the observed displacement pay in proportion. Exact int64
+    arithmetic throughout (L1 metric, integer-squared emission) makes the
+    recursive-CTE oracle bit-exact. Observations with no containing tile are
+    emitted with tile_id = -1 and skipped by the chain; the gap of the
+    transition that bridges them is measured between the two MATCHED
+    observations it connects. Returns (shape, seq, tile_id, n_candidates).
+
+    Partitioning assumption: one trajectory = one group (bucketed by shape
+    key); candidate sets capped at MAX_CANDIDATES by (d2, tile_id)."""
+
+    def _choose(g: pd.DataFrame) -> pd.DataFrame:
+        from .spatial import _TileState
+
+        st: _TileState = cached_state(tiles_ref, _TileState)
+        ix = st.index
+        d = g.sort_values([shape_col, seq_col], kind="mergesort")
+        px = d[x_col].to_numpy().astype(np.int64)
+        py = d[y_col].to_numpy().astype(np.int64)
+        sid = d[shape_col].to_numpy()
+        seq = d[seq_col].to_numpy().astype(np.int64)
+        n = len(d)
+
+        pi, ti = ix.query_points(px, py)
+        d2 = ((px[pi] - st.cx[ti]) ** 2 + (py[pi] - st.cy[ti]) ** 2).astype(np.int64)
+        tids = ix.tile_id[ti]
+        cxs = st.cx[ti].astype(np.int64)
+        cys = st.cy[ti].astype(np.int64)
+        order = np.lexsort((tids, d2, pi))
+        pi, tids, d2 = pi[order], tids[order], d2[order]
+        cxs, cys = cxs[order], cys[order]
+
+        e_t, e_c = np.empty(0, np.int64), np.empty(0, np.int64)
+        cand_t: list[np.ndarray] = [e_t] * n
+        cand_c: list[np.ndarray] = [e_c] * n
+        cand_x: list[np.ndarray] = [e_c] * n
+        cand_y: list[np.ndarray] = [e_c] * n
+        if len(pi):
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.append(starts[1:], len(pi))
+            for s, e in zip(starts, ends):
+                e = min(e, s + MAX_CANDIDATES)
+                cand_t[pi[s]] = tids[s:e]
+                cand_c[pi[s]] = d2[s:e]
+                cand_x[pi[s]] = cxs[s:e]
+                cand_y[pi[s]] = cys[s:e]
+
+        out_tile = np.full(n, -1, dtype=np.int64)
+        sh_starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]]) if n else []
+        sh_ends = np.append(sh_starts[1:], n) if n else []
+        for ss, se in zip(sh_starts, sh_ends):
+            idxs = [i for i in range(ss, se) if len(cand_t[i])]
+            if not idxs:
+                continue
+            chosen = _viterbi_hmm(
+                [cand_t[i] for i in idxs], [cand_c[i] for i in idxs],
+                [cand_x[i] for i in idxs], [cand_y[i] for i in idxs],
+                px[idxs], py[idxs], gap_weight)
+            out_tile[idxs] = chosen
+        return pd.DataFrame(
+            {
+                shape_col: sid,
+                seq_col: seq,
+                "tile_id": out_tile,
+                "n_candidates": np.array([len(c) for c in cand_t], dtype=np.int64),
+            }
+        )
+
+    return bucketed_groups(segments_ds, [shape_col], _choose)

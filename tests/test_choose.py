@@ -175,3 +175,65 @@ def test_viterbi_topk_rank1_matches_viterbi_cost():
             for combo in itertools.product(*[range(len(t)) for t in cand_t])
         )
         assert top[0] == best
+
+
+def test_viterbi_hmm_matches_bruteforce():
+    """The HMM gap-feasibility DP must equal exhaustive chain enumeration
+    (cost AND first-min tie-break) over random candidate sets."""
+    from gtfs_conflation_pipeline_ray.stages.choose import _viterbi_hmm
+
+    rng = np.random.default_rng(23)
+    W = 7
+    for _ in range(40):
+        n = int(rng.integers(1, 6))
+        obs_x = rng.integers(0, 100, size=n).astype(np.int64)
+        obs_y = rng.integers(0, 100, size=n).astype(np.int64)
+        cand_t, cand_c, cand_x, cand_y = [], [], [], []
+        for _k in range(n):
+            c = int(rng.integers(1, 4))
+            cand_t.append(rng.choice(10, size=c, replace=False).astype(np.int64))
+            cand_c.append(rng.integers(0, 50, size=c).astype(np.int64))
+            cand_x.append(rng.integers(0, 100, size=c).astype(np.int64))
+            cand_y.append(rng.integers(0, 100, size=c).astype(np.int64))
+
+        def cost_of(combo):
+            cost = sum(int(cand_c[k][j]) for k, j in enumerate(combo))
+            for k in range(1, n):
+                i, j = combo[k - 1], combo[k]
+                l1 = abs(int(cand_x[k - 1][i]) - int(cand_x[k][j])) + \
+                     abs(int(cand_y[k - 1][i]) - int(cand_y[k][j]))
+                gap = abs(int(obs_x[k]) - int(obs_x[k - 1])) + \
+                      abs(int(obs_y[k]) - int(obs_y[k - 1]))
+                cost += W * abs(l1 - gap)
+            return cost
+
+        combos = sorted(itertools.product(*[range(len(t)) for t in cand_t]))
+        want_cost = min(cost_of(c) for c in combos)
+        # first-min tie-break: lexicographically-smallest optimal index chain
+        want = next(c for c in combos if cost_of(c) == want_cost)
+        out = _viterbi_hmm(cand_t, cand_c, cand_x, cand_y, obs_x, obs_y, W)
+        got_cost = cost_of(tuple(
+            list(cand_t[k]).index(out[k]) for k in range(n)))
+        assert got_cost == want_cost
+        assert out.tolist() == [int(cand_t[k][j]) for k, j in enumerate(want)]
+
+
+def test_hmm_prefers_feasible_jump_over_nearest():
+    """A distant candidate whose displacement MATCHES the observed jump must
+    beat a nearer candidate whose displacement contradicts it — the exact
+    behavior the flat switch penalty cannot express."""
+    from gtfs_conflation_pipeline_ray.stages.choose import _viterbi_hmm
+
+    # obs jumps +100 in x; tile 5 sits still (emission 0), tile 9 moves +100
+    # with slightly worse emission
+    cand_t = [np.array([5, 9]), np.array([5, 9])]
+    cand_c = [np.array([0, 4], dtype=np.int64), np.array([0, 4], dtype=np.int64)]
+    cand_x = [np.array([0, 0], dtype=np.int64), np.array([0, 100], dtype=np.int64)]
+    cand_y = [np.array([0, 0], dtype=np.int64)] * 2
+    obs_x = np.array([0, 100], dtype=np.int64)
+    obs_y = np.array([0, 0], dtype=np.int64)
+    out = _viterbi_hmm(cand_t, cand_c, cand_x, cand_y, obs_x, obs_y, gap_weight=1)
+    # optimum is [5, 9]: free emission at step 1, then the +100 centroid
+    # displacement matches the observed jump exactly (transition 0), total 4;
+    # staying on the stationary tile 5 would pay 1*|0-100| = 100
+    assert out.tolist() == [5, 9]

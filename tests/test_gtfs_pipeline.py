@@ -142,3 +142,16 @@ def test_stop_fit_dp_beats_or_ties_greedy(ray_session):
         assert (np.diff(got["along_c"].to_numpy()) >= 0).all(), method
         res[method] = got["dev_sq"].sum()
     assert res["dp"] <= res["greedy"]
+
+
+def test_gtfs_pipeline_hmm_choose_method(ray_session, feed, tmp_path):
+    """The HMM matcher option runs end-to-end and is pinned in the
+    checkpoint lineage (a resume with a different matcher must rebuild)."""
+    import json
+
+    d, zp, tiles = feed
+    out = str(tmp_path / "out_hmm")
+    m = gp.run_pipeline(zp, tiles, out, n_partitions=2, choose_method="hmm")
+    assert m["match_rows"] == 12 * 40
+    with open(f"{out}/matches/_manifest.json") as f:
+        assert json.load(f)["lineage"]["choose_method"] == "hmm"
