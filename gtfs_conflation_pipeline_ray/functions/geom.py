@@ -651,3 +651,45 @@ def snap_stats(points: np.ndarray, line: np.ndarray) -> dict:
         "q75": float(qs[3]),
         "q90": float(qs[4]),
     }
+
+
+def convex_hull_int(xy: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull over int64 points — the turf
+    ``convex`` parity leftover (the reference buffers + hulls segment
+    geometry when building geopoly probes,
+    ``/root/reference/src/daos/ConflationMapDAO/loaders.js:104-113``).
+    Input order-insensitive: points are deduplicated + lexicographically
+    sorted first. Returns hull vertices CCW starting at the
+    lexicographically smallest point; collinear points are dropped
+    (strict-left-turn retention, ``cross <= 0`` pops). Pure int64 cross
+    products — exactly the arithmetic the recursive-CTE SQL mirror runs."""
+    pts = np.unique(xy.astype(np.int64), axis=0)  # lexsorted (x, then y)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def _half(p: np.ndarray) -> list[np.ndarray]:
+        st: list[np.ndarray] = []
+        for q in p:
+            while len(st) >= 2 and (
+                (st[-1][0] - st[-2][0]) * (q[1] - st[-2][1])
+                - (st[-1][1] - st[-2][1]) * (q[0] - st[-2][0])
+            ) <= 0:
+                st.pop()
+            st.append(q)
+        return st
+
+    lower = _half(pts)
+    upper = _half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def shoelace_area2(hull: np.ndarray) -> int:
+    """Twice the signed polygon area (int64 shoelace) — positive for the
+    CCW hulls ``convex_hull_int`` emits; 0 for degenerate (<3 vertex)
+    hulls."""
+    if len(hull) < 3:
+        return 0
+    x, y = hull[:, 0], hull[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return int((x * yn - xn * y).sum())

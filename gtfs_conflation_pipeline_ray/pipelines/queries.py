@@ -1828,6 +1828,274 @@ FROM nn n LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
 """
 
 
+def q_shape_hull(sf_dir: str):
+    """Integer convex hull per shape (turf ``convex`` parity — the reference
+    hulls/buffers segment geometry into geopoly probes,
+    ``ConflationMapDAO/loaders.js:104-113``): Andrew monotone chain over the
+    shape's distinct event points, CCW from the lexicographic minimum, plus
+    the int64 shoelace double-area. The oracle SIMULATES the same
+    stack-machine in a recursive CTE (one pop or one push per recursion
+    round), so engine and SQL agree on every cross-product tie."""
+    from ..functions.geom import convex_hull_int, shoelace_area2
+    from ..stages import segments
+
+    def _fn(uid: int, xy: np.ndarray):
+        hull = convex_hull_int(xy.astype(np.int64))
+        a2 = np.int64(shoelace_area2(hull))
+        return [{"user_id": uid, "hi": np.int64(i + 1),
+                 "hx": np.int64(x), "hy": np.int64(y), "area2": a2}
+                for i, (x, y) in enumerate(hull)]
+
+    return segments.per_shape(_event_shapes(sf_dir), _fn)
+
+
+SQL_SHAPE_HULL = """
+WITH RECURSIVE
+pts AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+dirs AS MATERIALIZED (  -- lexsorted point lists, ascending (lower) + descending (upper)
+  SELECT user_id, d.dir,
+         list(x ORDER BY CASE WHEN d.dir = 0 THEN x ELSE -x END,
+                         CASE WHEN d.dir = 0 THEN y ELSE -y END) AS px,
+         list(y ORDER BY CASE WHEN d.dir = 0 THEN x ELSE -x END,
+                         CASE WHEN d.dir = 0 THEN y ELSE -y END) AS py,
+         COUNT(*) AS n
+  FROM pts CROSS JOIN (VALUES (0), (1)) d(dir)
+  GROUP BY user_id, d.dir
+),
+walk AS (  -- monotone-chain stack machine: one pop OR one push per round
+  SELECT user_id, dir, 0 AS i,
+         CAST([] AS BIGINT[]) AS sx, CAST([] AS BIGINT[]) AS sy
+  FROM dirs WHERE n >= 3
+  UNION ALL
+  SELECT user_id, dir,
+         CASE WHEN pop THEN i ELSE i + 1 END,
+         CASE WHEN pop THEN sx[1:len(sx)-1] ELSE sx || [qx] END,
+         CASE WHEN pop THEN sy[1:len(sy)-1] ELSE sy || [qy] END
+  FROM (
+    SELECT w.user_id, w.dir, w.i, w.sx, w.sy,
+           d.px[w.i+1] AS qx, d.py[w.i+1] AS qy,
+           len(w.sx) >= 2 AND
+             (w.sx[len(w.sx)] - w.sx[len(w.sx)-1]) * (d.py[w.i+1] - w.sy[len(w.sy)-1])
+           - (w.sy[len(w.sy)] - w.sy[len(w.sy)-1]) * (d.px[w.i+1] - w.sx[len(w.sx)-1])
+             <= 0 AS pop
+    FROM walk w JOIN dirs d USING (user_id, dir)
+    WHERE w.i < d.n
+  )
+),
+fin AS MATERIALIZED (
+  SELECT w.user_id, w.dir, w.sx, w.sy
+  FROM walk w JOIN dirs d USING (user_id, dir) WHERE w.i = d.n
+),
+hull AS MATERIALIZED (  -- lower[:-1] + upper[:-1]; <=2 distinct pts pass through
+  SELECT l.user_id,
+         l.sx[1:len(l.sx)-1] || u.sx[1:len(u.sx)-1] AS hx,
+         l.sy[1:len(l.sy)-1] || u.sy[1:len(u.sy)-1] AS hy
+  FROM (SELECT user_id, sx, sy FROM fin WHERE dir = 0) l
+  JOIN (SELECT user_id, sx, sy FROM fin WHERE dir = 1) u USING (user_id)
+  UNION ALL
+  SELECT p.user_id, list(p.x ORDER BY p.x, p.y), list(p.y ORDER BY p.x, p.y)
+  FROM pts p JOIN (SELECT user_id FROM dirs WHERE dir = 0 AND n <= 2) s
+    USING (user_id)
+  GROUP BY p.user_id
+),
+ar AS (
+  SELECT user_id, hx, hy,
+         CASE WHEN len(hx) < 3 THEN 0
+              ELSE list_sum([hx[j+1] * hy[1 + (j+1) % len(hx)]
+                             - hx[1 + (j+1) % len(hx)] * hy[j+1]
+                             FOR j IN range(len(hx))]) END AS area2
+  FROM hull
+)
+SELECT user_id, CAST(j + 1 AS BIGINT) AS hi,
+       hx[j+1] AS hx, hy[j+1] AS hy, CAST(area2 AS BIGINT) AS area2
+FROM ar, LATERAL (SELECT unnest(range(len(hx))) AS j) t
+"""
+
+
+def q_segment_buffer_pip(sf_dir: str):
+    """Polygon-BUFFER constructor feeding the existing PIP machinery (turf
+    ``buffer`` parity — the reference buffers conflation-map segments 5 m
+    into geopoly polygons before the containment probe,
+    ``ConflationMapDAO/loaders.js:104-113``): every consecutive event-point
+    pair becomes a rect buffer of radius 300 around its bbox, built in
+    DOUBLED coordinates with half-open odd bounds (lo = 2·min − 601,
+    hi = 2·max + 601) so a doubled (even) probe coordinate can never land ON
+    an (odd) edge — closed vs strict containment become indistinguishable
+    and the BETWEEN oracle is exact. The buffer polys broadcast as the small
+    side; customer probe points stream through the fused count probe."""
+    from ..stages import segments
+    from ..stages.spatial import _TileState
+    from ..stages.util import cached_state
+    from ..stages.relational import partial_groupby_sum
+
+    def _rects(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        return [{"user_id": uid, "seg_i": np.int64(i + 1),
+                 "tile_id": np.int64(uid) * 1024 + (i + 1),
+                 "cx": np.int64(xyi[i, 0] + xyi[i + 1, 0]),
+                 "cy": np.int64(xyi[i, 1] + xyi[i + 1, 1]),
+                 "hw": np.int64(abs(int(xyi[i + 1, 0]) - int(xyi[i, 0])) + 601),
+                 "hh": np.int64(abs(int(xyi[i + 1, 1]) - int(xyi[i, 1])) + 601)}
+                for i in range(len(xyi) - 1)]
+
+    segs = segments.per_shape(_event_shapes(sf_dir), _rects)
+    # small-side materialization: one buffer rect per event-pair (~#events
+    # rows, a few MB at sf0.1) — the documented broadcast pattern
+    seg_pd = segs.to_pandas()
+    seg_tab = pa.table({
+        "tile_id": seg_pd["tile_id"].to_numpy().astype(np.int64),
+        "ref_id": np.char.add("B", seg_pd["tile_id"].to_numpy().astype(str)),
+        "level": np.zeros(len(seg_pd), dtype=np.int64),
+        "cx": seg_pd["cx"].to_numpy().astype(np.int64),
+        "cy": seg_pd["cy"].to_numpy().astype(np.int64),
+        "hw": seg_pd["hw"].to_numpy().astype(np.int64),
+        "hh": seg_pd["hh"].to_numpy().astype(np.int64),
+    })
+    ref = ray.put(seg_tab)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(ref, _TileState)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = 2 * ((ck * 48271 + 11) % 65536)
+        py = 2 * ((ck * 69621 + 77) % 65536)
+        _pi, ti = st.index.query_points(px, py)
+        counts = np.bincount(ti, minlength=len(st.index.tile_id))
+        nz = np.flatnonzero(counts)
+        return pa.table({"tile_id": st.index.tile_id[nz],
+                         "n_inside": counts[nz].astype(np.int64)})
+
+    partials = cust.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+    agg = partial_groupby_sum(partials, ["tile_id"], ["n_inside"])
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": tid // 1024, "seg_i": tid % 1024,
+                         "n_inside": t["n_inside"]})
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+# the world grid keeps coords < 65536, so doubled coords < 131072 and the
+# rect bounds (odd) can never equal a doubled probe coord (even)
+SQL_SEGMENT_BUFFER_PIP = """
+WITH pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+segs AS (
+  SELECT user_id, gi AS seg_i, x + nx AS cx, y + ny AS cy,
+         abs(nx - x) + 601 AS hw, abs(ny - y) + 601 AS hh
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+),
+probes AS (
+  SELECT 2 * ((c_custkey * 48271 + 11) % 65536) AS px,
+         2 * ((c_custkey * 69621 + 77) % 65536) AS py
+  FROM customer
+)
+SELECT s.user_id, CAST(s.seg_i AS BIGINT) AS seg_i,
+       CAST(COUNT(*) AS BIGINT) AS n_inside
+FROM segs s JOIN probes p
+  ON p.px BETWEEN s.cx - s.hw AND s.cx + s.hw
+ AND p.py BETWEEN s.cy - s.hh AND s.cy + s.hh
+GROUP BY s.user_id, s.seg_i
+"""
+
+
+def q_shape_rotfrechet(sf_dir: str):
+    """Rotation-restricted curve similarity (reference
+    ``scoreChosenPaths/frechet.js:8-35``, ``restrictRotationAngle 0.1π``):
+    min discrete-Fréchet² over the 9-angle rational-matrix sweep — see
+    ``stages.segments.shape_rotfrechet_halves``."""
+    from ..stages import segments
+
+    return segments.shape_rotfrechet_halves(_event_shapes(sf_dir))
+
+
+# Rotation sweep: the 9 (ang, cos, sin)*1024 integer matrices of
+# stages/segments.py::ROT_CS embedded verbatim; halves stride-picked to 32,
+# translated to their first vertex, half B rotated per angle, then the SAME
+# anti-diagonal Fréchet DP as SQL_SHAPE_FRECHET keyed on (user_id, ang);
+# best row = min (score, ang).
+SQL_SHAPE_ROTFRECHET = "WITH RECURSIVE " + _SQL_SHAPE_PTS + """,
+halves AS (
+  SELECT p.user_id,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ax,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ay,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS bx,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS "by"
+  FROM pts p JOIN nn n USING (user_id) WHERE n.n >= 4
+  GROUP BY p.user_id
+),
+picked0 AS (  -- stride_pick to 32 vertices per half (exact index selection)
+  SELECT user_id,
+         [ax[1 + _j * (len(ax) - 1) // 31] FOR _j IN range(32)] AS pax,
+         [ay[1 + _j * (len(ay) - 1) // 31] FOR _j IN range(32)] AS pay,
+         [bx[1 + _j * (len(bx) - 1) // 31] FOR _j IN range(32)] AS pbx,
+         ["by"[1 + _j * (len("by") - 1) // 31] FOR _j IN range(32)] AS pby
+  FROM halves
+),
+angles AS (SELECT * FROM (VALUES (-4, 974, -316), (-3, 996, -239),
+                                 (-2, 1011, -160), (-1, 1021, -80),
+                                 (0, 1024, 0), (1, 1021, 80), (2, 1011, 160),
+                                 (3, 996, 239), (4, 974, 316)) t(ang, c, s)),
+picked AS MATERIALIZED (  -- translate to first vertex; rotate half B
+  SELECT p.user_id, a.ang,
+         [ (p.pax[i+1] - p.pax[1]) * 1024 FOR i IN range(32) ] AS pax,
+         [ (p.pay[i+1] - p.pay[1]) * 1024 FOR i IN range(32) ] AS pay,
+         [ (p.pbx[i+1] - p.pbx[1]) * a.c - (p.pby[i+1] - p.pby[1]) * a.s
+           FOR i IN range(32) ] AS pbx,
+         [ (p.pbx[i+1] - p.pbx[1]) * a.s + (p.pby[i+1] - p.pby[1]) * a.c
+           FOR i IN range(32) ] AS pby
+  FROM picked0 p CROSS JOIN angles a
+),
+fr AS (  -- discrete-Fréchet DP by anti-diagonals, keyed on (user_id, ang)
+  SELECT user_id, ang, 0 AS k,
+         [(pax[1] - pbx[1]) * (pax[1] - pbx[1])
+          + (pay[1] - pby[1]) * (pay[1] - pby[1])] AS cur,
+         CAST(NULL AS BIGINT[]) AS prev,
+         pax, pay, pbx, pby
+  FROM picked
+  UNION ALL
+  SELECT user_id, ang, k + 1,
+         [ greatest(
+             (pax[_i + 1] - pbx[k + 1 - _i + 1]) * (pax[_i + 1] - pbx[k + 1 - _i + 1])
+             + (pay[_i + 1] - pby[k + 1 - _i + 1]) * (pay[_i + 1] - pby[k + 1 - _i + 1]),
+             least(
+               COALESCE(cur[_i - greatest(0, k - 31) + 1], 36893488147419103232),
+               COALESCE(cur[_i - 1 - greatest(0, k - 31) + 1], 36893488147419103232),
+               COALESCE(prev[_i - 1 - greatest(0, k - 1 - 31) + 1], 36893488147419103232)
+             )
+           )
+           FOR _i IN range(greatest(0, k + 1 - 31), least(k + 1, 31) + 1) ] AS cur,
+         cur AS prev, pax, pay, pbx, pby
+  FROM fr WHERE k < 62
+),
+best AS (
+  SELECT user_id, ang, cur[1] AS f,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cur[1], ang) AS rn
+  FROM fr WHERE k = 62
+)
+SELECT n.user_id,
+       CAST(CASE WHEN n.n < 4 THEN -1 ELSE b.f END AS BIGINT) AS rot_frechet_sq,
+       CAST(CASE WHEN n.n < 4 THEN 0 ELSE b.ang END AS BIGINT) AS best_rot
+FROM nn n LEFT JOIN (SELECT user_id, f, ang FROM best WHERE rn = 1) b USING (user_id)
+"""
+
+
 def q_shape_hausdorff(sf_dir: str):
     from ..stages import segments
 
@@ -4173,33 +4441,30 @@ FROM vf
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    # oracle-backed queries FIRST: the driver evaluates only the first 50
-    # registry entries, so every query with an exact DuckDB oracle must sit
-    # inside that window; rows-only queries follow at the tail.
+    # The driver evaluates only the FIRST 50 registry entries, so the window
+    # below is the round's driver-verified set. All 96 queries carry exact
+    # DuckDB oracles; the ROTATION SCHEDULE (OPERATORS.md) moves tail
+    # entries into the window each round so every oracle eventually gets
+    # driver verification. Round 4 swaps: in = the five new round-4
+    # operators (trajectory_match_hmm, path_dijkstra, shape_rotfrechet,
+    # shape_hull, segment_buffer_pip) + five never-driver-checked tail
+    # queries (choose_path_topk, doc_minhash_verified, value_quantiles,
+    # events_asof, doc_cap_per_source); out = ten entries driver-green in
+    # rounds 2 AND 3 whose operator class stays represented in-window.
     "spatial_join_pairs": q_spatial_join_pairs,
-    "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
     "point_in_polygon": q_point_in_polygon,
     "spatial_tile_stats": q_spatial_tile_stats,
     "knn_tiles": q_knn_tiles,
     "tile_assign_multilevel": q_tile_assign_multilevel,
     "tile_overlap_pairs": q_tile_overlap_pairs,
-    "cell_point_counts": q_cell_point_counts,
-    "pricing_summary": q_pricing_summary,
     "order_priority_revenue": q_order_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "order_line_counts": q_order_line_counts,
     "customers_no_orders": q_customers_no_orders,
     "event_window_join": q_event_window_join,
-    "price_rank_topk": q_price_rank_topk,
     "supplier_top_line": q_supplier_top_line,
     "segment_union_except": q_segment_union_except,
     "path_linestrings": q_path_linestrings,
-    "weighted_avg_price": q_weighted_avg_price,
-    "feed_extent": q_feed_extent,
-    "order_lines_concat": q_order_lines_concat,
-    "date_order_counts": q_date_order_counts,
-    "events_sessionize": q_events_sessionize,
-    "events_distinct_users": q_events_distinct_users,
     "event_props_parse": q_event_props_parse,
     "doc_token_stats": q_doc_token_stats,
     "doc_tfidf": q_doc_tfidf,
@@ -4226,8 +4491,27 @@ QUERIES = {
     "audio_decode_features": q_audio_decode_features,
     "video_frame_means": q_video_frame_means,
     "image_decode_features": q_image_decode_features,
-    # --- driver window ends here (first 50 entries); every entry below is
-    # still oracle- or rows-checked by the LOCAL gate at two scales ---
+    "trajectory_match_hmm": q_trajectory_match_hmm,
+    "path_dijkstra": q_path_dijkstra,
+    "shape_rotfrechet": q_shape_rotfrechet,
+    "shape_hull": q_shape_hull,
+    "segment_buffer_pip": q_segment_buffer_pip,
+    "choose_path_topk": q_choose_path_topk,
+    "doc_minhash_verified": q_doc_minhash_verified,
+    "value_quantiles": q_value_quantiles,
+    "events_asof": q_events_asof,
+    "doc_cap_per_source": q_doc_cap_per_source,
+    # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
+    "cell_point_counts": q_cell_point_counts,
+    "pricing_summary": q_pricing_summary,
+    "price_rank_topk": q_price_rank_topk,
+    "weighted_avg_price": q_weighted_avg_price,
+    "feed_extent": q_feed_extent,
+    "order_lines_concat": q_order_lines_concat,
+    "date_order_counts": q_date_order_counts,
+    "events_sessionize": q_events_sessionize,
+    "events_distinct_users": q_events_distinct_users,
     "top_orders": q_top_orders,
     "order_suppliers_concat": q_order_suppliers_concat,
     "doc_quality": q_doc_quality,
@@ -4241,8 +4525,6 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "choose_path": q_choose_path,
-    "trajectory_match_hmm": q_trajectory_match_hmm,
-    "path_dijkstra": q_path_dijkstra,
     "choose_score": q_choose_score,
     "ann_lsh": q_ann_lsh,
     "shape_frechet": q_shape_frechet,
@@ -4259,19 +4541,15 @@ QUERIES = {
     "choose_annealed": q_choose_annealed,
     "ann_ivf": q_ann_ivf,
     "distinct_flag_status": q_distinct_flag_status,
-    "choose_path_topk": q_choose_path_topk,
-    "doc_minhash_verified": q_doc_minhash_verified,
     "embedding_neardup": q_embedding_neardup,
-    "value_quantiles": q_value_quantiles,
-    "events_asof": q_events_asof,
     "doc_sample": q_doc_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_vocab": q_doc_vocab,
     "doc_repetition": q_doc_repetition,
-    "doc_cap_per_source": q_doc_cap_per_source,
     "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
     "knn_tiles_strtree": q_knn_tiles_strtree,
 }
+
 
 ORACLE_SQL = {
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
@@ -4335,6 +4613,9 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "shape_frechet": SQL_SHAPE_FRECHET,
+    "shape_rotfrechet": SQL_SHAPE_ROTFRECHET,
+    "shape_hull": SQL_SHAPE_HULL,
+    "segment_buffer_pip": SQL_SEGMENT_BUFFER_PIP,
     "shape_hausdorff": SQL_SHAPE_HAUSDORFF,
     "shape_simplify": SQL_SHAPE_SIMPLIFY,
     "shape_slices": SQL_SHAPE_SLICES,

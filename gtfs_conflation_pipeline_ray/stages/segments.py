@@ -230,6 +230,53 @@ def shape_frechet_halves(ds):
     return per_shape(ds, _fn)
 
 
+# rotation grid for the rotation-restricted similarity: 9 angles k*pi/40,
+# k in [-4, 4] (= exactly the reference's restrictRotationAngle 0.1*pi sweep
+# bound), each as the rational matrix (cos, sin) * 1024 rounded to int — the
+# SAME integer constants are embedded in the SQL mirror, so the rotation is
+# exact on both sides by construction (the approximation IS the definition).
+ROT_CS = ((-4, 974, -316), (-3, 996, -239), (-2, 1011, -160), (-1, 1021, -80),
+          (0, 1024, 0), (1, 1021, 80), (2, 1011, 160), (3, 996, 239),
+          (4, 974, 316))
+
+
+def shape_rotfrechet_halves(ds):
+    """(user_id, rot_frechet_sq, best_rot): ROTATION-RESTRICTED curve
+    similarity between the two halves of each shape — the engine's analog of
+    the reference's ``curve-matcher shapeSimilarity`` with
+    ``restrictRotationAngle: 0.1π``
+    (``/root/reference/src/services/Conflation/chooseShstMatchesForShape/scoreChosenPaths/frechet.js:8-35``):
+    both halves stride-picked to 32 vertices (≙ rebalanceCurve), translated
+    to their first vertex (≙ the procrustes translation normalization), then
+    the second half swept over the 9-angle grid ``ROT_CS``; the score is the
+    minimum discrete-Fréchet² over the sweep (scaled by 1024² from the
+    rotation denominators) and ``best_rot`` the smallest angle index
+    achieving it. All int64, bit-exact vs the recursive-CTE oracle."""
+
+    def _fn(uid: int, xy: np.ndarray) -> dict:
+        if len(xy) < 4:
+            return {"user_id": uid, "rot_frechet_sq": np.int64(-1),
+                    "best_rot": np.int64(0)}
+        xyi = xy.astype(np.int64)
+        mid = len(xyi) // 2
+        a = stride_pick(xyi[:mid], 32)
+        b = stride_pick(xyi[mid:], 32)
+        a = (a - a[0]) * np.int64(1024)
+        b0 = b - b[0]
+        best = None
+        best_k = 0
+        for k, c, sn in ROT_CS:
+            rb = np.stack([b0[:, 0] * c - b0[:, 1] * sn,
+                           b0[:, 0] * sn + b0[:, 1] * c], axis=1)
+            f = int(frechet_sq_int(a, rb))
+            if best is None or f < best:
+                best, best_k = f, k
+        return {"user_id": uid, "rot_frechet_sq": np.int64(best),
+                "best_rot": np.int64(best_k)}
+
+    return per_shape(ds, _fn)
+
+
 def shape_hausdorff_halves(ds):
     """(user_id, h_ab_sq, h_ba_sq, hausdorff_sq): directed + symmetric
     discrete Hausdorff distance (squared, exact int64) between the first and

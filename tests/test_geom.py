@@ -126,3 +126,79 @@ def test_merge_chains_roundtrip():
     # disconnected pieces stay separate
     apart = [np.array([[0, 0], [1, 0]], dtype=float), np.array([[50, 50], [51, 50]], dtype=float)]
     assert len(geom.merge_chains(apart, tol=0.5)) == 2
+
+
+def test_rotfrechet_sweep_recovers_rotation():
+    """A second half that is (approximately) the first half rotated by ~9°
+    must score far better under the rotation sweep than at angle 0, and the
+    sweep must pick the counter-rotating grid angle."""
+    import numpy as np
+
+    from gtfs_conflation_pipeline_ray.stages.segments import (
+        ROT_CS, frechet_sq_int, stride_pick)
+
+    rng = np.random.default_rng(5)
+    # a wiggly integer curve, far from the origin
+    t = np.arange(40)
+    ax = 5000 + t * 97 + rng.integers(-20, 20, size=40)
+    ay = 7000 + (t * t) % 900 + rng.integers(-20, 20, size=40)
+    a = np.stack([ax, ay], axis=1).astype(np.int64)
+    # rotate by the grid's +2 matrix (9°) around a's first vertex
+    _, c, s = next(r for r in ROT_CS if r[0] == 2)
+    rel = a - a[0]
+    b = np.stack([rel[:, 0] * c - rel[:, 1] * s,
+                  rel[:, 0] * s + rel[:, 1] * c], axis=1) // 1024 + a[0]
+
+    def score(k):
+        kk, c2, s2 = next(r for r in ROT_CS if r[0] == k)
+        aa = (stride_pick(a, 32) - a[0]) * np.int64(1024)
+        b0 = stride_pick(b, 32) - b[0]
+        rb = np.stack([b0[:, 0] * c2 - b0[:, 1] * s2,
+                       b0[:, 0] * s2 + b0[:, 1] * c2], axis=1)
+        return int(frechet_sq_int(aa, rb))
+
+    scores = {k: score(k) for k, _, _ in ROT_CS}
+    best = min(scores, key=lambda k: (scores[k], k))
+    assert best == -2  # counter-rotation undoes the applied +2 rotation
+    assert scores[-2] * 4 < scores[0]  # sweep win is decisive, not noise
+
+
+def test_convex_hull_int_properties():
+    import numpy as np
+
+    from gtfs_conflation_pipeline_ray.functions.geom import (
+        convex_hull_int, shoelace_area2)
+
+    rng = np.random.default_rng(17)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        pts = rng.integers(0, 200, size=(n, 2)).astype(np.int64)
+        hull = convex_hull_int(pts)
+        pset = {tuple(p) for p in pts}
+        assert all(tuple(h) in pset for h in hull)  # vertices ⊆ input
+        if len(hull) >= 3:
+            # strict convexity + CCW: every consecutive triple turns left
+            m = len(hull)
+            for i in range(m):
+                a, b, c = hull[i], hull[(i + 1) % m], hull[(i + 2) % m]
+                cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+                assert cross > 0
+            # every input point is inside or on the hull (left of every edge)
+            for p in pts:
+                for i in range(m):
+                    a, b = hull[i], hull[(i + 1) % m]
+                    assert (b[0] - a[0]) * (p[1] - a[1]) \
+                        - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+            assert shoelace_area2(hull) > 0
+        else:
+            # degenerate: all points collinear (or identical)
+            if len(pts) >= 3:
+                a = pts[0]
+                d = None
+                for p in pts[1:]:
+                    v = p - a
+                    if v.any():
+                        if d is None:
+                            d = v
+                        else:
+                            assert d[0] * v[1] - d[1] * v[0] == 0
