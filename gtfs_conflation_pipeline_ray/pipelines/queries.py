@@ -1828,6 +1828,83 @@ FROM nn n LEFT JOIN (SELECT user_id, cur FROM fr WHERE k = 62) f USING (user_id)
 """
 
 
+def q_shape_line_chunk(sf_dir: str):
+    """turf ``lineChunk`` as an operator (the last §2.8 turf leftover): split
+    each shape polyline into fixed-length 10^7-centi-unit chunks along its
+    cumulative length and report per chunk the exact covered length and the
+    number of touching segments. Chunk boundaries are exact multiples of L
+    on the int cum-length axis, so each segment's contribution to chunk k is
+    the pure-integer overlap ``min(cum2,(k+1)L) − max(cum1,kL)`` — no
+    interpolated geometry, no division, bit-exact vs the oracle."""
+    from ..stages import segments
+
+    L = np.int64(10_000_000)
+
+    def _fn(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        if len(xyi) < 2:
+            return []
+        lc = segments.seg_len_c(xyi)
+        cum = np.concatenate([[np.int64(0)], np.cumsum(lc)])
+        acc: dict[int, list[int]] = {}
+        for i in range(len(lc)):
+            if lc[i] <= 0:
+                continue
+            c1, c2 = int(cum[i]), int(cum[i + 1])
+            for k in range(c1 // int(L), (c2 - 1) // int(L) + 1):
+                piece = min(c2, (k + 1) * int(L)) - max(c1, k * int(L))
+                if piece > 0:
+                    a = acc.setdefault(k, [0, 0])
+                    a[0] += piece
+                    a[1] += 1
+        return [{"user_id": uid, "chunk_idx": np.int64(k),
+                 "chunk_len_c": np.int64(v[0]), "n_segs": np.int64(v[1])}
+                for k, v in sorted(acc.items())]
+
+    return segments.per_shape(_event_shapes(sf_dir), _fn)
+
+
+SQL_SHAPE_LINE_CHUNK = """
+WITH pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+segs AS (
+  SELECT user_id, gi,
+         CAST(FLOOR(sqrt(CAST((nx - x)*(nx - x) + (ny - y)*(ny - y) AS DOUBLE))
+                    * 100 + 0.5) AS BIGINT) AS len_c
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+),
+cums AS (
+  SELECT user_id, gi, len_c,
+         CAST(COALESCE(SUM(len_c) OVER (PARTITION BY user_id ORDER BY gi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum1
+  FROM segs
+),
+pieces AS (
+  SELECT user_id, t.k,
+         least(cum1 + len_c, (t.k + 1) * 10000000)
+           - greatest(cum1, t.k * 10000000) AS piece
+  FROM cums, LATERAL (SELECT unnest(range(cum1 // 10000000,
+                              (cum1 + len_c - 1) // 10000000 + 1)) AS k) t
+  WHERE len_c > 0
+)
+SELECT user_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(SUM(piece) AS BIGINT) AS chunk_len_c,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM pieces WHERE piece > 0
+GROUP BY user_id, k
+"""
+
+
 def q_shape_hull(sf_dir: str):
     """Integer convex hull per shape (turf ``convex`` parity — the reference
     hulls/buffers segment geometry into geopoly probes,
@@ -4447,9 +4524,9 @@ QUERIES = {
     # entries into the window each round so every oracle eventually gets
     # driver verification. Round 4 swaps: in = the five new round-4
     # operators (trajectory_match_hmm, path_dijkstra, shape_rotfrechet,
-    # shape_hull, segment_buffer_pip) + five never-driver-checked tail
-    # queries (choose_path_topk, doc_minhash_verified, value_quantiles,
-    # events_asof, doc_cap_per_source); out = ten entries driver-green in
+    # shape_hull, shape_line_chunk, segment_buffer_pip) + four never-
+    # driver-checked tail queries (choose_path_topk, doc_minhash_verified,
+    # value_quantiles, doc_cap_per_source); out = ten entries driver-green in
     # rounds 2 AND 3 whose operator class stays represented in-window.
     "spatial_join_pairs": q_spatial_join_pairs,
     "point_in_polygon": q_point_in_polygon,
@@ -4495,13 +4572,14 @@ QUERIES = {
     "path_dijkstra": q_path_dijkstra,
     "shape_rotfrechet": q_shape_rotfrechet,
     "shape_hull": q_shape_hull,
+    "shape_line_chunk": q_shape_line_chunk,
     "segment_buffer_pip": q_segment_buffer_pip,
     "choose_path_topk": q_choose_path_topk,
     "doc_minhash_verified": q_doc_minhash_verified,
     "value_quantiles": q_value_quantiles,
-    "events_asof": q_events_asof,
     "doc_cap_per_source": q_doc_cap_per_source,
     # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "events_asof": q_events_asof,
     "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
     "cell_point_counts": q_cell_point_counts,
     "pricing_summary": q_pricing_summary,
@@ -4615,6 +4693,7 @@ ORACLE_SQL = {
     "shape_frechet": SQL_SHAPE_FRECHET,
     "shape_rotfrechet": SQL_SHAPE_ROTFRECHET,
     "shape_hull": SQL_SHAPE_HULL,
+    "shape_line_chunk": SQL_SHAPE_LINE_CHUNK,
     "segment_buffer_pip": SQL_SEGMENT_BUFFER_PIP,
     "shape_hausdorff": SQL_SHAPE_HAUSDORFF,
     "shape_simplify": SQL_SHAPE_SIMPLIFY,
