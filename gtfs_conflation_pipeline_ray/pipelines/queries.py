@@ -1999,26 +1999,45 @@ def q_segment_buffer_pip(sf_dir: str):
     ``buffer`` parity — the reference buffers conflation-map segments 5 m
     into geopoly polygons before the containment probe,
     ``ConflationMapDAO/loaders.js:104-113``): every consecutive event-point
-    pair becomes a rect buffer of radius 300 around its bbox, built in
+    pair yields a rect buffer of radius 300 around a BOUNDED segment (the
+    left point to a ±1000-clamped offset derived from the right point — the
+    fixture's event points are pseudo-random, so raw consecutive-point
+    segments span ~1/5 of the world each and every buffer would cover ~10 %
+    of all probes, unlike any real 5 m buffer), built in
     DOUBLED coordinates with half-open odd bounds (lo = 2·min − 601,
     hi = 2·max + 601) so a doubled (even) probe coordinate can never land ON
     an (odd) edge — closed vs strict containment become indistinguishable
     and the BETWEEN oracle is exact. The buffer polys broadcast as the small
     side; customer probe points stream through the fused count probe."""
     from ..stages import segments
-    from ..stages.spatial import _TileState
+    from ..stages.spatial import _TileState, build_tile_index
     from ..stages.util import cached_state
     from ..stages.relational import partial_groupby_sum
 
+    class _BufState(_TileState):
+        """Doubled-coordinate world: the half-open parity trick doubles every
+        coordinate, so the grid index must cover [0, 131072) — the default
+        65536 world clips every right-half tile into the edge buckets and
+        the probe degenerates to near-linear scans (measured 64 s → 1.3 s
+        at sf0.1)."""
+
+        def __init__(self, t: pa.Table):
+            super().__init__(t)
+            self.index = build_tile_index(t, world=131072)
+
     def _rects(uid: int, xy: np.ndarray):
         xyi = xy.astype(np.int64)
-        return [{"user_id": uid, "seg_i": np.int64(i + 1),
-                 "tile_id": np.int64(uid) * 1024 + (i + 1),
-                 "cx": np.int64(xyi[i, 0] + xyi[i + 1, 0]),
-                 "cy": np.int64(xyi[i, 1] + xyi[i + 1, 1]),
-                 "hw": np.int64(abs(int(xyi[i + 1, 0]) - int(xyi[i, 0])) + 601),
-                 "hh": np.int64(abs(int(xyi[i + 1, 1]) - int(xyi[i, 1])) + 601)}
-                for i in range(len(xyi) - 1)]
+        out = []
+        for i in range(len(xyi) - 1):
+            dxb = int(xyi[i + 1, 0]) % 2001 - 1000
+            dyb = int(xyi[i + 1, 1]) % 2001 - 1000
+            out.append({"user_id": uid, "seg_i": np.int64(i + 1),
+                        "tile_id": np.int64(uid) * 1024 + (i + 1),
+                        "cx": np.int64(2 * int(xyi[i, 0]) + dxb),
+                        "cy": np.int64(2 * int(xyi[i, 1]) + dyb),
+                        "hw": np.int64(abs(dxb) + 601),
+                        "hh": np.int64(abs(dyb) + 601)})
+        return out
 
     segs = segments.per_shape(_event_shapes(sf_dir), _rects)
     # small-side materialization: one buffer rect per event-pair (~#events
@@ -2038,7 +2057,7 @@ def q_segment_buffer_pip(sf_dir: str):
     cust = _rp(sf_dir, "customer", ["c_custkey"])
 
     def _probe(batch: pa.Table) -> pa.Table:
-        st: _TileState = cached_state(ref, _TileState)
+        st: _TileState = cached_state(ref, _BufState, token="_BufState")
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         px = 2 * ((ck * 48271 + 11) % 65536)
         py = 2 * ((ck * 69621 + 77) % 65536)
@@ -2070,8 +2089,9 @@ WITH pts AS (
   FROM events
 ),
 segs AS (
-  SELECT user_id, gi AS seg_i, x + nx AS cx, y + ny AS cy,
-         abs(nx - x) + 601 AS hw, abs(ny - y) + 601 AS hh
+  SELECT user_id, gi AS seg_i,
+         2 * x + (nx % 2001 - 1000) AS cx, 2 * y + (ny % 2001 - 1000) AS cy,
+         abs(nx % 2001 - 1000) + 601 AS hw, abs(ny % 2001 - 1000) + 601 AS hh
   FROM (SELECT user_id, gi, x, y,
                lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
                lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
