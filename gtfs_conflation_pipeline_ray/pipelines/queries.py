@@ -2112,6 +2112,113 @@ GROUP BY s.user_id, s.seg_i
 """
 
 
+def q_segment_intersections(sf_dir: str):
+    """Segment×segment intersection join (turf ``kinks``/``lineIntersect``
+    parity — the reference's similarity scorer refuses self-intersecting
+    LineStrings, ``getSimilarity.js:138-147``, so crossing detection gates
+    its whole scoring path): every consecutive event-point pair yields a
+    bounded trajectory segment (same ±1000 offsets as the buffer-PIP
+    fixture); every customer yields a short probe segment; count, per
+    trajectory segment, the probe segments it intersects — exact inclusive
+    integer predicate, see ``spatial.segment_intersect_counts``."""
+    from ..stages import segments
+    from ..stages.spatial import segment_intersect_counts
+
+    def _segs(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        out = []
+        for i in range(len(xyi) - 1):
+            dx = int(xyi[i + 1, 0]) % 2001 - 1000
+            dy = int(xyi[i + 1, 1]) % 2001 - 1000
+            out.append({"tile_id": np.int64(uid) * 1024 + (i + 1),
+                        "ax": np.int64(xyi[i, 0]), "ay": np.int64(xyi[i, 1]),
+                        "bx": np.int64(xyi[i, 0] + dx),
+                        "by": np.int64(xyi[i, 1] + dy)})
+        return out
+
+    segs = segments.per_shape(_event_shapes(sf_dir), _segs)
+    # small-side materialization: one segment per event pair (~#events rows,
+    # a few MB at sf0.1) — the documented broadcast pattern
+    seg_pd = segs.to_pandas()
+    seg_tab = pa.table({c: seg_pd[c].to_numpy().astype(np.int64)
+                        for c in ("tile_id", "ax", "ay", "bx", "by")})
+    ref = ray.put(seg_tab)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"])
+
+    def _probes(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = (ck * 48271 + 11) % 65536
+        py = (ck * 69621 + 77) % 65536
+        return pa.table({"px": px, "py": py,
+                         "qx": px + (ck * 31 + 7) % 401 - 200,
+                         "qy": py + (ck * 53 + 3) % 401 - 200})
+
+    probes = cust.map_batches(_probes, batch_format="pyarrow", batch_size=32768)
+    agg = segment_intersect_counts(probes, ref)
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": tid // 1024, "seg_i": tid % 1024,
+                         "n_cross": t["n_cross"]})
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+# exact mirror: inclusive bbox overlap (bounds precomputed as CTE COLUMNS so
+# the IEJoin condition is plain column comparisons — expressions like
+# least()/sign() inside the join condition trip DuckDB 1.0's IEJoin with
+# INTERNAL "requires a flat vector" at sf>=0.01 sizes) + the four
+# orientation-SIGN predicates in an outer WHERE (signs compared, never the
+# raw d1*d2 product — that reaches 2^70)
+SQL_SEGMENT_INTERSECTIONS = """
+WITH pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+segs AS (
+  SELECT user_id, gi AS seg_i, x AS ax, y AS ay,
+         x + (nx % 2001 - 1000) AS bx, y + (ny % 2001 - 1000) AS by,
+         least(x, x + (nx % 2001 - 1000)) AS sx0,
+         greatest(x, x + (nx % 2001 - 1000)) AS sx1,
+         least(y, y + (ny % 2001 - 1000)) AS sy0,
+         greatest(y, y + (ny % 2001 - 1000)) AS sy1
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+),
+probes AS (
+  SELECT px, py, px + (c_custkey * 31 + 7) % 401 - 200 AS qx,
+                 py + (c_custkey * 53 + 3) % 401 - 200 AS qy,
+         least(px, px + (c_custkey * 31 + 7) % 401 - 200) AS px0,
+         greatest(px, px + (c_custkey * 31 + 7) % 401 - 200) AS px1,
+         least(py, py + (c_custkey * 53 + 3) % 401 - 200) AS py0,
+         greatest(py, py + (c_custkey * 53 + 3) % 401 - 200) AS py1
+  FROM (SELECT (c_custkey * 48271 + 11) % 65536 AS px,
+               (c_custkey * 69621 + 77) % 65536 AS py, c_custkey
+        FROM customer)
+),
+cand AS (
+  SELECT s.user_id, s.seg_i, s.ax, s.ay, s.bx, s.by, p.px, p.py, p.qx, p.qy
+  FROM segs s JOIN probes p
+    ON p.px0 <= s.sx1 AND p.px1 >= s.sx0 AND p.py0 <= s.sy1 AND p.py1 >= s.sy0
+)
+SELECT user_id, CAST(seg_i AS BIGINT) AS seg_i,
+       CAST(COUNT(*) AS BIGINT) AS n_cross
+FROM cand
+WHERE sign((qx - px) * (ay - py) - (qy - py) * (ax - px))
+    * sign((qx - px) * (by - py) - (qy - py) * (bx - px)) <= 0
+  AND sign((bx - ax) * (py - ay) - (by - ay) * (px - ax))
+    * sign((bx - ax) * (qy - ay) - (by - ay) * (qx - ax)) <= 0
+GROUP BY user_id, seg_i
+"""
+
+
 def q_shape_rotfrechet(sf_dir: str):
     """Rotation-restricted curve similarity (reference
     ``scoreChosenPaths/frechet.js:8-35``, ``restrictRotationAngle 0.1π``):
@@ -2797,6 +2904,60 @@ def q_doc_minhash_verified(sf_dir: str):  # exact oracle (FNV recomputed in SQL)
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     sigs = dedup.minhash_signatures(docs)
     return dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
+
+
+def q_doc_dedup_clusters(sf_dir: str):  # exact oracle (recursive-CTE reachability)
+    """The corpus dedup DECISION: verified near-dup pairs -> connected
+    components (``dedup.dedup_clusters``: min-label propagation + pointer
+    doubling, O(log diameter) rounds) -> one canonical survivor per cluster.
+    Pairs only assert a~b; deletion needs one survivor per equivalence
+    CLASS, so the transitive closure is what every pair generator feeds."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
+    doc_ids = _rp(sf_dir, "documents", ["doc_id"])  # pruned second read
+    return dedup.dedup_clusters(doc_ids, pairs)
+
+
+# Connected components as exact SQL: reachability of every node id through
+# the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
+# it terminates), then MIN over reachable labels = the component minimum —
+# the same fixpoint dedup_clusters' min-label propagation converges to.
+SQL_DOC_DEDUP_CLUSTERS = _SQL_MINHASH_CTES.replace(
+    "WITH ws", "WITH RECURSIVE ws", 1) + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) >= 32
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ver
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ver
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM assigned
+"""
 
 
 def q_events_approx_users(sf_dir: str):  # exact oracle (integer HLL registers)
@@ -4646,6 +4807,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
     "knn_tiles_strtree": q_knn_tiles_strtree,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "segment_intersections": q_segment_intersections,
 }
 
 
@@ -4750,4 +4913,6 @@ ORACLE_SQL = {
     # identical semantics through the STR R-tree backend (state/strtree.py)
     "spatial_join_pairs_strtree": SQL_SPATIAL_JOIN_PAIRS,
     "knn_tiles_strtree": SQL_KNN_TILES,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
+    "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
 }

@@ -407,3 +407,134 @@ def ngram_jaccard_pairs(docs, threshold_num: int = 1, threshold_den: int = 2,
                              "n_union": np.array(out_u, dtype=np.int64)})
 
     return bucketed_groups(docs, list(block_cols), _pairs, est_rows=est_rows)
+
+
+def dedup_clusters(docs, pairs, id_col: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b",
+                   max_rounds: int = 32, n_parts: int = 8):
+    """Cluster assignment over the near-dup pair graph: connected components
+    by min-label propagation with pointer doubling, then the canonical keep
+    decision (min doc_id per component survives).
+
+    This is the step the reference's match-equivalence dedup (D3,
+    ``/root/reference/src/daos/GtfsOsmNetworkDAO/loaders.js:39-49`` keep-rule
+    generalized to TRANSITIVE closure) and every production corpus-dedup
+    pipeline run after pair generation: pairs only say "a ~ b"; deletion
+    needs one survivor per equivalence CLASS, so a~b, b~c must collapse
+    {a,b,c} to min(a,b,c) even though (a,c) was never emitted as a pair.
+
+    Scale shape: the iterated frontier is the EDGE-TOUCHED node set (sparse
+    relative to the corpus at 100 TB); each round is two bounded hash joins
+    plus a combiner-first grouped min, and per-round materialization is
+    bounded by that node set, never the corpus. Pointer doubling
+    (lbl <- lbl(lbl)) gives O(log diameter) rounds -- the MapReduce-CC
+    regime (Rastogi et al., "Finding Connected Components in MapReduce and
+    Beyond") -- instead of O(diameter) for plain neighbor-min. Docs outside
+    the pair graph never enter the loop; they pick up their own id in the
+    final left join. Labels only decrease, so a stationary sum(lbl) is a
+    PROOF of the fixpoint (any non-fixpoint round strictly decreases it).
+
+    Returns (doc_id, cluster_id, cluster_size, keep) for every document.
+    """
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(_to_edges, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+
+    def _self_cluster(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: ids, "cluster_id": ids,
+                         "cluster_size": np.ones(len(ids), dtype=np.int64),
+                         "keep": np.ones(len(ids), dtype=bool)})
+
+    if edges.count() == 0:  # free: edges is materialized
+        return docs.map_batches(_self_cluster, batch_format="pyarrow",
+                                batch_size=8192)
+
+    def _init_labels(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": s, "lbl": s})
+
+    def _min_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False, sort=False, observed=True).min()
+
+    def _min_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False, sort=False, observed=True).min()
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    def _grouped_min(ds):
+        # the trailing identity normalizes map_groups' pandas blocks back to
+        # Arrow so union/join never see mixed block types
+        return bucketed_groups(ds, ["node"], _min_final, pre_fn=_min_pre,
+                               n_buckets=n_parts).map_batches(
+            _ident, batch_format="pyarrow", batch_size=8192)
+
+    labels = _grouped_min(
+        edges.map_batches(_init_labels, batch_format="pyarrow", batch_size=8192)
+    ).materialize()
+    prev_sum = labels.sum("lbl")
+
+    def _msg_sel(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["dst"], "lbl": batch["lbl"]})
+
+    def _ptr_ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"pnode": batch["node"], "plbl": batch["lbl"]})
+
+    def _ptr_sel(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "lbl": batch["plbl"]})
+
+    for _ in range(max_rounds):
+        # neighbor-min: lbl(dst) <- min(lbl(dst), lbl(src)) over all edges
+        msg = edges.join(labels, "inner", n_parts, on=("src",), right_on=("node",))
+        msg = msg.map_batches(_msg_sel, batch_format="pyarrow", batch_size=8192)
+        labels = _grouped_min(labels.union(msg))
+        # pointer doubling: lbl(node) <- lbl(lbl(node)); every lbl value is a
+        # node id already present in the label table (labels start as node
+        # ids and mins of node ids stay node ids), so the inner join is total
+        ptr = labels.map_batches(_ptr_ren, batch_format="pyarrow", batch_size=8192)
+        labels = labels.join(ptr, "inner", n_parts, on=("lbl",), right_on=("pnode",))
+        labels = labels.map_batches(_ptr_sel, batch_format="pyarrow",
+                                    batch_size=8192).materialize()
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {max_rounds} rounds "
+            "(pathological component diameter; raise max_rounds)")
+
+    assigned = docs.join(labels, "left_outer", n_parts,
+                         on=(id_col,), right_on=("node",))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["lbl"].to_numpy(zero_copy_only=False)
+        lbl = np.where(pd.isna(lbl), ids, lbl).astype(np.int64)
+        return pa.table({id_col: ids, "cluster_id": lbl})
+
+    assigned = assigned.map_batches(_assign, batch_format="pyarrow",
+                                    batch_size=8192)
+    sizes = partial_groupby_sum(assigned, ["cluster_id"], [],
+                                count_as="cluster_size",
+                                n_buckets=n_parts).map_batches(
+        _ident, batch_format="pyarrow", batch_size=8192)
+    out = assigned.join(sizes, "inner", n_parts,
+                        on=("cluster_id",), right_on=("cluster_id",))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids, "cluster_id": cl,
+                         "cluster_size": batch["cluster_size"],
+                         "keep": ids == cl})
+
+    return out.map_batches(_keep, batch_format="pyarrow", batch_size=8192)
