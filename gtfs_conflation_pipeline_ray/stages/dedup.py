@@ -453,9 +453,16 @@ def dedup_clusters(docs, pairs, id_col: str = "doc_id",
                          "cluster_size": np.ones(len(ids), dtype=np.int64),
                          "keep": np.ones(len(ids), dtype=bool)})
 
-    if edges.count() == 0:  # free: edges is materialized
+    n_edges = edges.count()  # free: edges is materialized
+    if n_edges == 0:
         return docs.map_batches(_self_cluster, batch_format="pyarrow",
                                 batch_size=8192)
+    # partition count sized to the FRONTIER, not the cluster: each round is
+    # 2 joins + a grouped min over <= n_edges label rows, and at gate scale
+    # that's a few hundred rows — 8 shuffle partitions per stage would be
+    # pure scheduling overhead (~8 rounds x 4 shuffles). Callers at real
+    # scale see n_parts grow with the edge set.
+    n_parts = max(1, min(n_parts, n_edges // 50_000 + 1))
 
     def _init_labels(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
