@@ -1,10 +1,17 @@
 """Output sinks: deterministic sorted exports and QA dumps.
 
-≙ the reference's output stage + mapbox QA task (SURVEY.md §2.1 S6/S7):
-ESRI-shapefile layers become sorted partitioned parquet
-(``/root/reference/src/daos/OutputDAO/generators.js:384-405``), the
-NDJSON→tippecanoe QA dump becomes ``write_json``
-(``tasks/conflation_map_into_mapbox/bin/dumpConflationMapDatabaseToNDGeoJSON:1-46``).
+≙ the reference's output stage + mapbox QA task (SURVEY.md §2.1 S6/S7).
+Two parity surfaces per sink:
+- NATIVE formats, no GDAL/tippecanoe: real ESRI shapefiles via the
+  pure-Python public-spec writer (``sources/shapefile.py``;
+  ``export_shapefile_layers`` bounded / ``export_shapefile_shards``
+  unbounded — ≙ ``OutputDAO/generators.js:384-405``) and real mbtiles of
+  hand-encoded MVT protobuf tiles (``functions/mvt.py`` +
+  ``export_mbtiles`` — ≙ the tippecanoe step of
+  ``tasks/conflation_map_into_mapbox/bin/*``).
+- Layer SEMANTICS for pipeline-to-pipeline exchange: sorted partitioned
+  parquet per layer + manifest (``export_layers``), NDJSON ``write_json``
+  (``bin/dumpConflationMapDatabaseToNDGeoJSON:1-46``).
 Deterministic output ordering ≙ O6 ``ORDER BY id``
 (``ConflationMapDAO/loaders.js:66-73``).
 """
@@ -159,3 +166,114 @@ def export_shapefile_shards(ds, out_dir: str, x_col: str, y_col: str,
 
     parts = ds.map_batches(_write, batch_format="pyarrow", batch_size=batch_size)
     return int(parts.sum("n") or 0)
+
+
+def export_mbtiles(ds, path: str, layer_name: str, x_col: str, y_col: str,
+                   id_col: str, fields: list[str] | None = None,
+                   zooms=(2,), world: int = 65536):
+    """Spec-compliant **mbtiles** sink (S7 without tippecanoe): slice the
+    integer-grid point set into XYZ tiles, encode each tile as a REAL
+    Mapbox Vector Tile protobuf (``functions/mvt.py``), gzip it, and write
+    the documented mbtiles SQLite layout (``metadata`` + ``tiles`` with
+    TMS-flipped rows). ≙ the reference's NDGeoJSON → tippecanoe → mbtiles QA
+    task (``tasks/conflation_map_into_mapbox/bin/*``).
+
+    Distributed shape: the per-point tile assignment + local-coordinate math
+    is a map-side batch transform (ints only — tile BYTES are created after
+    the shuffle, inside the per-tile group stage, so payloads never transit
+    the exchange); tiles groupby-assemble via the bucketed combine; the
+    final SQLite write is driver-side over the tile table, which is bounded
+    by sum(4^z) rows, never by the input. Deterministic: features sort by
+    id inside a tile, gzip mtime pinned to 0.
+
+    Grid→tile mapping: grid y grows DOWN the tile pyramid's row axis (XYZ
+    row 0 at top); mbtiles stores TMS rows, so ``tile_row = 2^z - 1 - ty``.
+    """
+    import gzip
+    import sqlite3
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions import mvt
+    from .relational import bucketed_groups
+
+    fields = fields or []
+    ext = mvt.EXTENT
+    zooms = sorted(set(int(z) for z in zooms))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict[str, np.ndarray] = {c: [] for c in
+                                       ("z", "tx", "ty", "lx", "ly", id_col)}
+        extra = {c: [] for c in fields}
+        for z in zooms:
+            gx = x * (ext << z) // world
+            gy = y * (ext << z) // world
+            cols["z"].append(np.full(len(x), z, dtype=np.int64))
+            cols["tx"].append(gx // ext)
+            cols["ty"].append(gy // ext)
+            cols["lx"].append(gx % ext)
+            cols["ly"].append(gy % ext)
+            cols[id_col].append(ids)
+            for c in fields:
+                extra[c].append(batch[c].to_numpy(zero_copy_only=False))
+        out = {k: np.concatenate(v) for k, v in cols.items()}
+        out.update({c: np.concatenate(v) for c, v in extra.items()})
+        return pa.table(out)
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow", batch_size=65536)
+
+    def _tiles(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (z, tx, ty), grp in g.groupby(["z", "tx", "ty"], sort=True):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            feats = []
+            for _, r in grp.iterrows():
+                tags = {}
+                for c in fields:
+                    v = r[c]
+                    tags[c] = int(v) if isinstance(v, (int, np.integer)) else str(v)
+                feats.append({"id": int(r[id_col]), "type": mvt.POINT,
+                              "geom": [[(int(r["lx"]), int(r["ly"]))]],
+                              "tags": tags})
+            data = gzip.compress(mvt.encode_tile({layer_name: feats}),
+                                 compresslevel=9, mtime=0)
+            rows.append({"z": int(z), "tx": int(tx), "ty": int(ty),
+                         "tile_data": data})
+        return pd.DataFrame(rows, columns=["z", "tx", "ty", "tile_data"])
+
+    tile_rows = bucketed_groups(assigned, ["z", "tx", "ty"], _tiles)
+    # bounded: at most sum(4^z) tiles regardless of input size
+    tdf = tile_rows.to_pandas()
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("CREATE TABLE metadata (name text, value text)")
+        con.execute("CREATE TABLE tiles (zoom_level integer, "
+                    "tile_column integer, tile_row integer, tile_data blob)")
+        con.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                    "(zoom_level, tile_column, tile_row)")
+        meta = {
+            "name": layer_name, "format": "pbf",
+            "minzoom": str(min(zooms)), "maxzoom": str(max(zooms)),
+            "json": ('{"vector_layers":[{"id":"%s","fields":{%s}}]}'
+                     % (layer_name,
+                        ",".join(f'"{c}":"String"' for c in fields))),
+        }
+        con.executemany("INSERT INTO metadata VALUES (?, ?)",
+                        sorted(meta.items()))
+        for _, r in tdf.sort_values(["z", "tx", "ty"]).iterrows():
+            tms_row = (1 << int(r["z"])) - 1 - int(r["ty"])
+            con.execute("INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                        (int(r["z"]), int(r["tx"]), tms_row,
+                         sqlite3.Binary(r["tile_data"])))
+        con.commit()
+    finally:
+        con.close()
+    return path
