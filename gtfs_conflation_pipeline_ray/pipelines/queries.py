@@ -2919,6 +2919,66 @@ def q_doc_dedup_clusters(sf_dir: str):  # exact oracle (recursive-CTE reachabili
     return dedup.dedup_clusters(doc_ids, pairs)
 
 
+def q_doc_span_dedup(sf_dir: str):  # exact oracle (FNV span hashes in SQL)
+    """Repeated-span removal stats (RefinedWeb-style paragraph dedup over
+    fixed 8-word windows — see ``dedup.span_dedup_stats``): per doc, how
+    many spans exist and how many are non-canonical duplicates of an
+    earlier (doc_id, span_idx)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.span_dedup_stats(docs, est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_SPAN_DEDUP = f"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, idx,
+         array_to_string(w[idx*8+1 : least(idx*8+8, len(w))], ' ') AS chunk
+  FROM (SELECT doc_id, w, unnest(range(0, (len(w)+7)//8)) AS idx FROM ws)
+),
+hashed AS (
+  SELECT doc_id, idx, {_sql_fnv('chunk')} AS h FROM spans
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM hashed
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(dup) AS BIGINT) AS n_dup
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_orders_bloom_semi(sf_dir: str):  # exact oracle (bloom only PRUNES)
+    """Bloom-prefiltered exact semi-join (``relational.bloom_semi_join``):
+    orders of BUILDING-segment customers. The bitset prunes the fact stream
+    map-side; survivors verify against the exact key set, so the result is
+    EXACTLY the semi-join and the oracle is a plain ``IN`` — the 100 TB
+    membership pattern with no sketch semantics to mirror."""
+    keys = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"],
+                         filters=[("c_mktsegment", "=", "BUILDING")])
+    keys_ref = ray.put(keys["c_custkey"].to_numpy().astype(np.int64))
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return rel.bloom_semi_join(orders, keys_ref, "o_custkey")
+
+
+SQL_ORDERS_BLOOM_SEMI = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -4809,6 +4869,8 @@ QUERIES = {
     "knn_tiles_strtree": q_knn_tiles_strtree,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "segment_intersections": q_segment_intersections,
+    "doc_span_dedup": q_doc_span_dedup,
+    "orders_bloom_semi": q_orders_bloom_semi,
 }
 
 
@@ -4915,4 +4977,6 @@ ORACLE_SQL = {
     "knn_tiles_strtree": SQL_KNN_TILES,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
+    "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
+    "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
 }

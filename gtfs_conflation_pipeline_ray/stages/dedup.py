@@ -545,3 +545,72 @@ def dedup_clusters(docs, pairs, id_col: str = "doc_id",
                          "keep": ids == cl})
 
     return out.map_batches(_keep, batch_format="pyarrow", batch_size=8192)
+
+
+def span_dedup_stats(docs, text_col: str = "text", id_col: str = "doc_id",
+                     span_words: int = 8, est_rows: int | None = None):
+    """Repeated-span removal stats — RefinedWeb/Falcon-style paragraph dedup
+    generalized to fixed ``span_words``-word windows (the corpus has no
+    paragraph delimiters): each doc splits into consecutive word chunks,
+    each chunk hashes (FNV-1a of the space-joined lowercase ``\\w+`` words,
+    ≙ the minhash shingle tokenizer), and only the globally FIRST occurrence
+    of a chunk — ordered by (doc_id, span_idx) — is canonical; later
+    occurrences are the spans a span-dedup pass would DROP.
+
+    Returns (doc_id, n_spans, n_dup) for every document (0/0 for wordless
+    docs). Two bounded shuffles: groupby span-hash marks canonicals, groupby
+    doc folds counts; span rows are (hash, doc, idx) int64 triples — TEXT
+    never transits the shuffle (the D2 exact-dedup content-key pattern,
+    ``GtfsOsmNetworkDAO/loaders.js:39-49``, applied below document
+    granularity)."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    W = span_words
+
+    def _spans(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc, out_idx, chunks = [], [], []
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            ws = [w.lower() for w in tx._WORD_ASCII_RE.findall(t)]
+            for i in range(0, len(ws), W):
+                out_doc.append(did)
+                out_idx.append(i // W)
+                chunks.append(" ".join(ws[i:i + W]))
+        h = tx.fnv1a64_batch(chunks).view(np.int64)
+        return pa.table({"h": h,
+                         "doc_id": np.array(out_doc, dtype=np.int64),
+                         "idx": np.array(out_idx, dtype=np.int64)})
+
+    spans = docs.map_batches(_spans, batch_format="pyarrow", batch_size=1024)
+
+    def _mark(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        hv = d["h"].to_numpy()
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = hv[1:] != hv[:-1]
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
+                             "n_dup": (~first).astype(np.int64),
+                             "n_spans": np.ones(len(d), dtype=np.int64)})
+
+    marked = bucketed_groups(spans, ["h"], _mark, est_rows=est_rows)
+    agg = partial_groupby_sum(marked, ["doc_id"], ["n_dup", "n_spans"],
+                              est_rows=est_rows)
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    agg = agg.map_batches(_ident, batch_format="pyarrow", batch_size=8192)
+    joined = docs.select_columns([id_col]).join(
+        agg, "left_outer", 8, on=(id_col,), right_on=("doc_id",))
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch["n_spans"].to_numpy(zero_copy_only=False)
+        nd = batch["n_dup"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids,
+            "n_spans": np.where(pd.isna(ns), 0, ns).astype(np.int64),
+            "n_dup": np.where(pd.isna(nd), 0, nd).astype(np.int64),
+        })
+
+    return joined.map_batches(_fill, batch_format="pyarrow", batch_size=8192)

@@ -388,3 +388,73 @@ def hash_sample(ds, id_col: str, default_permille: int,
         return batch.filter(pa.array(h.astype(np.int64) < rate))
 
     return ds.map_batches(_mask, batch_format="pyarrow", batch_size=8192)
+
+
+def bloom_semi_join(facts, keys_ref, fact_key: str, bits_log2: int = 20,
+                    n_hashes: int = 4, batch_size: int = 32768):
+    """Bloom-prefiltered EXACT semi-join: keep fact rows whose ``fact_key``
+    is in the broadcast key set.
+
+    The 100 TB membership pattern: a Bloom bitset of the key set (2^bits_log2
+    bits = 128 KiB at the default — ~1000x smaller than a 10M-key int64
+    broadcast) prunes the fact stream MAP-SIDE; the (rare) survivors are
+    verified against the exact sorted key array, so false positives never
+    reach the output and the result is EXACTLY the semi-join — the oracle is
+    plain ``WHERE key IN (...)``, no sketch semantics to mirror. At real
+    scale the bitset broadcasts where the key set cannot; here both ride the
+    same ``ray.put`` ref and the verify is a searchsorted. ≙ the reference's
+    memoized small-lookup joins (T7/J8) hardened for an unbounded fact side.
+
+    ``keys_ref``: ``ray.put`` of an int64 numpy array (the key set).
+    Returns the filtered fact Dataset (all columns)."""
+    from .util import cached_state
+
+    class _BloomState:
+        def __init__(self, keys: np.ndarray):
+            keys = np.asarray(keys, dtype=np.int64)
+            self.keys = np.sort(keys)
+            m = np.uint64(1 << bits_log2)
+            bits = np.zeros((1 << bits_log2) // 64 + 1, dtype=np.uint64)
+            h = keys.view(np.uint64)
+            for i in range(n_hashes):
+                # splitmix64-style remix per hash function, then mod m
+                salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1))
+                                 & 0xFFFFFFFFFFFFFFFF)  # wrap in python int
+                z = h + salt
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                pos = (z ^ (z >> np.uint64(31))) % m
+                np.bitwise_or.at(bits, (pos // np.uint64(64)).astype(np.int64),
+                                 np.uint64(1) << (pos % np.uint64(64)))
+            self.bits = bits
+            self.m = m
+
+        def maybe_contains(self, v: np.ndarray) -> np.ndarray:
+            h = v.astype(np.int64).view(np.uint64)
+            ok = np.ones(len(v), dtype=bool)
+            for i in range(n_hashes):
+                salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1))
+                                 & 0xFFFFFFFFFFFFFFFF)  # wrap in python int
+                z = h + salt
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                pos = (z ^ (z >> np.uint64(31))) % self.m
+                ok &= (self.bits[(pos // np.uint64(64)).astype(np.int64)]
+                       >> (pos % np.uint64(64))) & np.uint64(1) == 1
+            return ok
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        st: _BloomState = cached_state(keys_ref, _BloomState, token="_BloomState")
+        v = batch[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = st.maybe_contains(v)          # bloom prune (map-side, tiny state)
+        idx = np.flatnonzero(cand)
+        if len(idx):                         # exact verify of the survivors
+            pos = np.searchsorted(st.keys, v[idx])
+            pos_ok = pos < len(st.keys)
+            hit = np.zeros(len(idx), dtype=bool)
+            hit[pos_ok] = st.keys[pos[pos_ok]] == v[idx][pos_ok]
+            idx = idx[hit]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    return facts.map_batches(_filter, batch_format="pyarrow",
+                             batch_size=batch_size)
