@@ -2979,6 +2979,24 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 """
 
 
+def q_embedding_kmeans(sf_dir: str):  # exact oracle (integer Lloyd step)
+    """One exact k-means (Lloyd) step over the embedding table — IVF
+    codebook training (``ann.kmeans_assign_step``): codebook = the 16
+    lowest-vec_id embeddings (deterministic init), assignment by integer
+    L2 dist² over fixed-point components, update emitted as integer
+    per-(cluster, dim) sums + a dim = −1 count row."""
+    ctab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 16)])
+    order = np.argsort(ctab["vec_id"].to_numpy())
+    cm = ann._batch_matrix(ctab, "embedding")[order]  # row i = cluster i
+    cq_ref = ray.put(ann.quantize_fixed(cm))
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.kmeans_assign_step(emb, cq_ref)
+
+
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -3242,6 +3260,41 @@ FROM (SELECT query_id, vec_id, sim,
                                 ORDER BY sim DESC, vec_id) AS sim_rank
       FROM sims)
 WHERE sim_rank <= 5
+"""
+
+
+SQL_EMBEDDING_KMEANS = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS xq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+cent AS (SELECT vec_id AS cid, dim, xq FROM q WHERE vec_id < 16),
+dist AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS d2
+  FROM q v JOIN cent c USING (dim)
+  GROUP BY v.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a.cid AS cluster_id, v.dim, CAST(SUM(v.xq) AS BIGINT) AS sum_q
+  FROM assign a JOIN q v USING (vec_id)
+  GROUP BY a.cid, v.dim
+),
+cnts AS (
+  SELECT cid AS cluster_id, CAST(-1 AS BIGINT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS sum_q
+  FROM assign GROUP BY cid
+)
+SELECT cluster_id, CAST(dim AS BIGINT) AS dim, sum_q FROM sums
+UNION ALL SELECT * FROM cnts
 """
 
 
@@ -4871,6 +4924,7 @@ QUERIES = {
     "segment_intersections": q_segment_intersections,
     "doc_span_dedup": q_doc_span_dedup,
     "orders_bloom_semi": q_orders_bloom_semi,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 
@@ -4979,4 +5033,5 @@ ORACLE_SQL = {
     "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
     "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }

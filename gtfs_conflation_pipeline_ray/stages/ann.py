@@ -352,3 +352,56 @@ def l2_norms(vectors, id_col: str = "vec_id", vec_col: str = "embedding"):
         )
 
     return vectors.map_batches(_n, batch_format="pyarrow", batch_size=8192)
+
+
+def kmeans_assign_step(vectors, centroids_ref, id_col: str = "vec_id",
+                       vec_col: str = "embedding", batch_size: int = 4096):
+    """One EXACT Lloyd iteration over fixed-point embeddings — the IVF
+    codebook-training step ``ivf_topk``'s docstring promises slots into the
+    same skeleton ("trainable k-means"). Assignment: nearest centroid by
+    integer L2 distance² over ``quantize_fixed`` components (every term
+    < 2^48 at dim 64, so int64 matmul is exact; ties break to the smallest
+    centroid id via argmin-first-occurrence). Update: per-(cluster, dim)
+    component SUMS plus a per-cluster count row at dim = −1, kept integer so
+    the new-centroid numerators/denominators compare exactly against the
+    SQL mirror — the float division happens consumer-side, outside the
+    compared surface.
+
+    Combiner-first: each batch emits at most k×(dim+1) partial rows (never
+    the assignments), so the shuffle is codebook-sized regardless of input.
+    Empty clusters emit nothing (matching the SQL GROUP BY omission).
+
+    ``centroids_ref``: ``ray.put`` of the quantized int64 (k, dim) codebook.
+    Returns rows (cluster_id, dim, sum_q); dim = −1 carries the count."""
+    from .relational import partial_groupby_sum
+    from .util import cached_state
+
+    def _step(batch: pa.Table) -> pa.Table:
+        cents: np.ndarray = cached_state(
+            centroids_ref, lambda c: np.asarray(c, dtype=np.int64),
+            token="kmeans_cents")
+        x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
+        if len(x) == 0:
+            return pa.table({"cluster_id": np.array([], np.int64),
+                             "dim": np.array([], np.int64),
+                             "sum_q": np.array([], np.int64)})
+        xq = quantize_fixed(x)
+        dots = xq @ cents.T
+        x2 = np.einsum("ij,ij->i", xq, xq)
+        c2 = np.einsum("ij,ij->i", cents, cents)
+        d2 = x2[:, None] + c2[None, :] - 2 * dots
+        assign = np.argmin(d2, axis=1)  # first occurrence = smallest cid
+        k, dim = cents.shape
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, assign, xq)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        cluster_id = np.concatenate([np.repeat(nz, dim), nz])
+        dims = np.concatenate([np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                               np.full(len(nz), -1, dtype=np.int64)])
+        vals = np.concatenate([sums[nz].reshape(-1), counts[nz]])
+        return pa.table({"cluster_id": cluster_id, "dim": dims, "sum_q": vals})
+
+    partials = vectors.map_batches(_step, batch_format="pyarrow",
+                                   batch_size=batch_size)
+    return partial_groupby_sum(partials, ["cluster_id", "dim"], ["sum_q"])
