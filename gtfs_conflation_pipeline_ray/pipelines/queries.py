@@ -2997,6 +2997,59 @@ def q_embedding_kmeans(sf_dir: str):  # exact oracle (integer Lloyd step)
 
 
 
+def q_part_supplier_pagerank(sf_dir: str):  # exact oracle (integer PageRank)
+    """Fixed-point PageRank (3 iterations, damping 17/20, all int64 floor
+    arithmetic — ``graphrank.pagerank``) over the supplier↔part bipartite
+    graph: one directed edge pair per lineitem row (parallel edges weight
+    the walk). Node ids namespaced: supplier → 2s, part → 2p+1."""
+    from ..stages import graphrank
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = 2 * t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = 2 * t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        return pa.table({"src": np.concatenate([s, p]),
+                         "dst": np.concatenate([p, s])})
+
+    edges = li.map_batches(_edges, batch_format="pyarrow", batch_size=65536)
+    return graphrank.pagerank(edges, n_iters=3)
+
+
+def _sql_pagerank_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node, n.deg,
+         CAST(150000 + 17 * COALESCE(s.insum, 0) // 20 AS BIGINT) AS rank_q
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CASE WHEN r.deg > 0 THEN r.rank_q // r.deg ELSE 0 END) AS insum
+    FROM edges e JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+SQL_PART_SUPPLIER_PAGERANK = """
+WITH edges AS (
+  SELECT 2 * l_suppkey AS src, 2 * l_partkey + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT 2 * l_partkey + 1 AS src, 2 * l_suppkey AS dst FROM lineitem
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (
+  SELECT n.node, COALESCE(d.deg, 0) AS deg,
+         CAST(1000000 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN deg d ON d.node = n.node
+),""" + ",".join(
+    _sql_pagerank_iter(f"r{i}", f"r{i + 1}") for i in range(3)
+) + """
+SELECT node, rank_q FROM r3
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -4925,6 +4978,7 @@ QUERIES = {
     "doc_span_dedup": q_doc_span_dedup,
     "orders_bloom_semi": q_orders_bloom_semi,
     "embedding_kmeans": q_embedding_kmeans,
+    "part_supplier_pagerank": q_part_supplier_pagerank,
 }
 
 
@@ -5034,4 +5088,5 @@ ORACLE_SQL = {
     "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "part_supplier_pagerank": SQL_PART_SUPPLIER_PAGERANK,
 }

@@ -1,0 +1,111 @@
+"""Integer PageRank — fixed-iteration link analysis as a Ray Data pipeline.
+
+The graph-native sibling of ``dedup.dedup_clusters`` (connected components):
+where CC answers "which nodes belong together", PageRank answers "which
+nodes matter" — the standard centrality pass a 100 TB link/citation/dedup
+graph pipeline runs after edge extraction.
+
+Exactness: all arithmetic is int64 with FLOOR division, so the DuckDB
+mirror reproduces every bit. Damping 0.85 is the rational 17/20:
+
+    r_{k+1}(v) = (15 · SCALE) // 100  +  17 · Σ_{u→v} (r_k(u) // deg(u)) // 20
+
+with r_0(v) = SCALE = 10^6. Floor-divided shares discard remainder mass by
+DESIGN (both sides identically) — this is fixed-point PageRank, not a float
+approximation of it.
+
+Scale shape: each iteration is one hash join (ranks ⋈ edges on src — the
+only per-iteration shuffle of rank rows) plus a combiner-first grouped sum
+by dst; per-iteration state is the NODE set, never the edge payloads, and
+the iteration count is fixed (unrolled in the oracle), so the plan depth is
+static. ≙ the reference's iterative fix-point passes (union-to-fixpoint,
+`unionPathLineStrings.js`) generalized to value propagation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 1_000_000
+
+
+def pagerank(edges, n_iters: int = 3, src_col: str = "src",
+             dst_col: str = "dst", n_parts: int = 8):
+    """``edges``: directed (src, dst) int64 Dataset (parallel edges allowed —
+    they weight the walk, matching the SQL mirror which keeps duplicates).
+    Returns (node, rank_q) for every node that appears as a src or dst;
+    rank_q is the int64 fixed-point rank after ``n_iters`` iterations."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    edges = edges.materialize()
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    # out-degree per src (parallel edges count), and the node universe
+    deg = partial_groupby_sum(
+        edges.map_batches(
+            lambda t: pa.table({"node": t[src_col]}), batch_format="pyarrow",
+            batch_size=65536),
+        ["node"], [], count_as="deg", n_buckets=n_parts,
+    ).map_batches(_ident, batch_format="pyarrow", batch_size=65536)
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": np.unique(np.concatenate([s, d]))})
+
+    def _dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    nodes = bucketed_groups(
+        edges.map_batches(_nodes, batch_format="pyarrow", batch_size=65536),
+        ["node"], _dedup_nodes, n_buckets=n_parts,
+    ).map_batches(_ident, batch_format="pyarrow", batch_size=65536)
+
+    # ranks carry their share (rank // deg) so the per-iteration join output
+    # is immediately consumable; dangling nodes (no out-edges) keep share 0
+    ranks = nodes.join(deg, "left_outer", n_parts,
+                       on=("node",), right_on=("node",))
+
+    def _init(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t["deg"].to_numpy(zero_copy_only=False)
+        dg = np.where(pd.isna(dg), 0, dg).astype(np.int64)
+        r = np.full(len(n), SCALE, dtype=np.int64)
+        return pa.table({"node": n, "deg": dg, "rank_q": r,
+                         "share": np.where(dg > 0, r // np.maximum(dg, 1), 0)})
+
+    ranks = ranks.map_batches(_init, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    base = 15 * SCALE // 100
+
+    def _upd(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["in_share"].to_numpy(zero_copy_only=False)
+        s = np.where(pd.isna(s), 0, s).astype(np.int64)
+        r = base + 17 * s // 20
+        return pa.table({"node": n, "deg": dg, "rank_q": r,
+                         "share": np.where(dg > 0, r // np.maximum(dg, 1), 0)})
+
+    for _ in range(n_iters):
+        contrib = edges.join(ranks, "inner", n_parts,
+                             on=(src_col,), right_on=("node",))
+        contrib = contrib.map_batches(
+            lambda t: pa.table({"node": t[dst_col], "in_share": t["share"]}),
+            batch_format="pyarrow", batch_size=65536)
+        insum = partial_groupby_sum(contrib, ["node"], ["in_share"],
+                                    n_buckets=n_parts).map_batches(
+            _ident, batch_format="pyarrow", batch_size=65536)
+        # left join keeps nodes with no in-edges at in_share = 0
+        ranks = ranks.select_columns(["node", "deg"]).join(
+            insum, "left_outer", n_parts, on=("node",), right_on=("node",))
+        ranks = ranks.map_batches(_upd, batch_format="pyarrow",
+                                  batch_size=65536).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_q": t["rank_q"]}),
+        batch_format="pyarrow", batch_size=65536)
