@@ -3050,6 +3050,46 @@ SELECT node, rank_q FROM r3
 """
 
 
+def q_events_funnel(sf_dir: str):  # exact oracle (chained strict-after MINs)
+    """view → click → purchase funnel per user (``windows.funnel``): greedy
+    earliest completion, strict ordering, −1 sentinels, integer µs."""
+    from ..stages import windows
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "us": batch["ts"].cast(pa.int64()),
+                         "event_type": batch["event_type"]})
+
+    mapped = ev.map_batches(_us, batch_format="pyarrow", batch_size=8192)
+    return windows.funnel(mapped, "user_id", "us", "event_type",
+                          ["view", "click", "purchase"])
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_type
+           FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+       FROM e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+       FROM e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps,
+       COALESCE(t1, -1) AS t1_us, COALESCE(t2, -1) AS t2_us,
+       COALESCE(t3, -1) AS t3_us
+FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+       LEFT JOIN s2 ON s2.user_id = u.user_id
+       LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -4979,6 +5019,7 @@ QUERIES = {
     "orders_bloom_semi": q_orders_bloom_semi,
     "embedding_kmeans": q_embedding_kmeans,
     "part_supplier_pagerank": q_part_supplier_pagerank,
+    "events_funnel": q_events_funnel,
 }
 
 
@@ -5089,4 +5130,5 @@ ORACLE_SQL = {
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "part_supplier_pagerank": SQL_PART_SUPPLIER_PAGERANK,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

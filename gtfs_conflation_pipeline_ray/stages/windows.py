@@ -271,3 +271,52 @@ def asof_join(probes, ref_ref, key: str, ts_col: str, ref_id_col: str,
         return pa.table(cols)
 
     return probes.map_batches(_probe, batch_format="pyarrow", batch_size=32768)
+
+
+def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str]):
+    """Ordered-sequence (funnel / CEP-lite) detection: per key, the greedy
+    earliest completion of ``steps`` — t₁ = min ts of step 1, t₂ = min ts of
+    step 2 STRICTLY after t₁, and so on. The per-key scan a
+    MATCH_RECOGNIZE-style engine runs, expressed as one grouped vectorized
+    kernel (no per-event Python): inside each bucket, one boolean mask +
+    grouped min per step, each conditioned on the previous step's time via a
+    key-aligned map.
+
+    Returns (key, steps, t1_us..tk_us) with −1 sentinels for missing steps;
+    every key that appears in the input gets a row. Integer µs timestamps
+    end-to-end, so the SQL mirror (chained MIN + strict > joins) is exact.
+    ≙ the reference's TripTracker forward-only state machine (T6,
+    ``GtfsScheduledTrafficDAO/TripTracker.js``) generalized to labeled event
+    sequences."""
+    from .relational import bucketed_groups
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy()
+        keys = g[key].to_numpy()
+        typ = g[type_col].to_numpy()
+        out = pd.DataFrame({key: np.unique(keys)})
+        prev = pd.Series(np.full(len(out), -1, dtype=np.int64),
+                         index=out[key].to_numpy())
+        tcols = []
+        for i, step in enumerate(steps):
+            if i == 0:
+                mask = typ == step
+            else:
+                prev_t = prev.reindex(keys).to_numpy()
+                mask = (typ == step) & (prev_t != -1) & (us > prev_t)
+            t = (pd.Series(us[mask], index=keys[mask])
+                 .groupby(level=0).min()
+                 .reindex(out[key].to_numpy()).fillna(-1).astype(np.int64))
+            col = f"t{i + 1}_us"
+            out[col] = t.to_numpy()
+            tcols.append(col)
+            prev = t
+        done = np.zeros(len(out), dtype=np.int64)
+        for col in tcols:
+            done += (out[col].to_numpy() != -1).astype(np.int64)
+        # steps are chained (a later step requires the earlier), so the count
+        # of non-sentinels IS the completed prefix length
+        out.insert(1, "steps", done)
+        return out
+
+    return bucketed_groups(ds, [key], _funnel)
