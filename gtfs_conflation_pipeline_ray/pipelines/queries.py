@@ -3090,6 +3090,111 @@ FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
 """
 
 
+def q_events_rolling_sum(sf_dir: str):  # exact oracle (ROWS BETWEEN window)
+    """Per-user rolling 3-row sum of the cents-quantized value, ordered by
+    (ts, event_id) — the running/rolling window-aggregate class (the
+    ROWS-BETWEEN sibling of the RANK/cumcount ops). Exact: int64 cents,
+    cumsum-minus-shifted-cumsum inside one vectorized grouped kernel."""
+    from ..stages.relational import bucketed_groups
+    from ..functions.numeric import cents as _cents
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "us": df["ts"].astype("int64").to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "value_c": _cents(df["value"].to_numpy()),
+        })
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        v = d["value_c"].to_numpy().astype(np.int64)
+        c = np.cumsum(v)
+        n = len(d)
+        # rolling sum = cumsum - cumsum shifted by 3, clipped at the group
+        # start: positions within each user run
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        pos = np.arange(n) - run_start
+        back = np.minimum(pos, 2)  # how many preceding rows participate
+        # c[i] - c[i-back-1] spans exactly rows [i-back, i]; back <= pos keeps
+        # the base inside (or just before) the run, so cross-user cumsum mass
+        # always cancels
+        prev_idx = np.arange(n) - back - 1
+        prev = np.where(prev_idx >= 0, c[np.maximum(prev_idx, 0)], 0)
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "user_id": uid, "roll3_c": c - prev})
+
+    return bucketed_groups(ev.map_batches(_pre, batch_format="pandas",
+                                          batch_size=8192),
+                           ["user_id"], _roll)
+
+
+SQL_EVENTS_ROLLING_SUM = """
+SELECT event_id, user_id,
+       CAST(SUM(value_c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_c
+FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+      FROM events)
+"""
+
+
+def q_event_transitions(sf_dir: str):  # exact oracle (lead() pair counts)
+    """Markov transition counts over the per-user event sequence: for every
+    consecutive (ts, event_id)-ordered pair, count (from_type → to_type)
+    corpus-wide — sequence statistics a behavioral pipeline derives before
+    training. Per-batch pre-aggregation bounds the shuffle at the type-pair
+    alphabet, not the event count."""
+    from ..stages.relational import partial_groupby_sum
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        typ = d["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({"from_type": typ[:-1][same],
+                             "to_type": typ[1:][same]})
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "us": df["ts"].astype("int64").to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+        })
+
+    from ..stages.relational import bucketed_groups
+
+    pairs = bucketed_groups(
+        ev.map_batches(_pre, batch_format="pandas", batch_size=8192),
+        ["user_id"], _pairs)
+    return partial_groupby_sum(pairs, ["from_type", "to_type"], [],
+                               count_as="n")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -5020,6 +5125,8 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "part_supplier_pagerank": q_part_supplier_pagerank,
     "events_funnel": q_events_funnel,
+    "events_rolling_sum": q_events_rolling_sum,
+    "event_transitions": q_event_transitions,
 }
 
 
@@ -5131,4 +5238,6 @@ ORACLE_SQL = {
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "part_supplier_pagerank": SQL_PART_SUPPLIER_PAGERANK,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_rolling_sum": SQL_EVENTS_ROLLING_SUM,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
