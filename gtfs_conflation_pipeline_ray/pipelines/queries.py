@@ -3195,6 +3195,70 @@ GROUP BY event_type, next_type
 """
 
 
+def q_trajectory_route_geometry(sf_dir: str):  # exact oracle (HMM CTE + L1)
+    """The REPLACEMENT half of ``replaceFeaturesGeomsWithOsrmRoute.js:44-126``
+    (T4/T5): after the HMM match (``trajectory_match_hmm``), rebuild each
+    trajectory's geometry from the matched tile-centroid chain and
+    re-measure it — per user, the matched-point count, the L1 length of the
+    REPLACED (centroid-chain) geometry and of the original observation
+    chain restricted to matched points (the length-ratio acceptance signal
+    the reference gates on). Integer L1 throughout."""
+    from ..stages.choose import hmm_match
+    from ..stages.relational import bucketed_groups
+    from ..stages.spatial import _TileState
+    from ..stages.util import cached_state
+
+    pts = _event_shapes(sf_dir)
+
+    def _seq(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"], "seq": batch["event_id"],
+                         "ex": batch["ex"], "ey": batch["ey"]})
+
+    segs = pts.map_batches(_seq, batch_format="pyarrow", batch_size=8192)
+    matched = hmm_match(segs, conflation.tiles_ref(sf_dir), "user_id", "seq",
+                        "ex", "ey", gap_weight=64)
+    tiles_ref = conflation.tiles_ref(sf_dir)
+
+    class _CentroidLookup(_TileState):
+        def __init__(self, t: pa.Table):
+            super().__init__(t)
+            order = np.argsort(self.index.tile_id, kind="stable")
+            self.sorted_ids = self.index.tile_id[order]
+            self.scx = self.cx[order]
+            self.scy = self.cy[order]
+
+    def _geom(g: pd.DataFrame) -> pd.DataFrame:
+        st: _CentroidLookup = cached_state(tiles_ref, _CentroidLookup,
+                                           token="_CentroidLookup")
+        d = g[g["tile_id"] >= 0].sort_values(["user_id", "seq"],
+                                             kind="mergesort")
+        if len(d) == 0:
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "n_matched": np.array([], np.int64),
+                                 "route_len_l1": np.array([], np.int64),
+                                 "obs_len_l1": np.array([], np.int64)})
+        uid = d["user_id"].to_numpy().astype(np.int64)
+        seq = d["seq"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(st.sorted_ids,
+                              d["tile_id"].to_numpy().astype(np.int64))
+        cx, cy = st.scx[pos], st.scy[pos]
+        px = (seq * 48271 + uid * 977) % 65536  # closed-form obs coords
+        py = (seq * 69621 + 13) % 65536
+        same = uid[1:] == uid[:-1]
+        rl = (np.abs(np.diff(cx)) + np.abs(np.diff(cy))) * same
+        ol = (np.abs(np.diff(px)) + np.abs(np.diff(py))) * same
+        out = pd.DataFrame({"user_id": uid,
+                            "route_d": np.append(rl, 0),
+                            "obs_d": np.append(ol, 0)})
+        agg = out.groupby("user_id", as_index=False, sort=True).agg(
+            n_matched=("user_id", "size"), route_len_l1=("route_d", "sum"),
+            obs_len_l1=("obs_d", "sum"))
+        agg["n_matched"] = agg["n_matched"].astype(np.int64)
+        return agg
+
+    return bucketed_groups(matched, ["user_id"], _geom)
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -3891,6 +3955,38 @@ FROM epts e
 LEFT JOIN steps s ON s.user_id = e.user_id AND s.seq = e.seq
 LEFT JOIN chosen c ON c.user_id = s.user_id AND c.si = s.si
 """
+
+
+_hmm_head, _hmm_tail = SQL_TRAJECTORY_MATCH_HMM.rsplit(
+    "\nSELECT e.user_id, e.seq,", 1)
+# wrap trajectory_match_hmm's final SELECT as a CTE and measure the
+# centroid-chain replacement geometry it implies
+SQL_TRAJECTORY_ROUTE_GEOMETRY = (_hmm_head + """,
+assigned AS (
+SELECT e.user_id, e.seq,""" + _hmm_tail + """
+),
+m AS (
+  SELECT a.user_id, a.seq, t.cx, t.cy, e.px, e.py
+  FROM assigned a
+  JOIN tiles t ON t.tile_id = a.tile_id
+  JOIN epts e ON e.user_id = a.user_id AND e.seq = a.seq
+  WHERE a.tile_id >= 0
+),
+seqd AS (
+  SELECT user_id, cx, cy, px, py,
+         lead(cx) OVER w AS ncx, lead(cy) OVER w AS ncy,
+         lead(px) OVER w AS npx, lead(py) OVER w AS npy
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(CASE WHEN ncx IS NOT NULL
+                               THEN abs(ncx - cx) + abs(ncy - cy) END), 0)
+            AS BIGINT) AS route_len_l1,
+       CAST(COALESCE(SUM(CASE WHEN npx IS NOT NULL
+                               THEN abs(npx - px) + abs(npy - py) END), 0)
+            AS BIGINT) AS obs_len_l1
+FROM seqd GROUP BY user_id
+""")
 
 
 def q_choose_score(sf_dir: str):
@@ -5127,6 +5223,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_rolling_sum": q_events_rolling_sum,
     "event_transitions": q_event_transitions,
+    "trajectory_route_geometry": q_trajectory_route_geometry,
 }
 
 
@@ -5240,4 +5337,5 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_rolling_sum": SQL_EVENTS_ROLLING_SUM,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "trajectory_route_geometry": SQL_TRAJECTORY_ROUTE_GEOMETRY,
 }
