@@ -39,22 +39,35 @@ def pagerank(edges, n_iters: int = 3, src_col: str = "src",
     rank_q is the int64 fixed-point rank after ``n_iters`` iterations."""
     from .relational import bucketed_groups, partial_groupby_sum
 
-    edges = edges.materialize()
-
     def _ident(t: pa.Table) -> pa.Table:
         return t
+
+    def _one(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src_col], "dst": t[dst_col],
+                         "w": np.ones(t.num_rows, dtype=np.int64)})
+
+    # compress parallel edges to weighted distinct pairs up front: every
+    # iteration then joins the DISTINCT pair set and multiplies shares by w
+    # (integer multiply == repeated add, bit-identical to the duplicate-edge
+    # oracle) — at sf0.1 this shrinks the per-round join ~4x
+    edges = partial_groupby_sum(
+        edges.map_batches(_one, batch_format="pyarrow", batch_size=65536),
+        ["src", "dst"], ["w"], n_buckets=n_parts,
+    ).map_batches(_ident, batch_format="pyarrow",
+                  batch_size=65536).materialize()
+    src_col, dst_col = "src", "dst"
 
     # out-degree per src (parallel edges count), and the node universe
     deg = partial_groupby_sum(
         edges.map_batches(
-            lambda t: pa.table({"node": t[src_col]}), batch_format="pyarrow",
-            batch_size=65536),
-        ["node"], [], count_as="deg", n_buckets=n_parts,
+            lambda t: pa.table({"node": t["src"], "deg": t["w"]}),
+            batch_format="pyarrow", batch_size=65536),
+        ["node"], ["deg"], n_buckets=n_parts,
     ).map_batches(_ident, batch_format="pyarrow", batch_size=65536)
 
     def _nodes(t: pa.Table) -> pa.Table:
-        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"node": np.unique(np.concatenate([s, d]))})
 
     def _dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,7 +108,10 @@ def pagerank(edges, n_iters: int = 3, src_col: str = "src",
         contrib = edges.join(ranks, "inner", n_parts,
                              on=(src_col,), right_on=("node",))
         contrib = contrib.map_batches(
-            lambda t: pa.table({"node": t[dst_col], "in_share": t["share"]}),
+            lambda t: pa.table({
+                "node": t[dst_col],
+                "in_share": t["w"].to_numpy(zero_copy_only=False)
+                * t["share"].to_numpy(zero_copy_only=False)}),
             batch_format="pyarrow", batch_size=65536)
         insum = partial_groupby_sum(contrib, ["node"], ["in_share"],
                                     n_buckets=n_parts).map_batches(
