@@ -3259,6 +3259,105 @@ def q_trajectory_route_geometry(sf_dir: str):  # exact oracle (HMM CTE + L1)
     return bucketed_groups(matched, ["user_id"], _geom)
 
 
+def q_revenue_rollup(sf_dir: str):  # exact oracle (GROUP BY ROLLUP)
+    """Multi-level ROLLUP aggregation with hierarchical partial REUSE: the
+    base (flag, status) aggregate is computed once from the fact table; the
+    flag level and the grand total re-aggregate the BASE AGGREGATE (a
+    groups-sized table), never rescanning the input — the way a 100 TB
+    rollup must be built. Sentinel 'ALL' marks rolled-up dimensions."""
+    from ..stages.relational import partial_groupby_sum
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "revenue_c": cents(price * (1.0 - disc))})
+
+    mapped = li.map_batches(_rev, batch_format="pyarrow", batch_size=8192)
+    base = partial_groupby_sum(mapped, ["l_returnflag", "l_linestatus"],
+                               ["revenue_c"], count_as="n_rows",
+                               est_rows=_nrows(sf_dir, "lineitem"))
+    base_pd = base.to_pandas()  # groups-sized: |flags| x |statuses| rows
+
+    lvl1 = base_pd.groupby("l_returnflag", as_index=False, sort=False).agg(
+        {"revenue_c": "sum", "n_rows": "sum"})
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                         "revenue_c": [base_pd["revenue_c"].sum()],
+                         "n_rows": [base_pd["n_rows"].sum()]})
+    out = pd.concat([base_pd, lvl1, lvl0], ignore_index=True)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    cols = ["l_returnflag", "l_linestatus", "revenue_c", "n_rows"]
+    return ray.data.from_pandas(out[cols])
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_time_weighted(sf_dir: str):  # exact oracle (lead() dt weights)
+    """Per-user time-weighted value statistics — the telemetry rollup where
+    each sample holds until the next one: weight = µs until the user's next
+    event (last sample contributes nothing). Exact integer pair
+    (Σ value_c·dt_us, Σ dt_us); the division to an average happens
+    consumer-side, outside the compared surface. |value_c·dt_us| < 2^45 per
+    row, so the int64 sums are exact."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            # pin the unit before the int view: dt must be µs (the oracle's
+            # epoch_us), not whatever datetime64 unit this pandas delivers
+            "us": df["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "value_c": cents(df["value"].to_numpy()),
+        })
+
+    def _twa(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        us = d["us"].to_numpy().astype(np.int64)
+        v = d["value_c"].to_numpy().astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        dt = np.append(np.diff(us) * same, 0)
+        out = pd.DataFrame({"user_id": uid, "w_sum": v * dt, "dt_sum": dt})
+        agg = out.groupby("user_id", as_index=False, sort=True).agg(
+            w_sum=("w_sum", "sum"), dt_sum=("dt_sum", "sum"))
+        return agg.astype({"w_sum": np.int64, "dt_sum": np.int64})
+
+    pre = ev.map_batches(_pre, batch_format="pandas", batch_size=8192)
+    return bucketed_groups(pre, ["user_id"], _twa)
+
+
+SQL_EVENTS_TIME_WEIGHTED = """
+WITH seq AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+  FROM events WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(value_c * dt_us), 0) AS BIGINT) AS w_sum,
+       CAST(COALESCE(SUM(dt_us), 0) AS BIGINT) AS dt_sum
+FROM seq GROUP BY user_id
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -5224,6 +5323,8 @@ QUERIES = {
     "events_rolling_sum": q_events_rolling_sum,
     "event_transitions": q_event_transitions,
     "trajectory_route_geometry": q_trajectory_route_geometry,
+    "revenue_rollup": q_revenue_rollup,
+    "events_time_weighted": q_events_time_weighted,
 }
 
 
@@ -5338,4 +5439,6 @@ ORACLE_SQL = {
     "events_rolling_sum": SQL_EVENTS_ROLLING_SUM,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "trajectory_route_geometry": SQL_TRAJECTORY_ROUTE_GEOMETRY,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
 }
