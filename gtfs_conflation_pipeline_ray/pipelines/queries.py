@@ -3358,6 +3358,171 @@ FROM seq GROUP BY user_id
 """
 
 
+def q_user_activity_islands(sf_dir: str):  # exact oracle (gaps-and-islands)
+    """Gaps-and-islands over per-user activity days: distinct active days →
+    maximal runs of consecutive days → per user (n_days, n_islands,
+    max_island_len). The classic sessions-from-calendar analytic, one
+    vectorized grouped kernel (sorted distinct days, boundary diffs)."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = us // 86400000000
+        key = np.unique(uid * (1 << 20) + d)  # batch-local (user, day) dedup
+        return pa.table({"user_id": key >> 20, "d": key & ((1 << 20) - 1)})
+
+    days = ev.map_batches(_days, batch_format="pyarrow", batch_size=65536)
+
+    def _islands(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "d"]).sort_values(
+            ["user_id", "d"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        dd = d["d"].to_numpy().astype(np.int64)
+        n = len(d)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (dd[1:] != dd[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        lens = np.bincount(run_id)
+        run_user = uid[np.flatnonzero(new_run)]
+        out = pd.DataFrame({"user_id": run_user, "len": lens})
+        agg = out.groupby("user_id", as_index=False, sort=True).agg(
+            n_days=("len", "sum"), n_islands=("len", "size"),
+            max_island_len=("len", "max"))
+        return agg.astype({"n_days": np.int64, "n_islands": np.int64,
+                           "max_island_len": np.int64})
+
+    return bucketed_groups(days, ["user_id"], _islands)
+
+
+SQL_USER_ACTIVITY_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+  FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+),
+isl AS (SELECT user_id, g, COUNT(*) AS len FROM grp GROUP BY user_id, g)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_island_len
+FROM isl GROUP BY user_id
+"""
+
+
+def q_orders_above_customer_avg(sf_dir: str):  # exact (cross-multiplied mean)
+    """Correlated-subquery decorrelation: orders strictly above their
+    customer's average order value. The mean never materializes as a float —
+    the predicate is cross-multiplied integer cents
+    (``price_c · n_orders > sum_c``), the engine's standard
+    exact-comparison form; the oracle spells the identical inequality."""
+    from ..stages.relational import partial_groupby_sum
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _pc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "price_c": cents(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False)),
+        })
+
+    pc = orders.map_batches(_pc, batch_format="pyarrow", batch_size=8192)
+    stats = partial_groupby_sum(pc, ["o_custkey"], ["price_c"],
+                                count_as="n_orders",
+                                est_rows=_nrows(sf_dir, "orders"))
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    stats = stats.map_batches(_ident, batch_format="pyarrow", batch_size=8192)
+
+    def _stats_ren(t: pa.Table) -> pa.Table:
+        return pa.table({"sk": t["o_custkey"], "sum_c": t["price_c"],
+                         "n_orders": t["n_orders"]})
+
+    stats = stats.map_batches(_stats_ren, batch_format="pyarrow",
+                              batch_size=8192)
+    j = pc.join(stats, "inner", 8, on=("o_custkey",), right_on=("sk",))
+
+    def _above(batch: pa.Table) -> pa.Table:
+        p = batch["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = p * n > s
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        t = batch.take(idx)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_c": t["price_c"]})
+
+    return j.map_batches(_above, batch_format="pyarrow", batch_size=8192)
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+WITH pc AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+),
+st AS (SELECT o_custkey, SUM(price_c) AS sum_c,
+              COUNT(*) AS n_orders
+       FROM pc GROUP BY o_custkey)
+SELECT p.o_orderkey, p.o_custkey, p.price_c
+FROM pc p JOIN st s ON s.o_custkey = p.o_custkey
+WHERE p.price_c * s.n_orders > s.sum_c
+"""
+
+
+def q_nation_priority_mode(sf_dir: str):  # exact oracle (deterministic mode)
+    """Grouped MODE (most frequent value) with a deterministic tie rule:
+    per nation, the most frequent order priority of its customers' orders
+    (ties → lexicographically smallest priority). Holistic aggregate as
+    count-groupby + per-group top-1 (``group_topk``)."""
+    from ..stages.relational import group_topk, partial_groupby_sum
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    j = orders.join(cust, "inner", 8, on=("o_custkey",),
+                    right_on=("c_custkey",))
+
+    def _nk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": t["c_nationkey"].cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    pairs = j.map_batches(_nk, batch_format="pyarrow", batch_size=8192)
+    counts = partial_groupby_sum(pairs, ["nationkey", "o_orderpriority"], [],
+                                 count_as="n")
+    return group_topk(counts, ["nationkey"],
+                      [("n", False), ("o_orderpriority", True)], k=1)
+
+
+SQL_NATION_PRIORITY_MODE = """
+WITH counts AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, o.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, o.o_orderpriority
+)
+SELECT nationkey, o_orderpriority, n FROM (
+  SELECT nationkey, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+) WHERE rn = 1
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -5325,6 +5490,9 @@ QUERIES = {
     "trajectory_route_geometry": q_trajectory_route_geometry,
     "revenue_rollup": q_revenue_rollup,
     "events_time_weighted": q_events_time_weighted,
+    "user_activity_islands": q_user_activity_islands,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
+    "nation_priority_mode": q_nation_priority_mode,
 }
 
 
@@ -5441,4 +5609,7 @@ ORACLE_SQL = {
     "trajectory_route_geometry": SQL_TRAJECTORY_ROUTE_GEOMETRY,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
+    "user_activity_islands": SQL_USER_ACTIVITY_ISLANDS,
+    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "nation_priority_mode": SQL_NATION_PRIORITY_MODE,
 }
