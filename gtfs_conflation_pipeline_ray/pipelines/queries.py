@@ -3824,6 +3824,81 @@ UNION ALL SELECT * FROM cnts
 """
 
 
+def _pq_cents_ref(sf_dir: str):
+    ctab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 16)])
+    order = np.argsort(ctab["vec_id"].to_numpy())
+    cm = ann._batch_matrix(ctab, "embedding")[order]  # row i = code i
+    return ray.put(ann.quantize_fixed(cm))
+
+
+def q_embedding_pq_codes(sf_dir: str):  # exact oracle (integer PQ encode)
+    """Product-Quantization encoding (``ann.pq_encode``): 8 subspaces × 16
+    codes, each vector → ONE packed int64 (4 bits/subspace) — the
+    16-byte-per-vector layout of billion-scale vector indexes. Codebooks =
+    the 16 lowest-vec_id embeddings (the ``embedding_kmeans`` init), so
+    PQ completes the IVF(+train)+PQ story."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.pq_encode(emb, _pq_cents_ref(sf_dir))
+
+
+def q_ann_pq_adc(sf_dir: str):  # exact oracle (integer ADC ranking)
+    """Asymmetric-distance top-5 over PQ codes (``ann.pq_adc_topk``):
+    per-query (m, K) integer lookup tables, scoring = m lookups + sum."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 4)])
+    return ann.pq_adc_topk(emb, _pq_cents_ref(sf_dir), ray.put(qtab), k=5)
+
+
+_SQL_PQ_CTES = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS xq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+cent AS (SELECT vec_id AS cid, dim, xq FROM q WHERE vec_id < 16),
+sd AS (  -- per-(vector, code, subspace) integer L2 distance²
+  SELECT v.vec_id, c.cid, v.dim // 8 AS m,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS d2
+  FROM q v JOIN cent c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.cid, v.dim // 8
+),
+code AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM sd
+  ) WHERE rn = 1
+)
+"""
+
+SQL_EMBEDDING_PQ_CODES = _SQL_PQ_CTES + """
+SELECT vec_id,
+       CAST(SUM(code * (CAST(1 AS BIGINT) << CAST(4 * m AS INT))) AS BIGINT)
+         AS pq_code
+FROM code GROUP BY vec_id
+"""
+
+SQL_ANN_PQ_ADC = _SQL_PQ_CTES + """
+, lut AS (SELECT vec_id AS query_id, cid, m, d2 FROM sd WHERE vec_id < 4),
+adc AS (
+  SELECT l.query_id, co.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc
+  FROM code co JOIN lut l ON l.m = co.m AND l.cid = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, adc, adc_rank FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS adc_rank
+  FROM adc
+) WHERE adc_rank <= 5
+"""
+
+
 SQL_ANN_IVF = f"""
 WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
 cents AS (  -- ±1 codebook rows (equal norms): argmax integer dot = nearest
@@ -5493,6 +5568,8 @@ QUERIES = {
     "user_activity_islands": q_user_activity_islands,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "nation_priority_mode": q_nation_priority_mode,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "ann_pq_adc": q_ann_pq_adc,
 }
 
 
@@ -5612,4 +5689,6 @@ ORACLE_SQL = {
     "user_activity_islands": SQL_USER_ACTIVITY_ISLANDS,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "nation_priority_mode": SQL_NATION_PRIORITY_MODE,
+    "embedding_pq_codes": SQL_EMBEDDING_PQ_CODES,
+    "ann_pq_adc": SQL_ANN_PQ_ADC,
 }

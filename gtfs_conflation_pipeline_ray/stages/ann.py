@@ -405,3 +405,109 @@ def kmeans_assign_step(vectors, centroids_ref, id_col: str = "vec_id",
     partials = vectors.map_batches(_step, batch_format="pyarrow",
                                    batch_size=batch_size)
     return partial_groupby_sum(partials, ["cluster_id", "dim"], ["sum_q"])
+
+
+def _pq_codes_matrix(xq: np.ndarray, cents: np.ndarray, m: int) -> np.ndarray:
+    """(n, m) subspace codes: per subspace, argmin integer L2 distance² to
+    the codebook rows (first occurrence = smallest code — the deterministic
+    tie rule shared with ``kmeans_assign_step``)."""
+    n, dim = xq.shape
+    sub = dim // m
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        xs = xq[:, j * sub:(j + 1) * sub]
+        cs = cents[:, j * sub:(j + 1) * sub]
+        d2 = (np.einsum("ij,ij->i", xs, xs)[:, None]
+              + np.einsum("ij,ij->i", cs, cs)[None, :] - 2 * (xs @ cs.T))
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_encode(vectors, cents_ref, id_col: str = "vec_id",
+              vec_col: str = "embedding", m: int = 8,
+              batch_size: int = 4096):
+    """Product-Quantization encoding — the PQ half of IVF-PQ (`ivf_topk` is
+    the IVF half; `kmeans_assign_step` trains the codebooks): each vector
+    splits into ``m`` subvectors, each encoded as the id of its nearest
+    per-subspace codebook row (integer L2 over ``quantize_fixed``
+    components, exact). Codes pack into ONE int64 (4 bits/subspace, K=16) —
+    the 16-byte-per-vector memory layout that makes billion-scale vector
+    search feasible. ``cents_ref``: ray.put of the quantized (16, dim)
+    codebook matrix (row id = code). Returns (id, pq_code)."""
+    from .util import cached_state
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        cents: np.ndarray = cached_state(
+            cents_ref, lambda c: np.asarray(c, dtype=np.int64),
+            token="pq_cents")
+        x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
+        if len(x) == 0:
+            return pa.table({id_col: np.array([], np.int64),
+                             "pq_code": np.array([], np.int64)})
+        codes = _pq_codes_matrix(quantize_fixed(x), cents, m)
+        packed = (codes << (4 * np.arange(m, dtype=np.int64))).sum(axis=1)
+        return pa.table({id_col: batch[id_col], "pq_code": packed})
+
+    return vectors.map_batches(_enc, batch_format="pyarrow",
+                               batch_size=batch_size)
+
+
+def pq_adc_topk(vectors, cents_ref, queries_ref, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                m: int = 8, batch_size: int = 4096):
+    """Asymmetric-Distance (ADC) top-k over PQ codes: per worker, each query
+    precomputes an (m, K) lookup table of integer subspace distances to the
+    codebook; scoring a vector is then m table lookups + a sum — never a
+    full-dimension distance. Exact int64 end-to-end, so the SQL mirror
+    reproduces the ranking bit-for-bit (ties → smallest vec_id). Returns
+    (query_id, vec_id, adc, adc_rank) for the k nearest BY ADC (PQ's
+    quantization error is part of the definition, not noise)."""
+    from .relational import group_topk
+    from .util import cached_state
+
+    def _build(q_tab):
+        import ray as _ray
+        cents = np.asarray(_ray.get(cents_ref), dtype=np.int64)
+        qm = quantize_fixed(_batch_matrix(q_tab, vec_col))
+        qid = q_tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        K, dim = cents.shape
+        sub = dim // m
+        luts = np.empty((len(qid), m, K), dtype=np.int64)
+        for j in range(m):
+            qs = qm[:, j * sub:(j + 1) * sub]
+            cs = cents[:, j * sub:(j + 1) * sub]
+            luts[:, j, :] = (np.einsum("ij,ij->i", qs, qs)[:, None]
+                             + np.einsum("ij,ij->i", cs, cs)[None, :]
+                             - 2 * (qs @ cs.T))
+        return cents, qid, luts
+
+    def _local(batch: pa.Table) -> pa.Table:
+        cents, qid, luts = cached_state(queries_ref, _build, token="pq_adc")
+        x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
+        if len(x) == 0:
+            return pa.table({"query_id": np.array([], np.int64),
+                             "vec_id": np.array([], np.int64),
+                             "adc": np.array([], np.int64)})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _pq_codes_matrix(quantize_fixed(x), cents, m)
+        qids, vids, adcs = [], [], []
+        ar = np.arange(m)
+        for qi in range(len(qid)):
+            adc = luts[qi, ar, codes].sum(axis=1)
+            mask = ids != qid[qi]  # never return self
+            vv, aa = ids[mask], adc[mask]
+            kk = min(k, len(vv))
+            if kk == 0:
+                continue
+            top = np.lexsort((vv, aa))[:kk]  # (adc asc, vec_id asc)
+            qids.append(np.full(kk, qid[qi], dtype=np.int64))
+            vids.append(vv[top])
+            adcs.append(aa[top])
+        cat = lambda a: np.concatenate(a) if a else np.array([], np.int64)
+        return pa.table({"query_id": cat(qids), "vec_id": cat(vids),
+                         "adc": cat(adcs)})
+
+    local = vectors.map_batches(_local, batch_format="pyarrow",
+                                batch_size=batch_size)
+    return group_topk(local, ["query_id"], [("adc", True), ("vec_id", True)],
+                      k, rank_col="adc_rank")
