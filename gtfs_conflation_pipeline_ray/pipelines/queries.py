@@ -3899,6 +3899,75 @@ SELECT query_id, vec_id, adc, adc_rank FROM (
 """
 
 
+def q_ann_ivfpq(sf_dir: str):  # exact oracle (integer routing + ADC ranking)
+    """IVF-PQ composed search (``ann.ivfpq_topk``): sign-plane coarse
+    routing to nprobe=8 inverted lists, ADC scoring over PQ codes of ONLY
+    the routed candidates — the full billion-scale index, every decision
+    integer."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])
+    return ann.ivfpq_topk(emb, _pq_cents_ref(sf_dir), ray.put(qtab), k=5)
+
+
+SQL_ANN_IVFPQ = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS xq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+centpq AS (SELECT vec_id AS cid, dim, xq FROM q WHERE vec_id < 16),
+sd AS (
+  SELECT v.vec_id, c.cid, v.dim // 8 AS m,
+         SUM((v.xq - c.xq) * (v.xq - c.xq)) AS d2
+  FROM q v JOIN centpq c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.cid, v.dim // 8
+),
+code AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM sd
+  ) WHERE rn = 1
+),
+cents AS (  -- ±1 coarse rows (equal norms): argmax integer dot = nearest
+  SELECT CAST(j AS BIGINT) AS j,
+         [CASE WHEN (j * 83492791 + d * 52916611 + 3) % 1000003
+                    * 2654435761 % 4294967296 // 32768 % 2 = 1
+               THEN 1 ELSE -1 END
+          FOR d IN range(0, (SELECT len(qv) FROM e LIMIT 1))] AS pl
+  FROM range(64) t(j)
+),
+xd AS (SELECT a.vec_id, p.j, {_SQL_IDOT} AS dot
+       FROM e a CROSS JOIN cents p),
+rk AS (SELECT vec_id, j,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS rn
+       FROM xd),
+assign AS (SELECT vec_id, j FROM rk WHERE rn = 1),
+qprobe AS (SELECT vec_id AS query_id, j FROM rk WHERE vec_id < 8 AND rn <= 8),
+cand AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobe qp JOIN assign a ON a.j = qp.j
+  WHERE a.vec_id <> qp.query_id
+),
+lut AS (SELECT vec_id AS query_id, cid, m, d2 FROM sd WHERE vec_id < 8),
+adc AS (
+  SELECT c.query_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc
+  FROM cand c
+  JOIN code co ON co.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = co.m AND l.cid = co.code
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc, adc_rank FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS adc_rank
+  FROM adc
+) WHERE adc_rank <= 5
+"""
+
+
 SQL_ANN_IVF = f"""
 WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
 cents AS (  -- ±1 codebook rows (equal norms): argmax integer dot = nearest
@@ -5570,6 +5639,7 @@ QUERIES = {
     "nation_priority_mode": q_nation_priority_mode,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 
@@ -5691,4 +5761,5 @@ ORACLE_SQL = {
     "nation_priority_mode": SQL_NATION_PRIORITY_MODE,
     "embedding_pq_codes": SQL_EMBEDDING_PQ_CODES,
     "ann_pq_adc": SQL_ANN_PQ_ADC,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
 }

@@ -511,3 +511,74 @@ def pq_adc_topk(vectors, cents_ref, queries_ref, k: int = 5,
                                 batch_size=batch_size)
     return group_topk(local, ["query_id"], [("adc", True), ("vec_id", True)],
                       k, rank_col="adc_rank")
+
+
+def ivfpq_topk(vectors, pq_cents_ref, queries_ref, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_centroids: int = 64, nprobe: int = 8, m: int = 8,
+               batch_size: int = 4096):
+    """IVF-PQ — the composed billion-scale search index: the sign-plane
+    coarse quantizer routes each query to its ``nprobe`` nearest inverted
+    lists (exact integer argmax, as ``ivf_topk``), and ONLY the routed
+    candidates are scored, by ADC over their PQ codes (as ``pq_adc_topk``)
+    — m table lookups per candidate, never a full-dimension distance, and
+    16 bytes of per-vector state. Every decision is integer, so the SQL
+    mirror reproduces routing, codes and ranking bit-for-bit. Returns
+    (query_id, vec_id, adc, adc_rank)."""
+    from .relational import group_topk
+    from .util import cached_state
+
+    def _build(q_tab):
+        import ray as _ray
+        cents_pq = np.asarray(_ray.get(pq_cents_ref), dtype=np.int64)
+        qm = quantize_fixed(_batch_matrix(q_tab, vec_col))
+        qid = q_tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = cents_pq.shape[1]
+        coarse = sign_planes(n_centroids, dim)
+        qdots = qm @ coarse.T
+        # top-nprobe lists, ties to the smallest j (stable argsort on -dot)
+        q_probe = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+        q_probe = np.sort(q_probe, axis=1)
+        K = cents_pq.shape[0]
+        sub = dim // m
+        luts = np.empty((len(qid), m, K), dtype=np.int64)
+        for j in range(m):
+            qs = qm[:, j * sub:(j + 1) * sub]
+            cs = cents_pq[:, j * sub:(j + 1) * sub]
+            luts[:, j, :] = (np.einsum("ij,ij->i", qs, qs)[:, None]
+                             + np.einsum("ij,ij->i", cs, cs)[None, :]
+                             - 2 * (qs @ cs.T))
+        return cents_pq, coarse, qid, q_probe, luts
+
+    def _local(batch: pa.Table) -> pa.Table:
+        cents_pq, coarse, qid, q_probe, luts = cached_state(
+            queries_ref, _build, token=f"ivfpq:{n_centroids}:{nprobe}:{m}")
+        x = _batch_matrix(batch, vec_col, dim=cents_pq.shape[1])
+        if len(x) == 0:
+            return pa.table({"query_id": np.array([], np.int64),
+                             "vec_id": np.array([], np.int64),
+                             "adc": np.array([], np.int64)})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xq = quantize_fixed(x)
+        assign = np.argmax(xq @ coarse.T, axis=1)  # ties -> smallest j
+        codes = _pq_codes_matrix(xq, cents_pq, m)
+        ar = np.arange(m)
+        qids, vids, adcs = [], [], []
+        for qi, cand in enumerate(ivf_candidate_lists(assign, q_probe)):
+            cand = cand[ids[cand] != qid[qi]]  # never return self
+            if len(cand) == 0:
+                continue
+            adc = luts[qi, ar, codes[cand]].sum(axis=1)
+            kk = min(k, len(cand))
+            top = np.lexsort((ids[cand], adc))[:kk]
+            qids.append(np.full(kk, qid[qi], dtype=np.int64))
+            vids.append(ids[cand][top])
+            adcs.append(adc[top])
+        cat = lambda a: np.concatenate(a) if a else np.array([], np.int64)
+        return pa.table({"query_id": cat(qids), "vec_id": cat(vids),
+                         "adc": cat(adcs)})
+
+    local = vectors.map_batches(_local, batch_format="pyarrow",
+                                batch_size=batch_size)
+    return group_topk(local, ["query_id"], [("adc", True), ("vec_id", True)],
+                      k, rank_col="adc_rank")
