@@ -3523,6 +3523,152 @@ SELECT nationkey, o_orderpriority, n FROM (
 """
 
 
+def q_snapshot_upsert(sf_dir: str):  # exact oracle (latest-wins MERGE)
+    """CDC upsert / MERGE INTO semantics: a base snapshot (customer balances,
+    version ts = −1) merged with an update stream (events, latest
+    (ts, event_id) wins per key). One grouped kernel decides winner +
+    update count per key — the last-write-wins compaction every
+    log-structured ingest runs."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    base = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _ev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["user_id"].cast(pa.int64()),
+            "value_c": cents(batch["value"].to_numpy(zero_copy_only=False)),
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+        })
+
+    def _base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "value_c": cents(batch["c_acctbal"].to_numpy(zero_copy_only=False)),
+            "us": np.full(n, -1, dtype=np.int64),
+            "event_id": np.full(n, -1, dtype=np.int64),
+        })
+
+    u = ev.map_batches(_ev, batch_format="pyarrow", batch_size=8192).union(
+        base.map_batches(_base, batch_format="pyarrow", batch_size=8192))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["key", "us", "event_id"], kind="mergesort")
+        key = d["key"].to_numpy()
+        last = np.ones(len(d), dtype=bool)
+        last[:-1] = key[:-1] != key[1:]  # last row per key = latest version
+        win = d[last]
+        upd = (d.assign(_ev=(d["us"].to_numpy() >= 0).astype(np.int64))
+               .groupby("key", sort=True)["_ev"].sum())
+        out = pd.DataFrame({
+            "key": win["key"].to_numpy(),
+            "final_value_c": win["value_c"].to_numpy().astype(np.int64),
+            "from_event": win["us"].to_numpy() >= 0,
+        }).sort_values("key")
+        out["n_updates"] = upd.to_numpy().astype(np.int64)
+        return out[["key", "final_value_c", "n_updates", "from_event"]]
+
+    return bucketed_groups(u, ["key"], _merge)
+
+
+SQL_SNAPSHOT_UPSERT = """
+WITH u AS (
+  SELECT user_id AS key, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+         CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+  FROM events
+  UNION ALL
+  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT),
+         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+  FROM customer
+),
+win AS (
+  SELECT key, value_c, us,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM u
+),
+upd AS (SELECT key, CAST(SUM(CASE WHEN us >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updates
+        FROM u GROUP BY key)
+SELECT w.key, w.value_c AS final_value_c, p.n_updates, w.us >= 0 AS from_event
+FROM win w JOIN upd p USING (key) WHERE w.rn = 1
+"""
+
+
+def q_user_interval_coverage(sf_dir: str):  # exact oracle (interval union)
+    """Interval-union coverage: each event opens a 5-minute window; per
+    user, the total µs covered by the UNION of its windows and the count
+    of merged segments — the sweep-line interval-merge every
+    availability/uptime rollup needs. Vectorized per-run cummax."""
+    from ..stages.relational import bucketed_groups
+
+    W = 300_000_000  # 5 min in µs
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                         "s": batch["ts"].cast(pa.int64())})
+
+    iv = ev.map_batches(_iv, batch_format="pyarrow", batch_size=8192)
+
+    def _cover(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "s"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        s = d["s"].to_numpy().astype(np.int64)
+        e = s + W
+        n = len(d)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        users, covered, nseg = [], [], []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            cm = np.maximum.accumulate(e[a:b])
+            # a new merged segment opens where s exceeds the running max end
+            new_seg = np.ones(b - a, dtype=bool)
+            new_seg[1:] = s[a + 1:b] > cm[:-1]
+            seg_id = np.cumsum(new_seg) - 1
+            seg_start = s[a:b][new_seg]
+            seg_end = np.maximum.reduceat(cm, np.flatnonzero(new_seg))
+            users.append(uid[a])
+            covered.append(int((seg_end - seg_start).sum()))
+            nseg.append(int(new_seg.sum()))
+        return pd.DataFrame({"user_id": np.array(users, np.int64),
+                             "covered_us": np.array(covered, np.int64),
+                             "n_segments": np.array(nseg, np.int64)})
+
+    return bucketed_groups(iv, ["user_id"], _cover)
+
+
+SQL_USER_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+  FROM events
+),
+o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+),
+seg AS (SELECT user_id, grp, MAX(e) - MIN(s) AS len
+        FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM seg GROUP BY user_id
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -5640,6 +5786,8 @@ QUERIES = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
     "ann_ivfpq": q_ann_ivfpq,
+    "snapshot_upsert": q_snapshot_upsert,
+    "user_interval_coverage": q_user_interval_coverage,
 }
 
 
@@ -5762,4 +5910,6 @@ ORACLE_SQL = {
     "embedding_pq_codes": SQL_EMBEDDING_PQ_CODES,
     "ann_pq_adc": SQL_ANN_PQ_ADC,
     "ann_ivfpq": SQL_ANN_IVFPQ,
+    "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
+    "user_interval_coverage": SQL_USER_INTERVAL_COVERAGE,
 }
