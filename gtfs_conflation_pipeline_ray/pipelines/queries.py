@@ -3669,6 +3669,130 @@ FROM seg GROUP BY user_id
 """
 
 
+def q_purchase_attribution(sf_dir: str):  # exact oracle (windowed as-of)
+    """Last-touch attribution: every purchase attributes to the user's
+    latest preceding click within 30 minutes (ties → largest click id, the
+    as-of rule), else −1 — the marketing-attribution shape, expressed as a
+    per-user backward scan. Exact integer µs lag."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    WIN = 1_800_000_000  # 30 min in µs
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (t == "purchase") | (t == "click")
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        b = batch.take(idx)
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"].cast(pa.int64()),
+            "is_purchase": pa.array(
+                b["event_type"].to_numpy(zero_copy_only=False) == "purchase"),
+        })
+
+    pre = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _attr(g: pd.DataFrame) -> pd.DataFrame:
+        # order: (user, us, event_id); clicks sort BEFORE a same-µs purchase
+        # only if their event_id is smaller — the oracle's ts <= rule needs
+        # same-ts clicks eligible, so scan clicks by (us, event_id) and
+        # binary-search with side='right' on (us, +inf) per purchase
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        us = d["us"].to_numpy().astype(np.int64)
+        eid = d["event_id"].to_numpy().astype(np.int64)
+        isp = d["is_purchase"].to_numpy()
+        out_rows = []
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        for a, b in zip(bounds, np.append(bounds[1:], len(d))):
+            cus, ceid = us[a:b][~isp[a:b]], eid[a:b][~isp[a:b]]
+            # clicks sorted by (us, event_id); latest eligible = rightmost
+            # with us <= purchase us (ties between clicks -> largest id)
+            for pu, pe in zip(us[a:b][isp[a:b]], eid[a:b][isp[a:b]]):
+                j = np.searchsorted(cus, pu, side="right") - 1
+                if j >= 0 and pu - cus[j] <= WIN:
+                    # among clicks sharing cus[j], the sort already puts the
+                    # largest event_id last within equal us
+                    out_rows.append((uid[a], pe, ceid[j], pu - cus[j]))
+                else:
+                    out_rows.append((uid[a], pe, -1, -1))
+        if not out_rows:
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "purchase_id": np.array([], np.int64),
+                                 "click_id": np.array([], np.int64),
+                                 "lag_us": np.array([], np.int64)})
+        arr = np.array(out_rows, dtype=np.int64)
+        return pd.DataFrame({"user_id": arr[:, 0], "purchase_id": arr[:, 1],
+                             "click_id": arr[:, 2], "lag_us": arr[:, 3]})
+
+    return bucketed_groups(pre, ["user_id"], _attr)
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH p AS (SELECT user_id, event_id AS purchase_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS pus
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id,
+             CAST(epoch_us(ts) AS BIGINT) AS cus
+      FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.purchase_id, c.click_id, p.pus - c.cus AS lag_us,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.purchase_id
+                            ORDER BY c.cus DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+    AND c.cus <= p.pus AND p.pus - c.cus <= 1800000000
+)
+SELECT user_id, purchase_id,
+       COALESCE(j2.click_id, -1) AS click_id,
+       COALESCE(j2.lag_us, -1) AS lag_us
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (user_id, purchase_id)
+"""
+
+
+def q_value_variance_by_type(sf_dir: str):  # exact (integer second moments)
+    """Grouped variance WITHOUT floats: per event type, the exact integer
+    moments (n, Σ value_c, Σ value_c²) — variance is the rational
+    (n·Σx² − (Σx)²) / n², emitted as numerator + n so nothing float ever
+    crosses the compared surface. Second-moment combiner rides the same
+    partial-aggregation path as the sums."""
+    from ..stages.relational import partial_groupby_sum
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def _m(batch: pa.Table) -> pa.Table:
+        v = cents(batch["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_type": batch["event_type"],
+                         "sum_c": v, "sumsq_c": v * v})
+
+    m = ev.map_batches(_m, batch_format="pyarrow", batch_size=8192)
+    agg = partial_groupby_sum(m, ["event_type"], ["sum_c", "sumsq_c"],
+                              count_as="n")
+
+    def _var(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.int64)
+        s = df["sum_c"].to_numpy().astype(np.int64)
+        s2 = df["sumsq_c"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "n": n, "sum_c": s,
+                             "var_num": n * s2 - s * s})
+
+    return agg.map_batches(_var, batch_format="pandas", batch_size=8192)
+
+
+SQL_VALUE_VARIANCE_BY_TYPE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_c) AS BIGINT) AS sum_c,
+       CAST(COUNT(*) * SUM(value_c * value_c) - SUM(value_c) * SUM(value_c)
+            AS BIGINT) AS var_num
+FROM (SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+      FROM events)
+GROUP BY event_type
+"""
+
+
 # Connected components as exact SQL: reachability of every node id through
 # the symmetric verified-pair edge set (recursive CTE, UNION dedups states so
 # it terminates), then MIN over reachable labels = the component minimum —
@@ -5788,6 +5912,8 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "snapshot_upsert": q_snapshot_upsert,
     "user_interval_coverage": q_user_interval_coverage,
+    "purchase_attribution": q_purchase_attribution,
+    "value_variance_by_type": q_value_variance_by_type,
 }
 
 
@@ -5912,4 +6038,6 @@ ORACLE_SQL = {
     "ann_ivfpq": SQL_ANN_IVFPQ,
     "snapshot_upsert": SQL_SNAPSHOT_UPSERT,
     "user_interval_coverage": SQL_USER_INTERVAL_COVERAGE,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "value_variance_by_type": SQL_VALUE_VARIANCE_BY_TYPE,
 }
