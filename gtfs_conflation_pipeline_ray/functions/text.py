@@ -344,3 +344,43 @@ def winnow_fingerprint(text: str, k: int = 5, w: int = 8) -> int:
     for v in sel:
         out ^= (int(v) * int(_FNV_PRIME) + len(sel)) & 0xFFFFFFFFFFFFFFFF
     return out
+
+
+# --- ASCII-exact normalization (the "fuzzy-exact" dedup key) -----------------
+# Lowercase ONLY A-Z (unicode case mapping differs subtly across engines, so
+# the cross-engine-exact normalizer never touches non-ASCII letters), then
+# collapse every run of non-[a-z0-9] codepoints to one space and trim — ≙
+# DuckDB trim(regexp_replace(translate(text, 'A..Z', 'a..z'),
+# '[^a-z0-9]+', ' ', 'g')).
+_ASCII_LOWER_TBL = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+_AZ09_RUN_RE = re.compile(r"[a-z0-9]+")
+
+
+def ascii_normalize(t: str) -> str:
+    return " ".join(_AZ09_RUN_RE.findall(t.translate(_ASCII_LOWER_TBL)))
+
+
+# --- PII-shaped token predicates ---------------------------------------------
+# Email-shaped: token contains '@' with a '.' somewhere after it (string
+# predicate, no regex-engine semantics to mirror). Phone-shaped: token
+# contains a run of >= 7 digits (pure existence test — Python re and RE2
+# agree on existence even where greedy-capture semantics could differ).
+_DIGIT_RUN7_RE = re.compile(r"[0-9]{7}")
+
+
+def pii_token_counts(texts) -> dict[str, np.ndarray]:
+    n = len(texts)
+    n_emails = np.zeros(n, np.int64)
+    n_digit = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        e = d = 0
+        for tok in _TOKEN_RE.findall(t):
+            a = tok.find("@")
+            if a >= 0 and "." in tok[a + 1:]:
+                e += 1
+            if _DIGIT_RUN7_RE.search(tok) is not None:
+                d += 1
+        n_emails[i] = e
+        n_digit[i] = d
+    return {"n_emails": n_emails, "n_digit_tokens": n_digit}

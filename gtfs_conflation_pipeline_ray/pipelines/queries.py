@@ -2219,6 +2219,160 @@ GROUP BY user_id, seg_i
 """
 
 
+def q_segment_tile_spans(sf_dir: str):
+    """Segment×tile clip fan-out: per bounded trajectory segment (the same
+    ±1000-offset consecutive-event segments as ``segment_intersections``),
+    the count of tile rectangles the segment TRULY intersects — the
+    fan-out every vector-tile emission computes before clipping (the
+    engine's mbtiles sink, and the rect analog of the reference's
+    buffered-geopoly probe, ``ConflationMapDAO/loaders.js:104-113``).
+    Exact separating-axis predicate; no shuffle at all — see
+    ``spatial.segment_rect_spans``. Tile rects here are re-centered into
+    [8192, 57344) so every rect stays inside the world grid (the modular
+    ``tiles`` fixture can straddle the world edge, which a clip fan-out
+    must not)."""
+    from ..stages import segments
+    from ..stages.spatial import segment_rect_spans
+
+    def _segs(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        out = []
+        for i in range(len(xyi) - 1):
+            dx = int(xyi[i + 1, 0]) % 2001 - 1000
+            dy = int(xyi[i + 1, 1]) % 2001 - 1000
+            out.append({"user_id": np.int64(uid), "seg_i": np.int64(i + 1),
+                        "ax": np.int64(xyi[i, 0]), "ay": np.int64(xyi[i, 1]),
+                        "bx": np.int64(xyi[i, 0] + dx),
+                        "by": np.int64(xyi[i, 1] + dy)})
+        return out
+
+    segs = segments.per_shape(_event_shapes(sf_dir), _segs)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sz = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cx = 8192 + (pk * 40503 + sz * 257) % 49152
+    cy = 8192 + (pk * 9973 + sz * 101) % 49152
+    hw = 40 + (pk % 31) * 97
+    hh = 40 + (pk % 23) * 131
+    rects = ray.put(pa.table({"tile_id": pk, "x0": cx - hw, "x1": cx + hw,
+                              "y0": cy - hh, "y1": cy + hh}))
+    return segment_rect_spans(segs, rects, carry_cols=["user_id", "seg_i"])
+
+
+# same IEJoin hygiene as SQL_SEGMENT_INTERSECTIONS: bbox bounds precomputed
+# as CTE columns, the corner-sign conjunction in an outer WHERE
+SQL_SEGMENT_TILE_SPANS = """
+WITH pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+segs AS (
+  SELECT user_id, gi AS seg_i, x AS ax, y AS ay,
+         x + (nx % 2001 - 1000) AS bx, y + (ny % 2001 - 1000) AS by,
+         least(x, x + (nx % 2001 - 1000)) AS sx0,
+         greatest(x, x + (nx % 2001 - 1000)) AS sx1,
+         least(y, y + (ny % 2001 - 1000)) AS sy0,
+         greatest(y, y + (ny % 2001 - 1000)) AS sy1
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+),
+tiles AS (
+  SELECT p_partkey AS tile_id, cx - hw AS x0, cx + hw AS x1,
+         cy - hh AS y0, cy + hh AS y1
+  FROM (SELECT p_partkey,
+               8192 + (p_partkey * 40503 + p_size * 257) % 49152 AS cx,
+               8192 + (p_partkey * 9973 + p_size * 101) % 49152 AS cy,
+               40 + (p_partkey % 31) * 97 AS hw,
+               40 + (p_partkey % 23) * 131 AS hh
+        FROM part)
+),
+cand AS (
+  SELECT s.user_id, s.seg_i, s.ax, s.ay, s.bx, s.by, t.x0, t.x1, t.y0, t.y1
+  FROM segs s JOIN tiles t
+    ON t.x0 <= s.sx1 AND t.x1 >= s.sx0 AND t.y0 <= s.sy1 AND t.y1 >= s.sy0
+)
+SELECT user_id, CAST(seg_i AS BIGINT) AS seg_i,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM cand
+WHERE NOT ((bx-ax)*(y0-ay) - (by-ay)*(x0-ax) > 0
+       AND (bx-ax)*(y0-ay) - (by-ay)*(x1-ax) > 0
+       AND (bx-ax)*(y1-ay) - (by-ay)*(x0-ax) > 0
+       AND (bx-ax)*(y1-ay) - (by-ay)*(x1-ax) > 0)
+  AND NOT ((bx-ax)*(y0-ay) - (by-ay)*(x0-ax) < 0
+       AND (bx-ax)*(y0-ay) - (by-ay)*(x1-ax) < 0
+       AND (bx-ax)*(y1-ay) - (by-ay)*(x0-ax) < 0
+       AND (bx-ax)*(y1-ay) - (by-ay)*(x1-ax) < 0)
+GROUP BY user_id, seg_i
+"""
+
+
+def q_hilbert_cells(sf_dir: str):
+    """Hilbert-curve locality layout: every probe point gets its 32-bit
+    Hilbert distance (``cells.hilbert_d`` — the strictly-better-than-Morton
+    locality key the engine offers for data clustering, the Z-ORDER/space-
+    filling-curve layout step of a lakehouse writer), then buckets by the
+    top 8 bits. Per bucket: count, exact sum, min and max of the Hilbert
+    keys — partial-combined per batch, so the shuffle is 256-bucket-sized
+    regardless of input. Oracle: the same 16-level bit transform as a
+    recursive CTE."""
+    from ..functions import cells
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "l_quantity"])
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        t = td.points_batch(pa.Table.from_pandas(df, preserve_index=False))
+        d = cells.hilbert_d(t["px"].to_numpy(), t["py"].to_numpy())
+        b = d >> 24
+        o = np.argsort(b, kind="stable")
+        bs, ds = b[o], d[o]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        return pd.DataFrame({
+            "bucket": bs[starts],
+            "n_points": np.diff(np.r_[starts, len(bs)]).astype(np.int64),
+            "sum_d": np.add.reduceat(ds, starts),
+            "min_d": np.minimum.reduceat(ds, starts),
+            "max_d": np.maximum.reduceat(ds, starts),
+        })
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False, sort=False).agg(
+            n_points=("n_points", "sum"), sum_d=("sum_d", "sum"),
+            min_d=("min_d", "min"), max_d=("max_d", "max"))
+
+    return bucketed_groups(li, ["bucket"], _final, pre_fn=_part, n_buckets=16)
+
+
+SQL_HILBERT_CELLS = f"""
+WITH RECURSIVE pts AS ({td.POINTS_SQL}),
+hil AS (
+  SELECT px AS x, py AS y, CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+  FROM pts
+  UNION ALL
+  SELECT CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN s - 1 - y ELSE y END,
+         CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN s - 1 - x ELSE x END,
+         d + s * s * xor(3 * rx, ry),
+         s // 2
+  FROM (SELECT x, y, d, s,
+               CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM hil WHERE s > 0) h
+)
+SELECT d >> 24 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d) AS BIGINT) AS sum_d, MIN(d) AS min_d, MAX(d) AS max_d
+FROM hil WHERE s = 0 GROUP BY 1
+"""
+
+
 def q_shape_rotfrechet(sf_dir: str):
     """Rotation-restricted curve similarity (reference
     ``scoreChosenPaths/frechet.js:8-35``, ``restrictRotationAngle 0.1π``):
@@ -5914,6 +6068,8 @@ QUERIES = {
     "user_interval_coverage": q_user_interval_coverage,
     "purchase_attribution": q_purchase_attribution,
     "value_variance_by_type": q_value_variance_by_type,
+    "segment_tile_spans": q_segment_tile_spans,
+    "hilbert_cells": q_hilbert_cells,
 }
 
 
@@ -6040,4 +6196,6 @@ ORACLE_SQL = {
     "user_interval_coverage": SQL_USER_INTERVAL_COVERAGE,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "value_variance_by_type": SQL_VALUE_VARIANCE_BY_TYPE,
+    "segment_tile_spans": SQL_SEGMENT_TILE_SPANS,
+    "hilbert_cells": SQL_HILBERT_CELLS,
 }

@@ -657,3 +657,48 @@ def span_dedup_stats(docs, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return joined.map_batches(_fill, batch_format="pyarrow", batch_size=8192)
+
+
+def normalized_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Normalization-insensitive ("fuzzy-exact") dedup — the corpus-cleaning
+    pass that catches re-encoded copies exact dedup misses: documents that
+    are byte-different but identical after ASCII case-folding +
+    punctuation/whitespace collapapse (``text.ascii_normalize``) dedup into
+    one group. Returns one row per duplicate group (n ≥ 2):
+    (keep_<id>, n_dups, n_norm_chars). The normalized text itself never
+    transits the shuffle — only its md5 + codepoint length ride to the
+    bucketed combine (md5 is also what ``exact_dedup_groups`` keys on, and
+    what DuckDB's GROUP BY norm degrades to under collision — none exist)."""
+    import hashlib
+
+    from ..functions.text import ascii_normalize
+    from .relational import bucketed_groups
+
+    keep = f"keep_{id_col}"
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        norms = [ascii_normalize(t) for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: batch[id_col],
+            "nh": pa.array([hashlib.md5(n.encode("utf-8")).hexdigest()
+                            for n in norms], type=pa.string()),
+            "nlen": np.fromiter((len(n) for n in norms), np.int64, len(norms)),
+        })
+
+    hashed = ds.map_batches(_norm, batch_format="pyarrow", batch_size=4096)
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("nh", as_index=False, sort=False).agg(
+            **{keep: (id_col, "min"), "n_dups": (id_col, "size"),
+               "n_norm_chars": ("nlen", "min")})
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("nh", as_index=False, sort=False).agg(
+            **{keep: (keep, "min"), "n_dups": ("n_dups", "sum"),
+               "n_norm_chars": ("n_norm_chars", "min")})
+        out = out[out["n_dups"] >= 2]
+        return out.drop(columns=["nh"])
+
+    return bucketed_groups(hashed, ["nh"], _final, pre_fn=_pre)

@@ -478,3 +478,80 @@ def segment_intersect_counts(probes, segs_ref, px: str = "px", py: str = "py",
     partials = probes.map_batches(_probe, batch_format="pyarrow",
                                   batch_size=batch_size)
     return partial_groupby_sum(partials, ["tile_id"], ["n_cross"])
+
+
+class _RectIndexState:
+    """Per-worker rect-probe join state — the transpose of
+    :class:`_SegIndexState`: here the RECTANGLES are indexed (+1-inflated in
+    DOUBLED coordinates) and segments probe with their exact-doubled bboxes,
+    so the grid's strict positive-area test equals INCLUSIVE bbox overlap in
+    original coordinates (the same parity trick as the buffer-PIP rects)."""
+
+    def __init__(self, t: pa.Table):
+        self.tile_id = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.x0 = t["x0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.y0 = t["y0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.x1 = t["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.y1 = t["y1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.index = GridIndex(np.arange(len(self.x0), dtype=np.int64),
+                               2 * self.x0 - 1, 2 * self.y0 - 1,
+                               2 * self.x1 + 1, 2 * self.y1 + 1, world=131072)
+
+
+def segment_rect_spans(segs, rects_ref, carry_cols: list[str],
+                       ax: str = "ax", ay: str = "ay",
+                       bx: str = "bx", by: str = "by",
+                       out_col: str = "n_tiles", batch_size: int = 16384):
+    """Exact segment×rectangle intersection fan-out: per probe segment, the
+    count of indexed rects the segment TRULY intersects (inclusive — touching
+    counts). This is the tile-clip fan-out of a vector-tile service (every
+    MVT emission must know which tile boxes each feature crosses; the
+    engine's mbtiles sink slices on exactly this predicate) and the rect
+    analog of the reference's geopoly probe
+    (``ConflationMapDAO/loaders.js:104-113`` buffers segments into polygons
+    and asks which probes fall inside).
+
+    Separating-axis-exact predicate: candidate by inclusive bbox overlap
+    (grid probe, see :class:`_RectIndexState`), refined by "the rect's four
+    corners do not all lie STRICTLY on one side of the segment's line" —
+    for a convex polygon vs a segment the SAT axes are exactly {x, y,
+    segment normal}, so bbox + corner-signs is complete, not a heuristic.
+    Each cross product is < 2^35 here, so int64 is exact and the DuckDB
+    mirror is the same corner-sign conjunction. A degenerate (point)
+    segment makes all four crosses 0 and correctly degrades to
+    point-in-rect via the bbox term.
+
+    The rect set broadcasts once (``ray.put``); segments stream, and the
+    per-segment count FINISHES inside its own batch (``np.bincount`` over
+    batch-local rows), so this join has NO shuffle at any scale."""
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _RectIndexState = cached_state(rects_ref, _RectIndexState,
+                                           token="_RectIndexState")
+        sax = batch[ax].to_numpy(zero_copy_only=False).astype(np.int64)
+        say = batch[ay].to_numpy(zero_copy_only=False).astype(np.int64)
+        sbx = batch[bx].to_numpy(zero_copy_only=False).astype(np.int64)
+        sby = batch[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        qi, ri = st.index.query_rects(
+            2 * np.minimum(sax, sbx), 2 * np.minimum(say, sby),
+            2 * np.maximum(sax, sbx), 2 * np.maximum(say, sby))
+        sx, sy = (sbx - sax)[qi], (sby - say)[qi]
+        pax, pay = sax[qi], say[qi]
+        x0, y0 = st.x0[ri], st.y0[ri]
+        x1, y1 = st.x1[ri], st.y1[ri]
+        c1 = sx * (y0 - pay) - sy * (x0 - pax)
+        c2 = sx * (y0 - pay) - sy * (x1 - pax)
+        c3 = sx * (y1 - pay) - sy * (x0 - pax)
+        c4 = sx * (y1 - pay) - sy * (x1 - pax)
+        ok = ~(((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0))
+               | ((c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)))
+        counts = np.bincount(qi[ok], minlength=len(batch))
+        nz = np.flatnonzero(counts)
+        cols: dict[str, object] = {}
+        for c in carry_cols:
+            cols[c] = batch[c].take(pa.array(nz))
+        cols[out_col] = counts[nz].astype(np.int64)
+        return pa.table(cols)
+
+    return segs.map_batches(_probe, batch_format="pyarrow",
+                            batch_size=batch_size)

@@ -239,3 +239,24 @@ def distinctive_terms(ds, k: int = 5, text_col: str = "text",
                      [("tf", False), ("df", True), ("token", True)],
                      k, rank_col="rk", est_rows=est_rows)
     return out.select_columns([id_col, "token", "tf", "df", "rk"])
+
+
+def pii_scan(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_emails, n_digit_tokens, has_pii) — the PII-detection
+    filter pass of a training-data pipeline: per document, counts of
+    email-shaped tokens ('@' with a '.' after it) and phone-shaped tokens
+    (a run of ≥ 7 digits). String predicates only (see
+    ``text.pii_token_counts``), so the DuckDB mirror is exact — no
+    regex-engine capture semantics to reconcile."""
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        c = tx.pii_token_counts(texts)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_emails": c["n_emails"],
+            "n_digit_tokens": c["n_digit_tokens"],
+            "has_pii": (c["n_emails"] + c["n_digit_tokens"]) > 0,
+        })
+
+    return ds.map_batches(_scan, batch_format="pyarrow", batch_size=4096)
