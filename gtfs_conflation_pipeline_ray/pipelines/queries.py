@@ -1016,6 +1016,314 @@ FROM documents GROUP BY 1
 """
 
 
+def q_doc_normalized_dedup(sf_dir: str):
+    """Normalization-insensitive dedup (``dedup.normalized_dedup_groups``):
+    byte-different docs that agree after ASCII case-fold + punct/whitespace
+    collapse dedup into one group — the corpus-cleaning pass between exact
+    and MinHash dedup. The corpus has no such copies, so deterministic
+    re-punctuated copies are planted map-side for every doc_id % 97 == 0
+    (id + 10,000,000; noise is pure non-alphanumerics so the planted copy
+    normalizes EQUAL without any cross-engine case-mapping risk)."""
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ids % 97 == 0)
+        if len(sel) == 0:
+            return batch
+        texts = batch["text"].to_pylist()
+        dup = pa.table({
+            "doc_id": ids[sel] + 10_000_000,
+            "text": pa.array(["  " + texts[i] + "  !!??  " for i in sel],
+                             type=pa.string()),
+        })
+        return pa.concat_tables([batch.select(["doc_id", "text"]), dup])
+
+    planted = docs.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
+    return dedup.normalized_dedup_groups(planted)
+
+
+SQL_DOC_NORMALIZED_DEDUP = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, '  ' || text || '  !!??  '
+  FROM documents WHERE doc_id % 97 = 0
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                           'abcdefghijklmnopqrstuvwxyz'),
+           '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM docs2
+)
+SELECT MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(length(norm) AS BIGINT) AS n_norm_chars
+FROM n GROUP BY norm HAVING COUNT(*) >= 2
+"""
+
+
+def q_doc_pii_scan(sf_dir: str):
+    """PII-shaped token scan (``textops.pii_scan``): per doc, counts of
+    email-shaped tokens ('@' then '.') and phone-shaped tokens (≥7-digit
+    run) — the redaction/filter pass of a training-data pipeline. The
+    corpus is PII-free, so a deterministic PII-bearing suffix is planted
+    for every doc_id % 97 == 0 (same planting rule as the dedup siblings;
+    the oracle mirrors it as string concat)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out = [t + " contact bob@example.com or call 5551234567 now"
+               if ids[i] % 97 == 0 else t for i, t in enumerate(texts)]
+        return pa.table({"doc_id": ids,
+                         "text": pa.array(out, type=pa.string())})
+
+    planted = docs.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
+    return textops.pii_scan(planted)
+
+
+SQL_DOC_PII_SCAN = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN text || ' contact bob@example.com or call 5551234567 now'
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM docs2
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, t -> strpos(t, '@') > 0
+              AND strpos(substr(t, strpos(t, '@') + 1), '.') > 0)) AS BIGINT)
+         AS n_emails,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '[0-9]{7}')))
+         AS BIGINT) AS n_digit_tokens,
+       (len(list_filter(toks, t -> strpos(t, '@') > 0
+              AND strpos(substr(t, strpos(t, '@') + 1), '.') > 0))
+        + len(list_filter(toks, t -> regexp_matches(t, '[0-9]{7}')))) > 0
+         AS has_pii
+FROM t
+"""
+
+
+def q_doc_heavy_hitters(sf_dir: str):
+    """Frequent word-bigrams via Misra-Gries sketch + exact verify
+    (``textops.heavy_hitters``): the two-pass sketch-then-verify pattern —
+    pass 1 never shuffles exact counts (per-batch MG-compressed summaries;
+    pigeonhole-superset guarantee), pass 2 exact-counts only the broadcast
+    candidates. Output = exactly the bigrams with n·(k+1) > N, k = 1200 —
+    the same rows the plain SQL HAVING produces."""
+    docs = _rp(sf_dir, "documents", ["text"])
+    return textops.heavy_hitters(docs, k=1200)
+
+
+SQL_DOC_HEAVY_HITTERS = r"""
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM (SELECT unnest(range(1, len(ws))) AS i, ws FROM w WHERE len(ws) >= 2)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+HAVING COUNT(*) * 1201 > (SELECT COUNT(*) FROM bg)
+"""
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-bigram-LM document scoring (``textops.bigram_lm_score``) —
+    the perplexity-filter shape: train global bigram counts (vocabulary-
+    bounded shuffle), broadcast the model, score every doc map-side with
+    exact integer (n_bigrams, Σ count, min count) over its bigrams'
+    GLOBAL frequencies."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textops.bigram_lm_score(docs)
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+  FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+        FROM w WHERE len(ws) >= 2)
+),
+c AS (SELECT b, COUNT(*) AS n FROM bg GROUP BY b)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c.n) AS BIGINT) AS sum_bigram_n,
+       CAST(MIN(c.n) AS BIGINT) AS min_bigram_n
+FROM bg JOIN c USING (b) GROUP BY bg.doc_id
+"""
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention analysis: users cohorted by first-active week;
+    (cohort_week, week_offset) → distinct active users. One user-bucketed
+    grouped pass computes each user's cohort AND its distinct week offsets
+    (≤ 1 row per (user, offset)), then a pair-keyed combiner sums users —
+    the shuffle never carries more than distinct (user, week) rows."""
+    from ..stages.relational import bucketed_groups, partial_groupby_sum
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "day": pc.floor(pc.divide(batch["ts"].cast(pa.int64()),
+                                      86_400_000_000)).cast(pa.int64()),
+        })
+
+    days = ev.map_batches(_days, batch_format="pyarrow", batch_size=8192)
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "day"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        uid = d["user_id"].to_numpy()
+        day = d["day"].to_numpy().astype(np.int64)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        cohort = day[np.flatnonzero(new)]
+        cohort_full = np.repeat(cohort, np.diff(np.r_[np.flatnonzero(new), len(d)]))
+        off = (day - cohort_full) // 7
+        out = pd.DataFrame({"cohort_week": cohort_full // 7,
+                            "week_offset": off, "user_id": uid})
+        out = out.drop_duplicates()
+        return out.assign(n_users=np.int64(1))[
+            ["cohort_week", "week_offset", "n_users"]]
+
+    per_user = bucketed_groups(days, ["user_id"], _per_user, pre_fn=_pre)
+    return partial_groupby_sum(per_user, ["cohort_week", "week_offset"],
+                               ["n_users"])
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT c.cohort // 7 AS cohort_week, (d.day - c.cohort) // 7 AS week_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_events_window_topk(sf_dir: str):
+    """Windowed heavy hitters: per tumbling hour, the top-3 event types by
+    count (ties → type asc) — counts pre-aggregate per batch (window×type-
+    alphabet-bounded shuffle), then the bucketed partial-top-k."""
+    from ..stages.relational import group_topk, partial_groupby_sum
+
+    ev = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def _w(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor(pc.divide(batch["ts"].cast(pa.int64()),
+                                       3_600_000_000)).cast(pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    w = ev.map_batches(_w, batch_format="pyarrow", batch_size=8192)
+    counts = partial_groupby_sum(
+        w.map_batches(lambda t: t.append_column("n", pa.array(
+            np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        ["hour", "event_type"], ["n"])
+    return group_topk(counts, ["hour"], [("n", False), ("event_type", True)],
+                      3, rank_col="rk")
+
+
+SQL_EVENTS_WINDOW_TOPK = """
+WITH c AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n, rk FROM (
+  SELECT hour, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c
+) WHERE rk <= 3
+"""
+
+
+def q_supplier_cooccurrence(sf_dir: str):
+    """Co-occurrence self-join (the wedge-enumeration step of triangle
+    counting / co-purchase analysis): supplier pairs sharing ≥ 30 distinct
+    parts. Pairs are generated INSIDE part-keyed groups (each part emits
+    its C(s,2) wedges — the documented quadratic-in-degree step; real
+    deployments cap hot keys, here part degrees are bounded by the data),
+    then a pair-keyed combiner sums shared-part counts."""
+    from ..stages.relational import bucketed_groups, partial_groupby_sum
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["l_partkey", "l_suppkey"])
+             .sort_values(["l_partkey", "l_suppkey"]))
+        pk = d["l_partkey"].to_numpy()
+        sk = d["l_suppkey"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        sizes = np.diff(np.r_[starts, len(d)])
+        a_out, b_out = [], []
+        # vectorize over SIZE CLASSES: all parts with m suppliers emit their
+        # C(m,2) wedges in one fancy-index (the loop is over distinct group
+        # sizes — dozens — never over the tens of thousands of parts)
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            grp_starts = starts[sizes == m]
+            idx = grp_starts[:, None] + np.arange(m)[None, :]
+            mat = sk[idx]                       # (n_groups, m)
+            ii, jj = np.triu_indices(int(m), k=1)
+            a_out.append(mat[:, ii].ravel())
+            b_out.append(mat[:, jj].ravel())
+        if not a_out:
+            return pd.DataFrame({"supp_a": np.array([], np.int64),
+                                 "supp_b": np.array([], np.int64),
+                                 "n_shared": np.array([], np.int64)})
+        out = pd.DataFrame({"supp_a": np.concatenate(a_out),
+                            "supp_b": np.concatenate(b_out)})
+        # combiner: collapse this bucket's wedges to pair counts before the
+        # pair shuffle (the wedge set is the quadratic part — never ship it)
+        out = out.groupby(["supp_a", "supp_b"], as_index=False, sort=False)
+        out = out.size().rename(columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    wedges = bucketed_groups(li, ["l_partkey"], _pairs, pre_fn=_pre)
+    summed = partial_groupby_sum(wedges, ["supp_a", "supp_b"], ["n_shared"])
+
+    def _thr(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_shared"], 30))
+
+    return summed.map_batches(_thr, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_COOCCURRENCE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ps a JOIN ps b
+  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 30
+"""
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language ID (stopword-profile argmax + CJK share) — the
     same rule expressed as the DuckDB oracle below (profiles inlined as a
@@ -3133,6 +3441,33 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 """
 
 
+def q_embedding_semantic_dedup(sf_dir: str):  # exact oracle (cluster+verify)
+    """SemDeDup-style semantic dedup (``ann.semantic_dedup``): assign every
+    vector to its nearest of the 16 codebook centroids (integer L2, same
+    rule as ``embedding_kmeans``), verify exact-cosine near-dup pairs only
+    WITHIN a cluster, keep = no ≥0.9 pair with a smaller id. Same planted
+    perturbed copies as ``embedding_neardup`` (the corpus itself is
+    near-orthogonal), so the planted duplicates must land in their
+    original's cluster and be dropped."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ids < 32)
+        if len(sel) == 0:
+            return batch
+        x = ann._batch_matrix(batch, "embedding")
+        pert = x[sel] * (1.0 + 0.01 * np.sin(ids[sel])[:, None])
+        dup = pa.table({
+            "vec_id": ids[sel] + 1_000_000,
+            "embedding": pa.array(list(pert), type=batch["embedding"].type),
+        })
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), dup])
+
+    planted = emb.map_batches(_plant, batch_format="pyarrow", batch_size=4096)
+    return ann.semantic_dedup(planted, _pq_cents_ref(sf_dir), threshold=0.9)
+
+
 def q_embedding_kmeans(sf_dir: str):  # exact oracle (integer Lloyd step)
     """One exact k-means (Lloyd) step over the embedding table — IVF
     codebook training (``ann.kmeans_assign_step``): codebook = the 16
@@ -4245,6 +4580,45 @@ cnts AS (
 )
 SELECT cluster_id, CAST(dim AS BIGINT) AS dim, sum_q FROM sums
 UNION ALL SELECT * FROM cnts
+"""
+
+
+SQL_EMBEDDING_SEMANTIC_DEDUP = f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(CAST(x AS DOUBLE) * (1 + 0.01 * sin(CAST(vec_id AS DOUBLE))) AS REAL)
+          FOR x IN embedding] AS embedding
+  FROM embeddings WHERE vec_id < 32
+),
+e AS ({_SQL_EMB_FIXED.format(src='allv')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS xq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+cent AS (SELECT vec_id AS cid, dim, xq FROM q WHERE vec_id < 16),
+dist AS (
+  SELECT v.vec_id, c.cid, SUM((v.xq - c.xq) * (v.xq - c.xq)) AS d2
+  FROM q v JOIN cent c USING (dim) GROUP BY v.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS vb
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.ed, eb.ed) >= 0.9
+)
+SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cluster_id,
+       s.vec_id NOT IN (SELECT vb FROM dups) AS keep
+FROM assign s
 """
 
 
@@ -5877,6 +6251,91 @@ def q_image_decode_features(sf_dir: str):
     return feats.select_columns(["image_id", "w", "h", "sum_r", "sum_g", "sum_b"])
 
 
+def q_image_edge_energy(sf_dir: str):
+    """Image edge energy through the decode path (``media.ImageEdgeEnergy``):
+    per image, exact int64 sums of absolute neighbor differences — the L1
+    gradient magnitude behind every blur/sharpness quality filter. The
+    synthesis adds a VERTICAL gradient on G to the ``image_decode_features``
+    fixture (horizontal on R), so both diff directions and all three codecs
+    (BMP/PNG/QJPG dequant) carry signal; the engine measures the decoded
+    pixels genuinely (all 6 channel×direction sums feed ``edge_total``),
+    while the oracle mirrors the synthesis+codec arithmetic closed-form."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_edge_energy(synth, batch_size=512)
+
+
+# dequant d(v) = (v//4)*4 + (v//4)//16 is monotone, but the oracle sums the
+# per-step |d(v_j) - d(v_{j-1})| explicitly (lag window over the unnested
+# pixel axis) rather than relying on telescoping, so a non-monotone codec
+# defect still breaks the hash.
+SQL_IMAGE_EDGE_ENERGY = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rvals AS (
+  SELECT image_id, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rdiff AS (
+  SELECT image_id, CAST(h * SUM(ABS(v - pv)) AS BIGINT) AS eh_r
+  FROM (SELECT image_id, h, v,
+               lag(v) OVER (PARTITION BY image_id ORDER BY j) AS pv
+        FROM rvals)
+  WHERE pv IS NOT NULL GROUP BY image_id, h
+),
+gvals AS (
+  SELECT image_id, w, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h
+),
+gdiff AS (
+  SELECT image_id, CAST(w * SUM(ABS(v - pv)) AS BIGINT) AS ev_g
+  FROM (SELECT image_id, w, v,
+               lag(v) OVER (PARTITION BY image_id ORDER BY r) AS pv
+        FROM gvals)
+  WHERE pv IS NOT NULL GROUP BY image_id, w
+)
+SELECT i.image_id, r.eh_r, g.ev_g, r.eh_r + g.ev_g AS edge_total
+FROM im i JOIN rdiff r USING (image_id) JOIN gdiff g USING (image_id)
+"""
+
+
 # QJPG 6-bit dequant: q = v // 4; d(v) = q*4 + q//16  (== (q<<2)|(q>>4) since
 # q>>4 < 4 occupies exactly the low 2 zero bits). fmt index 2 = jpeg.
 SQL_IMAGE_DECODE_FEATURES = """
@@ -6070,6 +6529,15 @@ QUERIES = {
     "value_variance_by_type": q_value_variance_by_type,
     "segment_tile_spans": q_segment_tile_spans,
     "hilbert_cells": q_hilbert_cells,
+    "doc_normalized_dedup": q_doc_normalized_dedup,
+    "doc_pii_scan": q_doc_pii_scan,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
+    "doc_lm_score": q_doc_lm_score,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "events_window_topk": q_events_window_topk,
+    "supplier_cooccurrence": q_supplier_cooccurrence,
+    "image_edge_energy": q_image_edge_energy,
 }
 
 
@@ -6198,4 +6666,13 @@ ORACLE_SQL = {
     "value_variance_by_type": SQL_VALUE_VARIANCE_BY_TYPE,
     "segment_tile_spans": SQL_SEGMENT_TILE_SPANS,
     "hilbert_cells": SQL_HILBERT_CELLS,
+    "doc_normalized_dedup": SQL_DOC_NORMALIZED_DEDUP,
+    "doc_pii_scan": SQL_DOC_PII_SCAN,
+    "doc_heavy_hitters": SQL_DOC_HEAVY_HITTERS,
+    "doc_lm_score": SQL_DOC_LM_SCORE,
+    "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
+    "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
+    "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
+    "supplier_cooccurrence": SQL_SUPPLIER_COOCCURRENCE,
+    "image_edge_energy": SQL_IMAGE_EDGE_ENERGY,
 }

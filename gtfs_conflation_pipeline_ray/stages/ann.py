@@ -582,3 +582,69 @@ def ivfpq_topk(vectors, pq_cents_ref, queries_ref, k: int = 5,
                                 batch_size=batch_size)
     return group_topk(local, ["query_id"], [("adc", True), ("vec_id", True)],
                       k, rank_col="adc_rank")
+
+
+def semantic_dedup(vectors, centroids_ref, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   batch_size: int = 4096):
+    """SemDeDup-style semantic deduplication (cluster-then-verify, the
+    embedding sibling of MinHash dedup at corpus scale): every vector is
+    assigned to its nearest codebook centroid (EXACT integer L2 over
+    ``quantize_fixed`` components, ties → smallest centroid id — the same
+    assignment rule as ``kmeans_assign_step``), then near-duplicate pairs
+    are verified with exact pairwise cosine ONLY inside a cluster, and each
+    vector keeps iff it has no ≥-threshold pair with a smaller id in its
+    cluster. Returns (id, cluster_id, keep) for every vector.
+
+    Scale shape: the only shuffle routes vectors into cluster-keyed buckets;
+    the quadratic verify is per-cluster (n/k expected members — the
+    codebook size is the knob that bounds it), never global. Like SemDeDup,
+    cross-cluster near-duplicates are out of scope by construction — that
+    recall tradeoff is the documented point of the method."""
+    from .relational import bucketed_groups
+    from .util import cached_state
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents: np.ndarray = cached_state(
+            centroids_ref, lambda c: np.asarray(c, dtype=np.int64),
+            token="semdedup_cents")
+        x = _batch_matrix(batch, vec_col, dim=cents.shape[1])
+        if len(x) == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster_id": np.array([], np.int64),
+                             vec_col: batch[vec_col]})
+        xq = quantize_fixed(x)
+        d2 = (np.einsum("ij,ij->i", xq, xq)[:, None]
+              + np.einsum("ij,ij->i", cents, cents)[None, :]
+              - 2 * (xq @ cents.T))
+        return pa.table({id_col: batch[id_col],
+                         "cluster_id": np.argmin(d2, axis=1).astype(np.int64),
+                         vec_col: batch[vec_col]})
+
+    assigned = vectors.map_batches(_assign, batch_format="pyarrow",
+                                   batch_size=batch_size)
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, grp in g.groupby("cluster_id", sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy().astype(np.int64)
+            if len(ids) == 1:
+                out.append(pd.DataFrame({id_col: ids, "cluster_id": cid,
+                                         "keep": [True]}))
+                continue
+            x = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+            norm = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+            sims = (x @ x.T) / (norm[:, None] * norm[None, :])
+            # ids are sorted: a strict upper-triangle >=threshold hit in
+            # column j means j has a smaller-id near-dup -> drop j
+            dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+            out.append(pd.DataFrame({id_col: ids, "cluster_id": cid,
+                                     "keep": ~dup}))
+        if not out:
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "cluster_id": np.array([], np.int64),
+                                 "keep": np.array([], bool)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groups(assigned, ["cluster_id"], _verify)

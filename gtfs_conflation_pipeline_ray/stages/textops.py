@@ -260,3 +260,134 @@ def pii_scan(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(_scan, batch_format="pyarrow", batch_size=4096)
+
+
+def _batch_bigrams(texts: list[str]) -> tuple[list[int], list[str]]:
+    """(doc_index, 'w1 w2') pairs for a batch — the only per-row Python is
+    the split; counting downstream is vectorized pandas."""
+    d_idx: list[int] = []
+    bgs: list[str] = []
+    for j, t in enumerate(texts):
+        ws = tx._WORD_ASCII_RE.findall(t.lower())
+        if len(ws) < 2:
+            continue
+        d_idx.extend([j] * (len(ws) - 1))
+        bgs.extend(a + " " + b for a, b in zip(ws, ws[1:]))
+    return d_idx, bgs
+
+
+def heavy_hitters(ds, k: int = 1200, text_col: str = "text"):
+    """Frequent word-bigrams by Misra-Gries sketch + EXACT verify — the
+    sketch-then-verify heavy-hitter pattern at corpus scale: no token's
+    exact count ever shuffles globally in pass 1.
+
+    Pass 1 per batch: exact batch counts (vectorized value_counts), then
+    MG-compressed by subtracting the (k+1)-th largest count — the classic
+    mergeable-summaries compression. Pigeonhole guarantees the UNION of
+    per-batch survivors is a superset of every bigram with global count
+    > N/(k+1): if count_b ≤ N_b/(k+1) in every batch, summing bounds the
+    global count by N/(k+1). Candidate union is ≤ k×batches and tiny in
+    practice (≤ the bigram vocabulary).
+
+    Pass 2: exact counts of ONLY the candidates (broadcast set) + the exact
+    total N, bucketed-combined; survivors satisfy n·(k+1) > N exactly —
+    identical to the plain SQL HAVING, despite the sketch. Returns
+    (bigram, n)."""
+    import ray
+
+    from .relational import partial_groupby_sum
+
+    def _mg(batch: pa.Table) -> pa.Table:
+        d_idx, bgs = _batch_bigrams(batch[text_col].to_pylist())
+        if not bgs:
+            return pa.table({"bigram": pa.array([], type=pa.string())})
+        counts = pd.Series(bgs).value_counts()
+        if len(counts) > k:
+            thr = counts.iloc[k]  # (k+1)-th largest
+            counts = counts[counts > thr]
+        return pa.table({"bigram": pa.array(counts.index.to_numpy(),
+                                            type=pa.string())})
+
+    cand = ds.map_batches(_mg, batch_format="pyarrow", batch_size=4096)
+    # candidate union: bounded by min(k x batches, bigram vocab) — a
+    # documented small-side materialization, broadcast once
+    parts = [b["bigram"].to_pandas()
+             for b in cand.iter_batches(batch_format="pyarrow")]
+    cand_set = set(pd.concat(parts, ignore_index=True)) if parts else set()
+    cand_ref = ray.put(sorted(cand_set))
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        from .util import cached_state
+
+        cands: set = cached_state(cand_ref, lambda c: set(c), token="hh_cands")
+        d_idx, bgs = _batch_bigrams(batch[text_col].to_pylist())
+        s = pd.Series(bgs)
+        counts = s[s.isin(cands)].value_counts()
+        return pa.table({
+            "bigram": pa.array(
+                np.append(counts.index.to_numpy(), [""]).astype(object),
+                type=pa.string()),
+            "n": np.append(counts.to_numpy().astype(np.int64),
+                           [np.int64(len(bgs))]),
+        })
+
+    partials = ds.map_batches(_exact, batch_format="pyarrow", batch_size=4096)
+    combined = partial_groupby_sum(partials, ["bigram"], ["n"]).to_pandas()
+    total = int(combined.loc[combined["bigram"] == "", "n"].sum())
+    out = combined[(combined["bigram"] != "")
+                   & (combined["n"] * (k + 1) > total)]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-LM scoring (the perplexity-filter shape of a training-data
+    pipeline, integer form): pass 1 trains global bigram counts (shuffle
+    bounded by the bigram vocabulary — partial counts per batch); pass 2
+    broadcasts the count table and scores every document map-side:
+    (doc_id, n_bigrams, sum_bigram_n, min_bigram_n) where sum/min are over
+    the GLOBAL counts of the doc's bigrams. High min/avg = formulaic text,
+    low = novel text. No second shuffle; exact integers throughout."""
+    import ray
+
+    from .relational import partial_groupby_sum
+    from .util import cached_state
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        d_idx, bgs = _batch_bigrams(batch[text_col].to_pylist())
+        if not bgs:
+            return pa.table({"b": pa.array([], type=pa.string()),
+                             "n": np.array([], np.int64)})
+        c = pd.Series(bgs).value_counts()
+        return pa.table({"b": pa.array(c.index.to_numpy(), type=pa.string()),
+                         "n": c.to_numpy().astype(np.int64)})
+
+    partials = ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+    model = partial_groupby_sum(partials, ["b"], ["n"]).to_pandas()
+    model_ref = ray.put((model["b"].to_numpy(), model["n"].to_numpy()))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bs, ns = cached_state(
+            model_ref,
+            lambda m: (np.sort(m[0]), m[1][np.argsort(m[0], kind="stable")]),
+            token="bigram_lm_model")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_idx, bgs = _batch_bigrams(batch[text_col].to_pylist())
+        if not bgs:
+            return pa.table({id_col: np.array([], np.int64),
+                             "n_bigrams": np.array([], np.int64),
+                             "sum_bigram_n": np.array([], np.int64),
+                             "min_bigram_n": np.array([], np.int64)})
+        pos = np.searchsorted(bs, np.asarray(bgs, dtype=object))
+        cnt = ns[pos]  # every doc bigram exists in the trained model
+        di = np.asarray(d_idx, np.int64)
+        order = np.argsort(di, kind="stable")
+        di, cnt = di[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+        return pa.table({
+            id_col: ids[di[starts]],
+            "n_bigrams": np.diff(np.r_[starts, len(di)]).astype(np.int64),
+            "sum_bigram_n": np.add.reduceat(cnt, starts),
+            "min_bigram_n": np.minimum.reduceat(cnt, starts),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=4096)
