@@ -1314,13 +1314,165 @@ def q_supplier_cooccurrence(sf_dir: str):
     return summed.map_batches(_thr, batch_format="pyarrow")
 
 
-SQL_SUPPLIER_COOCCURRENCE = """
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
-       CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM ps a JOIN ps b
-  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-GROUP BY 1, 2 HAVING COUNT(*) >= 30
+_SQL_COOC_EDGES = """
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 30
+)"""
+
+SQL_SUPPLIER_COOCCURRENCE = ("WITH " + _SQL_COOC_EDGES
+                             + "\nSELECT supp_a, supp_b, n_shared FROM e")
+
+
+def q_supplier_triangles(sf_dir: str):
+    """Per-node triangle counts over the thresholded co-occurrence graph
+    (``graphrank.triangle_counts``): the degree-ordered orientation finds
+    each triangle a<b<c exactly once at its lowest edge via a sorted-
+    adjacency intersection; the bounded edge table broadcasts as CSR and
+    the edge stream probes it batch-parallel."""
+    from ..stages.graphrank import triangle_counts
+
+    return triangle_counts(q_supplier_cooccurrence(sf_dir))
+
+
+SQL_SUPPLIER_TRIANGLES = ("WITH " + _SQL_COOC_EDGES + """,
+tri AS (
+  SELECT e1.supp_a AS a, e1.supp_b AS b, e2.supp_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.supp_a = e1.supp_a AND e2.supp_b > e1.supp_b
+  JOIN e e3 ON e3.supp_a = e1.supp_b AND e3.supp_b = e2.supp_b
+),
+nodes AS (
+  SELECT a AS supp FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY supp
+""")
+
+
+def q_events_ewma(sf_dir: str):
+    """Per-user integer-floor EWMA over the event-value stream
+    (``windows.ewma_by_key``; α = 1/4 as the rational 3/4-carry) — the
+    stateful sequential recurrence of a streaming metrics pipeline, with a
+    recursive-CTE oracle that replays the exact same floor steps."""
+    from ..stages.windows import ewma_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v": pa.array(cents(batch["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    return ewma_by_key(prep, "user_id", ["ts", "event_id"], "v")
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events
+),
+nn AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+r AS (
+  SELECT user_id, rn, v AS a, v AS amax FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, (3 * r.a + e.v) // 4,
+         GREATEST(r.amax, (3 * r.a + e.v) // 4)
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT r.user_id, nn.n AS n_events, r.a AS ewma_final_c,
+       r.amax AS ewma_max_c
+FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+"""
+
+
+def q_tile_coverage_grid(sf_dir: str):
+    """Raster-style coverage rollup (raster↔vector assignment half of the
+    north star): the tile-rect layer rasterized onto a 32×32 coarse grid —
+    per cell, the total CLIPPED intersection area and contributing-tile
+    count. Each tile expands map-side to only the few cells it overlaps
+    (integer div on its bounds), areas are exact int64 products, and the
+    shuffle is grid-sized (≤1024 rows per batch after the per-batch
+    combiner)."""
+    from ..stages.relational import partial_groupby_sum
+
+    CELL = 2048
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        hw = t["hw"].to_numpy()
+        hh = t["hh"].to_numpy()
+        x0, x1 = cx - hw, cx + hw
+        y0, y1 = cy - hh, cy + hh
+        # in-world clip (rects can straddle the modular world edge)
+        x0c, x1c = np.maximum(x0, 0), np.minimum(x1, 65536)
+        y0c, y1c = np.maximum(y0, 0), np.minimum(y1, 65536)
+        keep = (x1c > x0c) & (y1c > y0c)
+        x0c, x1c, y0c, y1c = x0c[keep], x1c[keep], y0c[keep], y1c[keep]
+        gx0, gx1 = x0c // CELL, (x1c - 1) // CELL
+        gy0, gy1 = y0c // CELL, (y1c - 1) // CELL
+        nx = (gx1 - gx0 + 1).astype(np.int64)
+        ny = (gy1 - gy0 + 1).astype(np.int64)
+        reps = nx * ny
+        ti = np.repeat(np.arange(len(x0c)), reps)
+        # per-tile local cell offsets (vectorized ragged expansion)
+        off = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+        cxg = gx0[ti] + off % nx[ti]
+        cyg = gy0[ti] + off // nx[ti]
+        cl, cr = cxg * CELL, (cxg + 1) * CELL
+        cb, ct = cyg * CELL, (cyg + 1) * CELL
+        iw = np.minimum(x1c[ti], cr) - np.maximum(x0c[ti], cl)
+        ih = np.minimum(y1c[ti], ct) - np.maximum(y0c[ti], cb)
+        pos = (iw > 0) & (ih > 0)
+        df = pd.DataFrame({"cell_x": cxg[pos], "cell_y": cyg[pos],
+                           "area": (iw * ih)[pos],
+                           "n_tiles": np.int64(1)})
+        agg = df.groupby(["cell_x", "cell_y"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = part.map_batches(_expand, batch_format="pyarrow",
+                                batch_size=8192)
+    return partial_groupby_sum(partials, ["cell_x", "cell_y"],
+                               ["area", "n_tiles"])
+
+
+SQL_TILE_COVERAGE_GRID = f"""
+WITH tiles AS ({td.TILES_SQL}),
+rects AS (
+  SELECT GREATEST(cx - hw, 0) AS x0, LEAST(cx + hw, 65536) AS x1,
+         GREATEST(cy - hh, 0) AS y0, LEAST(cy + hh, 65536) AS y1
+  FROM tiles
+),
+cells AS (
+  SELECT gx.g AS cell_x, gy.g AS cell_y,
+         gx.g * 2048 AS cl, (gx.g + 1) * 2048 AS cr,
+         gy.g * 2048 AS cb, (gy.g + 1) * 2048 AS ct
+  FROM (SELECT unnest(range(32)) AS g) gx,
+       (SELECT unnest(range(32)) AS g) gy
+)
+SELECT c.cell_x, c.cell_y,
+       CAST(SUM((LEAST(r.x1, c.cr) - GREATEST(r.x0, c.cl))
+              * (LEAST(r.y1, c.ct) - GREATEST(r.y0, c.cb))) AS BIGINT) AS area,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles
+FROM rects r JOIN cells c
+  ON r.x0 < c.cr AND r.x1 > c.cl AND r.y0 < c.ct AND r.y1 > c.cb
+WHERE r.x1 > r.x0 AND r.y1 > r.y0
+GROUP BY c.cell_x, c.cell_y
 """
 
 
@@ -6538,6 +6690,9 @@ QUERIES = {
     "events_window_topk": q_events_window_topk,
     "supplier_cooccurrence": q_supplier_cooccurrence,
     "image_edge_energy": q_image_edge_energy,
+    "events_ewma": q_events_ewma,
+    "tile_coverage_grid": q_tile_coverage_grid,
+    "supplier_triangles": q_supplier_triangles,
 }
 
 
@@ -6675,4 +6830,7 @@ ORACLE_SQL = {
     "events_window_topk": SQL_EVENTS_WINDOW_TOPK,
     "supplier_cooccurrence": SQL_SUPPLIER_COOCCURRENCE,
     "image_edge_energy": SQL_IMAGE_EDGE_ENERGY,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "tile_coverage_grid": SQL_TILE_COVERAGE_GRID,
+    "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
 }

@@ -125,3 +125,65 @@ def pagerank(edges, n_iters: int = 3, src_col: str = "src",
     return ranks.map_batches(
         lambda t: pa.table({"node": t["node"], "rank_q": t["rank_q"]}),
         batch_format="pyarrow", batch_size=65536)
+
+
+def triangle_counts(edges, a_col: str = "supp_a", b_col: str = "supp_b"):
+    """Per-node triangle counts over an undirected edge set (rows carry each
+    unordered edge once as a < b) — the classic degree-ordered-orientation
+    triangle enumeration: for every edge (a, b), triangles are the common
+    neighbors c > b of a and b, so each triangle a < b < c is found exactly
+    once, at its lowest edge. Per-edge work = one sorted-adjacency
+    intersection; the hot loop is over edges in a batch with numpy
+    ``intersect1d`` per edge.
+
+    The edge table is BOUNDED (it is itself the thresholded output of a
+    grouped aggregation), so it materializes once and broadcasts as a CSR
+    adjacency (``ray.put``); the edge stream then probes it batch-parallel —
+    the same broadcast-small-side shape as the spatial joins. Returns
+    (node, n_triangles) for nodes in ≥1 triangle."""
+    import ray
+
+    from .util import cached_state
+    from .relational import partial_groupby_sum
+
+    epd = edges.to_pandas()  # bounded: the thresholded pair table
+    full = pa.table({a_col: epd[a_col].to_numpy().astype(np.int64),
+                     b_col: epd[b_col].to_numpy().astype(np.int64)})
+    eref = ray.put(full)
+    edges = ray.data.from_arrow(full)
+
+    def _build_csr(t: pa.Table):
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes, starts = np.unique(src, return_index=True)
+        return nodes, np.append(starts, len(src)), dst
+
+    def _tri(batch: pa.Table) -> pa.Table:
+        nodes, indptr, dst = cached_state(eref, _build_csr, token="tri_csr")
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        out_n, out_c = [], []
+        for i in range(len(a)):
+            na = dst[indptr[ai[i]]:indptr[ai[i] + 1]]
+            nb = dst[indptr[bi[i]]:indptr[bi[i] + 1]]
+            common = np.intersect1d(na, nb, assume_unique=True)
+            common = common[common > b[i]]
+            k = len(common)
+            if k == 0:
+                continue
+            out_n.extend((a[i], b[i]))
+            out_c.extend((k, k))
+            out_n.extend(common.tolist())
+            out_c.extend([1] * k)
+        return pa.table({"supp": np.asarray(out_n, np.int64),
+                         "n_triangles": np.asarray(out_c, np.int64)})
+
+    partials = edges.map_batches(_tri, batch_format="pyarrow",
+                                 batch_size=8192)
+    return partial_groupby_sum(partials, ["supp"], ["n_triangles"])

@@ -320,3 +320,42 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str]):
         return out
 
     return bucketed_groups(ds, [key], _funnel)
+
+
+def ewma_by_key(ds, key: str, order: list[str], val_col: str,
+                num: int = 3, den: int = 4):
+    """Stateful-streaming EWMA in integer floor arithmetic — the per-key
+    sequential recurrence a₀ = v₀, aₜ = ⌊(num·aₜ₋₁ + vₜ) / den⌋ (num/den =
+    3/4 ≙ α = 0.25), the exact-integer form of the exponential smoothing
+    every metrics pipeline runs. Inherently sequential per key (each step
+    reads the previous), so the kernel loops WITHIN a key group over its
+    (already vectorized-sorted) value array; keys are independent and
+    shuffle-parallel. Returns (key, n_events, ewma_final_c, ewma_max_c).
+
+    Floor division matches DuckDB ``//`` exactly (true floor, not
+    truncation), so the recursive-CTE oracle is bit-identical."""
+    from .relational import bucketed_groups
+
+    def _ewma(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, *order], kind="mergesort")
+        k = d[key].to_numpy()
+        v = d[val_col].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        keys_out = k[starts]
+        n_out = (ends - starts).astype(np.int64)
+        fin = np.empty(len(starts), np.int64)
+        mx = np.empty(len(starts), np.int64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            a = int(v[s])
+            amax = a
+            for t in range(s + 1, e):
+                a = (num * a + int(v[t])) // den
+                if a > amax:
+                    amax = a
+            fin[gi] = a
+            mx[gi] = amax
+        return pd.DataFrame({key: keys_out, "n_events": n_out,
+                             "ewma_final_c": fin, "ewma_max_c": mx})
+
+    return bucketed_groups(ds, [key], _ewma)
