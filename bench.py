@@ -157,18 +157,12 @@ def run_bench() -> dict:
         headline_runs.append(round(time.time() - t0, 3))
     headline = min(headline_runs)
 
-    qtimes: dict[str, float] = {}
-    qruns: dict[str, list[float]] = {}
-    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for sweep in range(2):  # two full sweeps -> best-of-2 per query
-            for name, fn in QUERIES.items():
-                t0 = time.time()
-                _consume(fn(SF_DIR))
-                qruns.setdefault(name, []).append(round(time.time() - t0, 3))
-        qtimes = {name: min(runs) for name, runs in qruns.items()}
-
     # engine-native image pipeline (BASELINE input shape) over cached fixture,
-    # including the per-row payload validation pass
+    # including the per-row payload validation pass. Runs BEFORE the registry
+    # sweep: a 130+-query sweep leaves the session congested with accumulated
+    # hash-shuffle aggregator actors (measured: join queries drew 25-31s
+    # inside the sweep vs 5-7s isolated), and the image throughput number
+    # must not inherit that.
     image_runs: list[float] = []
     image_sec = n_img = None
     if not os.environ.get("GRAFT_SKIP_IMAGE"):
@@ -190,6 +184,16 @@ def run_bench() -> dict:
         image_runs = [round(_run_image_pipeline(img_dir, validate=True), 3)
                       for _ in range(image_reps)]
         image_sec = min(image_runs)
+
+    qtimes: dict[str, float] = {}
+    qruns: dict[str, list[float]] = {}
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        for sweep in range(2):  # two full sweeps -> best-of-2 per query
+            for name, fn in QUERIES.items():
+                t0 = time.time()
+                _consume(fn(SF_DIR))
+                qruns.setdefault(name, []).append(round(time.time() - t0, 3))
+        qtimes = {name: min(runs) for name, runs in qruns.items()}
 
     result = {
         "metric": "flagship_spatial_join_tile_agg",

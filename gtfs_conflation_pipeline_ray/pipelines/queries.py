@@ -1476,6 +1476,174 @@ GROUP BY c.cell_x, c.cell_y
 """
 
 
+def q_tile_knn_graph(sf_dir: str):
+    """Tile self-kNN graph (every 10th tile → its 4 nearest tile centroids,
+    deterministic (dist², tile_id) order incl. self) — the kNN-graph
+    construction step of a spatial index / mesh builder, reusing the
+    broadcast-index ``spatial.knn_join`` exactly as the customer-probe kNN
+    does. The probe side is the decimated tile set so the brute-force
+    cross-join oracle stays tractable."""
+    from ..stages.spatial import knn_join
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _probes(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        keep = pa.array(t["tile_id"].to_numpy() % 10 == 0)
+        t = t.filter(keep)
+        return pa.table({"src_tile": t["tile_id"], "px": t["cx"],
+                         "py": t["cy"]})
+
+    probes = part.map_batches(_probes, batch_format="pyarrow",
+                              batch_size=32768)
+    out = knn_join(probes, conflation.tiles_ref(sf_dir), k=4,
+                   x_col="px", y_col="py", carry_cols=["src_tile"])
+    return out.select_columns(["src_tile", "tile_id", "knn_rank", "dist2"])
+
+
+SQL_TILE_KNN_GRAPH = f"""
+WITH tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0)
+SELECT src_tile, tile_id, knn_rank, dist2 FROM (
+  SELECT p.src_tile, t.tile_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.src_tile
+           ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                  + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank,
+         (p.px - t.cx) * (p.px - t.cx)
+           + (p.py - t.cy) * (p.py - t.cy) AS dist2
+  FROM probes p CROSS JOIN tiles t
+) WHERE knn_rank <= 4
+"""
+
+
+def q_orders_skyline(sf_dir: str):
+    """Distributed skyline (Pareto frontier): orders not dominated on
+    (maximize price, minimize date). Local skylines per batch, then the
+    exact skyline of their union — correct because a globally non-dominated
+    point is non-dominated in its own batch, so skyline(∪ local skylines)
+    = skyline(all); local skylines are O(log batch) rows, so the final
+    pass materializes a provably tiny union. The keep rule (shared by both
+    passes and the SQL sweep oracle): keep i iff no j has (pⱼ > pᵢ and
+    dⱼ ≤ dᵢ) and no j has (pⱼ = pᵢ and dⱼ < dᵢ)."""
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["price_c"].to_numpy()
+        d = df["date_us"].to_numpy()
+        o = np.lexsort((d, -p))  # price desc, date asc
+        ps, ds = p[o], d[o]
+        # strict-greater-price running min of date
+        new_p = np.r_[True, ps[1:] != ps[:-1]]
+        grp = np.cumsum(new_p) - 1
+        mind_per_p = np.minimum.reduceat(ds, np.flatnonzero(new_p))
+        run = np.minimum.accumulate(mind_per_p)
+        mind_gt = np.r_[np.int64(np.iinfo(np.int64).max), run[:-1]][grp]
+        keep = (ds < mind_gt) & (ds == mind_per_p[grp])
+        return df.iloc[o[keep]]
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "price_c": pa.array(cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False))),
+            "date_us": batch["o_orderdate"].cast(pa.int64()),
+        })
+        return pa.Table.from_pandas(_local_skyline(t.to_pandas()),
+                                    preserve_index=False)
+
+    local = orders.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    union = local.to_pandas()  # bounded: sum of O(log batch) local skylines
+    final = _local_skyline(union).sort_values("o_orderkey")
+    return pa.Table.from_pandas(final.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL_ORDERS_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+  FROM orders
+),
+m1 AS (SELECT price_c, MIN(date_us) AS mind FROM o GROUP BY price_c),
+mg AS (
+  SELECT price_c, mind,
+         MIN(mind) OVER (ORDER BY price_c DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mind_gt
+  FROM m1
+)
+SELECT o.o_orderkey, o.price_c, o.date_us
+FROM o JOIN mg USING (price_c)
+WHERE o.date_us = mg.mind
+  AND (mg.mind_gt IS NULL OR o.date_us < mg.mind_gt)
+"""
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Data-profiling pass (the schema-quality check every ingest pipeline
+    runs first): per numeric column, exact (n_rows, n_nulls, min, max) with
+    money columns quantized to cents — one combiner row per column per
+    batch, so the shuffle is column-count-sized."""
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax"])
+    cents_cols = {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+
+    def _prof(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in df.columns:
+            v = df[c]
+            nn = int(v.isna().sum())
+            x = v.dropna().to_numpy()
+            if c in cents_cols:
+                x = cents(x.astype(np.float64))
+            else:
+                x = x.astype(np.int64)
+            rows.append({"col": c, "n_rows": np.int64(len(v)),
+                         "n_nulls": np.int64(nn),
+                         "min_v": np.int64(x.min()) if len(x) else np.int64(0),
+                         "max_v": np.int64(x.max()) if len(x) else np.int64(0)})
+        return pd.DataFrame(rows)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("col", as_index=False, sort=False).agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max"))
+
+    return bucketed_groups(li, ["col"], _final, pre_fn=_prof, n_buckets=4)
+
+
+SQL_LINEITEM_PROFILE = """
+SELECT 'l_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+       MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+       MIN(l_partkey), MAX(l_partkey) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+       MIN(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)),
+       MAX(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)),
+       MAX(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       MIN(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)),
+       MAX(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+       MIN(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)),
+       MAX(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)) FROM lineitem
+"""
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language ID (stopword-profile argmax + CJK share) — the
     same rule expressed as the DuckDB oracle below (profiles inlined as a
@@ -6693,6 +6861,9 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "tile_coverage_grid": q_tile_coverage_grid,
     "supplier_triangles": q_supplier_triangles,
+    "tile_knn_graph": q_tile_knn_graph,
+    "orders_skyline": q_orders_skyline,
+    "lineitem_profile": q_lineitem_profile,
 }
 
 
@@ -6833,4 +7004,7 @@ ORACLE_SQL = {
     "events_ewma": SQL_EVENTS_EWMA,
     "tile_coverage_grid": SQL_TILE_COVERAGE_GRID,
     "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
+    "tile_knn_graph": SQL_TILE_KNN_GRAPH,
+    "orders_skyline": SQL_ORDERS_SKYLINE,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
 }
