@@ -6712,6 +6712,73 @@ FROM vf
 """
 
 
+def q_point_dbscan(sf_dir: str):  # exact oracle (recursive-CTE components)
+    """Density-based clustering (DBSCAN) over the probe points under the
+    Chebyshev metric (``spatial.grid_dbscan``): cell-bucket self-join for
+    eps-neighbor pairs, combiner-first degrees, core gate |N(p)| >= 4
+    (counting p), core-graph connected components via the pointer-doubling
+    CC engine, deterministic min-label border attachment. The density
+    analog of the reference's match-equivalence grouping
+    (``GtfsOsmNetworkDAO/loaders.js:39-49``) and the spatial-blocking step
+    of dedup pipelines over phash/embedding keys."""
+    pts = conflation.read_points(sf_dir).select_columns(
+        ["point_id", "px", "py"])
+    return spatial.grid_dbscan(pts, eps=32, min_pts=4,
+                               est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_POINT_DBSCAN = f"""
+WITH RECURSIVE points AS ({td.POINTS_SQL}),
+cells AS (
+  SELECT point_id, px, py, px // 32 + 1 AS cx, py // 32 + 1 AS cy FROM points
+),
+off AS (SELECT * FROM (VALUES (-1), (0), (1)) t(d)),
+pairs AS (
+  SELECT a.point_id AS pid_a, b.point_id AS pid_b
+  FROM cells a
+  JOIN (SELECT c.point_id, c.px, c.py, c.cx + ox.d AS gx, c.cy + oy.d AS gy
+        FROM cells c, off ox, off oy) b
+    ON b.gx = a.cx AND b.gy = a.cy
+  WHERE abs(a.px - b.px) <= 32 AND abs(a.py - b.py) <= 32
+    AND a.point_id <> b.point_id
+),
+deg AS (SELECT pid_a AS pid, COUNT(*) AS deg FROM pairs GROUP BY 1),
+core AS (SELECT pid FROM deg WHERE deg >= 3),
+cedges AS (
+  SELECT p.pid_a AS src, p.pid_b AS dst
+  FROM pairs p
+  JOIN core ca ON ca.pid = p.pid_a
+  JOIN core cb ON cb.pid = p.pid_b
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM cedges
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN cedges e ON e.src = r.node
+),
+clab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+corelab AS (
+  SELECT c.pid, COALESCE(l.lbl, c.pid) AS cluster_id
+  FROM core c LEFT JOIN clab l ON l.node = c.pid
+),
+border AS (
+  SELECT p.pid_a AS pid, MIN(cl.cluster_id) AS cluster_id
+  FROM pairs p
+  JOIN corelab cl ON cl.pid = p.pid_b
+  LEFT JOIN core k ON k.pid = p.pid_a
+  WHERE k.pid IS NULL
+  GROUP BY 1
+)
+SELECT p.point_id,
+       CASE WHEN c.pid IS NOT NULL THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(c.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM points p
+LEFT JOIN corelab c ON c.pid = p.point_id
+LEFT JOIN border b ON b.pid = p.point_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6864,6 +6931,7 @@ QUERIES = {
     "tile_knn_graph": q_tile_knn_graph,
     "orders_skyline": q_orders_skyline,
     "lineitem_profile": q_lineitem_profile,
+    "point_dbscan": q_point_dbscan,
 }
 
 
@@ -7007,4 +7075,5 @@ ORACLE_SQL = {
     "tile_knn_graph": SQL_TILE_KNN_GRAPH,
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
+    "point_dbscan": SQL_POINT_DBSCAN,
 }

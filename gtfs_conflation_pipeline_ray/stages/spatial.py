@@ -24,6 +24,7 @@ after per-batch partial aggregation.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -555,3 +556,340 @@ def segment_rect_spans(segs, rects_ref, carry_cols: list[str],
 
     return segs.map_batches(_probe, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+def _dbscan_pairs(points, eps: int, id_col: str, x_col: str, y_col: str,
+                  supercell: int, cpa: int, est_rows: int | None):
+    """eps-neighbor pair generation for :func:`grid_dbscan`: the
+    supercell-with-halo self-join. Each point ships ONCE to the supercell
+    that owns it (h=1) plus a halo copy to every neighboring supercell whose
+    region its eps-box touches (h=0; ~4·eps/S of points, <4% at the default
+    S) — so the shuffle moves ~1.03 rows per point, not the 9 probe copies
+    of the textbook cell-replication join. Inside a supercell the kernel
+    probes the 3×3 eps-cell neighborhood with nine searchsorted passes over
+    one key-sorted array. Pair (a,b) is emitted exactly once per direction:
+    a is a home row only in its owning supercell, and b has exactly one copy
+    (owned XOR halo) there; keys are (supercell, eps-cell) composite so a
+    bucket holding several supercells never cross-pairs them."""
+    from .relational import bucketed_groups
+
+    km = np.int64(1) << 23  # composite key stride: cell ids < cpa² < 2^23
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = (x // eps + 1) * cpa + (y // eps + 1)
+        sx0, sx1 = (x - eps) // supercell, (x + eps) // supercell
+        sy0, sy1 = (y - eps) // supercell, (y + eps) // supercell
+        ox, oy = x // supercell, y // supercell
+        outs = []
+        for a, ma in ((sx0, None), (sx1, sx1 != sx0)):
+            for b, mb in ((sy0, None), (sy1, sy1 != sy0)):
+                m = None
+                if ma is not None:
+                    m = ma
+                if mb is not None:
+                    m = mb if m is None else (m & mb)
+                sel = slice(None) if m is None else np.flatnonzero(m)
+                sc = (a[sel] + 2) * 1024 + (b[sel] + 2)
+                outs.append(pa.table({
+                    "key": sc * km + cell[sel],
+                    "sc": sc,
+                    "h": ((a[sel] == ox[sel]) & (b[sel] == oy[sel])).astype(np.int8),
+                    "pid": pid[sel], "x": x[sel], "y": y[sel],
+                }))
+        return pa.concat_tables(outs)
+
+    emitted = points.map_batches(_emit, batch_format="pyarrow",
+                                 batch_size=8192)
+
+    _empty = {"pid_a": np.array([], dtype=np.int64),
+              "pid_b": np.array([], dtype=np.int64)}
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy().astype(np.int64)
+        pid = df["pid"].to_numpy().astype(np.int64)
+        x = df["x"].to_numpy().astype(np.int64)
+        y = df["y"].to_numpy().astype(np.int64)
+        o = np.argsort(key, kind="stable")
+        key, pid, x, y = key[o], pid[o], x[o], y[o]
+        hm = df["h"].to_numpy()[o] == 1
+        hk, hp, hx, hy = key[hm], pid[hm], x[hm], y[hm]
+        out_a, out_b = [], []
+        for dx, dy in offsets:
+            tk = hk + dx * cpa + dy
+            lo = np.searchsorted(key, tk, "left")
+            cnt = np.searchsorted(key, tk, "right") - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ai = np.repeat(np.arange(len(hk)), cnt)
+            bi = np.repeat(lo, cnt) + np.arange(tot) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            ok = ((np.abs(hx[ai] - x[bi]) <= eps)
+                  & (np.abs(hy[ai] - y[bi]) <= eps) & (hp[ai] != pid[bi]))
+            out_a.append(hp[ai[ok]])
+            out_b.append(pid[bi[ok]])
+        if not out_a:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({"pid_a": np.concatenate(out_a),
+                             "pid_b": np.concatenate(out_b)})
+
+    return bucketed_groups(emitted, ["sc"], _pairs,
+                           est_rows=est_rows).map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=8192).materialize()
+
+
+def grid_dbscan(points, eps: int, min_pts: int, id_col: str = "point_id",
+                x_col: str = "px", y_col: str = "py", world: int = 65536,
+                supercell: int = 4096, n_parts: int = 8,
+                est_rows: int | None = None, plan: str = "auto",
+                broadcast_labels_max: int = 4_000_000):
+    """Density-based spatial clustering (DBSCAN, Ester et al. 1996) under the
+    Chebyshev (L∞) metric on the integer world grid — the density analog of
+    the reference's match-equivalence grouping: where the reference clusters
+    segments through pairwise match edges
+    (``/root/reference/src/daos/GtfsOsmNetworkDAO/loaders.js:39-49``), DBSCAN
+    clusters points through pairwise ε-proximity with a density (core) gate.
+
+    Semantics (deterministic variant):
+      - neighbor:  |Δx| ≤ eps AND |Δy| ≤ eps, self excluded
+      - core:      |N_eps(p)| ≥ min_pts, COUNTING p itself (the classic rule)
+      - cluster:   connected components of the core–core neighbor graph,
+                   labeled by the component-min core id (exact fixpoint via
+                   :func:`..stages.dedup.dedup_clusters`)
+      - border:    non-core with ≥1 core neighbor → MIN cluster id among its
+                   core neighbors (classic DBSCAN is scan-order-dependent
+                   here; the min rule makes it deterministic and SQL-exact)
+      - noise:     everything else, cluster_id = -1
+
+    Scale shape: pair generation is the supercell-with-halo self-join
+    (:func:`_dbscan_pairs` — ~1.03 shuffled rows per point, vectorized 3×3
+    eps-cell probe). Degrees ride a combiner-first grouped sum; the CC loop
+    is the pointer-doubling engine bounded by the edge-touched node set.
+    Size-based plan selection for label attachment (the dedup_clusters
+    rule): when the CLUSTERED subset (cores + attached borders — sparse
+    relative to the corpus in every dedup/blocking regime) fits a broadcast
+    (≤ ``broadcast_labels_max``), labels ship to workers via ``ray.put`` and
+    the corpus takes ONE streaming map pass with zero further shuffles;
+    otherwise every attachment is a hash join, partition counts sized to the
+    data. ``plan``: "auto" | "broadcast" | "join". Uniform-ish density is
+    the documented assumption (true of phash keys); a skewed world wants
+    eps-adaptive supercells, which compose with the same kernel.
+
+    Returns (id_col, role 'core'|'border'|'noise', cluster_id int64).
+    """
+    from .dedup import dedup_clusters
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    cpa = world // eps + 3  # eps-cells per axis incl. ±1 halo shift
+    pairs = _dbscan_pairs(points, eps, id_col, x_col, y_col, supercell, cpa,
+                          est_rows)
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    # partition counts sized to the DATA (the dedup_clusters rule): a handful
+    # of pair rows over 8 hash partitions leaves empty partitions, and an
+    # empty partition downstream of a chained hash join carries no schema —
+    # pyarrow's join then rejects the key reference. One partition at gate
+    # scale, growing with the pair set at real scale.
+    np_pairs = max(1, min(n_parts, pairs.count() // 50_000 + 1))
+    np_pts = (max(1, min(n_parts, est_rows // 50_000 + 1))
+              if est_rows else n_parts)
+
+    def _all_noise(batch: pa.Table) -> pa.Table:
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pid,
+                         "role": np.full(len(pid), "noise", dtype=object),
+                         "cluster_id": np.full(len(pid), -1, dtype=np.int64)})
+
+    deg = partial_groupby_sum(
+        pairs.map_batches(
+            lambda t: pa.table({"pid": t["pid_a"]}),
+            batch_format="pyarrow", batch_size=8192),
+        ["pid"], [], count_as="deg", n_buckets=np_pairs).map_batches(
+        _ident, batch_format="pyarrow", batch_size=8192)
+    # core: deg neighbors + the point itself >= min_pts
+    cores = deg.filter(expr=f"deg >= {min_pts - 1}").map_batches(
+        lambda t: pa.table({"cpid": t["pid"]}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    n_cores = cores.count()
+    # no core anywhere -> no clusters, no borders: every point is noise
+    # (also keeps empty-side hash joins, which lack a schema, out of the plan)
+    if n_cores == 0:
+        return points.map_batches(_all_noise, batch_format="pyarrow",
+                                  batch_size=8192)
+
+    if plan == "broadcast" or (plan == "auto"
+                               and n_cores <= broadcast_labels_max):
+        return _dbscan_attach_broadcast(
+            points, pairs, cores, min_pts, id_col, np_pairs,
+            dedup_clusters, bucketed_groups)
+    return _dbscan_attach_join(
+        points, pairs, cores, id_col, np_pairs, np_pts,
+        dedup_clusters, bucketed_groups, _all_noise)
+
+
+def _dbscan_attach_broadcast(points, pairs, cores, min_pts, id_col,
+                             np_pairs, dedup_clusters, bucketed_groups):
+    """Label-attachment tail, broadcast plan: core set + cluster labels ship
+    once via ``ray.put`` (sorted arrays, searchsorted membership per batch);
+    the corpus streams through ONE map pass. Chosen when the clustered
+    subset fits worker memory — the common regime for density blocking."""
+    core_arr = np.sort(cores.to_pandas()["cpid"].to_numpy().astype(np.int64))
+    core_ref = ray.put(core_arr)
+
+    def _is_core(ids: np.ndarray, arr: np.ndarray) -> np.ndarray:
+        ix = np.searchsorted(arr, ids)
+        ix = np.minimum(ix, len(arr) - 1)
+        return arr[ix] == ids
+
+    def _cedges(batch: pa.Table) -> pa.Table:
+        arr = cached_state(core_ref, lambda a: a, token="_dbscan_cores")
+        a = batch["pid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["pid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _is_core(a, arr) & _is_core(b, arr)
+        return pa.table({"doc_a": a[m], "doc_b": b[m]})
+
+    cedges = pairs.map_batches(_cedges, batch_format="pyarrow",
+                               batch_size=8192)
+    core_ids = ray.data.from_arrow(pa.table({"doc_id": core_arr}))
+    corelab = dedup_clusters(core_ids, cedges, n_parts=np_pairs)
+    lab_df = corelab.to_pandas()  # bounded: one row per core
+    lab_pid = lab_df["doc_id"].to_numpy().astype(np.int64)
+    o = np.argsort(lab_pid)
+    lab_ref = ray.put((lab_pid[o],
+                       lab_df["cluster_id"].to_numpy().astype(np.int64)[o]))
+
+    def _lab_of(ids: np.ndarray, lp: np.ndarray, lc: np.ndarray):
+        ix = np.minimum(np.searchsorted(lp, ids), len(lp) - 1)
+        return lc[ix], lp[ix] == ids
+
+    def _border_cand(batch: pa.Table) -> pa.Table:
+        lp, lc = cached_state(lab_ref, lambda a: a, token="_dbscan_corelab")
+        a = batch["pid_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["pid_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bl, b_core = _lab_of(b, lp, lc)
+        _, a_core = _lab_of(a, lp, lc)
+        m = b_core & ~a_core
+        return pa.table({"pid": a[m], "cl": bl[m]})
+
+    def _bmin_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pid", as_index=False, sort=False).min()
+
+    border = bucketed_groups(
+        pairs.map_batches(_border_cand, batch_format="pyarrow",
+                          batch_size=8192),
+        ["pid"], _bmin_pre, pre_fn=_bmin_pre, n_buckets=np_pairs).map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=8192)
+    bdf = border.to_pandas()  # bounded: borders are core-adjacent only
+    if len(bdf) == 0:  # no borders: empty Dataset.to_pandas() drops schema
+        bp = np.array([], dtype=np.int64)
+        bc = np.array([], dtype=np.int64)
+    else:
+        bp = bdf["pid"].to_numpy().astype(np.int64)
+        bc = bdf["cl"].to_numpy().astype(np.int64)
+    o = np.argsort(bp)
+    blab_ref = ray.put((bp[o], bc[o]))
+
+    def _assemble(batch: pa.Table) -> pa.Table:
+        lp, lc = cached_state(lab_ref, lambda a: a, token="_dbscan_corelab")
+        bpp, bcc = cached_state(blab_ref, lambda a: a, token="_dbscan_blab")
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl, is_core = _lab_of(pid, lp, lc)
+        if len(bpp):
+            bl, is_border = _lab_of(pid, bpp, bcc)
+        else:
+            bl = np.zeros(len(pid), dtype=np.int64)
+            is_border = np.zeros(len(pid), dtype=bool)
+        is_border &= ~is_core
+        role = np.where(is_core, "core",
+                        np.where(is_border, "border", "noise"))
+        cluster = np.where(is_core, cl, np.where(is_border, bl, -1))
+        return pa.table({id_col: pid, "role": role.astype(object),
+                         "cluster_id": cluster.astype(np.int64)})
+
+    return points.map_batches(_assemble, batch_format="pyarrow",
+                              batch_size=8192)
+
+
+def _dbscan_attach_join(points, pairs, cores, id_col, np_pairs, np_pts,
+                        dedup_clusters, bucketed_groups, _all_noise):
+    """Label-attachment tail, join plan (the at-scale path): every
+    attachment is a hash join with data-sized partition counts; nothing is
+    ever collected to the driver, so the clustered subset may exceed any
+    single worker."""
+    cores_m = cores.map_batches(
+        lambda t: pa.table({"cpid": t["cpid"],
+                            "is_core": np.ones(len(t), dtype=bool)}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    # pairs whose PROBE end is core (feeds both the core-core edge set and
+    # the border attachment)
+    b_core = pairs.join(cores_m, "inner", np_pairs,
+                        on=("pid_b",), right_on=("cpid",))
+    b_core = b_core.map_batches(
+        lambda t: pa.table({"pid_a": t["pid_a"], "pid_b": t["pid_b"]}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    # core-core edges -> connected components (min-label fixpoint)
+    cedges = b_core.join(cores_m, "inner", np_pairs,
+                         on=("pid_a",), right_on=("cpid",))
+    cedges = cedges.map_batches(
+        lambda t: pa.table({"doc_a": t["pid_a"], "doc_b": t["pid_b"]}),
+        batch_format="pyarrow", batch_size=8192)
+    core_ids = cores.map_batches(
+        lambda t: pa.table({"doc_id": t["cpid"]}),
+        batch_format="pyarrow", batch_size=8192)
+    corelab = dedup_clusters(core_ids, cedges, n_parts=np_pairs).map_batches(
+        lambda t: pa.table({"lpid": t["doc_id"], "cl": t["cluster_id"]}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    # border: non-core with >=1 core neighbor -> min core-neighbor cluster
+    blab = b_core.join(corelab, "inner", np_pairs,
+                       on=("pid_b",), right_on=("lpid",)).materialize()
+    blab = blab.join(cores_m, "left_outer", np_pairs,
+                     on=("pid_a",), right_on=("cpid",))
+
+    def _bmin_pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_core"].isna()][["pid_a", "cl"]]
+        return df.groupby("pid_a", as_index=False, sort=False).min()
+
+    def _bmin(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pid_a", as_index=False, sort=False).min()
+
+    border = bucketed_groups(blab, ["pid_a"], _bmin, pre_fn=_bmin_pre,
+                             n_buckets=np_pairs)
+    border = border.map_batches(  # also normalizes pandas blocks to Arrow
+        lambda t: pa.table({"bpid": t["pid_a"], "bcl": t["cl"]}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    out = points.join(corelab, "left_outer", np_pts,
+                      on=(id_col,), right_on=("lpid",))
+    if border.count() > 0:  # empty-side hash joins lack a schema
+        out = out.join(border, "left_outer", np_pts,
+                       on=(id_col,), right_on=("bpid",))
+    else:
+        out = out.map_batches(
+            lambda t: t.append_column(
+                "bcl", pa.array(np.full(len(t), np.nan), type=pa.float64())),
+            batch_format="pyarrow", batch_size=8192)
+
+    def _assemble(batch: pa.Table) -> pa.Table:
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bcl = batch["bcl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_core = ~np.isnan(cl)
+        is_border = ~is_core & ~np.isnan(bcl)
+        role = np.where(is_core, "core", np.where(is_border, "border", "noise"))
+        cluster = np.where(is_core, np.nan_to_num(cl, nan=0.0),
+                           np.where(is_border, np.nan_to_num(bcl, nan=0.0),
+                                    -1.0)).astype(np.int64)
+        return pa.table({id_col: pid, "role": role.astype(object),
+                         "cluster_id": cluster})
+
+    return out.map_batches(_assemble, batch_format="pyarrow", batch_size=8192)
