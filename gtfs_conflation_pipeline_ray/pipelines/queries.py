@@ -6779,6 +6779,279 @@ LEFT JOIN border b ON b.pid = p.point_id
 """
 
 
+
+
+def q_orders_ntile(sf_dir: str):  # exact oracle (NTILE window)
+    """Equal-frequency bucketing: NTILE(8) of order price within each
+    order priority, deterministic tie-break by order key — the quantile
+    bucketing / stratification pass of a feature pipeline (the windowed
+    sibling of O4's RANK toposort,
+    ``/root/reference/src/daos/GtfsConflationMapJoinDAO/loaders.js:319-372``).
+    Fully vectorized per bucket: one sort, group sizes by run-length, the
+    NTILE index closed-form from (pos-in-group, N, n)."""
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "price_c": cents(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False)),
+        })
+
+    def _ntile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "price_c", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        pr = df["o_orderpriority"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, pr[1:] != pr[:-1]])
+        sizes = np.diff(np.r_[starts, len(df)])
+        pos = np.arange(len(df)) - np.repeat(starts, sizes)
+        N = np.repeat(sizes, sizes)
+        q, r = N // 8, N % 8
+        cut = r * (q + 1)
+        tile8 = np.where(pos < cut, pos // np.maximum(q + 1, 1),
+                         r + (pos - cut) // np.maximum(q, 1)) + 1
+        return df.assign(tile8=tile8.astype(np.int64))
+
+    return rel.bucketed_groups(
+        orders.map_batches(_prep, batch_format="pyarrow", batch_size=32768),
+        ["o_orderpriority"], _ntile,
+        est_rows=_nrows(sf_dir, "orders"))
+
+
+SQL_ORDERS_NTILE = """
+SELECT o_orderkey, o_orderpriority, price_c,
+       CAST(NTILE(8) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY price_c DESC, o_orderkey) AS BIGINT) AS tile8
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders)
+"""
+
+
+def q_events_cms(sf_dir: str):  # exact oracle (hash arithmetic mirrored)
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the event-type
+    stream: d=4 rows x w=1024 counters, row hash = FNV-1a64 of
+    (chr(65+r) || type) mod w. Counters build map-side (per-batch bincount
+    over the 4096-slot space — the shuffle moves sketch partials, never
+    events); estimates = min over rows, reported next to the exact count so
+    the one-sided overestimate property is visible in the output. Third
+    sketch in the engine next to HLL (approx-distinct) and Misra-Gries
+    (heavy hitters)."""
+    from ..functions.text import fnv1a64_batch
+
+    D, W = 4, 1024
+    ev = _rp(sf_dir, "events", ["event_type"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        slots = []
+        for r in range(D):
+            h = fnv1a64_batch([chr(65 + r) + s for s in et]) % W
+            slots.append(r * W + h.astype(np.int64))
+        cnt = np.bincount(np.concatenate(slots), minlength=D * W)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"slot": nz.astype(np.int64),
+                         "cnt": cnt[nz].astype(np.int64)})
+
+    counters = rel.partial_groupby_sum(
+        ev.map_batches(_partials, batch_format="pyarrow", batch_size=32768),
+        ["slot"], ["cnt"], n_buckets=1)
+    # sketch is 4096-bounded: ship it to the (alphabet-bounded) type rows
+    cdf = counters.to_pandas()
+    grid = np.zeros(D * W, dtype=np.int64)
+    grid[cdf["slot"].to_numpy()] = cdf["cnt"].to_numpy()
+    grid_ref = ray.put(grid)
+
+    true_counts = rel.partial_groupby_sum(
+        ev, ["event_type"], [], count_as="n_true", n_buckets=1)
+
+    def _est(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+        g = cached_state(grid_ref, lambda a: a, token="_cms_grid")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        est = np.full(len(et), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(D):
+            h = fnv1a64_batch([chr(65 + r) + s for s in et]) % W
+            est = np.minimum(est, g[r * W + h.astype(np.int64)])
+        return pa.table({"event_type": batch["event_type"],
+                         "n_true": batch["n_true"],
+                         "cms_est": est})
+
+    return true_counts.map_batches(_est, batch_format="pyarrow",
+                                   batch_size=8192)
+
+
+SQL_EVENTS_CMS = f"""
+WITH r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+h AS (
+  SELECT r.r,
+         CAST({_sql_fnv("chr(65 + r.r) || event_type")} % 1024 AS BIGINT)
+           AS col,
+         event_type
+  FROM events, r
+),
+cnt AS (SELECT r, col, COUNT(*) AS c FROM h GROUP BY 1, 2),
+types AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM events GROUP BY 1),
+q AS (
+  SELECT t.event_type, r.r,
+         CAST({_sql_fnv("chr(65 + r.r) || t.event_type")} % 1024 AS BIGINT)
+           AS col
+  FROM types t, r
+)
+SELECT t.event_type, t.n_true, CAST(MIN(c.c) AS BIGINT) AS cms_est
+FROM types t
+JOIN q ON q.event_type = t.event_type
+JOIN cnt c ON c.r = q.r AND c.col = q.col
+GROUP BY 1, 2
+"""
+
+
+def q_grid_idw(sf_dir: str):  # exact oracle (integer weight arithmetic)
+    """Inverse-distance-weighted field interpolation at tile centroids
+    (``spatial.idw_grid``): box radius 256, weight = 2^20 // (1 + d²),
+    value = floor(quantity) — fused probe+bincount partials, site-sized
+    shuffle."""
+    pts = conflation.read_points(sf_dir)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "px": batch["px"], "py": batch["py"],
+            "v": np.floor(batch["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64),
+        })
+
+    sites = td.tiles_table(sf_dir).select(["tile_id", "cx", "cy"])
+    sites = sites.rename_columns(["site_id", "cx", "cy"])
+    sites_ref = ray.put((sites, 256))
+    out = spatial.idw_grid(
+        pts.map_batches(_prep, batch_format="pyarrow", batch_size=32768),
+        sites_ref, radius=256, x_col="px", y_col="py", val_col="v")
+    return out.map_batches(
+        lambda t: t.rename_columns(["tile_id", "n_pts", "sum_w", "sum_wv"]),
+        batch_format="pyarrow", batch_size=32768)
+
+
+SQL_GRID_IDW = _CTES + """,
+j AS (
+  SELECT t.tile_id, p.px - t.cx AS dx, p.py - t.cy AS dy,
+         CAST(FLOOR(p.l_quantity) AS BIGINT) AS v
+  FROM points p JOIN tiles t
+    ON p.px BETWEEN t.cx - 256 AND t.cx + 256
+   AND p.py BETWEEN t.cy - 256 AND t.cy + 256
+)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(1048576 // (1 + dx * dx + dy * dy)) AS BIGINT) AS sum_w,
+       CAST(SUM((1048576 // (1 + dx * dx + dy * dy)) * v) AS BIGINT)
+         AS sum_wv
+FROM j GROUP BY 1
+"""
+
+
+def q_tile_bfs_hops(sf_dir: str):  # exact oracle (bounded recursive CTE)
+    """Multi-source BFS over the (undirected) tile kNN graph: hop distance
+    ≤ 4 from the seed tiles (tile_id % 50 == 0) — ``graphrank.bfs_hops``,
+    one frontier join + grouped-min dedup per round."""
+    from ..stages.graphrank import bfs_hops
+
+    knn = q_tile_knn_graph(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = t["src_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": tid[tid % 50 == 0]})
+
+    seeds = part.map_batches(_seeds, batch_format="pyarrow",
+                             batch_size=65536)
+    out = bfs_hops(edges, seeds, max_hops=4)
+    return out.map_batches(
+        lambda t: t.rename_columns(["tile_id", "hops"]),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_TILE_BFS_HOPS = f"""
+WITH RECURSIVE tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+knn AS (
+  SELECT src_tile, tile_id FROM (
+    SELECT p.src_tile, t.tile_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src_tile
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank
+    FROM probes p CROSS JOIN tiles t
+  ) WHERE knn_rank <= 4
+),
+ed AS (
+  SELECT src_tile AS s, tile_id AS t FROM knn WHERE tile_id <> src_tile
+  UNION
+  SELECT tile_id, src_tile FROM knn WHERE tile_id <> src_tile
+),
+seeds AS (SELECT tile_id AS node FROM tiles WHERE tile_id % 50 = 0),
+reach AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.t, r.d + 1 FROM reach r JOIN ed e ON e.s = r.node WHERE r.d < 4
+)
+SELECT node AS tile_id, CAST(MIN(d) AS BIGINT) AS hops
+FROM reach GROUP BY 1
+"""
+
+
+def q_supplier_kcore(sf_dir: str):  # exact oracle (unrolled peel rounds)
+    """k-core backbone of the supplier co-occurrence graph
+    (``graphrank.kcore_peel``, k=4, 6 peel rounds — fixed-round convention
+    shared with ``pagerank`` so the oracle unrolls exactly): survivors with
+    their degree in the final induced subgraph."""
+    from ..stages.graphrank import kcore_peel
+
+    out = kcore_peel(q_supplier_cooccurrence(sf_dir), k=4, rounds=6)
+    return out.map_batches(
+        lambda t: t.rename_columns(["supp", "deg"]),
+        batch_format="pyarrow", batch_size=65536)
+
+
+def _sql_kcore_rounds(rounds: int, k: int) -> str:
+    # MATERIALIZED is load-bearing: each ed{r+1} references ed{r} three
+    # times (directly + twice through n{r+1}), so DuckDB's default CTE
+    # inlining would expand the chain 3^rounds-fold — the wedge self-join
+    # inside `e` replayed 729× spills hundreds of GB of temp at sf0.1.
+    parts = ["ed0 AS MATERIALIZED (SELECT supp_a AS s, supp_b AS t FROM e "
+             "UNION ALL SELECT supp_b, supp_a FROM e)"]
+    for r in range(rounds):
+        parts.append(
+            f"n{r + 1} AS MATERIALIZED (SELECT s FROM ed{r} GROUP BY s "
+            f"HAVING COUNT(*) >= {k})")
+        parts.append(
+            f"ed{r + 1} AS MATERIALIZED (SELECT ed{r}.s, ed{r}.t FROM ed{r} "
+            f"JOIN n{r + 1} a ON a.s = ed{r}.s "
+            f"JOIN n{r + 1} b ON b.s = ed{r}.t)")
+    return ",\n".join(parts)
+
+
+SQL_SUPPLIER_KCORE = ("WITH " + _SQL_COOC_EDGES + ",\n"
+                      + _sql_kcore_rounds(6, 4) + """
+SELECT s AS supp, CAST(COUNT(*) AS BIGINT) AS deg
+FROM ed6 GROUP BY s
+""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6932,6 +7205,11 @@ QUERIES = {
     "orders_skyline": q_orders_skyline,
     "lineitem_profile": q_lineitem_profile,
     "point_dbscan": q_point_dbscan,
+    "orders_ntile": q_orders_ntile,
+    "events_cms": q_events_cms,
+    "grid_idw": q_grid_idw,
+    "tile_bfs_hops": q_tile_bfs_hops,
+    "supplier_kcore": q_supplier_kcore,
 }
 
 
@@ -7076,4 +7354,9 @@ ORACLE_SQL = {
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "point_dbscan": SQL_POINT_DBSCAN,
+    "orders_ntile": SQL_ORDERS_NTILE,
+    "events_cms": SQL_EVENTS_CMS,
+    "grid_idw": SQL_GRID_IDW,
+    "tile_bfs_hops": SQL_TILE_BFS_HOPS,
+    "supplier_kcore": SQL_SUPPLIER_KCORE,
 }

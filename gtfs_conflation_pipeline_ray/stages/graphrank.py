@@ -187,3 +187,159 @@ def triangle_counts(edges, a_col: str = "supp_a", b_col: str = "supp_b"):
     partials = edges.map_batches(_tri, batch_format="pyarrow",
                                  batch_size=8192)
     return partial_groupby_sum(partials, ["supp"], ["n_triangles"])
+
+
+def bfs_hops(edges, seeds, max_hops: int = 4, src_col: str = "src",
+             dst_col: str = "dst", node_col: str = "node", n_parts: int = 8):
+    """Multi-source BFS: minimum hop count from any seed, bounded by
+    ``max_hops`` — the reachability/radius pass of a graph pipeline (≙ the
+    reference's component walk in ``createPathLineStrings.js:12-45``
+    generalized to hop distance, and the expansion step of a kNN-graph
+    diffusion).
+
+    Scale shape: each round is ONE hash join (frontier ⋈ edges on src) +
+    a grouped-min dedup, so per-round shuffle volume is the frontier's edge
+    neighborhood, never the graph; the visited set rides along as a sorted
+    broadcast array for the anti-join (Ray 2.49's native left_anti is
+    broken — see bench gotchas) — bounded by the REACHED subgraph, the same
+    assumption the CC engine's label frontier makes. Round count is fixed
+    (``max_hops``), so the plan depth is static and the oracle unrolls as a
+    bounded recursive CTE.
+
+    Returns (node, hops) for every node within ``max_hops`` of a seed.
+    """
+    import ray
+
+    from .relational import partial_groupby_sum
+    from .util import cached_state
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    def _seed(t: pa.Table) -> pa.Table:
+        n = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": n,
+                         "hops": np.zeros(len(n), dtype=np.int64)})
+
+    visited = seeds.map_batches(_seed, batch_format="pyarrow",
+                                batch_size=65536).materialize()
+    frontier = visited
+    out = [visited]
+
+    for h in range(1, max_hops + 1):
+        # neighbors of the frontier: one hash join on src
+        np_h = max(1, min(n_parts, frontier.count() // 50_000 + 1))
+        nxt = edges.join(
+            frontier.map_batches(
+                lambda t: pa.table({"fnode": t["node"]}),
+                batch_format="pyarrow", batch_size=65536).materialize(),
+            "inner", np_h, on=(src_col,), right_on=("fnode",))
+        # dedup candidate nodes before the anti-join (combiner-first)
+        cand = partial_groupby_sum(
+            nxt.map_batches(
+                lambda t: pa.table({"node": t[dst_col]}),
+                batch_format="pyarrow", batch_size=65536),
+            ["node"], [], count_as="_c", n_buckets=np_h)
+        # anti-join against visited via a sorted broadcast array (bounded by
+        # the reached set; a huge-graph deployment swaps in the hash-join
+        # plan exactly like dedup_clusters' size-based selection)
+        varr = np.sort(np.concatenate(
+            [b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+             for b in visited.iter_batches(batch_format="pyarrow",
+                                           batch_size=65536)]
+            or [np.array([], dtype=np.int64)]))
+        vref = ray.put(varr)
+
+        def _new(t: pa.Table, _h=h, _vref=vref) -> pa.Table:
+            arr = cached_state(_vref, lambda a: a, token=f"_bfs_visited_{_h}")
+            n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(arr):
+                ix = np.minimum(np.searchsorted(arr, n), len(arr) - 1)
+                keep = arr[ix] != n
+            else:
+                keep = np.ones(len(n), dtype=bool)
+            n = n[keep]
+            return pa.table({"node": n,
+                             "hops": np.full(len(n), _h, dtype=np.int64)})
+
+        frontier = cand.map_batches(_new, batch_format="pyarrow",
+                                    batch_size=65536).materialize()
+        if frontier.count() == 0:
+            break
+        out.append(frontier)
+        visited = visited.union(frontier).materialize()
+
+    res = out[0]
+    for d in out[1:]:
+        res = res.union(d)
+    return res.map_batches(_ident, batch_format="pyarrow", batch_size=65536)
+
+
+def kcore_peel(edges, k: int, rounds: int, a_col: str = "supp_a",
+               b_col: str = "supp_b", n_parts: int = 8):
+    """k-core peeling, fixed ``rounds`` iterations (unrolled in the oracle,
+    the ``pagerank`` convention): round r drops every node whose degree in
+    the surviving subgraph is < k; after the last round the survivors are
+    emitted with their degree in the FINAL induced subgraph. The density
+    backbone extraction of a co-occurrence / dedup graph (which suppliers
+    sit in a dense substitution core; which documents form a dense near-dup
+    mesh).
+
+    ``edges``: undirected (a, b) with a < b, assumed distinct pairs.
+    Scale shape: per round one combiner-first degree sum + one map-side
+    edge filter against the SURVIVOR set (sorted broadcast array — bounded
+    by the node alphabet, which for supplier/part graphs is the bounded
+    dimension side; swap in hash-join filtering for open node domains).
+    Returns (node, deg) for survivors after ``rounds`` peels.
+    """
+    import ray
+
+    from .relational import partial_groupby_sum
+    from .util import cached_state
+
+    def _ident(t: pa.Table) -> pa.Table:
+        return t
+
+    def _both(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": np.concatenate([a, b]),
+                         "t": np.concatenate([b, a])})
+
+    ed = edges.map_batches(_both, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    def _deg(e):
+        return partial_groupby_sum(
+            e.map_batches(lambda t: pa.table({"node": t["s"]}),
+                          batch_format="pyarrow", batch_size=65536),
+            ["node"], [], count_as="deg", n_buckets=n_parts,
+        ).map_batches(_ident, batch_format="pyarrow", batch_size=65536)
+
+    for r in range(rounds):
+        deg = _deg(ed)
+        surv = deg.filter(expr=f"deg >= {k}")
+        sarr = np.sort(np.concatenate(
+            [b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+             for b in surv.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)]
+            or [np.array([], dtype=np.int64)]))
+        if len(sarr) == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": np.array([], dtype=np.int64),
+                 "deg": np.array([], dtype=np.int64)}))
+        sref = ray.put(sarr)
+
+        def _filt(t: pa.Table, _r=r, _sref=sref) -> pa.Table:
+            arr = cached_state(_sref, lambda a: a, token=f"_kcore_surv_{_r}")
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ixs = np.minimum(np.searchsorted(arr, s), len(arr) - 1)
+            ixd = np.minimum(np.searchsorted(arr, d), len(arr) - 1)
+            m = (arr[ixs] == s) & (arr[ixd] == d)
+            return pa.table({"s": s[m], "t": d[m]})
+
+        ed = ed.map_batches(_filt, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+
+    return _deg(ed)

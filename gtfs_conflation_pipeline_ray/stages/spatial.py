@@ -893,3 +893,71 @@ def _dbscan_attach_join(points, pairs, cores, id_col, np_pairs, np_pts,
                          "cluster_id": cluster})
 
     return out.map_batches(_assemble, batch_format="pyarrow", batch_size=8192)
+
+
+class _IdwState:
+    """Per-worker IDW state: grid index over site boxes (cx±R, cy±R) so a
+    point probe finds exactly the sites whose box-radius neighborhood
+    contains it."""
+
+    def __init__(self, payload):
+        sites, radius = payload
+        sid = sites["site_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = sites["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = sites["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        from ..state.grid_index import GridIndex
+        self.index = GridIndex(sid, cx - radius, cy - radius,
+                               cx + radius, cy + radius)
+        self.cx, self.cy = cx, cy
+
+
+def idw_grid(points, sites_ref, radius: int, x_col: str, y_col: str,
+             val_col: str, scale: int = 1_048_576, batch_size: int = 32768):
+    """Inverse-distance-weighted interpolation partials at site locations
+    (Shepard 1968, integer form): for each site, over the points within
+    BOX radius R, weight w = scale // (1 + d²) with Euclidean d² — every
+    step int64-exact so the SQL mirror reproduces it bit-for-bit. The
+    spatial-smoothing / field-estimation primitive of a sensor/probe
+    pipeline (≙ the reference's snap-deviation statistics generalized to a
+    weighted field, ``src/utils/gis/getSimilarity.js:24-102``).
+
+    Scale shape: sites broadcast once (`ray.put`; the small dimension side,
+    like every tile index here), points stream map-side, and the join and
+    combiner are FUSED — each batch emits per-site (n, Σw, Σw·v) partials
+    via bincount, so the (point, site) pair set never materializes and the
+    only shuffle is the site-sized grouped sum.
+
+    Returns (site_id, n_pts, sum_w, sum_wv) for sites with ≥1 point in
+    range.
+    """
+    from .relational import partial_groupby_sum
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _IdwState = cached_state(sites_ref, _IdwState,
+                                     token="_idw_sites")
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, si = st.index.query_points(px, py)
+        dx = px[pi] - st.cx[si]
+        dy = py[pi] - st.cy[si]
+        w = scale // (1 + dx * dx + dy * dy)
+        n_sites = len(st.index.tile_id)
+        cnt = np.bincount(si, minlength=n_sites)
+        sw = np.bincount(si, weights=w.astype(np.float64),
+                         minlength=n_sites)
+        swv = np.bincount(si, weights=(w * v[pi]).astype(np.float64),
+                          minlength=n_sites)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"site_id": st.index.tile_id[nz],
+                         "n_pts": cnt[nz].astype(np.int64),
+                         "sum_w": np.rint(sw[nz]).astype(np.int64),
+                         "sum_wv": np.rint(swv[nz]).astype(np.int64)})
+
+    partials = points.map_batches(_probe, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    agg = partial_groupby_sum(partials, ["site_id"],
+                              ["n_pts", "sum_w", "sum_wv"])
+    return agg.map_batches(
+        lambda t: t.select(["site_id", "n_pts", "sum_w", "sum_wv"]),
+        batch_format="pyarrow", batch_size=batch_size)
