@@ -7052,6 +7052,155 @@ FROM ed6 GROUP BY s
 """)
 
 
+def q_image_block_stats(sf_dir: str):  # exact oracle (separable fixture)
+    """Per-block integer mean colors (``media.ImageBlockStats``): each
+    decoded image is tiled into 4x6 blocks and every block emits
+    ``floor(channel block sum / 24)`` as ROWS — the exact-arithmetic area
+    downsample behind thumbnailing / patch-embedding inputs (reference
+    emits raster tiles the same way in its mbtiles path). Reuses the
+    ``image_edge_energy`` fixture (R varies along x, G along y, B constant;
+    ``w % 4 == 0`` and ``h % 6 == 0`` by construction), so the engine's
+    genuine 2D reshape-block-sum is mirrored by a SEPARABLE oracle:
+    ``mean_r`` depends only on the block column (sum of 4 dequantized
+    j-values // 4), ``mean_g`` only on the block row, ``mean_b`` is the
+    dequantized constant."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_block_stats(synth, bw=4, bh=6, batch_size=512)
+
+
+SQL_IMAGE_BLOCK_STATS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rb AS (
+  SELECT image_id, j // 4 AS bx,
+         CAST(SUM(CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END) // 4 AS BIGINT) AS mean_r
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+  GROUP BY image_id, j // 4
+),
+gb AS (
+  SELECT image_id, r // 6 AS "by",
+         CAST(SUM(CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END) // 6 AS BIGINT) AS mean_g
+  FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h
+  GROUP BY image_id, r // 6
+),
+bc AS (
+  SELECT image_id,
+         CAST(CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+              ELSE bb END AS BIGINT) AS mean_b
+  FROM im
+)
+SELECT r.image_id, r.bx, g."by", r.mean_r, g.mean_g, b.mean_b
+FROM rb r
+JOIN gb g ON g.image_id = r.image_id
+JOIN bc b ON b.image_id = r.image_id
+"""
+
+
+def q_stay_points(sf_dir: str):  # exact oracle (window + gaps-and-islands)
+    """Trajectory dwell detection (``spatial.stay_point_islands``): a point
+    is a STAY CORE iff the next 4 points of its trajectory all lie within
+    Chebyshev radius 16 (full window required); maximal consecutive-core
+    runs merge into dwell islands (traj_id, start_seq, end_seq, n_core).
+    The synthetic traces interleave dwell blocks (jitter <= 12 < r) with
+    1000-unit jumps between blocks, plus a +40 x-spike every 23rd seq —
+    the spike defeats any implementation that skips the per-axis window
+    max — so the radius gate, the full-window rule AND the island merge
+    all carry signal. Oracle: MAX/MIN OVER (ROWS BETWEEN CURRENT ROW AND
+    4 FOLLOWING) + the seq-minus-row_number islands trick."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+    nk = 50
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        traj = eid % nk
+        seq = eid // nk
+        blk = seq // (8 + traj % 5)
+        spike = np.where((seq * 7919) % 23 == 0, 40, 0)
+        x = traj * 100000 + blk * 1000 + (seq * 2654435761) % 13 + spike
+        y = blk * 1000 + (seq * 40503) % 11
+        return pa.table({"traj_id": traj, "seq": seq,
+                         "x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    pts = ev.map_batches(_synth, batch_format="pyarrow", batch_size=8192)
+    return spatial.stay_point_islands(pts, "traj_id", "seq", "x", "y",
+                                      k=4, r=16)
+
+
+SQL_STAY_POINTS = """
+WITH xy AS (
+  SELECT event_id % 50 AS traj_id, event_id // 50 AS seq,
+         (event_id % 50) * 100000
+           + ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 2654435761) % 13
+           + CASE WHEN ((event_id // 50) * 7919) % 23 = 0
+                  THEN 40 ELSE 0 END AS x,
+         ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 40503) % 11 AS y
+  FROM events
+),
+win AS (
+  SELECT traj_id, seq, x, y,
+         MAX(x) OVER w AS mxx, MIN(x) OVER w AS mnx,
+         MAX(y) OVER w AS mxy, MIN(y) OVER w AS mny,
+         COUNT(*) OVER w AS cnt
+  FROM xy
+  WINDOW w AS (PARTITION BY traj_id ORDER BY seq
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+cores AS (
+  SELECT traj_id, seq FROM win
+  WHERE cnt = 5 AND mxx - x <= 16 AND x - mnx <= 16
+        AND mxy - y <= 16 AND y - mny <= 16
+),
+isl AS (
+  SELECT traj_id, seq,
+         seq - ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY seq) AS grp
+  FROM cores
+)
+SELECT traj_id, CAST(MIN(seq) AS BIGINT) AS start_seq,
+       CAST(MAX(seq) AS BIGINT) AS end_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_core
+FROM isl GROUP BY traj_id, grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7210,6 +7359,8 @@ QUERIES = {
     "grid_idw": q_grid_idw,
     "tile_bfs_hops": q_tile_bfs_hops,
     "supplier_kcore": q_supplier_kcore,
+    "image_block_stats": q_image_block_stats,
+    "stay_points": q_stay_points,
 }
 
 
@@ -7359,4 +7510,6 @@ ORACLE_SQL = {
     "grid_idw": SQL_GRID_IDW,
     "tile_bfs_hops": SQL_TILE_BFS_HOPS,
     "supplier_kcore": SQL_SUPPLIER_KCORE,
+    "image_block_stats": SQL_IMAGE_BLOCK_STATS,
+    "stay_points": SQL_STAY_POINTS,
 }

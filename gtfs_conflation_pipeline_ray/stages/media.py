@@ -422,3 +422,64 @@ def image_edge_energy(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+class ImageBlockStats:
+    """Actor-pool batch fn: decode each image and emit PER-BLOCK integer
+    mean colors over a fixed ``bw x bh`` tiling — the exact-arithmetic area
+    downsample (thumbnail / patch-embedding input) primitive, emitted as
+    ROWS so downstream stages can join / aggregate per patch rather than
+    per image. Block mean = floor(block channel sum / (bw*bh)); images are
+    expected to be exact multiples of the block dims (the resize shards in
+    :func:`resize_images_shards` normalize arbitrary sizes first — this
+    stage is the post-normalization patch featurizer). All int64; decode
+    handle held per actor like :class:`ImageFeaturizer`."""
+
+    def __init__(self, bw: int = 4, bh: int = 6, bytes_col: str = "bytes",
+                 id_col: str = "image_id", fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bw, self.bh = bw, bh
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bw, bh = self.bw, self.bh
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        o_id, o_bx, o_by = [], [], []
+        o_m = {c: [] for c in ("mean_r", "mean_g", "mean_b")}
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i]).astype(np.int64)
+            h, w, _ = img.shape
+            nbx, nby = w // bw, h // bh
+            # exact block sums via one reshape — no prefix sums needed when
+            # the tiling divides the image
+            bs = img[: nby * bh, : nbx * bw].reshape(
+                nby, bh, nbx, bw, 3).sum(axis=(1, 3))  # (nby, nbx, 3)
+            means = bs // (bw * bh)
+            byy, bxx = np.mgrid[0:nby, 0:nbx]
+            o_id.append(np.full(nby * nbx, ids[i], dtype=np.int64))
+            o_bx.append(bxx.ravel().astype(np.int64))
+            o_by.append(byy.ravel().astype(np.int64))
+            for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                o_m[name].append(means[:, :, c].ravel())
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], dtype=np.int64))
+        return pa.table({"image_id": cat(o_id), "bx": cat(o_bx),
+                         "by": cat(o_by),
+                         **{k: cat(v) for k, v in o_m.items()}})
+
+
+def image_block_stats(ds, bw: int = 4, bh: int = 6, bytes_col: str = "bytes",
+                      id_col: str = "image_id", fmt_col: str = "fmt",
+                      concurrency: int | None = None, batch_size: int = 256):
+    return ds.map_batches(
+        ImageBlockStats,
+        fn_constructor_kwargs={"bw": bw, "bh": bh, "bytes_col": bytes_col,
+                               "id_col": id_col, "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -961,3 +961,74 @@ def idw_grid(points, sites_ref, radius: int, x_col: str, y_col: str,
     return agg.map_batches(
         lambda t: t.select(["site_id", "n_pts", "sum_w", "sum_wv"]),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def stay_point_islands(points, key_col: str, seq_col: str, x_col: str,
+                       y_col: str, k: int = 4, r: int = 16,
+                       est_rows: int | None = None):
+    """Trajectory stay-point (dwell) detection, Li et al. 2008 windowed
+    form: point i of a trajectory is a STAY CORE iff the next ``k`` points
+    of the same trajectory all lie within Chebyshev radius ``r`` of it
+    (max over the window of |x_j - x_i| and |y_j - y_i| <= r, full window
+    required); maximal runs of consecutive cores are merged into dwell
+    ISLANDS. The dwell/stop-extraction primitive of every GPS trace
+    pipeline — the reference's TripTracker emits traversal events exactly
+    where this emits island boundaries (``src/.../trafficAnalysis``; the
+    generalization is anchor-relative rather than stop-list-relative).
+
+    Scale shape: ONE trajectory-bucketed shuffle (the bucketed-combine
+    pattern — partial per-batch work is impossible here because the window
+    spans batch splits, so the combiner is identity and per-bucket work is
+    the vectorized shift scan below); everything after the shuffle is
+    O(k·n) numpy shifts, no per-row Python. Window max over the next k
+    rows is computed as an elementwise max over the k shifted arrays —
+    exact, branch-free, and oracle-mirrorable as MAX/MIN OVER (ROWS
+    BETWEEN CURRENT ROW AND k FOLLOWING).
+
+    Returns one row per island: (key, start_seq, end_seq, n_core).
+    """
+    from .relational import bucketed_groups
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        key = df[key_col].to_numpy()
+        x = df[x_col].to_numpy().astype(np.int64)
+        y = df[y_col].to_numpy().astype(np.int64)
+        seq = df[seq_col].to_numpy().astype(np.int64)
+        n = len(df)
+        core = np.ones(n, dtype=bool)
+        for s in range(1, k + 1):
+            # shifted-by-s comparison; rows whose window crosses a
+            # trajectory boundary (or the end) fail the full-window rule
+            good = np.zeros(n, dtype=bool)
+            m = n - s
+            if m > 0:
+                good[:m] = ((key[s:] == key[:m])
+                            & (np.abs(x[s:] - x[:m]) <= r)
+                            & (np.abs(y[s:] - y[:m]) <= r))
+            core &= good
+        if not core.any():
+            return pd.DataFrame({key_col: key[:0], "start_seq": seq[:0],
+                                 "end_seq": seq[:0],
+                                 "n_core": np.array([], dtype=np.int64)})
+        # islands: consecutive-core runs within a trajectory (positions are
+        # row-adjacent after the sort, so run boundaries are core→not-core
+        # transitions or key changes)
+        ci = np.flatnonzero(core)
+        new_island = np.ones(len(ci), dtype=bool)
+        if len(ci) > 1:
+            adj = (ci[1:] == ci[:-1] + 1) & (key[ci[1:]] == key[ci[:-1]])
+            new_island[1:] = ~adj
+        isl = np.cumsum(new_island) - 1
+        n_isl = isl[-1] + 1
+        starts = np.full(n_isl, np.iinfo(np.int64).max)
+        ends = np.full(n_isl, np.iinfo(np.int64).min)
+        np.minimum.at(starts, isl, seq[ci])
+        np.maximum.at(ends, isl, seq[ci])
+        counts = np.bincount(isl, minlength=n_isl)
+        first = ci[np.flatnonzero(new_island)]
+        return pd.DataFrame({key_col: key[first], "start_seq": starts,
+                             "end_seq": ends,
+                             "n_core": counts.astype(np.int64)})
+
+    return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
