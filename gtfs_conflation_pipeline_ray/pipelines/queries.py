@@ -7201,6 +7201,176 @@ FROM isl GROUP BY traj_id, grp
 """
 
 
+def q_doc_pack_sequences(sf_dir: str):  # exact oracle (prefix-sum window)
+    """LLM training SEQUENCE PACKING (``textops.pack_sequences``): docs in
+    doc_id order laid end-to-end on the global token axis, cut into
+    128-token sequences, docs split across cuts — one row per
+    (doc x sequence) overlap with the in-sequence offset. seq_len=128 makes
+    splits common at every scale; chunk=256 forces the multi-chunk
+    broadcast-offset path even at sf0.001. Oracle: running-SUM window for
+    the exclusive prefix, range() unnest for the ragged expansion."""
+    return textops.pack_sequences(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), seq_len=128, chunk=256)
+
+
+SQL_DOC_PACK_SEQUENCES = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS s
+  FROM tok
+),
+ex AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // 128, (s + n - 1) // 128 + 1)) AS seq_id
+  FROM pre WHERE n > 0
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(s, seq_id * 128) - seq_id * 128 AS BIGINT) AS tok_start,
+       CAST(LEAST(s + n, (seq_id + 1) * 128)
+            - GREATEST(s, seq_id * 128) AS BIGINT) AS n_toks
+FROM ex
+"""
+
+
+def q_image_histogram(sf_dir: str):  # exact oracle (separable fixture)
+    """Per-channel 8-bin intensity histograms (``media.ImageHistogram``)
+    through the decode path, zero bins omitted — the exposure/contrast
+    quality filter. Same gradient fixture as ``image_edge_energy``; the
+    separable oracle counts bin hits along the varying axis and multiplies
+    by the constant axis length (dequant applied inside the bin map for
+    the jpeg third of the images)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_histogram(synth, batch_size=512)
+
+
+SQL_IMAGE_HISTOGRAM = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rh AS (
+  SELECT image_id, 0 AS channel, v // 32 AS bin,
+         CAST(MIN(h) * COUNT(*) AS BIGINT) AS n
+  FROM (SELECT image_id, h,
+               CASE WHEN fi = 2
+                    THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                         + ((br + (j * 55) // (w - 1)) // 4) // 16
+                    ELSE br + (j * 55) // (w - 1) END AS v
+        FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w)
+  GROUP BY image_id, v // 32
+),
+gh AS (
+  SELECT image_id, 1 AS channel, v // 32 AS bin,
+         CAST(MIN(w) * COUNT(*) AS BIGINT) AS n
+  FROM (SELECT image_id, w,
+               CASE WHEN fi = 2
+                    THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                         + ((bg + (r * 41) // (h - 1)) // 4) // 16
+                    ELSE bg + (r * 41) // (h - 1) END AS v
+        FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h)
+  GROUP BY image_id, v // 32
+),
+bh AS (
+  SELECT image_id, 2 AS channel,
+         (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+               ELSE bb END) // 32 AS bin,
+         CAST(w * h AS BIGINT) AS n
+  FROM im
+)
+SELECT image_id, CAST(channel AS BIGINT) AS channel,
+       CAST(bin AS BIGINT) AS bin, n
+FROM (SELECT * FROM rh UNION ALL SELECT * FROM gh UNION ALL
+      SELECT * FROM bh)
+"""
+
+
+def q_traj_step_stats(sf_dir: str):  # exact oracle (lag window)
+    """Per-trajectory Chebyshev step statistics (``spatial.
+    traj_step_stats``) over the stay-point traces: n_pts, path length,
+    max step, jump count (> 64 — block transitions only, since dwell
+    jitter + the x-spike stays under 64 by construction)."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+    nk = 50
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        traj = eid % nk
+        seq = eid // nk
+        blk = seq // (8 + traj % 5)
+        spike = np.where((seq * 7919) % 23 == 0, 40, 0)
+        x = traj * 100000 + blk * 1000 + (seq * 2654435761) % 13 + spike
+        y = blk * 1000 + (seq * 40503) % 11
+        return pa.table({"traj_id": traj, "seq": seq,
+                         "x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    pts = ev.map_batches(_synth, batch_format="pyarrow", batch_size=8192)
+    return spatial.traj_step_stats(pts, "traj_id", "seq", "x", "y", jump=64)
+
+
+SQL_TRAJ_STEP_STATS = """
+WITH xy AS (
+  SELECT event_id % 50 AS traj_id, event_id // 50 AS seq,
+         (event_id % 50) * 100000
+           + ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 2654435761) % 13
+           + CASE WHEN ((event_id // 50) * 7919) % 23 = 0
+                  THEN 40 ELSE 0 END AS x,
+         ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 40503) % 11 AS y
+  FROM events
+),
+st AS (
+  SELECT traj_id,
+         GREATEST(ABS(x - lag(x) OVER w), ABS(y - lag(y) OVER w)) AS step
+  FROM xy
+  WINDOW w AS (PARTITION BY traj_id ORDER BY seq)
+)
+SELECT traj_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_len,
+       CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step,
+       CAST(COALESCE(SUM(CASE WHEN step > 64 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_jumps
+FROM st GROUP BY traj_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7361,6 +7531,9 @@ QUERIES = {
     "supplier_kcore": q_supplier_kcore,
     "image_block_stats": q_image_block_stats,
     "stay_points": q_stay_points,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "image_histogram": q_image_histogram,
+    "traj_step_stats": q_traj_step_stats,
 }
 
 
@@ -7512,4 +7685,7 @@ ORACLE_SQL = {
     "supplier_kcore": SQL_SUPPLIER_KCORE,
     "image_block_stats": SQL_IMAGE_BLOCK_STATS,
     "stay_points": SQL_STAY_POINTS,
+    "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+    "image_histogram": SQL_IMAGE_HISTOGRAM,
+    "traj_step_stats": SQL_TRAJ_STEP_STATS,
 }

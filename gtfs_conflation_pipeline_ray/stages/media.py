@@ -483,3 +483,50 @@ def image_block_stats(ds, bw: int = 4, bh: int = 6, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+class ImageHistogram:
+    """Actor-pool batch fn: per-channel 8-bin intensity histograms
+    (bin = v >> 5) through the genuine decode path, emitted as
+    (image_id, channel, bin, n) ROWS with zero-count bins omitted — the
+    exposure/contrast quality-filter primitive of an image training-data
+    pipeline. Decode handle per actor as in :class:`ImageFeaturizer`."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        o_id, o_ch, o_bin, o_n = [], [], [], []
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            for c in range(3):
+                cnt = np.bincount(img[:, :, c].ravel() >> 5, minlength=8)
+                nz = np.flatnonzero(cnt)
+                o_id.append(np.full(len(nz), ids[i], dtype=np.int64))
+                o_ch.append(np.full(len(nz), c, dtype=np.int64))
+                o_bin.append(nz.astype(np.int64))
+                o_n.append(cnt[nz].astype(np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], dtype=np.int64))
+        return pa.table({"image_id": cat(o_id), "channel": cat(o_ch),
+                         "bin": cat(o_bin), "n": cat(o_n)})
+
+
+def image_histogram(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                    fmt_col: str = "fmt", concurrency: int | None = None,
+                    batch_size: int = 256):
+    return ds.map_batches(
+        ImageHistogram,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -1032,3 +1032,33 @@ def stay_point_islands(points, key_col: str, seq_col: str, x_col: str,
                              "n_core": counts.astype(np.int64)})
 
     return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
+
+
+def traj_step_stats(points, key_col: str, seq_col: str, x_col: str,
+                    y_col: str, jump: int = 64, est_rows: int | None = None):
+    """Per-trajectory step statistics under the Chebyshev step metric:
+    n_pts, path_len = sum of max(|dx|,|dy|) over consecutive steps,
+    max_step, and n_jumps = steps exceeding ``jump`` (the travel/teleport
+    discriminator used to sessionize GPS traces before stay-point
+    detection). Same scale shape as :func:`stay_point_islands`: ONE
+    trajectory-bucketed shuffle of 4-int rows, then an O(n) vectorized
+    shift scan per bucket; single-point trajectories report zeros."""
+    from .relational import bucketed_groups
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        key = df[key_col].to_numpy()
+        x = df[x_col].to_numpy().astype(np.int64)
+        y = df[y_col].to_numpy().astype(np.int64)
+        same = key[1:] == key[:-1]
+        step = np.maximum(np.abs(np.diff(x)), np.abs(np.diff(y)))
+        pts = pd.DataFrame({key_col: key}).groupby(key_col, sort=True).size()
+        sf = pd.DataFrame({key_col: key[1:][same], "step": step[same]})
+        agg = sf.groupby(key_col, sort=True)["step"].agg(
+            path_len="sum", max_step="max",
+            n_jumps=lambda s: int((s > jump).sum()))
+        out = pts.rename("n_pts").to_frame().join(agg, how="left")
+        out = out.fillna(0).astype(np.int64).reset_index()
+        return out[[key_col, "n_pts", "path_len", "max_step", "n_jumps"]]
+
+    return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)

@@ -391,3 +391,77 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(_score, batch_format="pyarrow", batch_size=4096)
+
+
+def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
+                   text_col: str = "text", chunk: int = 4096,
+                   est_rows: int | None = None):
+    """Greedy sequential SEQUENCE PACKING — the concat-and-chunk step every
+    LLM training pipeline runs last: documents, in ``id_col`` order, are
+    laid end-to-end on a global token axis and cut into fixed-length
+    training sequences of ``seq_len`` tokens; a document spanning a cut is
+    SPLIT across the neighboring sequences. Emits one row per
+    (document x sequence) overlap: (doc_id, seq_id, tok_start, n_toks)
+    where tok_start is the document's offset INSIDE the sequence — exactly
+    the index a sequence builder needs to copy token runs and reset
+    attention masks at document boundaries.
+
+    The global exclusive prefix sum over per-doc token counts is computed
+    in two phases so nothing big ever sits on the driver: (1) per-chunk
+    token totals (chunk = ``id_col // chunk``) via the map-side combiner,
+    cumsum'd on the driver over n_docs/chunk rows (bounded, documented
+    assumption) and broadcast via ``ray.put``; (2) ONE bucketed shuffle of
+    (doc_id, n_tokens) pairs — never the text — with a vectorized
+    within-chunk cumsum + ragged np.repeat expansion per bucket. Token
+    counts are whitespace-token counts (``tx.token_counts``), matching the
+    ``doc_token_stats`` convention."""
+    import ray
+
+    from .relational import bucketed_groups, partial_groupby_sum
+    from .util import cached_state
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tx.token_counts(batch[text_col].to_pylist())
+        return pa.table({"_chunk": ids // chunk, id_col: ids,
+                         "n_tokens": n})
+
+    toks = ds.map_batches(_counts, batch_format="pyarrow", batch_size=4096)
+
+    sums = partial_groupby_sum(toks, ["_chunk"], ["n_tokens"]).to_pandas()
+    sums = sums.sort_values("_chunk")
+    chunk_ids = sums["_chunk"].to_numpy().astype(np.int64)
+    tot = sums["n_tokens"].to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    off_ref = ray.put((chunk_ids, offs))
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        cids, coffs = cached_state(off_ref, lambda m: m,
+                                   token="pack_seq_offsets")
+        df = df.sort_values(id_col, kind="mergesort")
+        ids = df[id_col].to_numpy()
+        n = df["n_tokens"].to_numpy().astype(np.int64)
+        ck = df["_chunk"].to_numpy().astype(np.int64)
+        # within-chunk exclusive cumsum (rows of a chunk are contiguous
+        # after the id sort) + the chunk's broadcast global offset
+        cs = np.cumsum(n) - n
+        first = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        base = np.repeat(cs[first], np.diff(np.r_[first, len(ck)]))
+        s = coffs[np.searchsorted(cids, ck)] + (cs - base)
+        keep = n > 0
+        ids, n, s = ids[keep], n[keep], s[keep]
+        first_seq = s // seq_len
+        last_seq = (s + n - 1) // seq_len
+        reps = (last_seq - first_seq + 1).astype(np.int64)
+        ri = np.repeat(np.arange(len(ids)), reps)
+        intra = np.arange(len(ri)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        seq = first_seq[ri] + intra
+        lo = np.maximum(s[ri], seq * seq_len)
+        hi = np.minimum(s[ri] + n[ri], (seq + 1) * seq_len)
+        return pd.DataFrame({
+            id_col: ids[ri], "seq_id": seq.astype(np.int64),
+            "tok_start": (lo - seq * seq_len).astype(np.int64),
+            "n_toks": (hi - lo).astype(np.int64)})
+
+    return bucketed_groups(toks, ["_chunk"], _expand, est_rows=est_rows)
