@@ -7371,6 +7371,147 @@ FROM st GROUP BY traj_id
 """
 
 
+def q_audio_vad_segments(sf_dir: str):  # exact oracle (islands over frames)
+    """Voice-activity segmentation (``media.AudioVAD``) through the real
+    WAV decode path: square-wave clips alternate LOUD (3 frames) and QUIET
+    (6 frames) regions in 240-sample blocks; frame (80 samples) L1 energy
+    gates activity at 120000 and maximal active runs become segments. The
+    sign carrier (half-period 2+i%14) is irrelevant to |s| by design — a
+    decode defect that corrupts amplitudes or sample counts breaks the
+    hash. Oracle: frame-level closed form of the synthesis + the
+    gaps-and-islands trick; per-frame uniformity holds because the 240
+    block is exactly 3 frames."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            n = 1000 + (i * 101) % 4000
+            hi = 2000 + (i * 53) % 1000
+            lo = 50 + i % 20
+            p = 2 + i % 14
+            t = np.arange(n, dtype=np.int64)
+            amp = np.where((t // 240) % 3 == 0, hi, lo)
+            s = (np.where((t // p) % 2 == 0, amp, -amp)).astype(np.int16)
+            blobs.append(M.encode_wav(s, 8000))
+        return pa.table({
+            "audio_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(["wav"] * len(ids), type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.audio_vad_segments(synth, frame=80, thr=120000,
+                                     batch_size=512)
+
+
+SQL_AUDIO_VAD_SEGMENTS = """
+WITH au AS (
+  SELECT doc_id AS audio_id,
+         (1000 + (doc_id * 101) % 4000) // 80 AS nf,
+         2000 + (doc_id * 53) % 1000 AS hi,
+         50 + doc_id % 20 AS lo
+  FROM documents
+),
+fr AS (
+  SELECT audio_id, hi, lo, unnest(range(nf)) AS f FROM au
+),
+act AS (
+  SELECT audio_id, f,
+         80 * (CASE WHEN (f // 3) % 3 = 0 THEN hi ELSE lo END) AS e
+  FROM fr
+  WHERE 80 * (CASE WHEN (f // 3) % 3 = 0 THEN hi ELSE lo END) > 120000
+),
+isl AS (
+  SELECT audio_id, f, e,
+         f - ROW_NUMBER() OVER (PARTITION BY audio_id ORDER BY f) AS grp
+  FROM act
+)
+SELECT audio_id, CAST(MIN(f) AS BIGINT) AS start_frame,
+       CAST(MAX(f) AS BIGINT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(e) AS BIGINT) AS max_energy
+FROM isl GROUP BY audio_id, grp
+"""
+
+
+def q_video_shot_segments(sf_dir: str):  # exact oracle (diff + islands)
+    """Shot-boundary segmentation: QVID clips with 7-frame SCENES — G and B
+    base colors jump by an alternating 120/110 offset at every scene cut,
+    within-scene drift is a gentle 5/2/3 per-channel ramp (no mod wraps by
+    construction) — sampled at every_n=1 by the real ``FrameSampler``
+    (header + seek-index decode), then ``media.shot_segments`` cuts where
+    the per-pixel L1 channel-sum diff exceeds 150. The gradient on R is
+    constant across frames so it cancels in diffs — the oracle mirrors
+    base-color deltas only, while the engine measures genuine decoded
+    sums normalized by the sampler's genuine w*h."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            nf, w, h = int(4 + i % 28), int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+            for f in range(nf):
+                frames[f, :, :, 0] = np.uint8(
+                    60 + (i * 7) % 80 + (f % 7) * 5) + grad[None, :]
+                frames[f, :, :, 1] = (50 + (i * 11) % 40 + (f % 7) * 2
+                                      + ((f // 7) % 2) * 120)
+                frames[f, :, :, 2] = (30 + (i * 3) % 50 + (f % 7) * 3
+                                      + ((f // 7) % 2) * 110)
+            blobs.append(M.encode_video(frames, fps=24))
+        return pa.table(
+            {"video_id": ids, "bytes": pa.array(blobs, type=pa.binary())})
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=256)
+    frames = mstage.sample_frames(synth, every_n=1, with_ahash=False,
+                                  batch_size=256)
+    return mstage.shot_segments(frames, thr_px=150)
+
+
+# within-scene per-pixel diff = 5+2+3 = 10 << 150; at a cut (f%7==0, f>0)
+# the R ramp resets (-30), G jumps -12±120, B jumps -18±110 → diff ≥ 230.
+# grad(R) is frame-constant: cancels. Max pixel values stay < 256 (no mod
+# wrap anywhere), so the per-channel deltas below are the exact decoded
+# sums divided by w*h.
+SQL_VIDEO_SHOT_SEGMENTS = """
+WITH vid AS (
+  SELECT doc_id AS video_id, doc_id AS i, 4 + doc_id % 28 AS nf
+  FROM documents
+),
+fr AS (SELECT video_id, i, unnest(range(nf)) AS f FROM vid),
+df AS (
+  SELECT video_id, f,
+         CASE WHEN f = 0 THEN 0 ELSE
+              ABS(((f % 7) - ((f - 1) % 7)) * 5)
+            + ABS(((f % 7) - ((f - 1) % 7)) * 2
+                  + (((f // 7) % 2) - (((f - 1) // 7) % 2)) * 120)
+            + ABS(((f % 7) - ((f - 1) % 7)) * 3
+                  + (((f // 7) % 2) - (((f - 1) // 7) % 2)) * 110)
+         END AS d
+  FROM fr
+),
+sh AS (
+  SELECT video_id, f,
+         SUM(CASE WHEN f > 0 AND d > 150 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY video_id ORDER BY f) AS shot_id
+  FROM df
+)
+SELECT video_id, CAST(shot_id AS BIGINT) AS shot_id,
+       CAST(MIN(f) AS BIGINT) AS start_frame,
+       CAST(MAX(f) AS BIGINT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM sh GROUP BY video_id, shot_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7534,6 +7675,8 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "image_histogram": q_image_histogram,
     "traj_step_stats": q_traj_step_stats,
+    "audio_vad_segments": q_audio_vad_segments,
+    "video_shot_segments": q_video_shot_segments,
 }
 
 
@@ -7688,4 +7831,6 @@ ORACLE_SQL = {
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "image_histogram": SQL_IMAGE_HISTOGRAM,
     "traj_step_stats": SQL_TRAJ_STEP_STATS,
+    "audio_vad_segments": SQL_AUDIO_VAD_SEGMENTS,
+    "video_shot_segments": SQL_VIDEO_SHOT_SEGMENTS,
 }

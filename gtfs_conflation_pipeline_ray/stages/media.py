@@ -22,6 +22,7 @@ arithmetic, so the stages carry closed-form DuckDB oracles
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions import media
@@ -190,9 +191,9 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.bytes_col].to_pylist()
-        row_out, idx_out, sums, hashes = [], [], [], []
+        row_out, idx_out, sums, hashes, whs = [], [], [], [], []
         for row, buf in enumerate(blobs):
-            _w, _h, n, _fps = media.video_info(buf)
+            w, h, n, _fps = media.video_info(buf)
             for k in range(0, n, self.every_n):
                 frame = media.decode_frame(buf, k)
                 f64 = frame.astype(np.int64)
@@ -200,15 +201,20 @@ class FrameSampler:
                 idx_out.append(k)
                 sums.append(f64.sum(axis=(0, 1)))
                 hashes.append(media.ahash64(frame) if self.with_ahash else 0)
+                whs.append((w, h))
         # id column gathered from the input with its ORIGINAL type (string
         # ids are as valid as ints); empty batches keep that schema too
         ids = batch[self.id_col].take(pa.array(row_out, type=pa.int64()))
         s = (np.asarray(sums, dtype=np.int64) if sums
              else np.zeros((0, 3), dtype=np.int64))
+        wh = (np.asarray(whs, dtype=np.int64) if whs
+              else np.zeros((0, 2), dtype=np.int64))
         return pa.table(
             {
                 "video_id": ids,
                 "frame_idx": np.asarray(idx_out, dtype=np.int64),
+                "w": wh[:, 0],
+                "h": wh[:, 1],
                 "sum_r": s[:, 0],
                 "sum_g": s[:, 1],
                 "sum_b": s[:, 2],
@@ -530,3 +536,109 @@ def image_histogram(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+class AudioVAD:
+    """Actor-pool batch fn: decode each clip and emit energy-gated ACTIVITY
+    SEGMENTS — the voice-activity-detection primitive that trims silence
+    before an audio corpus is transcribed or embedded. Frames of ``frame``
+    samples (tail partial frame dropped); frame energy = exact int64 L1 sum
+    of |sample|; a frame is active iff energy > ``thr``; maximal runs of
+    consecutive active frames are merged and emitted as
+    (audio_id, start_frame, end_frame, n_frames, max_energy) rows."""
+
+    def __init__(self, frame: int = 80, thr: int = 120000,
+                 bytes_col: str = "bytes", id_col: str = "audio_id",
+                 fmt_col: str = "fmt"):
+        self.frame, self.thr = frame, thr
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        o_id, o_s, o_e, o_n, o_m = [], [], [], [], []
+        for i in range(len(ids)):
+            s, _sr = media.decode_audio(blobs[i], fmts[i])
+            nf = len(s) // self.frame
+            if nf == 0:
+                continue
+            e = np.abs(s[: nf * self.frame].astype(np.int64)).reshape(
+                nf, self.frame).sum(axis=1)
+            act = np.flatnonzero(e > self.thr)
+            if len(act) == 0:
+                continue
+            new = np.ones(len(act), dtype=bool)
+            new[1:] = act[1:] != act[:-1] + 1
+            isl = np.cumsum(new) - 1
+            n_isl = isl[-1] + 1
+            starts = act[new]
+            ends = np.zeros(n_isl, dtype=np.int64)
+            np.maximum.at(ends, isl, act)
+            mx = np.zeros(n_isl, dtype=np.int64)
+            np.maximum.at(mx, isl, e[act])
+            o_id.append(np.full(n_isl, ids[i], dtype=np.int64))
+            o_s.append(starts.astype(np.int64))
+            o_e.append(ends)
+            o_n.append((ends - starts + 1).astype(np.int64))
+            o_m.append(mx)
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], dtype=np.int64))
+        return pa.table({"audio_id": cat(o_id), "start_frame": cat(o_s),
+                         "end_frame": cat(o_e), "n_frames": cat(o_n),
+                         "max_energy": cat(o_m)})
+
+
+def audio_vad_segments(ds, frame: int = 80, thr: int = 120000,
+                       bytes_col: str = "bytes", id_col: str = "audio_id",
+                       fmt_col: str = "fmt", concurrency: int | None = None,
+                       batch_size: int = 256):
+    return ds.map_batches(
+        AudioVAD,
+        fn_constructor_kwargs={"frame": frame, "thr": thr,
+                               "bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def shot_segments(frames, thr_px: int, key_col: str = "video_id",
+                  idx_col: str = "frame_idx", est_rows: int | None = None):
+    """SHOT-BOUNDARY segmentation over a per-frame channel-sum table (the
+    output of :func:`sample_frames` with ``every_n=1``): a boundary falls
+    before frame f iff the L1 difference of its channel sums vs frame f-1
+    exceeds ``thr_px`` per pixel (the w*h columns carried by the sampler
+    normalize the threshold — larger frames need proportionally larger
+    absolute change). Shots = runs between boundaries, emitted as
+    (video_id, shot_id, start_frame, end_frame, n_frames).
+
+    Scale shape: the heavy decode already happened in the sampler's actor
+    pool; this stage shuffles only 7-int rows, one video-bucketed exchange,
+    then an O(n) vectorized diff scan per bucket."""
+    from .relational import bucketed_groups
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, idx_col], kind="mergesort")
+        key = df[key_col].to_numpy()
+        idx = df[idx_col].to_numpy().astype(np.int64)
+        sums = df[["sum_r", "sum_g", "sum_b"]].to_numpy().astype(np.int64)
+        px = (df["w"].to_numpy().astype(np.int64)
+              * df["h"].to_numpy().astype(np.int64))
+        n = len(df)
+        nb = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same = key[1:] == key[:-1]
+            d = np.abs(np.diff(sums, axis=0)).sum(axis=1)
+            nb[1:][same & (d > thr_px * px[1:])] = 1
+        cum = np.cumsum(nb)
+        first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        base = np.repeat(cum[first] - nb[first], np.diff(np.r_[first, n]))
+        shot = cum - base
+        out = pd.DataFrame({key_col: key, "shot_id": shot, "f": idx})
+        agg = out.groupby([key_col, "shot_id"], sort=True)["f"].agg(
+            start_frame="min", end_frame="max", n_frames="size")
+        return agg.astype(np.int64).reset_index()
+
+    return bucketed_groups(frames, [key_col], _scan, est_rows=est_rows)

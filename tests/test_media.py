@@ -193,8 +193,8 @@ def test_sample_frames_empty_batch_typed():
     )
     out = FrameSampler(every_n=2)(empty)
     assert out.num_rows == 0
-    assert set(out.schema.names) == {"video_id", "frame_idx", "sum_r",
-                                     "sum_g", "sum_b", "ahash"}
+    assert set(out.schema.names) == {"video_id", "frame_idx", "w", "h",
+                                     "sum_r", "sum_g", "sum_b", "ahash"}
     assert out.schema.field("ahash").type == pa.int64()
 
 
