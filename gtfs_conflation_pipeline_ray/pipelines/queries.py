@@ -7512,6 +7512,50 @@ FROM sh GROUP BY video_id, shot_id
 """
 
 
+def q_doc_decontaminate(sf_dir: str):  # exact oracle (string equality)
+    """Benchmark decontamination (``textops.decontaminate``): per training
+    doc, the count of its word 5-grams that appear anywhere in the
+    benchmark set (docs with doc_id % 97 == 0 stand in for the held-out
+    suite; the rest are the training side). String-equality matching —
+    no hash-collision caveat on either side."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _is_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    def _is_train(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 != 0))
+
+    bench = docs.map_batches(_is_bench, batch_format="pyarrow",
+                             batch_size=2048)
+    train = docs.map_batches(_is_train, batch_format="pyarrow",
+                             batch_size=2048)
+    return textops.decontaminate(train, bench, n=5)
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(list_slice(t, p + 1, p + 5), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS p
+        FROM toks WHERE len(t) >= 5)
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0),
+probe AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM probe p LEFT JOIN bench b ON p.g = b.g
+GROUP BY p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7677,6 +7721,7 @@ QUERIES = {
     "traj_step_stats": q_traj_step_stats,
     "audio_vad_segments": q_audio_vad_segments,
     "video_shot_segments": q_video_shot_segments,
+    "doc_decontaminate": q_doc_decontaminate,
 }
 
 
@@ -7833,4 +7878,5 @@ ORACLE_SQL = {
     "traj_step_stats": SQL_TRAJ_STEP_STATS,
     "audio_vad_segments": SQL_AUDIO_VAD_SEGMENTS,
     "video_shot_segments": SQL_VIDEO_SHOT_SEGMENTS,
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
 }

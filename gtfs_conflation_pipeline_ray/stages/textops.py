@@ -465,3 +465,58 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
             "n_toks": (hi - lo).astype(np.int64)})
 
     return bucketed_groups(toks, ["_chunk"], _expand, est_rows=est_rows)
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    t = text.split()
+    return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+
+def decontaminate(docs, bench, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark DECONTAMINATION counts — the eval-leakage check every
+    training corpus runs before a model sees it: for each training doc,
+    how many of its word ``n``-grams appear anywhere in the benchmark
+    set. Emits (doc_id, n_ngrams, n_contaminated) for every doc with at
+    least one n-gram; the filter/drop decision is a downstream predicate
+    on the ratio.
+
+    Matching is on the n-gram STRINGS, not hashes — engine and oracle are
+    exact over all inputs with no collision caveat. Scale shape: the
+    benchmark side is collected to a distinct-string set and broadcast
+    once (``ray.put`` + per-worker ``cached_state``) — benchmark suites
+    are small by nature (the fixture's doc_id%97 subset is a stand-in);
+    the training side streams map-only, NO shuffle at all."""
+    import ray
+
+    from .util import cached_state
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            out.update(_word_ngrams(t, n))
+        return pa.table({"g": pa.array(sorted(out), type=pa.string())})
+
+    parts = bench.map_batches(_extract, batch_format="pyarrow",
+                              batch_size=1024)
+    bench_set: set[str] = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        bench_set.update(b["g"].to_pylist())
+    bench_ref = ray.put(frozenset(bench_set))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bs = cached_state(bench_ref, lambda s: s, token="decontam_bench")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_id, o_n, o_c = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            gs = _word_ngrams(t, n)
+            if not gs:
+                continue
+            o_id.append(ids[i])
+            o_n.append(len(gs))
+            o_c.append(sum(1 for g in gs if g in bs))
+        return pa.table({id_col: np.array(o_id, dtype=np.int64),
+                         "n_ngrams": np.array(o_n, dtype=np.int64),
+                         "n_contaminated": np.array(o_c, dtype=np.int64)})
+
+    return docs.map_batches(_probe, batch_format="pyarrow", batch_size=1024)

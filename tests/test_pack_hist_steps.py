@@ -104,3 +104,38 @@ def test_traj_step_stats_vs_brute(ray_session):
         assert r.path_len == step.sum()
         assert r.max_step == (step.max() if len(step) else 0)
         assert r.n_jumps == int((step > 50).sum())
+
+
+def test_decontaminate_vs_brute(ray_session):
+    import ray
+    from gtfs_conflation_pipeline_ray.stages import textops
+
+    rng = np.random.default_rng(21)
+    words = ["w%d" % k for k in range(12)]
+    bench_texts = [" ".join(rng.choice(words, size=20)) for _ in range(3)]
+    train_texts = [" ".join(rng.choice(words, size=rng.integers(0, 30)))
+                   for _ in range(30)]
+    # plant a verbatim benchmark span inside one training doc
+    train_texts[7] = "x y " + " ".join(bench_texts[0].split()[3:11]) + " z"
+
+    bench = ray.data.from_arrow(pa.table({"text": bench_texts}))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "text": pa.array(train_texts, type=pa.string())}))
+    got = textops.decontaminate(train, bench, n=5).to_pandas()
+    got = got.set_index("doc_id")
+
+    bset = set()
+    for t in bench_texts:
+        tk = t.split()
+        bset.update(" ".join(tk[i:i + 5]) for i in range(len(tk) - 4))
+    for d, t in enumerate(train_texts):
+        tk = t.split()
+        gs = [" ".join(tk[i:i + 5]) for i in range(len(tk) - 4)]
+        if not gs:
+            assert d not in got.index
+            continue
+        assert got.loc[d, "n_ngrams"] == len(gs)
+        assert got.loc[d, "n_contaminated"] == sum(g in bset for g in gs)
+    # the planted span must register: 8 tokens -> 4 contaminated 5-grams
+    assert got.loc[7, "n_contaminated"] >= 4
