@@ -7556,6 +7556,82 @@ GROUP BY p.doc_id
 """
 
 
+def q_ann_recall(sf_dir: str):  # exact oracle (composed CTE chains)
+    """ANN index EVALUATION — recall@5 of the IVF index against the exact
+    brute-force ground truth, per query: the measurement loop that decides
+    nprobe/codebook sizing before an index ships. Both sides are the
+    existing oracle-green operators (``ann.cosine_topk``,
+    ``ann.ivf_topk``); the comparison set is k x Q rows by construction
+    (40 here), so the driver-side merge is bounded and documented."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    qref = ray.put(qtab)
+    emb2 = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])  # second scan
+    brute = ann.cosine_topk(emb, qref, k=5).to_pandas()   # k*Q rows
+    ivf = ann.ivf_topk(emb2, qref, k=5).to_pandas()       # k*Q rows
+    hit = brute.merge(ivf[["query_id", "vec_id"]], on=["query_id", "vec_id"],
+                      how="left", indicator=True)
+    out = (hit.groupby("query_id")
+              .agg(n_hit=("_merge", lambda s: int((s == "both").sum())))
+              .reset_index())
+    out["n_hit"] = out["n_hit"].astype(np.int64)
+    out["k"] = np.int64(5)
+    return out[["query_id", "n_hit", "k"]]
+
+
+SQL_ANN_RECALL = f"""
+SELECT b.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+       CAST(5 AS BIGINT) AS k
+FROM ({SQL_ANN_TOPK}) b
+LEFT JOIN ({SQL_ANN_IVF}) i
+  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id
+"""
+
+
+def q_grid_moran(sf_dir: str):  # exact oracle (shift self-join)
+    """Spatial autocorrelation components (``spatial.grid_moran``) over the
+    probe-point density raster: per cx-band, the int64 pieces of Moran's I
+    (cell count / Σv / Σv² and 8-neighborhood pair count / Σ v_i·v_j).
+    Every exchange after the map-side collapse is grid-sized (≤64×64)."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_moran(pts, "px", "py", cell=1024, band_div=16)
+
+
+SQL_GRID_MORAN = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.cx // 16 AS band, a.v * b.v AS cross_v
+  FROM cells a JOIN cells b
+    ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+    OR (b.cx = a.cx + 1 AND b.cy = a.cy + 1)
+    OR (b.cx = a.cx     AND b.cy = a.cy + 1)
+    OR (b.cx = a.cx - 1 AND b.cy = a.cy + 1)
+),
+ca AS (
+  SELECT cx // 16 AS band, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(v) AS BIGINT) AS sum_v,
+         CAST(SUM(v * v) AS BIGINT) AS sum_v2
+  FROM cells GROUP BY 1
+),
+pa2 AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cross_v) AS BIGINT) AS sum_cross
+  FROM pr GROUP BY band
+)
+SELECT c.band, c.n_cells, c.sum_v, c.sum_v2,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(p.sum_cross, 0) AS BIGINT) AS sum_cross
+FROM ca c LEFT JOIN pa2 p USING (band)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7722,6 +7798,8 @@ QUERIES = {
     "audio_vad_segments": q_audio_vad_segments,
     "video_shot_segments": q_video_shot_segments,
     "doc_decontaminate": q_doc_decontaminate,
+    "ann_recall": q_ann_recall,
+    "grid_moran": q_grid_moran,
 }
 
 
@@ -7879,4 +7957,6 @@ ORACLE_SQL = {
     "audio_vad_segments": SQL_AUDIO_VAD_SEGMENTS,
     "video_shot_segments": SQL_VIDEO_SHOT_SEGMENTS,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+    "ann_recall": SQL_ANN_RECALL,
+    "grid_moran": SQL_GRID_MORAN,
 }

@@ -1062,3 +1062,74 @@ def traj_step_stats(points, key_col: str, seq_col: str, x_col: str,
         return out[[key_col, "n_pts", "path_len", "max_step", "n_jumps"]]
 
     return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
+
+
+def grid_moran(points, x_col: str, y_col: str, cell: int, band_div: int = 16,
+               est_rows: int | None = None):
+    """Spatial-autocorrelation COMPONENTS (the integer pieces of Moran's I
+    over a density raster): v = point count per ``cell``-sized grid cell;
+    per band (``cx // band_div``) emit n_cells, sum_v, sum_v2, and over
+    8-neighborhood cell pairs n_pairs and sum_cross = Σ v_i·v_j. The
+    downstream statistic I = (N/W)·Σw(vi−m)(vj−m)/Σ(vi−m)² assembles from
+    exactly these sums — kept raw so everything stays int64-exact.
+
+    Scale shape: points collapse to the grid map-side (combiner), every
+    later exchange is GRID-sized, not data-sized. Neighbor pairs use the
+    4-directed-shift trick (E, SE, S, SW) so each undirected pair counts
+    once: shifted probe rows carry their source band, ONE bucketed
+    shuffle on the landing coordinate matches them against base cells,
+    and band partials combine in a final band-sized groupby."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    cells = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v")
+
+    dirs = ((1, 0), (1, 1), (0, 1), (-1, 1))
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.assign(kind=np.int64(0), band=df["cx"].to_numpy() // band_div)
+        shifted = []
+        for dx, dy in dirs:
+            shifted.append(pd.DataFrame({
+                "cx": df["cx"].to_numpy() + dx,
+                "cy": df["cy"].to_numpy() + dy,
+                "v": df["v"].to_numpy(),
+                "kind": np.int64(1),
+                "band": df["cx"].to_numpy() // band_div,
+            }))
+        return pd.concat([base] + shifted, ignore_index=True)
+
+    exp = cells.map_batches(_expand, batch_format="pandas", batch_size=4096)
+
+    def _match(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0]
+        shift = g[g["kind"] == 1]
+        cell_part = (base.groupby("band", sort=True)
+                     .agg(n_cells=("v", "size"), sum_v=("v", "sum"),
+                          sum_v2=("v", lambda s: int((s.to_numpy(np.int64)
+                                                      ** 2).sum())))
+                     .reset_index())
+        m = shift.merge(base[["cx", "cy", "v"]], on=["cx", "cy"],
+                        how="inner", suffixes=("_src", ""))
+        if len(m):
+            m["cross"] = m["v_src"].to_numpy(np.int64) * m["v"].to_numpy(np.int64)
+            pair_part = (m.groupby("band", sort=True)
+                         .agg(n_pairs=("cross", "size"),
+                              sum_cross=("cross", "sum")).reset_index())
+        else:
+            pair_part = pd.DataFrame({"band": np.array([], np.int64),
+                                      "n_pairs": np.array([], np.int64),
+                                      "sum_cross": np.array([], np.int64)})
+        out = cell_part.merge(pair_part, on="band", how="outer").fillna(0)
+        return out.astype({c: np.int64 for c in out.columns})
+
+    parts = bucketed_groups(exp, ["cx", "cy"], _match, est_rows=est_rows)
+    return partial_groupby_sum(
+        parts, ["band"], ["n_cells", "sum_v", "sum_v2", "n_pairs",
+                          "sum_cross"])

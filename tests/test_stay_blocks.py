@@ -129,3 +129,39 @@ def test_stay_point_islands_no_cores(ray_session):
     # dataset drops columns — a Ray conversion quirk, not an engine one)
     assert got.schema().names == ["traj", "start_seq", "end_seq", "n_core"]
     assert got.count() == 0
+
+
+def test_grid_moran_vs_brute(ray_session):
+    import ray
+    from gtfs_conflation_pipeline_ray.stages import spatial
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    x = rng.integers(0, 1 << 14, size=n)
+    y = rng.integers(0, 1 << 14, size=n)
+    ds = ray.data.from_arrow(pa.table({"px": x.astype(np.int64),
+                                       "py": y.astype(np.int64)}))
+    got = spatial.grid_moran(ds, "px", "py", cell=1024, band_div=4)
+    got = got.to_pandas().set_index("band").sort_index()
+
+    # brute force: dense grid + explicit 8-neighborhood double loop
+    cells = {}
+    for xi, yi in zip(x // 1024, y // 1024):
+        cells[(int(xi), int(yi))] = cells.get((int(xi), int(yi)), 0) + 1
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (cx, cy), v in cells.items():
+        a = agg[cx // 4]
+        a[0] += 1
+        a[1] += v
+        a[2] += v * v
+        for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1)):
+            w = cells.get((cx + dx, cy + dy))
+            if w is not None:
+                a[3] += 1
+                a[4] += v * w
+    for band, (nc, sv, sv2, npair, scross) in agg.items():
+        r = got.loc[band]
+        assert (r.n_cells, r.sum_v, r.sum_v2, r.n_pairs, r.sum_cross) == (
+            nc, sv, sv2, npair, scross), band
+    assert set(got.index) == set(agg.keys())
