@@ -150,3 +150,26 @@ def hilbert_xy(d: np.ndarray, order: int = 16) -> tuple[np.ndarray, np.ndarray]:
         t //= 4
         s *= 2
     return x, y
+
+
+def quadkey(cx: np.ndarray, cy: np.ndarray, zoom: int) -> np.ndarray:
+    """Bing-maps quadkey strings of integer tile coordinates at ``zoom``
+    levels: digit l (1-based, coarsest first) = x-bit + 2*y-bit at position
+    ``zoom - l`` — the base-4 sibling of the reference's base-36 z-order
+    geo-proximity key (``getGeoProximityKey.js:8-46``), with the property
+    that makes tile pyramids trivial: the quadkey of the parent tile at
+    zoom z-1 is the length-(z-1) PREFIX of the child's key.
+
+    Fully vectorized: an (n, zoom) uint8 digit matrix is reinterpreted as
+    fixed-width bytes, no Python per-row work. Returns numpy unicode array.
+    """
+    cx = np.asarray(cx).astype(np.int64)
+    cy = np.asarray(cy).astype(np.int64)
+    n = cx.shape[0]
+    digits = np.empty((n, zoom), dtype=np.uint8)
+    for level in range(1, zoom + 1):
+        sh = zoom - level
+        digits[:, level - 1] = (((cx >> sh) & 1) + 2 * ((cy >> sh) & 1) + 48)
+    if n == 0:
+        return np.empty(0, dtype=f"U{zoom}")
+    return np.ascontiguousarray(digits).view(f"S{zoom}").ravel().astype(f"U{zoom}")

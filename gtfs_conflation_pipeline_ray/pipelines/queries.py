@@ -7632,6 +7632,206 @@ FROM ca c LEFT JOIN pa2 p USING (band)
 """
 
 
+def q_image_roundtrip_psnr(sf_dir: str):  # exact oracle (quantizer closed form)
+    """The engine's per-row IMAGE INVARIANT as data (BASELINE.json: decoded
+    pixels allclose with PSNR >= 40 dB for lossy formats + caption equality):
+    each synthesized image is stored in its wire format (real BMP/PNG, QJPG
+    stub) NEXT TO a lossless PNG reference; the actor-pool
+    ``ImageRoundtripChecker`` decodes both and emits the exact integer error
+    (SSE, max |diff|) plus the 40 dB bar as a pure-integer predicate
+    (sse * 10^4 <= 255^2 * n_subpixels) and the caption-equality bit. The
+    oracle mirrors the QJPG 6-bit quantizer closed-form (dq(v) = 4*(v//4) +
+    (v//4)//16), so a codec regression in any format breaks the hash."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, refs, fmts, caps = [], [], [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (i * 11) % 200
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            refs.append(codecs.encode(img, "png"))
+            fmts.append(fmt)
+            caps.append(f"cap-{i}")
+        return pa.table(
+            {
+                "image_id": ids,
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "ref_bytes": pa.array(refs, type=pa.binary()),
+                "fmt": pa.array(fmts, type=pa.string()),
+                "caption": pa.array(caps, type=pa.string()),
+            }
+        )
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_roundtrip_check(synth, cap_col="caption",
+                                        batch_size=512)
+
+
+# dq(v) = 4*(v//4) + (v//4)//16 — the QJPG decode of the 6-bit quantized v;
+# lossless rows (fi < 2) are zero-error by construction.
+SQL_IMAGE_ROUNDTRIP_PSNR = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+im2 AS (
+  SELECT *,
+         bg - ((bg // 4) * 4 + (bg // 4) // 16) AS eg,
+         bb - ((bb // 4) * 4 + (bb // 4) // 16) AS eb
+  FROM im
+),
+rerr AS (
+  SELECT image_id, SUM(e * e) AS row_sse_r, MAX(ABS(e)) AS max_r
+  FROM (
+    SELECT image_id,
+           (br + (j * 55) // (w - 1))
+             - (((br + (j * 55) // (w - 1)) // 4) * 4
+                + ((br + (j * 55) // (w - 1)) // 4) // 16) AS e
+    FROM im, (SELECT unnest(range(40)) AS j) js
+    WHERE j < w AND fi = 2
+  ) GROUP BY image_id
+),
+err AS (
+  SELECT i.image_id, i.w, i.h,
+         CASE WHEN i.fi = 2
+              THEN i.h * COALESCE(r.row_sse_r, 0)
+                   + i.w * i.h * (i.eg * i.eg + i.eb * i.eb)
+              ELSE 0 END AS sse,
+         CASE WHEN i.fi = 2
+              THEN GREATEST(COALESCE(r.max_r, 0), ABS(i.eg), ABS(i.eb))
+              ELSE 0 END AS max_err
+  FROM im2 i LEFT JOIN rerr r USING (image_id)
+)
+SELECT image_id, CAST(sse AS BIGINT) AS sse,
+       CAST(max_err AS BIGINT) AS max_err,
+       sse * 10000 <= 65025 * (w * h * 3) AS ok_40db,
+       TRUE AS cap_ok
+FROM err
+"""
+
+
+def q_embedding_knn_classify(sf_dir: str):  # exact oracle (kNN CTE + vote)
+    """kNN CLASSIFICATION by neighbor-label majority vote — the eval loop of
+    every embedding-space labeler: exact cosine top-5 per query (the
+    oracle-green ``ann.cosine_topk`` kernel, query matrix broadcast once),
+    labels attached map-side from a broadcast (vec_id -> label) array (the
+    label side is dimension-sized, never shuffled), then a deterministic
+    vote (max count, min label tie-break). The vote table is k x Q rows by
+    construction (160 here), so the driver-side finish is bounded."""
+    from ..stages.util import cached_state
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 32)])
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    knn = ann.cosine_topk(emb, ray.put(qtab), k=5)
+
+    lab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"])
+    lab_ref = ray.put(lab)
+
+    def _labels_state(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], lbl[order]
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids, lbl = cached_state(lab_ref, _labels_state, token="knn_labels")
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"query_id": batch["query_id"],
+                         "label": lbl[np.searchsorted(ids, v)]})
+
+    pairs = knn.map_batches(_attach, batch_format="pyarrow").to_pandas()
+    vote = (pairs.groupby(["query_id", "label"]).size()
+                 .reset_index(name="n_votes"))
+    vote = vote.sort_values(["query_id", "n_votes", "label"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = vote.groupby("query_id", sort=True).head(1).reset_index(drop=True)
+    out = out.rename(columns={"label": "pred_label"})
+    out["pred_label"] = out["pred_label"].astype(np.int64)
+    out["n_votes"] = out["n_votes"].astype(np.int64)
+    return out[["query_id", "pred_label", "n_votes"]]
+
+
+SQL_EMBEDDING_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 32),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+knn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM sims) WHERE rn <= 5
+),
+votes AS (
+  SELECT k.query_id, CAST(e.label AS BIGINT) AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, pred_label, n_votes
+FROM (SELECT query_id, pred_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, pred_label) AS rn
+      FROM votes) WHERE rn = 1
+"""
+
+
+def q_quadkey_rollup(sf_dir: str):  # exact oracle (digit arithmetic + substr)
+    """Tile-PYRAMID point counts (``spatial.quadkey_rollup``): Bing quadkey
+    strings at zoom 6 over the probe points, rolled up to every zoom in
+    [3, 6] via the quadkey's parent-is-prefix property — one data-sized
+    map-side collapse, then grid-sized fan-out + groupby for ALL levels."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.quadkey_rollup(pts, "px", "py", cell=1024, zoom=6,
+                                  min_zoom=3)
+
+
+SQL_QUADKEY_ROLLUP = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+leaf AS (
+  SELECT array_to_string(
+           [CAST(((cx >> (6 - l)) & 1) + 2 * ((cy >> (6 - l)) & 1) AS VARCHAR)
+            FOR l IN range(1, 7)], '') AS qk,
+         v
+  FROM cells
+),
+fan AS (
+  SELECT CAST(z AS BIGINT) AS zoom, substr(qk, 1, CAST(z AS INT)) AS quadkey, v
+  FROM leaf, (SELECT unnest(range(3, 7)) AS z) zs
+)
+SELECT zoom, quadkey, CAST(SUM(v) AS BIGINT) AS n_points
+FROM fan GROUP BY zoom, quadkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7800,6 +8000,9 @@ QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "ann_recall": q_ann_recall,
     "grid_moran": q_grid_moran,
+    "image_roundtrip_psnr": q_image_roundtrip_psnr,
+    "embedding_knn_classify": q_embedding_knn_classify,
+    "quadkey_rollup": q_quadkey_rollup,
 }
 
 
@@ -7959,4 +8162,7 @@ ORACLE_SQL = {
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "ann_recall": SQL_ANN_RECALL,
     "grid_moran": SQL_GRID_MORAN,
+    "image_roundtrip_psnr": SQL_IMAGE_ROUNDTRIP_PSNR,
+    "embedding_knn_classify": SQL_EMBEDDING_KNN_CLASSIFY,
+    "quadkey_rollup": SQL_QUADKEY_ROLLUP,
 }

@@ -642,3 +642,88 @@ def shot_segments(frames, thr_px: int, key_col: str = "video_id",
         return agg.astype(np.int64).reset_index()
 
     return bucketed_groups(frames, [key_col], _scan, est_rows=est_rows)
+
+
+class ImageRoundtripChecker:
+    """Per-row INVARIANT check of the engine's image contract (BASELINE.json:
+    "decoded-pixel allclose, PSNR>=40dB for lossy formats, caption equality"):
+    each row carries the stored payload (``bytes``/``fmt``) plus a LOSSLESS
+    reference encoding of the original pixels (``ref_bytes``, PNG); the
+    checker decodes BOTH, measures the exact integer pixel error (SSE, max
+    abs diff), and evaluates the 40 dB bar as a pure-integer predicate:
+
+        PSNR >= 40  <=>  sse * 10_000 <= 255^2 * n_subpixels
+
+    (PSNR = 10*log10(255^2 / (sse/n)); no floats anywhere, so engine and
+    oracle agree bit-exactly). Caption equality rides along: ``cap_ok``
+    re-derives the expected caption from the id and compares — proving the
+    string column survived the binary-heavy stage unmutated.
+
+    Scale shape: an actor-pool decode stage like :class:`ImageFeaturizer`;
+    bytes enter once per row and leave as 5 small ints, so nothing binary
+    transits the downstream exchange. Poison rows quarantine (ok=false)
+    instead of aborting the job."""
+
+    def __init__(self, bytes_col: str = "bytes", ref_col: str = "ref_bytes",
+                 id_col: str = "image_id", fmt_col: str = "fmt",
+                 cap_col: str | None = None, cap_prefix: str = "cap-"):
+        from ..functions import codecs
+
+        self.bytes_col, self.ref_col = bytes_col, ref_col
+        self.id_col, self.fmt_col = id_col, fmt_col
+        self.cap_col, self.cap_prefix = cap_col, cap_prefix
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        refs = batch[self.ref_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        caps = batch[self.cap_col].to_pylist() if self.cap_col else None
+        sse = np.zeros(n, dtype=np.int64)
+        max_err = np.zeros(n, dtype=np.int64)
+        nsub = np.zeros(n, dtype=np.int64)
+        ok = np.ones(n, dtype=bool)
+        cap_ok = np.ones(n, dtype=bool)
+        for i in range(n):
+            try:
+                got = self.decode(blobs[i], fmts[i]).astype(np.int64)
+                want = self.decode(refs[i], "png").astype(np.int64)
+                if got.shape != want.shape:
+                    raise ValueError(f"dims {got.shape} != {want.shape}")
+                d = got - want
+                sse[i] = int((d * d).sum())
+                max_err[i] = int(np.abs(d).max()) if d.size else 0
+                nsub[i] = d.size
+            except Exception:
+                ok[i] = False
+            if caps is not None:
+                cap_ok[i] = caps[i] == f"{self.cap_prefix}{ids[i]}"
+        ok &= sse * 10_000 <= 65_025 * nsub
+        cols = {
+            self.id_col: ids,
+            "sse": sse,
+            "max_err": max_err,
+            "ok_40db": ok,
+        }
+        if caps is not None:
+            cols["cap_ok"] = cap_ok
+        return pa.table(cols)
+
+
+def image_roundtrip_check(ds, bytes_col: str = "bytes",
+                          ref_col: str = "ref_bytes",
+                          id_col: str = "image_id", fmt_col: str = "fmt",
+                          cap_col: str | None = None,
+                          concurrency: int | None = None,
+                          batch_size: int = 256):
+    return ds.map_batches(
+        ImageRoundtripChecker,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "ref_col": ref_col,
+                               "id_col": id_col, "fmt_col": fmt_col,
+                               "cap_col": cap_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -1133,3 +1133,44 @@ def grid_moran(points, x_col: str, y_col: str, cell: int, band_div: int = 16,
     return partial_groupby_sum(
         parts, ["band"], ["n_cells", "sum_v", "sum_v2", "n_pairs",
                           "sum_cross"])
+
+
+def quadkey_rollup(points, x_col: str, y_col: str, cell: int, zoom: int,
+                   min_zoom: int):
+    """Tile-PYRAMID aggregation: point counts per quadkey tile at every zoom
+    in [min_zoom, zoom] — the raster-pyramid build behind every slippy-map
+    tile service (the reference emits one mbtiles level per conflation-map
+    zoom; here the levels are one groupby, not one pass each).
+
+    Scale shape: points collapse to leaf cells MAP-SIDE (combiner), so the
+    only data-sized work is the first pass; each leaf row then fans out to
+    its (zoom - min_zoom + 1) ancestor PREFIXES (quadkey parent = string
+    prefix — no re-encode), and one grid-sized bucketed groupby finishes all
+    pyramid levels at once. At 10^12 rows the exchange is still bounded by
+    4^zoom * levels, never the input."""
+    from ..functions.cells import quadkey
+    from .relational import partial_groupby_sum
+
+    def _leaf(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"qk": quadkey(x // cell, y // cell, zoom)})
+
+    leaves = points.map_batches(_leaf, batch_format="pyarrow",
+                                batch_size=8192)
+    leaves = partial_groupby_sum(leaves, ["qk"], [], count_as="n_points")
+
+    def _pyramid(batch: pa.Table) -> pa.Table:
+        qk = batch["qk"].to_numpy(zero_copy_only=False)
+        v = batch["n_points"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zs, keys, vals = [], [], []
+        for z in range(min_zoom, zoom + 1):
+            zs.append(np.full(len(qk), z, dtype=np.int64))
+            keys.append(qk.astype(f"U{z}").astype(f"U{zoom}"))
+            vals.append(v)
+        return pa.table({"zoom": np.concatenate(zs) if zs else np.array([], np.int64),
+                         "quadkey": np.concatenate(keys) if keys else np.array([], "U1"),
+                         "n_points": np.concatenate(vals) if vals else np.array([], np.int64)})
+
+    fan = leaves.map_batches(_pyramid, batch_format="pyarrow", batch_size=4096)
+    return partial_groupby_sum(fan, ["zoom", "quadkey"], ["n_points"])
