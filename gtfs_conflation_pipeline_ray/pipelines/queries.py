@@ -7832,6 +7832,129 @@ FROM fan GROUP BY zoom, quadkey
 """
 
 
+def q_events_anomaly(sf_dir: str):  # exact oracle (integer z-score predicate)
+    """Per-user OUTLIER detection with the 3-sigma rule as a pure-integer
+    predicate: an event is anomalous iff (n*v - S)^2 > 9*(n*Q - S^2) — the
+    cross-multiplied form of (v - mean)^2 > 9*var, exact in int64 cents
+    (values <= 56021c, n <= 99 per user keeps every product < 2^45). One
+    user-bucketed shuffle computes per-user moments and flags in the same
+    pass; output is user-sized."""
+    ev = _rp(sf_dir, "events", ["user_id", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "v": cents(batch["value"].to_numpy(zero_copy_only=False)),
+        })
+
+    ec = ev.map_batches(_cents, batch_format="pyarrow", batch_size=8192)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=True)["v"]
+        st = g.agg(n="size", s="sum",
+                   q=lambda x: int((x.to_numpy(np.int64) ** 2).sum()))
+        m = df.merge(st, left_on="user_id", right_index=True)
+        n = m["n"].to_numpy(np.int64)
+        s = m["s"].to_numpy(np.int64)
+        q = m["q"].to_numpy(np.int64)
+        v = m["v"].to_numpy(np.int64)
+        flag = (n * v - s) ** 2 > 9 * (n * q - s * s)
+        out = pd.DataFrame({"user_id": m["user_id"].to_numpy(np.int64),
+                            "flag": flag.astype(np.int64)})
+        res = out.groupby("user_id", sort=True)["flag"].agg(
+            n_events="size", n_outliers="sum").reset_index()
+        return res.astype(np.int64)
+
+    return rel.bucketed_groups(ec, ["user_id"], _scan,
+                               est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_ANOMALY = """
+WITH ec AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events
+),
+st AS (
+  SELECT user_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+  FROM ec GROUP BY 1
+)
+SELECT e.user_id, CAST(ANY_VALUE(st.n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN (st.n * e.v - st.s) * (st.n * e.v - st.s)
+                          > 9 * (st.n * st.q - st.s * st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ec e JOIN st USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def q_lineitem_corr(sf_dir: str):  # exact oracle (integer moment sums)
+    """Grouped BIVARIATE moments — the exact integer pieces of Pearson r /
+    the OLS slope between quantity and price per (returnflag, linestatus):
+    n, Σx, Σy, Σx², Σy², Σxy (y in whole currency units so Σy² stays well
+    inside int64 at any scale: y<=104999 → y²<=1.1e10, 6e5 rows → 6.6e15).
+    All sums build MAP-SIDE (combiner) — the shuffle carries 6 ints per
+    (group, batch), the classic one-pass parallel-statistics shape."""
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def _mom(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.floor(df["l_extendedprice"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"rf": df["l_returnflag"], "ls": df["l_linestatus"],
+                             "sum_x": x, "sum_y": y, "sum_xx": x * x,
+                             "sum_yy": y * y, "sum_xy": x * y})
+
+    mom = li.map_batches(_mom, batch_format="pandas", batch_size=8192)
+    return rel.partial_groupby_sum(
+        mom, ["rf", "ls"], ["sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"],
+        count_as="n")
+
+
+SQL_LINEITEM_CORR = """
+WITH lc AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT rf, ls,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lc GROUP BY rf, ls
+"""
+
+
+def q_doc_chunk_overlap(sf_dir: str):  # exact oracle (range + list slice)
+    """RAG-index chunking (``textops.chunk_documents``): overlapping token
+    windows (32 tokens, stride 24) per document with exact per-chunk token
+    counts and character sums. Map-only — text never shuffles."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textops.chunk_documents(docs, window=32, stride=24)
+
+
+SQL_DOC_CHUNK_OVERLAP = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents
+),
+nn AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) > 0),
+ch AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, 1 + greatest(0, (n - 32 + 23) // 24))) AS c
+  FROM nn
+)
+SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+       CAST(c * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - c * 24) AS BIGINT) AS n_toks,
+       CAST(list_aggregate(list_transform(
+              w[c * 24 + 1 : c * 24 + least(32, n - c * 24)],
+              t -> len(t)), 'sum') AS BIGINT) AS sum_tok_len
+FROM ch
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8003,6 +8126,9 @@ QUERIES = {
     "image_roundtrip_psnr": q_image_roundtrip_psnr,
     "embedding_knn_classify": q_embedding_knn_classify,
     "quadkey_rollup": q_quadkey_rollup,
+    "events_anomaly": q_events_anomaly,
+    "lineitem_corr": q_lineitem_corr,
+    "doc_chunk_overlap": q_doc_chunk_overlap,
 }
 
 
@@ -8165,4 +8291,7 @@ ORACLE_SQL = {
     "image_roundtrip_psnr": SQL_IMAGE_ROUNDTRIP_PSNR,
     "embedding_knn_classify": SQL_EMBEDDING_KNN_CLASSIFY,
     "quadkey_rollup": SQL_QUADKEY_ROLLUP,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
+    "lineitem_corr": SQL_LINEITEM_CORR,
+    "doc_chunk_overlap": SQL_DOC_CHUNK_OVERLAP,
 }

@@ -520,3 +520,52 @@ def decontaminate(docs, bench, n: int = 5, text_col: str = "text",
                          "n_contaminated": np.array(o_c, dtype=np.int64)})
 
     return docs.map_batches(_probe, batch_format="pyarrow", batch_size=1024)
+
+
+def chunk_documents(ds, window: int = 32, stride: int = 24,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """RAG-style OVERLAPPING chunking: each document's token stream split
+    into windows of ``window`` tokens advancing by ``stride`` (< window →
+    consecutive chunks overlap by window-stride tokens, the standard
+    retrieval-index layout). Emits one row per chunk with exact integer
+    bookkeeping: (doc_id, chunk_id, start_tok, n_toks, sum_tok_len).
+
+    Chunk count = 1 + max(0, ceil((n - window) / stride)) — the final chunk
+    is the (possibly short) tail, and every token lands in >=1 chunk.
+    MAP-ONLY: text never shuffles; the per-chunk sums come from one cumsum
+    of token lengths per document, so cost is O(tokens), not O(tokens x
+    chunks)."""
+    from ..functions.text import _WORD_ASCII_RE
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        o_id, o_ck, o_st, o_nt, o_sl = [], [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _WORD_ASCII_RE.findall((t or "").lower())
+            n = len(toks)
+            if n == 0:
+                continue
+            lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=n)
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            n_chunks = 1 + max(0, (n - window + stride - 1) // stride)
+            starts = np.arange(n_chunks, dtype=np.int64) * stride
+            ends = np.minimum(starts + window, n)
+            o_id.append(np.full(n_chunks, did, dtype=np.int64))
+            o_ck.append(np.arange(n_chunks, dtype=np.int64))
+            o_st.append(starts)
+            o_nt.append(ends - starts)
+            o_sl.append(cum[ends] - cum[starts])
+        if not o_id:
+            z = np.array([], dtype=np.int64)
+            return pa.table({id_col: z, "chunk_id": z, "start_tok": z,
+                             "n_toks": z, "sum_tok_len": z})
+        return pa.table({
+            id_col: np.concatenate(o_id),
+            "chunk_id": np.concatenate(o_ck),
+            "start_tok": np.concatenate(o_st),
+            "n_toks": np.concatenate(o_nt),
+            "sum_tok_len": np.concatenate(o_sl),
+        })
+
+    return ds.map_batches(_chunks, batch_format="pyarrow", batch_size=1024)
