@@ -7955,6 +7955,180 @@ FROM ch
 """
 
 
+def q_tile_link_jaccard(sf_dir: str):  # exact oracle (wedge self-join)
+    """LINK PREDICTION over the tile kNN graph: for every source pair
+    sharing >=1 out-neighbor, the common-neighbor count, the Jaccard score
+    over their (constant-degree) kNN lists as an exact integer quotient,
+    and whether the pair is already an edge. Wedges enumerate DISTRIBUTED
+    (one target-bucketed shuffle, vectorized pair fan-out per bucket, then
+    a pair-keyed partial combine); the is_edge flag attaches map-side from
+    a broadcast edge-code set that is tile-table-sized by construction."""
+    from ..stages.spatial import knn_join
+    from ..stages.util import cached_state
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _probes(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        keep = pa.array(t["tile_id"].to_numpy() % 10 == 0)
+        t = t.filter(keep)
+        return pa.table({"src_tile": t["tile_id"], "px": t["cx"],
+                         "py": t["cy"]})
+
+    probes = part.map_batches(_probes, batch_format="pyarrow",
+                              batch_size=32768)
+    knn = knn_join(probes, conflation.tiles_ref(sf_dir), k=4,
+                   x_col="px", y_col="py", carry_cols=["src_tile"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["knn_rank"], 2)
+        t = batch.filter(keep)
+        return pa.table({"src": t["src_tile"], "tgt": t["tile_id"]})
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow")
+
+    # edge-code set for is_edge: bounded by |tiles|/10 * 3 rows (the
+    # decimated source set), same size class as the broadcast tile table
+    eddf = edges.to_pandas()
+    m = eddf[eddf["tgt"] % 10 == 0]
+    u = np.minimum(m["src"].to_numpy(np.int64), m["tgt"].to_numpy(np.int64))
+    v = np.maximum(m["src"].to_numpy(np.int64), m["tgt"].to_numpy(np.int64))
+    ecodes_ref = ray.put(np.unique(u * np.int64(1_000_003) + v))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        mm = df.merge(df, on="tgt", suffixes=("_a", "_b"))
+        mm = mm[mm["src_a"] < mm["src_b"]]
+        out = (mm.groupby(["src_a", "src_b"], sort=True).size()
+                 .reset_index(name="n_common"))
+        return out.rename(columns={"src_a": "tile_a", "src_b": "tile_b"})
+
+    pairs = rel.bucketed_groups(edges, ["tgt"], _pairs)
+    pairs = rel.partial_groupby_sum(pairs, ["tile_a", "tile_b"],
+                                    ["n_common"])
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        codes = cached_state(ecodes_ref, lambda c: c, token="tile_edge_codes")
+        a = batch["tile_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["tile_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "tile_a": a, "tile_b": b, "n_common": nc,
+            "jaccard_q4": (10_000 * nc) // (6 - nc),
+            "is_edge": np.isin(a * np.int64(1_000_003) + b, codes),
+        })
+
+    return pairs.map_batches(_flags, batch_format="pyarrow")
+
+
+SQL_TILE_LINK_JACCARD = f"""
+WITH tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+e AS (
+  SELECT src, tgt FROM (
+    SELECT p.src, t.tile_id AS tgt,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS rn
+    FROM probes p CROSS JOIN tiles t) WHERE rn BETWEEN 2 AND 4
+),
+pairs AS (
+  SELECT a.src AS tile_a, b.src AS tile_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e a JOIN e b ON a.tgt = b.tgt AND a.src < b.src
+  GROUP BY 1, 2
+),
+ed AS (SELECT DISTINCT LEAST(src, tgt) AS u, GREATEST(src, tgt) AS v
+       FROM e WHERE tgt % 10 = 0)
+SELECT p.tile_a, p.tile_b, p.n_common,
+       CAST((10000 * p.n_common) // (6 - p.n_common) AS BIGINT) AS jaccard_q4,
+       ed.u IS NOT NULL AS is_edge
+FROM pairs p LEFT JOIN ed ON ed.u = p.tile_a AND ed.v = p.tile_b
+"""
+
+
+def q_grid_box_blur(sf_dir: str):  # exact oracle (9-offset self-join)
+    """Raster smoothing (``spatial.grid_box_blur``): 3x3 box-filter sums
+    over the probe-point density grid, emitted per occupied cell with the
+    occupied-neighbor count. Post-collapse exchanges are grid-sized."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_box_blur(pts, "px", "py", cell=1024)
+
+
+SQL_GRID_BOX_BLUR = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+)
+SELECT a.cx, a.cy, CAST(a.v AS BIGINT) AS v,
+       CAST(SUM(b.v) AS BIGINT) AS blur_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_nbrs
+FROM cells a JOIN cells b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+GROUP BY a.cx, a.cy, a.v
+"""
+
+
+def q_image_filter_stats(sf_dir: str):  # exact oracle (fixture closed form)
+    """Multimodal pre-training QUALITY FILTER (``media.ImageFilterFlags``,
+    the LAION-style keep/drop pass): min pixel area, 2:1 aspect bound, and
+    caption-length floor, with dims taken from the DECODED pixels through
+    all three codecs. The fixture's (w, h, caption) grid hits pass AND
+    fail cases of every rule; the oracle mirrors the synthesis closed
+    form, so a dimension bug in any decoder breaks the hash."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts, caps = [], [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (i * 11) % 200
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+            caps.append(f"cap-{i}")
+        return pa.table(
+            {
+                "image_id": ids,
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "fmt": pa.array(fmts, type=pa.string()),
+                "caption": pa.array(caps, type=pa.string()),
+            }
+        )
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_filter_flags(synth, min_cap_len=7, batch_size=512)
+
+
+SQL_IMAGE_FILTER_STATS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+              ELSE 'jpeg' END AS fmt,
+         'cap-' || CAST(doc_id AS VARCHAR) AS caption
+  FROM documents
+)
+SELECT image_id, fmt,
+       w * h >= 300 AS area_ok,
+       GREATEST(w, h) <= 2 * LEAST(w, h) AS aspect_ok,
+       len(caption) >= 7 AS cap_ok,
+       (w * h >= 300 AND GREATEST(w, h) <= 2 * LEAST(w, h)
+        AND len(caption) >= 7) AS keep
+FROM im
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8129,6 +8303,9 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "lineitem_corr": q_lineitem_corr,
     "doc_chunk_overlap": q_doc_chunk_overlap,
+    "tile_link_jaccard": q_tile_link_jaccard,
+    "grid_box_blur": q_grid_box_blur,
+    "image_filter_stats": q_image_filter_stats,
 }
 
 
@@ -8294,4 +8471,7 @@ ORACLE_SQL = {
     "events_anomaly": SQL_EVENTS_ANOMALY,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "doc_chunk_overlap": SQL_DOC_CHUNK_OVERLAP,
+    "tile_link_jaccard": SQL_TILE_LINK_JACCARD,
+    "grid_box_blur": SQL_GRID_BOX_BLUR,
+    "image_filter_stats": SQL_IMAGE_FILTER_STATS,
 }

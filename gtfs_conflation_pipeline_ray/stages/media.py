@@ -727,3 +727,65 @@ def image_roundtrip_check(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+class ImageFilterFlags:
+    """LAION-style multimodal QUALITY FILTER: decode each payload and emit
+    the standard pre-training keep/drop flags — minimum pixel area, aspect
+    ratio bound (max side <= ``aspect_num/aspect_den`` x min side), and a
+    caption-length floor — plus the conjunction ``keep``. Dims come from the
+    DECODED pixels (a corrupt payload fails every flag), not trusted
+    metadata. Actor-pool decode like :class:`ImageFeaturizer`; output is a
+    flags row per image, so bytes never leave the stage."""
+
+    def __init__(self, min_area: int = 300, aspect_num: int = 2,
+                 aspect_den: int = 1, min_cap_len: int = 8,
+                 bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt", cap_col: str = "caption"):
+        from ..functions import codecs
+
+        self.min_area, self.min_cap_len = min_area, min_cap_len
+        self.aspect_num, self.aspect_den = aspect_num, aspect_den
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.fmt_col, self.cap_col = fmt_col, cap_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        caps = batch[self.cap_col].to_pylist()
+        w = np.zeros(n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.int64)
+        ok = np.ones(n, dtype=bool)
+        for i in range(n):
+            try:
+                img = self.decode(blobs[i], fmts[i])
+                h[i], w[i] = img.shape[0], img.shape[1]
+            except Exception:
+                ok[i] = False
+        area_ok = ok & (w * h >= self.min_area)
+        mx, mn = np.maximum(w, h), np.minimum(w, h)
+        aspect_ok = ok & (mx * self.aspect_den <= mn * self.aspect_num)
+        cap_len = np.fromiter((len(c or "") for c in caps), dtype=np.int64,
+                              count=n)
+        cap_ok = cap_len >= self.min_cap_len
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "fmt": batch[self.fmt_col],
+            "area_ok": area_ok,
+            "aspect_ok": aspect_ok,
+            "cap_ok": cap_ok,
+            "keep": area_ok & aspect_ok & cap_ok,
+        })
+
+
+def image_filter_flags(ds, concurrency: int | None = None,
+                       batch_size: int = 256, **kwargs):
+    return ds.map_batches(
+        ImageFilterFlags,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -1174,3 +1174,51 @@ def quadkey_rollup(points, x_col: str, y_col: str, cell: int, zoom: int,
 
     fan = leaves.map_batches(_pyramid, batch_format="pyarrow", batch_size=4096)
     return partial_groupby_sum(fan, ["zoom", "quadkey"], ["n_points"])
+
+
+def grid_box_blur(points, x_col: str, y_col: str, cell: int,
+                  est_rows: int | None = None):
+    """3x3 BOX-FILTER convolution over the point-density raster — the
+    smoothing pass in front of every heatmap / KDE-style density product:
+    blur(c) = Σ v over the 9-cell neighborhood of c, emitted for every
+    OCCUPIED base cell together with how many occupied neighbors
+    contributed (n_nbrs, so downstream can normalize by support, not by 9).
+
+    Scale shape: identical to :func:`grid_moran` — points collapse to the
+    grid map-side, each occupied cell fans out to its 9 landing positions,
+    ONE grid-sized bucketed shuffle matches contributions to base cells.
+    The raster never densifies: empty cells cost nothing."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    cells = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v")
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        cx = df["cx"].to_numpy(np.int64)
+        cy = df["cy"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        outs = [pd.DataFrame({"cx": cx, "cy": cy, "v": v,
+                              "kind": np.int64(0)})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pd.DataFrame({"cx": cx + dx, "cy": cy + dy,
+                                          "v": v, "kind": np.int64(1)}))
+        return pd.concat(outs, ignore_index=True)
+
+    exp = cells.map_batches(_expand, batch_format="pandas", batch_size=4096)
+
+    def _match(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0][["cx", "cy", "v"]]
+        contrib = (g[g["kind"] == 1]
+                   .groupby(["cx", "cy"], sort=True)["v"]
+                   .agg(blur_sum="sum", n_nbrs="size").reset_index())
+        out = base.merge(contrib, on=["cx", "cy"], how="left")
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return bucketed_groups(exp, ["cx", "cy"], _match, est_rows=est_rows)
