@@ -8129,6 +8129,165 @@ FROM im
 """
 
 
+def q_doc_bpe_pairs(sf_dir: str):  # exact oracle (adjacent-pair unnest)
+    """One tokenizer-training MERGE ROUND (``textops.bpe_pair_topk``): the
+    corpus's top-50 adjacent word-token pairs with deterministic
+    (count desc, pair asc) ties. Text never shuffles — only (pair, n)
+    partials ride the bucketed combine; the final merge is k·B-bounded."""
+    docs = _rp(sf_dir, "documents", ["text"])
+    return textops.bpe_pair_topk(docs, k=50,
+                                 est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_BPE_PAIRS = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[0-9a-z_]+') AS w FROM documents
+),
+adj AS (
+  SELECT w[j] || ' ' || w[j + 1] AS pair
+  FROM ws, (SELECT unnest(range(1, 200)) AS j) js
+  WHERE j < len(w)
+),
+cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM adj GROUP BY pair)
+SELECT pair, n FROM cnt ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_traj_resample(sf_dir: str):  # exact oracle (lead window + range unnest)
+    """Trajectory RESAMPLING onto a fixed grid (``spatial.traj_resample``):
+    irregular per-trajectory observations -> positions at every multiple
+    of 8 inside the observed span, integer-floor linear interpolation
+    between bracketing points. The synthetic traces reuse the stay-point
+    fixture's id arithmetic but with IRREGULAR gaps (seq = 2q + parity
+    bit) so the interpolation path genuinely exercises off-observation
+    sample times."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+    nk = 50
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        traj = eid % nk
+        q = eid // nk
+        seq = q * 2 + (q * 2654435761) % 2
+        x = traj * 100000 + (q * 2654435761) % 997
+        y = (q * 40503) % 797
+        return pa.table({"traj_id": traj, "seq": seq,
+                         "x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    pts = ev.map_batches(_synth, batch_format="pyarrow", batch_size=8192)
+    return spatial.traj_resample(pts, "traj_id", "seq", "x", "y", step=8,
+                                 est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_TRAJ_RESAMPLE = """
+WITH obs AS (
+  SELECT event_id % 50 AS traj_id,
+         (event_id // 50) * 2 + ((event_id // 50) * 2654435761) % 2 AS seq,
+         (event_id % 50) * 100000
+           + ((event_id // 50) * 2654435761) % 997 AS x,
+         ((event_id // 50) * 40503) % 797 AS y
+  FROM events
+),
+nxt AS (
+  SELECT traj_id, seq, x, y,
+         lead(seq) OVER w AS s1, lead(x) OVER w AS x1, lead(y) OVER w AS y1
+  FROM obs WINDOW w AS (PARTITION BY traj_id ORDER BY seq)
+),
+mid AS (
+  SELECT traj_id,
+         unnest(range(((seq + 7) // 8) * 8, s1, 8)) AS t,
+         seq, s1, x, x1, y, y1
+  FROM nxt WHERE s1 IS NOT NULL
+),
+lerp AS (
+  SELECT traj_id, t,
+         x + (x1 - x) * (t - seq) // (s1 - seq) AS x_i,
+         y + (y1 - y) * (t - seq) // (s1 - seq) AS y_i
+  FROM mid
+  UNION ALL
+  SELECT traj_id, seq AS t, x AS x_i, y AS y_i
+  FROM nxt WHERE s1 IS NULL AND seq % 8 = 0
+)
+SELECT traj_id, CAST(t AS BIGINT) AS t, CAST(x_i AS BIGINT) AS x_i,
+       CAST(y_i AS BIGINT) AS y_i
+FROM lerp
+"""
+
+
+def q_image_pixel_dedup(sf_dir: str):  # exact oracle (fixture closed form)
+    """EXACT image dedup on DECODED PIXELS (the multimodal sibling of
+    ``doc_exact_dedup`` — catches byte-level re-encodes that byte hashing
+    misses and that phash only near-matches): every payload decodes in an
+    actor pool, a blake2b digest of (dims, raw pixels) folds to int64, and
+    one hash-bucketed pass elects the canonical survivor (min image_id)
+    and counts copies. The fixture plants true duplicate groups (all ids
+    sharing ``doc_id % 30`` render identical pixels THROUGH the same
+    codec), so the oracle is the id-arithmetic closed form; the engine
+    never sees the residue — only pixels."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            j = int(i % 30)
+            w, h = 16 + (j % 4) * 8, 12 + (j % 3) * 6
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((j * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (j * 11) % 200
+            img[:, :, 2] = (j * 3) % 200
+            fmt = fmts3[j % 3]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+
+    import hashlib
+
+    def _pixhash(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        hs = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            img = codecs.decode(blobs[i], fmts[i])
+            d = hashlib.blake2b(img.shape[0].to_bytes(4, "little")
+                                + img.shape[1].to_bytes(4, "little")
+                                + img.tobytes(), digest_size=8).digest()
+            hs[i] = np.int64(int.from_bytes(d, "little") >> 1)
+        return pa.table({"image_id": ids, "pix_hash": hs})
+
+    hashed = synth.map_batches(_pixhash, batch_format="pyarrow",
+                               batch_size=512)
+
+    def _elect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pix_hash", sort=False)["image_id"]
+        st = g.agg(keep_id="min", n_copies="size")
+        m = df.merge(st, left_on="pix_hash", right_index=True)
+        out = m[["image_id", "keep_id", "n_copies"]].astype(np.int64)
+        return out
+
+    return rel.bucketed_groups(hashed, ["pix_hash"], _elect,
+                               est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_IMAGE_PIXEL_DEDUP = """
+SELECT doc_id AS image_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 30) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id % 30) AS BIGINT) AS n_copies
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8306,6 +8465,9 @@ QUERIES = {
     "tile_link_jaccard": q_tile_link_jaccard,
     "grid_box_blur": q_grid_box_blur,
     "image_filter_stats": q_image_filter_stats,
+    "doc_bpe_pairs": q_doc_bpe_pairs,
+    "traj_resample": q_traj_resample,
+    "image_pixel_dedup": q_image_pixel_dedup,
 }
 
 
@@ -8474,4 +8636,7 @@ ORACLE_SQL = {
     "tile_link_jaccard": SQL_TILE_LINK_JACCARD,
     "grid_box_blur": SQL_GRID_BOX_BLUR,
     "image_filter_stats": SQL_IMAGE_FILTER_STATS,
+    "doc_bpe_pairs": SQL_DOC_BPE_PAIRS,
+    "traj_resample": SQL_TRAJ_RESAMPLE,
+    "image_pixel_dedup": SQL_IMAGE_PIXEL_DEDUP,
 }

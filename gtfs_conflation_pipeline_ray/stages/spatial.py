@@ -1222,3 +1222,53 @@ def grid_box_blur(points, x_col: str, y_col: str, cell: int,
         return out.astype({c: np.int64 for c in out.columns})
 
     return bucketed_groups(exp, ["cx", "cy"], _match, est_rows=est_rows)
+
+
+def traj_resample(points, key_col: str, seq_col: str, x_col: str,
+                  y_col: str, step: int = 8, est_rows: int | None = None):
+    """Trajectory RESAMPLING onto a fixed time grid (the normalization pass
+    in front of trajectory similarity / map matching — turn irregular GPS
+    pings into comparable fixed-rate traces): for every multiple of
+    ``step`` inside a trajectory's observed [min_seq, max_seq] span, the
+    position linearly interpolated between the bracketing observations,
+    all in exact int64 floor arithmetic:
+
+        x(t) = x0 + (x1 - x0) * (t - s0) // (s1 - s0)
+
+    Keys are shuffle-parallel (one trajectory-bucketed exchange), the
+    in-key pass is one vectorized repeat/arange expansion — O(obs +
+    samples), no per-sample Python."""
+    from .relational import bucketed_groups
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        key = df[key_col].to_numpy(np.int64)
+        s = df[seq_col].to_numpy(np.int64)
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        n = len(df)
+        last = np.r_[key[1:] != key[:-1], True]
+        # consecutive in-trajectory pairs [i, i+1)
+        pi = np.flatnonzero(~last)
+        s0, s1 = s[pi], s[pi + 1]
+        t_first = -((-s0) // step) * step          # ceil to grid
+        cnt = np.maximum(0, -((t_first - s1) // step))  # t in [t_first, s1)
+        rep = np.repeat(pi, cnt)
+        off = np.arange(len(rep), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        t = np.repeat(t_first, cnt) + off * step
+        d = t - s[rep]
+        span = s[rep + 1] - s[rep]
+        xi = x[rep] + (x[rep + 1] - x[rep]) * d // span
+        yi = y[rep] + (y[rep + 1] - y[rep]) * d // span
+        # trajectory-final observation lands on the grid -> emit verbatim
+        fi = np.flatnonzero(last & (s % step == 0))
+        out = pd.DataFrame({
+            key_col: np.concatenate([key[rep], key[fi]]),
+            "t": np.concatenate([t, s[fi]]),
+            "x_i": np.concatenate([xi, x[fi]]),
+            "y_i": np.concatenate([yi, y[fi]]),
+        })
+        return out.sort_values([key_col, "t"], kind="mergesort")
+
+    return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)

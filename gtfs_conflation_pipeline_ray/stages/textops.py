@@ -569,3 +569,39 @@ def chunk_documents(ds, window: int = 32, stride: int = 24,
         })
 
     return ds.map_batches(_chunks, batch_format="pyarrow", batch_size=1024)
+
+
+def bpe_pair_topk(ds, k: int = 50, text_col: str = "text",
+                  est_rows: int | None = None):
+    """ONE BPE MERGE ROUND over the corpus: count adjacent word-token pairs
+    and return the top-k merge candidates — the inner loop of tokenizer
+    training (at word granularity; byte granularity is the same pipeline
+    with a different pre_fn). Same distributed shape as :func:`vocab_topk`:
+    per-batch partial pair counts (text never shuffles, only (pair, n)
+    partials), bucketed combine by pair, per-bucket top-k, k·B-bounded
+    final merge. Deterministic (n desc, pair asc) ties end-to-end."""
+    from ..functions.text import _WORD_ASCII_RE
+    from .relational import bucketed_groups
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: list[str] = []
+        for t in df[text_col]:
+            ws = _WORD_ASCII_RE.findall((t or "").lower())
+            pairs.extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        vc = pd.Series(pairs, dtype=object).value_counts()
+        return pd.DataFrame({"pair": vc.index.astype(object),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("pair", as_index=False, sort=False)["n"].sum()
+        tot = tot.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort")
+        return tot.head(k)
+
+    parts = bucketed_groups(ds.select_columns([text_col]), ["pair"], _final,
+                            pre_fn=_pre, est_rows=est_rows)
+    merged = parts.to_pandas().sort_values(["n", "pair"],
+                                           ascending=[False, True],
+                                           kind="mergesort").head(k)
+    return pa.table({"pair": merged["pair"].astype(str).to_numpy(),
+                     "n": merged["n"].to_numpy().astype(np.int64)})
