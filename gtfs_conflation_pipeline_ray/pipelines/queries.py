@@ -8288,6 +8288,149 @@ FROM documents
 """
 
 
+def q_events_rate_limit(sf_dir: str):  # exact oracle (recursive-CTE replay)
+    """Token-bucket ADMISSION CONTROL (``windows.rate_limit_by_key``): per
+    user, replay the event stream against a bucket of capacity 3 refilling
+    one token per 10 minutes — the ingest rate limiter of any event
+    pipeline, exactly (all-integer µs timestamps, floor refill). Keys are
+    shuffle-parallel; the recursive-CTE oracle replays the identical
+    sequential steps the way ``events_ewma``'s does."""
+    from ..stages.windows import rate_limit_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    return rate_limit_by_key(prep, "user_id", ["ts", "event_id"], "ts",
+                             cap=3, period=600_000_000)
+
+
+SQL_EVENTS_RATE_LIMIT = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS BIGINT) AS t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events)
+),
+nn AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+r AS (
+  SELECT user_id, rn, t, 2 AS tokens, 1 AS admitted FROM ev WHERE rn = 1
+  UNION ALL
+  -- refill from the PREVIOUS event time, clamp to cap 3, then admit+spend
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN LEAST(3, r.tokens + (e.t - r.t) // 600000000) >= 1
+              THEN LEAST(3, r.tokens + (e.t - r.t) // 600000000) - 1
+              ELSE LEAST(3, r.tokens + (e.t - r.t) // 600000000) END,
+         r.admitted + CASE WHEN LEAST(3, r.tokens + (e.t - r.t)
+                                        // 600000000) >= 1
+                           THEN 1 ELSE 0 END
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT r.user_id, nn.n AS n_events,
+       CAST(r.admitted AS BIGINT) AS n_admitted,
+       CAST(r.tokens AS BIGINT) AS tokens_final
+FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+"""
+
+
+def q_grid_hotspots(sf_dir: str):  # exact oracle (blur + global total)
+    """Density HOTSPOT detection (Getis-Ord-shaped, integer-exact): a cell
+    is hot iff its 3x3 neighborhood MEAN exceeds twice the global mean —
+    the cross-multiplied predicate blur_sum·N_cells > 2·n_nbrs·Σv, so no
+    division anywhere. Composes ``spatial.grid_box_blur`` with a global
+    total; the flagging pass runs on the GRID-sized blur table (<=4096
+    rows, documented bounded), everything data-sized stays map-side."""
+    pts = conflation.read_points(sf_dir)
+    blur = spatial.grid_box_blur(pts, "px", "py", cell=1024).to_pandas()
+    n_cells = np.int64(len(blur))
+    sum_v = np.int64(blur["v"].sum())
+    blur["hotspot"] = (blur["blur_sum"].to_numpy(np.int64) * n_cells
+                       > 2 * blur["n_nbrs"].to_numpy(np.int64) * sum_v)
+    return blur[["cx", "cy", "v", "blur_sum", "n_nbrs", "hotspot"]]
+
+
+SQL_GRID_HOTSPOTS = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+blur AS (
+  SELECT a.cx, a.cy, a.v, SUM(b.v) AS blur_sum, COUNT(*) AS n_nbrs
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  GROUP BY a.cx, a.cy, a.v
+),
+tot AS (SELECT COUNT(*) AS nc, SUM(v) AS sv FROM cells)
+SELECT cx, cy, CAST(v AS BIGINT) AS v, CAST(blur_sum AS BIGINT) AS blur_sum,
+       CAST(n_nbrs AS BIGINT) AS n_nbrs,
+       blur_sum * tot.nc > 2 * n_nbrs * tot.sv AS hotspot
+FROM blur, tot
+"""
+
+
+def q_doc_boolean_search(sf_dir: str):  # exact oracle (list_filter counts)
+    """Boolean AND keyword search with integer relevance: documents
+    containing ALL of {merge, window, vector}, with per-term frequencies
+    and a length-normalized score ((Σtf)·1000 // n_tokens). Map-only — the
+    query terms are a constant broadcast in the closure, text never
+    shuffles; this is the retrieval probe an inverted index answers,
+    expressed as the engine's scan-side fallback."""
+    from ..functions.text import _WORD_ASCII_RE
+
+    terms = ("merge", "window", "vector")
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        keep, tfs, scores = [], [], []
+        for did, t in zip(ids, texts):
+            ws = _WORD_ASCII_RE.findall((t or "").lower())
+            c = [sum(1 for w in ws if w == term) for term in terms]
+            if all(c) and ws:
+                keep.append(did)
+                tfs.append(c)
+                scores.append(sum(c) * 1000 // len(ws))
+        tfs = np.array(tfs, dtype=np.int64).reshape(-1, 3)
+        return pa.table({
+            "doc_id": np.array(keep, dtype=np.int64),
+            "tf_merge": tfs[:, 0], "tf_window": tfs[:, 1],
+            "tf_vector": tfs[:, 2],
+            "score_q3": np.array(scores, dtype=np.int64),
+        })
+
+    return docs.map_batches(_tf, batch_format="pyarrow", batch_size=1024)
+
+
+SQL_DOC_BOOLEAN_SEARCH = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(w) AS n,
+         len(list_filter(w, x -> x = 'merge')) AS tf_merge,
+         len(list_filter(w, x -> x = 'window')) AS tf_window,
+         len(list_filter(w, x -> x = 'vector')) AS tf_vector
+  FROM ws
+)
+SELECT doc_id, CAST(tf_merge AS BIGINT) AS tf_merge,
+       CAST(tf_window AS BIGINT) AS tf_window,
+       CAST(tf_vector AS BIGINT) AS tf_vector,
+       CAST((tf_merge + tf_window + tf_vector) * 1000 // n AS BIGINT)
+         AS score_q3
+FROM tf
+WHERE tf_merge > 0 AND tf_window > 0 AND tf_vector > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8468,6 +8611,9 @@ QUERIES = {
     "doc_bpe_pairs": q_doc_bpe_pairs,
     "traj_resample": q_traj_resample,
     "image_pixel_dedup": q_image_pixel_dedup,
+    "events_rate_limit": q_events_rate_limit,
+    "grid_hotspots": q_grid_hotspots,
+    "doc_boolean_search": q_doc_boolean_search,
 }
 
 
@@ -8639,4 +8785,7 @@ ORACLE_SQL = {
     "doc_bpe_pairs": SQL_DOC_BPE_PAIRS,
     "traj_resample": SQL_TRAJ_RESAMPLE,
     "image_pixel_dedup": SQL_IMAGE_PIXEL_DEDUP,
+    "events_rate_limit": SQL_EVENTS_RATE_LIMIT,
+    "grid_hotspots": SQL_GRID_HOTSPOTS,
+    "doc_boolean_search": SQL_DOC_BOOLEAN_SEARCH,
 }

@@ -359,3 +359,41 @@ def ewma_by_key(ds, key: str, order: list[str], val_col: str,
                              "ewma_final_c": fin, "ewma_max_c": mx})
 
     return bucketed_groups(ds, [key], _ewma)
+
+
+def rate_limit_by_key(ds, key: str, order: list[str], ts_col: str,
+                      cap: int = 3, period: int = 600_000_000):
+    """Stateful token-bucket RATE LIMITING — the admission-control pass of
+    every event-ingest pipeline, replayed exactly: per key, walk events in
+    ``order``; before each event refill ``(t - t_prev) // period`` tokens
+    (clamped to ``cap``, bucket starts full), admit iff a token is
+    available and spend it. Emits (key, n_events, n_admitted,
+    tokens_final). All-integer (timestamps in µs), so the recursive-CTE
+    oracle replays the identical steps. Same execution shape as
+    :func:`ewma_by_key`: keys shuffle-parallel, steps in-key sequential."""
+    from .relational import bucketed_groups
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, *order], kind="mergesort")
+        k = d[key].to_numpy()
+        t = d[ts_col].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        adm = np.empty(len(starts), np.int64)
+        fin = np.empty(len(starts), np.int64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            tokens, admitted, prev = cap, 0, None
+            for i in range(s, e):
+                if prev is not None:
+                    tokens = min(cap, tokens + (int(t[i]) - prev) // period)
+                if tokens >= 1:
+                    tokens -= 1
+                    admitted += 1
+                prev = int(t[i])
+            adm[gi] = admitted
+            fin[gi] = tokens
+        return pd.DataFrame({key: k[starts],
+                             "n_events": (ends - starts).astype(np.int64),
+                             "n_admitted": adm, "tokens_final": fin})
+
+    return bucketed_groups(ds, [key], _scan)
