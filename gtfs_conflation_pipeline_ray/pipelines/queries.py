@@ -8431,6 +8431,182 @@ WHERE tf_merge > 0 AND tf_window > 0 AND tf_vector > 0
 """
 
 
+def q_snapshot_scd2(sf_dir: str):  # exact oracle (lead window)
+    """SCD TYPE-2 dimension history (``windows.scd2_intervals``): the event
+    change stream becomes per-key validity intervals [from, to) with an
+    open-ended current row — the history-preserving sibling of
+    ``snapshot_upsert``'s latest-wins MERGE. Sentinel 2^62 instead of NULL
+    keeps the hash comparison representation-safe."""
+    from ..stages.windows import scd2_intervals
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_c": cents(batch["value"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    return scd2_intervals(prep, "user_id", ["us", "event_id"], "us",
+                          "value_c")
+
+
+SQL_SNAPSHOT_SCD2 = """
+WITH ec AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT user_id, CAST(us AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(lead(us) OVER w, 4611686018427387904) AS BIGINT)
+         AS valid_to_us,
+       value_c,
+       lead(us) OVER w IS NULL AS is_current
+FROM ec WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+def q_events_late_arrivals(sf_dir: str):  # exact oracle (running-max window)
+    """WATERMARK ACCOUNTING: events replayed in (deterministically
+    scrambled) ARRIVAL order; an event is late iff its event time is
+    behind the per-user running-max watermark, with exact µs lateness
+    sums/maxima — the metric that sizes allowed-lateness in any streaming
+    job. The running max is one pandas cummax per bucket (vectorized);
+    keys shuffle-parallel in ONE exchange."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": eid,
+            "arr": eid + ((eid * 2654435761) % 7) * 1000,
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "arr", "event_id"], kind="mergesort")
+        cm = d.groupby("user_id", sort=False)["us"].cummax()
+        prev_max = cm.groupby(d["user_id"], sort=False).shift(1)
+        us = d["us"].to_numpy(np.int64)
+        late = prev_max.notna().to_numpy() & (us < prev_max.fillna(0).to_numpy(np.int64))
+        lateness = np.where(late, prev_max.fillna(0).to_numpy(np.int64) - us, 0)
+        out = pd.DataFrame({"user_id": d["user_id"].to_numpy(np.int64),
+                            "late": late.astype(np.int64),
+                            "lateness": lateness.astype(np.int64)})
+        res = out.groupby("user_id", sort=True).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max"),
+            total_lateness_us=("lateness", "sum")).reset_index()
+        return res.astype(np.int64)
+
+    return rel.bucketed_groups(prep, ["user_id"], _scan,
+                               est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_LATE_ARRIVALS = """
+WITH ec AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         event_id + ((event_id * 2654435761) % 7) * 1000 AS arr
+  FROM events
+),
+wm AS (
+  SELECT user_id, us,
+         MAX(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM ec
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN us < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN us < prev_max THEN prev_max - us END), 0)
+            AS BIGINT) AS max_lateness_us,
+       CAST(COALESCE(SUM(CASE WHEN us < prev_max THEN prev_max - us END), 0)
+            AS BIGINT) AS total_lateness_us
+FROM wm GROUP BY user_id
+"""
+
+
+def q_customer_rfm(sf_dir: str):  # exact oracle (grouped agg + CASE buckets)
+    """RFM SEGMENTATION (recency / frequency / monetary) — the classic
+    customer-scoring rollup: per ordering customer, days since last order
+    (vs the corpus anchor 2001-09-01), order count, lifetime cents; each
+    bucketed on fixed integer thresholds and fused into one rfm_code.
+    Grouped moments build in one bucketed pass; buckets are map-side."""
+    ANCHOR_US = 996_624_000_000_000  # 2001-09-01 00:00:00 UTC in µs
+    orders = _rp(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "us": batch["o_orderdate"].cast(pa.int64()),
+            "price_c": cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = orders.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _rfm(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=True).agg(
+            last_us=("us", "max"), f=("us", "size"), m_c=("price_c", "sum"))
+        rec_days = (ANCHOR_US - g["last_us"].to_numpy(np.int64)) // 86_400_000_000
+        f = g["f"].to_numpy(np.int64)
+        m = g["m_c"].to_numpy(np.int64)
+        r_b = np.where(rec_days < 180, 3,
+                       np.where(rec_days < 365, 2,
+                                np.where(rec_days < 730, 1, 0)))
+        f_b = np.where(f >= 12, 3, np.where(f >= 6, 2, np.where(f >= 3, 1, 0)))
+        m_b = np.where(m >= 100_000_000, 3,
+                       np.where(m >= 50_000_000, 2,
+                                np.where(m >= 10_000_000, 1, 0)))
+        return pd.DataFrame({
+            "o_custkey": g.index.to_numpy(np.int64),
+            "recency_days": rec_days.astype(np.int64),
+            "frequency": f, "monetary_c": m,
+            "rfm_code": (r_b * 100 + f_b * 10 + m_b).astype(np.int64),
+        })
+
+    return rel.bucketed_groups(prep, ["o_custkey"], _rfm,
+                               est_rows=_nrows(sf_dir, "orders"))
+
+
+SQL_CUSTOMER_RFM = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS us,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, MAX(us) AS last_us, COUNT(*) AS f, SUM(price_c) AS m_c
+  FROM o GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey,
+         (996624000000000 - last_us) // 86400000000 AS recency_days,
+         f, m_c,
+         CASE WHEN (996624000000000 - last_us) // 86400000000 < 180 THEN 3
+              WHEN (996624000000000 - last_us) // 86400000000 < 365 THEN 2
+              WHEN (996624000000000 - last_us) // 86400000000 < 730 THEN 1
+              ELSE 0 END AS r_b,
+         CASE WHEN f >= 12 THEN 3 WHEN f >= 6 THEN 2 WHEN f >= 3 THEN 1
+              ELSE 0 END AS f_b,
+         CASE WHEN m_c >= 100000000 THEN 3 WHEN m_c >= 50000000 THEN 2
+              WHEN m_c >= 10000000 THEN 1 ELSE 0 END AS m_b
+  FROM g
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(f AS BIGINT) AS frequency, CAST(m_c AS BIGINT) AS monetary_c,
+       CAST(r_b * 100 + f_b * 10 + m_b AS BIGINT) AS rfm_code
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8614,6 +8790,9 @@ QUERIES = {
     "events_rate_limit": q_events_rate_limit,
     "grid_hotspots": q_grid_hotspots,
     "doc_boolean_search": q_doc_boolean_search,
+    "snapshot_scd2": q_snapshot_scd2,
+    "events_late_arrivals": q_events_late_arrivals,
+    "customer_rfm": q_customer_rfm,
 }
 
 
@@ -8788,4 +8967,7 @@ ORACLE_SQL = {
     "events_rate_limit": SQL_EVENTS_RATE_LIMIT,
     "grid_hotspots": SQL_GRID_HOTSPOTS,
     "doc_boolean_search": SQL_DOC_BOOLEAN_SEARCH,
+    "snapshot_scd2": SQL_SNAPSHOT_SCD2,
+    "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
+    "customer_rfm": SQL_CUSTOMER_RFM,
 }

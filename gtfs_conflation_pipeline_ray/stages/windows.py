@@ -397,3 +397,30 @@ def rate_limit_by_key(ds, key: str, order: list[str], ts_col: str,
                              "n_admitted": adm, "tokens_final": fin})
 
     return bucketed_groups(ds, [key], _scan)
+
+
+def scd2_intervals(ds, key: str, order: list[str], ts_col: str,
+                   val_col: str, sentinel: int = 1 << 62):
+    """Type-2 SLOWLY-CHANGING-DIMENSION build: a change stream becomes
+    validity intervals — per key ordered by ``order``, each version is
+    valid from its own timestamp until the NEXT version's ([from, to)),
+    the last one open-ended (``sentinel`` + is_current) — the history
+    table every warehouse dimension load maintains, next to the
+    latest-wins compaction of ``snapshot_upsert``. One key-bucketed
+    shuffle; the in-key pass is a vectorized shift."""
+    from .relational import bucketed_groups
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, *order], kind="mergesort")
+        k = d[key].to_numpy()
+        ts = d[ts_col].to_numpy().astype(np.int64)
+        last = np.r_[k[1:] != k[:-1], True]
+        vto = np.r_[ts[1:], np.int64(sentinel)]
+        vto[last] = sentinel
+        return pd.DataFrame({
+            key: k, "valid_from_us": ts, "valid_to_us": vto,
+            "value_c": d[val_col].to_numpy().astype(np.int64),
+            "is_current": last,
+        })
+
+    return bucketed_groups(ds, [key], _scan)
