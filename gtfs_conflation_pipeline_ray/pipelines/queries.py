@@ -8607,6 +8607,163 @@ FROM b
 """
 
 
+def _traj_xy(sf_dir: str):
+    """The shared stay-point trajectory fixture (see q_traj_step_stats)."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+    nk = 50
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        traj = eid % nk
+        seq = eid // nk
+        blk = seq // (8 + traj % 5)
+        spike = np.where((seq * 7919) % 23 == 0, 40, 0)
+        x = traj * 100000 + blk * 1000 + (seq * 2654435761) % 13 + spike
+        y = blk * 1000 + (seq * 40503) % 11
+        return pa.table({"traj_id": traj, "seq": seq,
+                         "x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    return ev.map_batches(_synth, batch_format="pyarrow", batch_size=8192)
+
+
+_SQL_TRAJ_XY = """
+  SELECT event_id % 50 AS traj_id, event_id // 50 AS seq,
+         (event_id % 50) * 100000
+           + ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 2654435761) % 13
+           + CASE WHEN ((event_id // 50) * 7919) % 23 = 0
+                  THEN 40 ELSE 0 END AS x,
+         ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 40503) % 11 AS y
+  FROM events
+"""
+
+
+def q_grid_flow_vectors(sf_dir: str):  # exact oracle (lag window + groupby)
+    """Movement vector field (``spatial.flow_vectors``): per origin grid
+    cell, step count and exact Σdx/Σdy over the trajectory traces — the
+    OD-flow rasterization behind mobility heat-arrow maps."""
+    pts = _traj_xy(sf_dir)
+    return spatial.flow_vectors(pts, "traj_id", "seq", "x", "y", cell=4096,
+                                est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_GRID_FLOW_VECTORS = f"""
+WITH xy AS ({_SQL_TRAJ_XY}),
+st AS (
+  SELECT lag(x) OVER w AS ox, lag(y) OVER w AS oy,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM xy WINDOW w AS (PARTITION BY traj_id ORDER BY seq)
+)
+SELECT ox // 4096 AS cx, oy // 4096 AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(dx) AS BIGINT) AS sum_dx, CAST(SUM(dy) AS BIGINT) AS sum_dy
+FROM st WHERE ox IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_traj_od_matrix(sf_dir: str):  # exact oracle (arg_min/arg_max)
+    """Origin-destination matrix (``spatial.od_matrix``): trip counts
+    between the first-observation and last-observation grid cells of each
+    trajectory — the zone-to-zone mobility rollup."""
+    pts = _traj_xy(sf_dir)
+    return spatial.od_matrix(pts, "traj_id", "seq", "x", "y", cell=8192,
+                             est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_TRAJ_OD_MATRIX = f"""
+WITH xy AS ({_SQL_TRAJ_XY}),
+ends AS (
+  SELECT traj_id,
+         arg_min(x, seq) // 8192 AS o_cx, arg_min(y, seq) // 8192 AS o_cy,
+         arg_max(x, seq) // 8192 AS d_cx, arg_max(y, seq) // 8192 AS d_cy
+  FROM xy GROUP BY traj_id
+)
+SELECT o_cx, o_cy, d_cx, d_cy, CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM ends GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_orders_basket_lift(sf_dir: str):  # exact oracle (basket self-join)
+    """MARKET-BASKET association mining with LIFT: part pairs co-purchased
+    in >= 3 orders, with the exact integer pieces of lift — n_ab, the
+    single-part order counts n_a/n_b, and lift_q4 = n_ab·N·10⁴ //
+    (n_a·n_b). Baskets dedup map-side (distinct (order, part) partials),
+    pairs fan out inside one order-bucketed shuffle and collapse to pair
+    counts before the pair-keyed combine; the single-part count table is
+    part-table-sized and attaches via broadcast (at larger part
+    cardinality this attach becomes a join — documented trade-off)."""
+    from ..stages.util import cached_state
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # distinct (order, part): a part twice in one order is ONE basket item
+    basket = rel.partial_groupby_sum(li, ["l_orderkey", "l_partkey"], [],
+                                     count_as="_dup")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_orderkey", "l_partkey"]]
+        mm = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        mm = mm[mm["l_partkey_a"] < mm["l_partkey_b"]]
+        return (mm.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+                  .size().reset_index(name="n_ab")
+                  .rename(columns={"l_partkey_a": "part_a",
+                                   "l_partkey_b": "part_b"}))
+
+    pairs = rel.bucketed_groups(basket, ["l_orderkey"], _pairs,
+                                est_rows=_nrows(sf_dir, "lineitem"))
+    pairs = rel.partial_groupby_sum(pairs, ["part_a", "part_b"], ["n_ab"])
+
+    # per-part order counts: part-table-sized -> broadcast for the attach
+    pc_tab = (rel.partial_groupby_sum(basket, ["l_partkey"], [],
+                                      count_as="n_orders")
+              .to_pandas())
+    counts_ref = ray.put((
+        np.sort(pc_tab["l_partkey"].to_numpy(np.int64)),
+        pc_tab["n_orders"].to_numpy(np.int64)[
+            np.argsort(pc_tab["l_partkey"].to_numpy(np.int64), kind="stable")],
+    ))
+    n_orders_total = np.int64(_nrows(sf_dir, "orders"))
+
+    def _lift(batch: pa.Table) -> pa.Table:
+        ids, cnts = cached_state(counts_ref, lambda t: t,
+                                 token="basket_part_counts")
+        a = batch["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nab >= 3
+        a, b, nab = a[keep], b[keep], nab[keep]
+        na = cnts[np.searchsorted(ids, a)]
+        nb = cnts[np.searchsorted(ids, b)]
+        return pa.table({
+            "part_a": a, "part_b": b, "n_ab": nab, "n_a": na, "n_b": nb,
+            "lift_q4": nab * n_orders_total * 10_000 // (na * nb),
+        })
+
+    return pairs.map_batches(_lift, batch_format="pyarrow")
+
+
+SQL_ORDERS_BASKET_LIFT = """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+pcnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+         FROM basket GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM orders)
+SELECT p.part_a, p.part_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST(p.n_ab * tot.n * 10000 // (ca.n * cb.n) AS BIGINT) AS lift_q4
+FROM pairs p
+JOIN pcnt ca ON ca.l_partkey = p.part_a
+JOIN pcnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8793,6 +8950,9 @@ QUERIES = {
     "snapshot_scd2": q_snapshot_scd2,
     "events_late_arrivals": q_events_late_arrivals,
     "customer_rfm": q_customer_rfm,
+    "grid_flow_vectors": q_grid_flow_vectors,
+    "traj_od_matrix": q_traj_od_matrix,
+    "orders_basket_lift": q_orders_basket_lift,
 }
 
 
@@ -8970,4 +9130,7 @@ ORACLE_SQL = {
     "snapshot_scd2": SQL_SNAPSHOT_SCD2,
     "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
     "customer_rfm": SQL_CUSTOMER_RFM,
+    "grid_flow_vectors": SQL_GRID_FLOW_VECTORS,
+    "traj_od_matrix": SQL_TRAJ_OD_MATRIX,
+    "orders_basket_lift": SQL_ORDERS_BASKET_LIFT,
 }

@@ -1272,3 +1272,65 @@ def traj_resample(points, key_col: str, seq_col: str, x_col: str,
         return out.sort_values([key_col, "t"], kind="mergesort")
 
     return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
+
+
+def flow_vectors(points, key_col: str, seq_col: str, x_col: str, y_col: str,
+                 cell: int, est_rows: int | None = None):
+    """Movement VECTOR FIELD from trajectory steps (the OD-flow rasterizer
+    behind every traffic/mobility heat-arrow map): each consecutive
+    in-trajectory step (p_i -> p_{i+1}) contributes its displacement to the
+    grid cell of its ORIGIN; per cell emit n_steps, Σdx, Σdy — the exact
+    integer pieces of the cell's mean flow direction.
+
+    One trajectory-bucketed shuffle computes steps (vectorized lag inside
+    the bucket) AND collapses them to per-cell partials before the final
+    grid-sized combine — displacements never leave their bucket row-wise."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _steps(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, seq_col], kind="mergesort")
+        k = d[key_col].to_numpy()
+        x = d[x_col].to_numpy(np.int64)
+        y = d[y_col].to_numpy(np.int64)
+        same = np.r_[False, k[1:] == k[:-1]]
+        dx = np.r_[0, np.diff(x)][same]
+        dy = np.r_[0, np.diff(y)][same]
+        ox = x[np.r_[same[1:], False]]
+        oy = y[np.r_[same[1:], False]]
+        out = pd.DataFrame({"cx": ox // cell, "cy": oy // cell,
+                            "dx": dx, "dy": dy})
+        return (out.assign(n_steps=np.int64(1))
+                   .groupby(["cx", "cy"], as_index=False, sort=False)
+                   .agg(n_steps=("n_steps", "sum"), sum_dx=("dx", "sum"),
+                        sum_dy=("dy", "sum")))
+
+    steps = bucketed_groups(points, [key_col], _steps, est_rows=est_rows)
+    return partial_groupby_sum(steps, ["cx", "cy"],
+                               ["n_steps", "sum_dx", "sum_dy"])
+
+
+def od_matrix(points, key_col: str, seq_col: str, x_col: str, y_col: str,
+              cell: int, est_rows: int | None = None):
+    """ORIGIN-DESTINATION matrix: each trajectory contributes one trip from
+    the grid cell of its FIRST observation to the cell of its LAST; output
+    is trip counts per (origin cell, destination cell) — the mobility-
+    analytics rollup between zones. One trajectory-bucketed pass picks the
+    endpoints (vectorized first/last per sorted group), then a matrix-sized
+    combine."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _ends(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, seq_col], kind="mergesort")
+        k = d[key_col].to_numpy()
+        x = d[x_col].to_numpy(np.int64)
+        y = d[y_col].to_numpy(np.int64)
+        first = np.r_[True, k[1:] != k[:-1]]
+        last = np.r_[k[1:] != k[:-1], True]
+        return pd.DataFrame({
+            "o_cx": x[first] // cell, "o_cy": y[first] // cell,
+            "d_cx": x[last] // cell, "d_cy": y[last] // cell,
+        })
+
+    ends = bucketed_groups(points, [key_col], _ends, est_rows=est_rows)
+    return partial_groupby_sum(ends, ["o_cx", "o_cy", "d_cx", "d_cy"], [],
+                               count_as="n_trips")
