@@ -8764,6 +8764,221 @@ CROSS JOIN tot
 """
 
 
+def q_inventory_reconcile(sf_dir: str):  # exact oracle (FULL OUTER JOIN)
+    """FULL OUTER JOIN reconciliation — the snapshot-vs-observed audit every
+    warehouse runs (the one join shape the registry lacked: J1/J3 cover
+    inner/left, `customers_no_orders` anti; this is the two-sided outer).
+    Left = large parts (p_size >= 25, expected inventory); right = observed
+    high-quantity line flow per part. Each part lands in exactly one of
+    both / left_only / right_only with the other side's measures defaulted.
+
+    One shuffle total: both sides union into a single tagged stream with
+    map-side partial aggregation (pre_fn), and the per-key merge happens in
+    the bucketed combine — no separate build of the right side, no second
+    exchange. At 100 TB this is the union-then-merge outer-join plan that
+    beats a hash join when both sides are key-sparse after filtering."""
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def _left(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["p_size"], 25)
+        t = batch.filter(m)
+        k = t["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": k,
+            "retail_c": cents(t["p_retailprice"].to_numpy(zero_copy_only=False)),
+            "obs_qty_c": np.zeros(len(k), dtype=np.int64),
+            "n_lines": np.zeros(len(k), dtype=np.int64),
+            "has_l": np.ones(len(k), dtype=np.int64),
+            "has_r": np.zeros(len(k), dtype=np.int64),
+        })
+
+    def _right(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["l_quantity"], 45.0)
+        t = batch.filter(m)
+        k = t["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": k,
+            "retail_c": np.full(len(k), -1, dtype=np.int64),
+            "obs_qty_c": cents(t["l_quantity"].to_numpy(zero_copy_only=False)),
+            "n_lines": np.ones(len(k), dtype=np.int64),
+            "has_l": np.zeros(len(k), dtype=np.int64),
+            "has_r": np.ones(len(k), dtype=np.int64),
+        })
+
+    both = part.map_batches(_left, batch_format="pyarrow", batch_size=8192).union(
+        li.map_batches(_right, batch_format="pyarrow", batch_size=8192))
+
+    agg = {"retail_c": "max", "obs_qty_c": "sum", "n_lines": "sum",
+           "has_l": "max", "has_r": "max"}
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_partkey", as_index=False, sort=False).agg(agg)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_partkey", as_index=False, sort=True).agg(agg)
+        status = np.where(
+            (g["has_l"].to_numpy() > 0) & (g["has_r"].to_numpy() > 0), "both",
+            np.where(g["has_l"].to_numpy() > 0, "left_only", "right_only"))
+        return pd.DataFrame({
+            "p_partkey": g["p_partkey"].to_numpy(np.int64),
+            "status": status,
+            "retail_c": g["retail_c"].to_numpy(np.int64),
+            "obs_qty_c": g["obs_qty_c"].to_numpy(np.int64),
+            "n_lines": g["n_lines"].to_numpy(np.int64),
+        })
+
+    return rel.bucketed_groups(both, ["p_partkey"], _final, pre_fn=_pre,
+                               est_rows=_nrows(sf_dir, "part"))
+
+
+SQL_INVENTORY_RECONCILE = """
+WITH l AS (
+  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS retail_c
+  FROM part WHERE p_size >= 25
+),
+r AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS obs_qty_c,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem WHERE l_quantity >= 45.0 GROUP BY 1
+)
+SELECT CAST(COALESCE(l.p_partkey, r.p_partkey) AS BIGINT) AS p_partkey,
+       CASE WHEN l.p_partkey IS NOT NULL AND r.p_partkey IS NOT NULL
+              THEN 'both'
+            WHEN l.p_partkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS status,
+       CAST(COALESCE(l.retail_c, -1) AS BIGINT) AS retail_c,
+       CAST(COALESCE(r.obs_qty_c, 0) AS BIGINT) AS obs_qty_c,
+       CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines
+FROM l FULL OUTER JOIN r ON l.p_partkey = r.p_partkey
+"""
+
+
+def q_events_autocorr(sf_dir: str):  # exact oracle (lead window + groupby)
+    """Per-user LAG-1 AUTOCORRELATION moments — the serial-dependence screen
+    time-series pipelines run before modeling (is this signal noise or
+    trending?). Events order by (ts, event_id); each consecutive value pair
+    (x_t, x_{t+1}) in cents contributes to the five exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) from which r is one division away — the
+    division stays OUT of the data path so the oracle hashes exactly.
+
+    One user-bucketed shuffle; the in-key pair formation is a vectorized
+    shift per bucket. Moments are additive, so at 100 TB the same kernel
+    runs as per-batch partials IF events arrive pre-sorted per key."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v_c": cents(batch["value"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = d["user_id"].to_numpy(np.int64)
+        v = d["v_c"].to_numpy(np.int64)
+        # pair (x_t, x_{t+1}) within each user run
+        nxt_same = np.empty(len(u), dtype=bool)
+        if len(u):
+            nxt_same[:-1] = u[:-1] == u[1:]
+            nxt_same[-1] = False
+        x = v[nxt_same]
+        y = np.roll(v, -1)[nxt_same]
+        uu = u[nxt_same]
+        out = pd.DataFrame({"user_id": uu, "x": x, "y": y,
+                            "xy": x * y, "xx": x * x, "yy": y * y})
+        res = out.groupby("user_id", sort=True).agg(
+            n_pairs=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        ).reset_index()
+        return res.astype(np.int64)
+
+    return rel.bucketed_groups(prep, ["user_id"], _moments,
+                               est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH ec AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+p AS (
+  SELECT user_id, v_c AS x,
+         LEAD(v_c) OVER (PARTITION BY user_id ORDER BY us, event_id) AS y
+  FROM ec
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(y * y) AS BIGINT) AS syy
+FROM p WHERE y IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_customer_percent_rank(sf_dir: str):  # exact oracle (RANK window)
+    """Exact PERCENT_RANK within market segment — the normalized-score
+    primitive behind feature scaling and cohort percentile reporting. Ties
+    share the min rank (SQL RANK semantics); the percentile is kept as the
+    exact integer basis-point floor ((rnk-1)*10000 // (n-1)) so no float
+    division enters the hash. Single segment-bucketed shuffle; rank + size
+    are one vectorized pass per bucket."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "seg": batch["c_mktsegment"],
+            "bal_c": cents(batch["c_acctbal"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = cust.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["seg", "bal_c", "c_custkey"], kind="mergesort")
+        rnk = d.groupby("seg", sort=False)["bal_c"].rank(method="min").astype(np.int64)
+        n = d.groupby("seg", sort=False)["bal_c"].transform("size").astype(np.int64)
+        denom = np.maximum(n.to_numpy() - 1, 1)
+        pr_bp = ((rnk.to_numpy() - 1) * 10000) // denom
+        pr_bp = np.where(n.to_numpy() > 1, pr_bp, 0)
+        return pd.DataFrame({
+            "c_custkey": d["c_custkey"].to_numpy(np.int64),
+            "seg": d["seg"].to_numpy(),
+            "bal_c": d["bal_c"].to_numpy(np.int64),
+            "rnk": rnk.to_numpy(),
+            "pr_bp": pr_bp.astype(np.int64),
+        })
+
+    return rel.bucketed_groups(prep, ["seg"], _rank,
+                               est_rows=_nrows(sf_dir, "customer"))
+
+
+SQL_CUSTOMER_PERCENT_RANK = """
+WITH b AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+r AS (
+  SELECT c_custkey, seg, bal_c,
+         RANK() OVER (PARTITION BY seg ORDER BY bal_c) AS rnk,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM b
+)
+SELECT c_custkey, seg, bal_c, CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 10000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_bp
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8953,6 +9168,9 @@ QUERIES = {
     "grid_flow_vectors": q_grid_flow_vectors,
     "traj_od_matrix": q_traj_od_matrix,
     "orders_basket_lift": q_orders_basket_lift,
+    "inventory_reconcile": q_inventory_reconcile,
+    "events_autocorr": q_events_autocorr,
+    "customer_percent_rank": q_customer_percent_rank,
 }
 
 
@@ -9133,4 +9351,7 @@ ORACLE_SQL = {
     "grid_flow_vectors": SQL_GRID_FLOW_VECTORS,
     "traj_od_matrix": SQL_TRAJ_OD_MATRIX,
     "orders_basket_lift": SQL_ORDERS_BASKET_LIFT,
+    "inventory_reconcile": SQL_INVENTORY_RECONCILE,
+    "events_autocorr": SQL_EVENTS_AUTOCORR,
+    "customer_percent_rank": SQL_CUSTOMER_PERCENT_RANK,
 }
