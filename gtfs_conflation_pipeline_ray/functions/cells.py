@@ -173,3 +173,39 @@ def quadkey(cx: np.ndarray, cy: np.ndarray, zoom: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=f"U{zoom}")
     return np.ascontiguousarray(digits).view(f"S{zoom}").ravel().astype(f"U{zoom}")
+
+
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype=np.uint8)
+
+
+def geohash_cell(x: np.ndarray, y: np.ndarray, precision: int = 4,
+                 world_bits: int = 16) -> np.ndarray:
+    """Geohash-style base32 cell strings over the integer world grid — the
+    string-keyed member of the locality-key family (Morton int64 codes,
+    Hilbert distances, quadkey base-4 strings): 5·precision bits total,
+    split evenly between x (longitude role, the MSB of the stream per the
+    public geohash spec) and y, bit-interleaved MSB-first and emitted as
+    base32 characters ("0123456789bcdefghjkmnpqrstuvwxyz").
+
+    ``precision`` must be even so both axes carry 5·precision/2 bits (the
+    odd-precision lon/lat asymmetry buys nothing on a square integer world).
+    Fully vectorized: one Morton spread + an (n, precision) uint8 char
+    matrix viewed as fixed-width bytes. Returns a numpy unicode array.
+    """
+    if precision % 2:
+        raise ValueError("precision must be even on the square integer world")
+    half_bits = 5 * precision // 2
+    sh = _U(world_bits - half_bits)
+    xq = np.asarray(x).astype(np.uint64) >> sh
+    yq = np.asarray(y).astype(np.uint64) >> sh
+    # x in ODD bit positions (MSB of the interleaved stream), y in even
+    code = _part1by1(yq) | (_part1by1(xq) << _U(1))
+    n = code.shape[0]
+    chars = np.empty((n, precision), dtype=np.uint8)
+    for j in range(precision):
+        chars[:, j] = _GEOHASH32[
+            ((code >> _U(5 * (precision - 1 - j))) & _U(31)).astype(np.int64)
+        ]
+    if n == 0:
+        return np.empty(0, dtype=f"U{precision}")
+    return np.ascontiguousarray(chars).view(f"S{precision}").ravel().astype(f"U{precision}")

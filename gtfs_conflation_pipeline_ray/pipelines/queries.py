@@ -8979,6 +8979,152 @@ FROM r
 """
 
 
+def q_geohash_cells(sf_dir: str):  # exact oracle (bit-spread CTE + base32)
+    """GEOHASH-style base32 string cell rollup — the string-keyed member of
+    the locality-key family (Morton int64 `cell_point_counts`, Hilbert
+    `hilbert_cells`, quadkey `quadkey_rollup`; ≙ the reference's base-36
+    geo-proximity key, `getGeoProximityKey.js:8-46`, which is ALSO a string
+    cell key). 20 bits at precision 4, x in the MSB role per the public
+    geohash spec; counts and qty cents pre-aggregate map-side so the shuffle
+    is cell-sized. The oracle reproduces the bit interleave with the same
+    spread-shift-mask constants and base32 substring lookups."""
+    from ..functions.cells import geohash_cell
+
+    pts = conflation.read_points(sf_dir)
+
+    def _gh(batch: pa.Table) -> pa.Table:
+        gh = geohash_cell(
+            batch["px"].to_numpy(zero_copy_only=False),
+            batch["py"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "geohash": pa.array(gh),
+            "qty_c": cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+        })
+
+    cells = pts.map_batches(_gh, batch_format="pyarrow", batch_size=8192)
+    return rel.partial_groupby_sum(cells, ["geohash"], ["qty_c"],
+                                   count_as="n_points")
+
+
+SQL_GEOHASH_CELLS = _CTES + """
+, g AS (
+  SELECT px // 64 AS xq, py // 64 AS yq,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+  FROM points
+),
+s1 AS (SELECT qty_c, ((xq | (xq << 16)) & 281470681808895) AS xa,
+               ((yq | (yq << 16)) & 281470681808895) AS ya FROM g),
+s2 AS (SELECT qty_c, ((xa | (xa << 8)) & 71777214294589695) AS xb,
+               ((ya | (ya << 8)) & 71777214294589695) AS yb FROM s1),
+s3 AS (SELECT qty_c, ((xb | (xb << 4)) & 1085102592571150095) AS xc,
+               ((yb | (yb << 4)) & 1085102592571150095) AS yc FROM s2),
+s4 AS (SELECT qty_c, ((xc | (xc << 2)) & 3689348814741910323) AS xd,
+               ((yc | (yc << 2)) & 3689348814741910323) AS yd FROM s3),
+s5 AS (SELECT qty_c, ((xd | (xd << 1)) & 6148914691236517205) AS xe,
+               ((yd | (yd << 1)) & 6148914691236517205) AS ye FROM s4),
+c AS (SELECT qty_c, (xe << 1) | ye AS code FROM s5)
+SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((code >> 15) & 31 AS INT) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((code >> 10) & 31 AS INT) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((code >> 5) & 31 AS INT) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(code & 31 AS INT) + 1, 1)
+      AS geohash,
+       CAST(SUM(qty_c) AS BIGINT) AS qty_c,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM c GROUP BY 1
+"""
+
+
+def q_uncovered_points(sf_dir: str):  # exact oracle (NOT EXISTS + rollup)
+    """Spatial ANTI-join — probe points contained by NO reference tile CORE
+    (rects shrunk to 1/8 half-widths: the high-confidence interior; full
+    rects saturate coverage as tiles densify, cores undercover at every
+    scale). The coverage-gap audit: the complement of `spatial_join_pairs`,
+    ≙ the reference's unmatched-feature set that feeds its OSRM recovery
+    loop (`SharedStreetsMatcher/index.js` round-2 input). Fused with its
+    rollup: the uncovered set never materializes; per-grid-cell (count,
+    min id) partials form map-side and only a grid-sized shuffle runs."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.uncovered_cell_counts(
+        pts, conflation.tiles_ref(sf_dir), "px", "py", "point_id")
+
+
+SQL_UNCOVERED_POINTS = _CTES + """
+, unc AS (
+  SELECT p.point_id, p.px, p.py FROM points p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tiles t
+    WHERE p.px BETWEEN t.cx - t.hw // 8 AND t.cx + t.hw // 8
+      AND p.py BETWEEN t.cy - t.hh // 8 AND t.cy + t.hh // 8)
+)
+SELECT (py // 1024) * 64 + (px // 1024) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_uncovered,
+       CAST(MIN(point_id) AS BIGINT) AS min_point_id
+FROM unc GROUP BY 1
+"""
+
+
+def q_embedding_quantize_int8(sf_dir: str):  # exact oracle (integer quantizer)
+    """INT8 SCALAR QUANTIZATION of the embedding column — the
+    compress-the-vector-store primitive (FAISS SQ8): per-dimension global
+    [min, max] calibration, 8-bit codes ``(v−mn)·255 // span``, integer
+    dequantization, and per-vector exact reconstruction error. Two passes:
+    calibration reduces to dim-sized partials map-side (the driver combine
+    touches blocks×dim rows, never the data); encoding is map-only with the
+    64-entry calibration table shipped in the task closure. All arithmetic
+    is int64 on the 1e6 fixed-point grid, so engine and oracle agree
+    bit-for-bit."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        m = ann.quantize_fixed(ann._batch_matrix(batch, "embedding"))
+        return pa.table({
+            "dim": np.arange(m.shape[1], dtype=np.int64),
+            "mn": m.min(axis=0).astype(np.int64),
+            "mx": m.max(axis=0).astype(np.int64),
+        })
+
+    parts = emb.map_batches(_mm, batch_format="pyarrow", batch_size=8192).to_pandas()
+    g = parts.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = g["mn"].to_numpy(np.int64)
+    span = np.maximum(g["mx"].to_numpy(np.int64) - mn, 1)
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        m = ann.quantize_fixed(ann._batch_matrix(batch, "embedding"))
+        code = ((m - mn[None, :]) * 255) // span[None, :]
+        dq = mn[None, :] + (code * span[None, :]) // 255
+        err = m - dq
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "code_sum": code.sum(axis=1).astype(np.int64),
+            "sse": (err * err).sum(axis=1).astype(np.int64),
+            "max_err": np.abs(err).max(axis=1).astype(np.int64),
+        })
+
+    return emb.map_batches(_encode, batch_format="pyarrow", batch_size=8192)
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS vq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+mm AS (
+  SELECT dim, MIN(vq) AS mn, GREATEST(MAX(vq) - MIN(vq), 1) AS span
+  FROM q GROUP BY dim
+),
+k AS (
+  SELECT vec_id, ((vq - mn) * 255) // span AS code,
+         vq - (mn + ((((vq - mn) * 255) // span) * span) // 255) AS err
+  FROM q JOIN mm USING (dim)
+)
+SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(err * err) AS BIGINT) AS sse,
+       CAST(MAX(ABS(err)) AS BIGINT) AS max_err
+FROM k GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9171,6 +9317,9 @@ QUERIES = {
     "inventory_reconcile": q_inventory_reconcile,
     "events_autocorr": q_events_autocorr,
     "customer_percent_rank": q_customer_percent_rank,
+    "geohash_cells": q_geohash_cells,
+    "uncovered_points": q_uncovered_points,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 
@@ -9354,4 +9503,7 @@ ORACLE_SQL = {
     "inventory_reconcile": SQL_INVENTORY_RECONCILE,
     "events_autocorr": SQL_EVENTS_AUTOCORR,
     "customer_percent_rank": SQL_CUSTOMER_PERCENT_RANK,
+    "geohash_cells": SQL_GEOHASH_CELLS,
+    "uncovered_points": SQL_UNCOVERED_POINTS,
+    "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE,
 }

@@ -1334,3 +1334,70 @@ def od_matrix(points, key_col: str, seq_col: str, x_col: str, y_col: str,
     ends = bucketed_groups(points, [key_col], _ends, est_rows=est_rows)
     return partial_groupby_sum(ends, ["o_cx", "o_cy", "d_cx", "d_cy"], [],
                                count_as="n_trips")
+
+
+class _TileStateCore(_TileState):
+    """Tile-CORE variant: each rect shrunk to 1/8 half-widths before
+    indexing — the high-confidence interior of a tile (the shrink is the
+    inverse of the reference's 5 m buffer-and-probe,
+    ``ConflationMapDAO/loaders.js:104-113``). The core set undercovers the
+    world at every scale, so the anti-join below never degenerates to an
+    empty audit as the full rects saturate coverage."""
+
+    SHRINK = 8
+
+    def __init__(self, tiles: pa.Table):
+        for col in ("hw", "hh"):
+            i = tiles.schema.get_field_index(col)
+            v = tiles[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            tiles = tiles.set_column(i, col, pa.array(v // self.SHRINK))
+        super().__init__(tiles)
+
+
+def uncovered_cell_counts(points, tiles_ref, x_col: str, y_col: str,
+                          id_col: str, cell: int = 1024, grid_w: int = 64):
+    """Spatial ANTI-join fused with its rollup: points contained by NO tile
+    CORE (the complement of ``candidate_join`` — coverage-gap auditing, the
+    "which probes matched nothing" question every conflation run asks; ≙ the
+    unmatched-feature set that feeds the reference's OSRM recovery loop),
+    aggregated map-side to per-grid-cell (count, min id) partials so the only
+    shuffle is grid-sized. The uncovered point set itself never
+    materializes — at 100 TB the gap report stays cell-sized. The result is
+    schema-stable even when every point is covered (empty-result seed)."""
+    state_cls = _TileStateCore
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        st: _TileState = cached_state(tiles_ref, state_cls)
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, _ti = st.index.query_points(px, py)
+        covered = np.zeros(len(px), dtype=bool)
+        covered[pi] = True
+        keep = ~covered
+        cid = (py[keep] // cell) * np.int64(grid_w) + (px[keep] // cell)
+        df = pd.DataFrame({"cell_id": cid, "uid": pid[keep]})
+        g = df.groupby("cell_id", as_index=False).agg(
+            n_uncovered=("uid", "size"), min_point_id=("uid", "min"))
+        return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+    partials = points.map_batches(_probe, batch_format="pyarrow",
+                                  batch_size=32768)
+
+    from .relational import bucketed_groups
+
+    agg = {"n_uncovered": "sum", "min_point_id": "min"}
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cell_id", as_index=False, sort=True).agg(agg)
+
+    out = bucketed_groups(partials, ["cell_id"], _final)
+    # schema seed: a fully-covered input yields ZERO groups, and an empty
+    # Dataset has no schema — union one 0-row block so downstream consumers
+    # (and the driver's schema check) always see the output columns
+    seed = pa.table({
+        "cell_id": pa.array([], pa.int64()),
+        "n_uncovered": pa.array([], pa.int64()),
+        "min_point_id": pa.array([], pa.int64()),
+    })
+    return out.union(ray.data.from_arrow(seed))
