@@ -9063,17 +9063,11 @@ FROM unc GROUP BY 1
 """
 
 
-def q_embedding_quantize_int8(sf_dir: str):  # exact oracle (integer quantizer)
-    """INT8 SCALAR QUANTIZATION of the embedding column — the
-    compress-the-vector-store primitive (FAISS SQ8): per-dimension global
-    [min, max] calibration, 8-bit codes ``(v−mn)·255 // span``, integer
-    dequantization, and per-vector exact reconstruction error. Two passes:
-    calibration reduces to dim-sized partials map-side (the driver combine
-    touches blocks×dim rows, never the data); encoding is map-only with the
-    64-entry calibration table shipped in the task closure. All arithmetic
-    is int64 on the 1e6 fixed-point grid, so engine and oracle agree
-    bit-for-bit."""
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+def _sq8_calibration(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, span) SQ8 calibration on the 1e6
+    fixed-point grid: dim-sized per-batch partials map-side; the driver
+    combine touches blocks×dim rows, never the data."""
+    emb = _rp(sf_dir, "embeddings", ["embedding"])
 
     def _mm(batch: pa.Table) -> pa.Table:
         m = ann.quantize_fixed(ann._batch_matrix(batch, "embedding"))
@@ -9087,6 +9081,21 @@ def q_embedding_quantize_int8(sf_dir: str):  # exact oracle (integer quantizer)
     g = parts.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
     mn = g["mn"].to_numpy(np.int64)
     span = np.maximum(g["mx"].to_numpy(np.int64) - mn, 1)
+    return mn, span
+
+
+def q_embedding_quantize_int8(sf_dir: str):  # exact oracle (integer quantizer)
+    """INT8 SCALAR QUANTIZATION of the embedding column — the
+    compress-the-vector-store primitive (FAISS SQ8): per-dimension global
+    [min, max] calibration, 8-bit codes ``(v−mn)·255 // span``, integer
+    dequantization, and per-vector exact reconstruction error. Two passes:
+    calibration reduces to dim-sized partials map-side (the driver combine
+    touches blocks×dim rows, never the data); encoding is map-only with the
+    64-entry calibration table shipped in the task closure. All arithmetic
+    is int64 on the 1e6 fixed-point grid, so engine and oracle agree
+    bit-for-bit."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, span = _sq8_calibration(sf_dir)
 
     def _encode(batch: pa.Table) -> pa.Table:
         m = ann.quantize_fixed(ann._batch_matrix(batch, "embedding"))
@@ -9122,6 +9131,214 @@ SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
        CAST(SUM(err * err) AS BIGINT) AS sse,
        CAST(MAX(ABS(err)) AS BIGINT) AS max_err
 FROM k GROUP BY vec_id
+"""
+
+
+def q_ann_sq8_topk(sf_dir: str):  # exact oracle (integer SQ8 + L2 ranking)
+    """Asymmetric SQ8 top-k search (`ann.sq8_topk`) — the scalar-quantized
+    sibling of `ann_pq_adc`: database vectors ride as 8-bit codes (4× memory
+    cut), queries stay full fixed-point precision, ranking is EXACT integer
+    L2² against the dequantized grid. Composes the `embedding_quantize_int8`
+    calibration; every routing/ranking decision is int64 so the oracle is
+    bit-exact."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, span = _sq8_calibration(sf_dir)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])
+    qtab = pa.table({"query_id": qtab["vec_id"], "embedding": qtab["embedding"]})
+    return ann.sq8_topk(emb, ray.put(qtab), mn, span, k=5)
+
+
+SQL_ANN_SQ8_TOPK = f"""
+WITH e AS ({_SQL_EMB_FIXED.format(src='embeddings')}),
+q AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS vq
+  FROM e, (SELECT unnest(range(1, (SELECT len(qv) FROM e LIMIT 1) + 1)) AS i)
+),
+mm AS (
+  SELECT dim, MIN(vq) AS mn, GREATEST(MAX(vq) - MIN(vq), 1) AS span
+  FROM q GROUP BY dim
+),
+dq AS (
+  SELECT vec_id, q.dim,
+         mn + ((((vq - mn) * 255) // span) * span) // 255 AS dv
+  FROM q JOIN mm USING (dim)
+),
+qq AS (SELECT vec_id AS query_id, dim, vq FROM q WHERE vec_id < 8),
+d AS (
+  SELECT qq.query_id, dq.vec_id,
+         CAST(SUM((qq.vq - dq.dv) * (qq.vq - dq.dv)) AS BIGINT) AS d2
+  FROM qq JOIN dq ON qq.dim = dq.dim AND dq.vec_id <> qq.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, d2, d2_rank FROM (
+  SELECT query_id, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS d2_rank
+  FROM d
+) WHERE d2_rank <= 5
+"""
+
+
+def q_events_cusum(sf_dir: str):  # exact oracle (cumsum window + arg-min)
+    """CUSUM CHANGE-POINT SCAN — the classic drift detector: per user, the
+    running sum of deviations from the (floor) per-user mean, reported as
+    the maximum |CUSUM| and the FIRST 1-based index attaining it (the
+    estimated change point). All integer (values quantized to cents, mean
+    floored), so the window-function oracle hashes exactly. One
+    user-bucketed shuffle; cumsum/argmax are vectorized per bucket."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v_c": cents(batch["value"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        grp = d.groupby("user_id", sort=False)
+        cs = grp["v_c"].cumsum().to_numpy(np.int64)
+        tot = grp["v_c"].transform("sum").to_numpy(np.int64)
+        n = grp["v_c"].transform("size").to_numpy(np.int64)
+        rn = (grp.cumcount() + 1).to_numpy(np.int64)
+        a = np.abs(cs - rn * (tot // n))
+        df2 = pd.DataFrame({"user_id": d["user_id"].to_numpy(np.int64),
+                            "rn": rn, "a": a, "n": n})
+        mx = df2.groupby("user_id", sort=False)["a"].transform("max")
+        hit = df2[df2["a"] == mx]
+        res = hit.groupby("user_id", sort=True).agg(
+            n_events=("n", "first"), max_abs_cusum=("a", "first"),
+            argmax_idx=("rn", "min")).reset_index()
+        return res.astype(np.int64)
+
+    return rel.bucketed_groups(prep, ["user_id"], _scan,
+                               est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_CUSUM = """
+WITH ec AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         SUM(v_c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cs
+  FROM ec
+),
+t AS (SELECT user_id, SUM(v_c) AS s, COUNT(*) AS n FROM ec GROUP BY 1),
+c AS (
+  SELECT w.user_id, rn, ABS(cs - rn * (s // n)) AS a, n
+  FROM w JOIN t USING (user_id)
+),
+m AS (SELECT user_id, MAX(a) AS mx FROM c GROUP BY 1)
+SELECT c.user_id, CAST(MIN(c.n) AS BIGINT) AS n_events,
+       CAST(m.mx AS BIGINT) AS max_abs_cusum,
+       CAST(MIN(c.rn) AS BIGINT) AS argmax_idx
+FROM c JOIN m ON c.user_id = m.user_id AND c.a = m.mx
+GROUP BY c.user_id, m.mx
+"""
+
+
+def q_part_demand_holt(sf_dir: str):  # exact oracle (recursive-CTE replay)
+    """HOLT'S LINEAR-TREND FORECAST per part — the demand-planning rollup:
+    monthly (30-day-bucket) shipped-quantity series per part on a DENSE
+    global month grid (missing months are true zeros), then the level/trend
+    recurrence with α=β=1/4 in floor arithmetic:
+
+        l_t = ⌊(v_t + 3·(l+b)) / 4⌋ ,  b_t = ⌊(l_t − l + 3·b) / 4⌋
+
+    (÷4 is exact in IEEE doubles, so DuckDB's FLOOR(x/4.0) ≡ numpy's x//4
+    for |x| < 2^53 — negatives included, where DuckDB's integer `//`
+    truncates instead). The month-bucket rollup is one bounded shuffle; the
+    sequential replay is per-part but VECTORIZED ACROSS PARTS inside each
+    bucket (a T-step loop of array ops, T ≈ #months). Month bounds come
+    from the parquet FOOTER stats — a metadata-only read, the engine-side
+    analog of partition pruning. The fourth stateful sequential-replay op
+    (EWMA, rate-limit, trip-tracker, Holt)."""
+    MO_US = 2_592_000_000_000  # 30 days in µs
+
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    idx = pf.schema_arrow.get_field_index("l_shipdate")
+    mins, maxs = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        mins.append(st.min.timestamp() if hasattr(st.min, "timestamp") else st.min)
+        maxs.append(st.max.timestamp() if hasattr(st.max, "timestamp") else st.max)
+    t0 = int(min(mins) * 1_000_000) // MO_US
+    t1 = int(max(maxs) * 1_000_000) // MO_US
+    T = t1 - t0 + 1
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "mo": us // MO_US - t0,
+            "qty_c": cents(batch["l_quantity"].to_numpy(zero_copy_only=False)),
+        })
+
+    prep = li.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "mo"], ["qty_c"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _holt(g: pd.DataFrame) -> pd.DataFrame:
+        keys, inv = np.unique(g["l_partkey"].to_numpy(np.int64),
+                              return_inverse=True)
+        v = np.zeros((len(keys), T), dtype=np.int64)
+        v[inv, g["mo"].to_numpy(np.int64)] = g["qty_c"].to_numpy(np.int64)
+        lvl = v[:, 0].copy()
+        b = np.zeros(len(keys), dtype=np.int64)
+        for t in range(1, T):
+            s = lvl + b
+            lvl2 = (v[:, t] + 3 * s) // 4
+            b = (lvl2 - lvl + 3 * b) // 4
+            lvl = lvl2
+        return pd.DataFrame({"l_partkey": keys, "level_c": lvl,
+                             "trend_c": b, "forecast_c": lvl + b})
+
+    return rel.bucketed_groups(sums, ["l_partkey"], _holt)
+
+
+SQL_PART_DEMAND_HOLT = """
+WITH RECURSIVE b AS (
+  SELECT MIN(epoch_us(l_shipdate)) // 2592000000000 AS t0,
+         MAX(epoch_us(l_shipdate)) // 2592000000000 AS t1
+  FROM lineitem
+),
+s AS (
+  SELECT l_partkey,
+         epoch_us(l_shipdate) // 2592000000000 - (SELECT t0 FROM b) AS mo,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.l_partkey, t.t, COALESCE(s.v, 0) AS v
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) p
+  CROSS JOIN (SELECT unnest(range((SELECT t1 - t0 + 1 FROM b))) AS t) t
+  LEFT JOIN s ON s.l_partkey = p.l_partkey AND s.mo = t.t
+),
+h AS (
+  SELECT l_partkey, 0 AS t, v AS l, CAST(0 AS BIGINT) AS tr
+  FROM grid WHERE t = 0
+  UNION ALL
+  SELECT g.l_partkey, h.t + 1,
+         CAST(FLOOR((g.v + 3 * (h.l + h.tr)) / 4.0) AS BIGINT),
+         CAST(FLOOR((CAST(FLOOR((g.v + 3 * (h.l + h.tr)) / 4.0) AS BIGINT)
+                     - h.l + 3 * h.tr) / 4.0) AS BIGINT)
+  FROM h JOIN grid g ON g.l_partkey = h.l_partkey AND g.t = h.t + 1
+)
+SELECT l_partkey, CAST(l AS BIGINT) AS level_c, CAST(tr AS BIGINT) AS trend_c,
+       CAST(l + tr AS BIGINT) AS forecast_c
+FROM h WHERE t = (SELECT t1 - t0 FROM b)
 """
 
 
@@ -9320,6 +9537,9 @@ QUERIES = {
     "geohash_cells": q_geohash_cells,
     "uncovered_points": q_uncovered_points,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "events_cusum": q_events_cusum,
+    "part_demand_holt": q_part_demand_holt,
 }
 
 
@@ -9506,4 +9726,7 @@ ORACLE_SQL = {
     "geohash_cells": SQL_GEOHASH_CELLS,
     "uncovered_points": SQL_UNCOVERED_POINTS,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE,
+    "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "part_demand_holt": SQL_PART_DEMAND_HOLT,
 }

@@ -648,3 +648,63 @@ def semantic_dedup(vectors, centroids_ref, threshold: float = 0.9,
         return pd.concat(out, ignore_index=True)
 
     return bucketed_groups(assigned, ["cluster_id"], _verify)
+
+
+class _SQ8QueryState:
+    """Per-worker SQ8 query state: fixed-point query matrix (asymmetric
+    distance — queries stay full-precision, the database side is the int8
+    reconstruction, exactly FAISS's SQ8 search contract)."""
+
+    def __init__(self, q: pa.Table, vec_col: str):
+        self.qid = q["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.qm = quantize_fixed(_batch_matrix(q, vec_col))
+
+
+def sq8_topk(vectors, queries_ref, mn: np.ndarray, span: np.ndarray, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Asymmetric top-k over INT8-scalar-quantized vectors (FAISS SQ8): each
+    batch encodes to 8-bit codes with the broadcast per-dim (mn, span)
+    calibration, dequantizes to the integer grid, and ranks by EXACT integer
+    L2² against the full-precision fixed-point queries — every arithmetic
+    step int64, so the DuckDB mirror is bit-exact. Per-batch local top-k,
+    then the k×B-bounded grouped global merge (same skeleton as
+    ``cosine_topk``/``pq_adc_topk``); ties break on vec_id. At scale the
+    codes are 4× smaller than float32 — the batch never holds the float
+    matrix and the shuffle moves at most k rows per (query, batch)."""
+    from .relational import group_topk
+    from .util import cached_state
+
+    mn = mn.astype(np.int64)
+    span = span.astype(np.int64)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        st: _SQ8QueryState = cached_state(
+            queries_ref, lambda q: _SQ8QueryState(q, vec_col),
+            token=f"_SQ8QueryState:{vec_col}")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "d2": np.array([], dtype=np.int64)})
+        m = quantize_fixed(_batch_matrix(batch, vec_col, dim=st.qm.shape[1]))
+        code = ((m - mn[None, :]) * 255) // span[None, :]
+        dqv = mn[None, :] + (code * span[None, :]) // 255
+        # (Q, B) exact integer L2^2 via the expansion (all terms < 2^60)
+        d2 = ((st.qm * st.qm).sum(axis=1)[:, None]
+              + (dqv * dqv).sum(axis=1)[None, :]
+              - 2 * (st.qm @ dqv.T))
+        self_mask = st.qid[:, None] == ids[None, :]
+        kk = min(k, d2.shape[1])
+        d2m = np.where(self_mask, np.iinfo(np.int64).max, d2)
+        part = np.argpartition(d2m, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(d2m, part, axis=1)
+        keep = (ps != np.iinfo(np.int64).max).reshape(-1)
+        return pa.table({
+            "query_id": np.repeat(st.qid, kk)[keep],
+            "vec_id": ids[part].reshape(-1)[keep],
+            "d2": ps.reshape(-1)[keep],
+        })
+
+    local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
+    return group_topk(local, ["query_id"], [("d2", True), ("vec_id", True)],
+                      k, rank_col="d2_rank")
