@@ -9342,6 +9342,187 @@ FROM h WHERE t = (SELECT t1 - t0 FROM b)
 """
 
 
+def q_revenue_cube(sf_dir: str):  # exact oracle (GROUP BY CUBE)
+    """Full CUBE over (returnflag, linestatus, ship year) — all 8 grouping
+    sets, generalizing `revenue_rollup`'s hierarchy with the same
+    partial-REUSE plan a 100 TB cube demands: the finest (flag, status,
+    year) aggregate is computed ONCE from the fact table (one bounded
+    shuffle); every coarser grouping set re-aggregates that groups-sized
+    table driver-side, never rescanning the input. Sentinels: 'ALL' for
+    rolled-up strings, -1 for the rolled-up year."""
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_shipdate",
+              "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # exact year from µs: days since epoch -> civil year (vectorized)
+        days = us // 86_400_000_000
+        yr = (1970 + (days * 4 + 2) // 1461).astype(np.int64)  # valid 1901-2099
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "ship_year": yr,
+                         "revenue_c": cents(price * (1.0 - disc))})
+
+    mapped = li.map_batches(_rev, batch_format="pyarrow", batch_size=8192)
+    base = rel.partial_groupby_sum(
+        mapped, ["l_returnflag", "l_linestatus", "ship_year"],
+        ["revenue_c"], count_as="n_rows", est_rows=_nrows(sf_dir, "lineitem"))
+    base_pd = base.to_pandas()  # groups-sized: |flags|·|statuses|·|years|
+
+    dims = ["l_returnflag", "l_linestatus", "ship_year"]
+    sentinel = {"l_returnflag": "ALL", "l_linestatus": "ALL", "ship_year": -1}
+    outs = []
+    for mask in range(8):  # bit i set -> dim i kept
+        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        if keep:
+            g = base_pd.groupby(keep, as_index=False, sort=False).agg(
+                {"revenue_c": "sum", "n_rows": "sum"})
+        else:
+            g = pd.DataFrame({"revenue_c": [base_pd["revenue_c"].sum()],
+                              "n_rows": [base_pd["n_rows"].sum()]})
+        for d in dims:
+            if d not in keep:
+                g[d] = sentinel[d]
+        outs.append(g[dims + ["revenue_c", "n_rows"]])
+    out = pd.concat(outs, ignore_index=True)
+    out["ship_year"] = out["ship_year"].astype(np.int64)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+SQL_REVENUE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COALESCE(EXTRACT(year FROM l_shipdate), -1) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus, EXTRACT(year FROM l_shipdate))
+"""
+
+
+def q_grid_slope_aspect(sf_dir: str):  # exact oracle (4-way neighbor joins)
+    """Raster GRADIENT (slope/aspect) over the probe-point density grid —
+    the DEM-processing pass (`spatial.grid_slope_aspect`): central
+    differences with signed neighbor fan-out, exact slope² and a 9-class
+    integer aspect code."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_slope_aspect(pts, "px", "py", cell=1024,
+                                     est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_GRID_SLOPE_ASPECT = _CTES + """
+, cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS v
+  FROM points GROUP BY 1, 2
+)
+SELECT b.cx, b.cy, b.v,
+       COALESCE(e.v, 0) - COALESCE(w.v, 0) AS dx,
+       COALESCE(n.v, 0) - COALESCE(s.v, 0) AS dy,
+       (COALESCE(e.v, 0) - COALESCE(w.v, 0)) * (COALESCE(e.v, 0) - COALESCE(w.v, 0))
+     + (COALESCE(n.v, 0) - COALESCE(s.v, 0)) * (COALESCE(n.v, 0) - COALESCE(s.v, 0))
+         AS slope2,
+       3 * (SIGN(COALESCE(e.v, 0) - COALESCE(w.v, 0)) + 1)
+         + SIGN(COALESCE(n.v, 0) - COALESCE(s.v, 0)) + 1 AS aspect_class
+FROM cells b
+LEFT JOIN cells e ON e.cx = b.cx + 1 AND e.cy = b.cy
+LEFT JOIN cells w ON w.cx = b.cx - 1 AND w.cy = b.cy
+LEFT JOIN cells n ON n.cx = b.cx AND n.cy = b.cy + 1
+LEFT JOIN cells s ON s.cx = b.cx AND s.cy = b.cy - 1
+"""
+
+
+def q_traj_comovement(sf_dir: str):  # exact oracle (slot self-join + LEAST)
+    """CO-MOVEMENT / convoy detection — pairs of trajectories whose sparser
+    member is FULLY co-located with the other: shared distinct (space cell,
+    time window) slots == min(slot count a, slot count b) (Jeung et al.'s
+    convoy primitive with a containment threshold — absolute counts scale
+    with trajectory length, so a fixed constant cannot separate convoys
+    across data scales; full containment is scale-invariant and integer).
+    Trajectory bands are folded out (x mod 100000) so cells compare
+    positions WITHIN the route; slot = 64-cell × per-step window. Plan: one
+    slot-bucketed shuffle deduplicates (traj, slot) presence, fans out
+    in-slot pairs, AND emits per-traj slot-count partials (tagged
+    traj_b = −1) in the same pass; pair counts pre-aggregate before the
+    pair-sized combine (the `orders_basket_lift` shape); the 50-row count
+    table broadcasts into the final filter. Per-slot occupancy is bounded
+    by the trajectory count; a production corpus would cap and log
+    oversized slots like the LSH buckets do."""
+    pts = _traj_xy(sf_dir)
+
+    def _slots(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False) % 100000
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "slot_x": x // 64, "slot_y": y // 64, "w": batch["seq"],
+            "traj_id": batch["traj_id"],
+        })
+
+    slots = pts.map_batches(_slots, batch_format="pyarrow", batch_size=8192)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["slot_x", "slot_y", "w", "traj_id"])
+        cnts = d.groupby("traj_id", as_index=False).size()
+        outs = [pd.DataFrame({"traj_a": cnts["traj_id"].to_numpy(np.int64),
+                              "traj_b": np.int64(-1),
+                              "n_shared": cnts["size"].to_numpy(np.int64)})]
+        for _, grp in d.groupby(["slot_x", "slot_y", "w"], sort=False):
+            t = np.sort(grp["traj_id"].to_numpy(np.int64))
+            if len(t) < 2:
+                continue
+            i, j = np.triu_indices(len(t), k=1)
+            outs.append(pd.DataFrame({"traj_a": t[i], "traj_b": t[j],
+                                      "n_shared": np.int64(1)}))
+        p = pd.concat(outs, ignore_index=True)
+        return (p.groupby(["traj_a", "traj_b"], as_index=False)["n_shared"]
+                 .sum().astype(np.int64))
+
+    pair_parts = rel.bucketed_groups(slots, ["slot_x", "slot_y", "w"], _pairs,
+                                     est_rows=_nrows(sf_dir, "events"))
+    summed = rel.partial_groupby_sum(pair_parts, ["traj_a", "traj_b"],
+                                     ["n_shared"])
+
+    # pair-sized result (≤ |trajs|² rows): one bounded driver materialize
+    # finishes the containment filter without re-executing the pipeline
+    sp = summed.to_pandas()
+    cnt = sp[sp["traj_b"] == -1]
+    n_of = dict(zip(cnt["traj_a"].astype(np.int64),
+                    cnt["n_shared"].astype(np.int64)))
+    p = sp[sp["traj_b"] != -1].copy()
+    na = p["traj_a"].map(n_of).to_numpy(np.int64)
+    nb = p["traj_b"].map(n_of).to_numpy(np.int64)
+    p["min_slots"] = np.minimum(na, nb)
+    p = p[p["n_shared"].to_numpy(np.int64) >= p["min_slots"].to_numpy(np.int64)]
+    return p.reset_index(drop=True).astype(np.int64)
+
+
+SQL_TRAJ_COMOVEMENT = f"""
+WITH xy AS ({_SQL_TRAJ_XY}),
+slots AS (
+  SELECT DISTINCT (x % 100000) // 64 AS slot_x, y // 64 AS slot_y,
+         seq AS w, traj_id
+  FROM xy
+),
+cnt AS (SELECT traj_id, CAST(COUNT(*) AS BIGINT) AS n FROM slots GROUP BY 1)
+SELECT traj_a, traj_b, n_shared, min_slots FROM (
+  SELECT a.traj_id AS traj_a, b.traj_id AS traj_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         LEAST(ca.n, cb.n) AS min_slots
+  FROM slots a JOIN slots b
+    ON a.slot_x = b.slot_x AND a.slot_y = b.slot_y AND a.w = b.w
+   AND a.traj_id < b.traj_id
+  JOIN cnt ca ON ca.traj_id = a.traj_id
+  JOIN cnt cb ON cb.traj_id = b.traj_id
+  GROUP BY 1, 2, ca.n, cb.n
+) WHERE n_shared >= min_slots
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9540,6 +9721,9 @@ QUERIES = {
     "ann_sq8_topk": q_ann_sq8_topk,
     "events_cusum": q_events_cusum,
     "part_demand_holt": q_part_demand_holt,
+    "revenue_cube": q_revenue_cube,
+    "grid_slope_aspect": q_grid_slope_aspect,
+    "traj_comovement": q_traj_comovement,
 }
 
 
@@ -9729,4 +9913,7 @@ ORACLE_SQL = {
     "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
     "events_cusum": SQL_EVENTS_CUSUM,
     "part_demand_holt": SQL_PART_DEMAND_HOLT,
+    "revenue_cube": SQL_REVENUE_CUBE,
+    "grid_slope_aspect": SQL_GRID_SLOPE_ASPECT,
+    "traj_comovement": SQL_TRAJ_COMOVEMENT,
 }
