@@ -9523,6 +9523,141 @@ SELECT traj_a, traj_b, n_shared, min_slots FROM (
 """
 
 
+def q_events_gap_fill(sf_dir: str):  # exact oracle (LOCF replayed by window fn)
+    """Dense-grid gap filling with last-observation-carried-forward
+    (``windows.gap_fill_locf``) — the time-series repair pass of a feature
+    store: per user the sparse daily value stream becomes a dense series
+    over the user's own [first_day, last_day] span; each present day takes
+    its LAST event's value (by ts, event_id), absent days carry the
+    previous day forward (``is_filled`` = 1). The per-(user, day)
+    "last row wins" reduction combines map-side, so the one shuffle moves
+    at most a row per (user, day) per batch."""
+    from ..stages.windows import gap_fill_locf
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "day": pc.divide(us, 86_400_000_000),
+            "us": us,
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v": pa.array(cents(batch["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=8192)
+    return gap_fill_locf(prep, "user_id", "day", ["us", "event_id"], "v")
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+lastv AS (
+  SELECT user_id, us // 86400000000 AS day, v
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, us // 86400000000
+                                     ORDER BY us DESC, event_id DESC) AS rn
+        FROM e)
+  WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM lastv GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span),
+j AS (
+  SELECT g.user_id, g.day, l.v
+  FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.day = g.day
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                                        ROWS UNBOUNDED PRECEDING) AS v_c,
+       CAST(v IS NULL AS BIGINT) AS is_filled
+FROM j
+"""
+
+
+def q_events_kmv_distinct(sf_dir: str):  # exact oracle (HUGEINT estimator)
+    """K-Minimum-Values distinct sketch per event type
+    (``relational.kmv_distinct``, k=64) — the fourth sketch next to HLL,
+    Misra-Gries and Count-Min; the shuffle moves at most k hash rows per
+    (type, batch) and the (k-1)·2^64/h_k estimate is exact big-int floor
+    on both sides."""
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+    return rel.kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+SQL_EVENTS_KMV_DISTINCT = f"""
+WITH h AS (
+  SELECT event_type, xor(z2, z2 >> 31) AS hh
+  FROM (
+    SELECT event_type,
+           ((xor(z1, z1 >> 27) * 321982955) % {_SQL_M64}
+            + ((xor(z1, z1 >> 27) * 2496678331) % 4294967296) * 4294967296)
+             % {_SQL_M64} AS z2
+    FROM (
+      SELECT event_type,
+             ((xor(z0, z0 >> 30) * 484763065) % {_SQL_M64}
+              + ((xor(z0, z0 >> 30) * 3210233709) % 4294967296) * 4294967296)
+               % {_SQL_M64} AS z1
+      FROM (
+        SELECT event_type,
+               (CAST(user_id AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT))
+                 % {_SQL_M64} AS z0
+        FROM events
+      )
+    )
+  )
+),
+d AS (SELECT DISTINCT event_type, hh FROM h),
+rk AS (SELECT event_type, hh,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+       FROM d),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1)
+SELECT n.event_type,
+       CAST(LEAST(n.nd, 64) AS BIGINT) AS n_min_hashes,
+       CAST(CASE WHEN n.nd >= 64
+                 THEN (CAST(63 AS HUGEINT) << 64) // k.hh
+                 ELSE n.nd END AS BIGINT) AS kmv_est
+FROM n LEFT JOIN (SELECT event_type, hh FROM rk WHERE rn = 64) k
+  ON k.event_type = n.event_type
+"""
+
+
+def q_doc_edit_distance(sf_dir: str):  # exact oracle (DuckDB levenshtein)
+    """Edit-distance near-duplicate verification
+    (``dedup.edit_distance_pairs``): normalized-prefix blocking (cap 64,
+    logged) + EXACT unit-cost Levenshtein <= 16 on the raw text via
+    Myers' bit-parallel DP; the length-gap and char-histogram prunes are
+    engine-only sound bounds, so the oracle verifies every block pair
+    directly with DuckDB's ``levenshtein()``."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.edit_distance_pairs(docs, max_dist=16, prefix=12,
+                                     block_cap=64)
+
+
+SQL_DOC_EDIT_DISTANCE = """
+WITH n AS (
+  SELECT doc_id, text,
+         substr(regexp_replace(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'),
+                  '[^a-z0-9]+', '', 'g'), 1, 12) AS blk
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, text, blk
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        FROM n)
+  WHERE rn <= 64
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 16
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9724,6 +9859,9 @@ QUERIES = {
     "revenue_cube": q_revenue_cube,
     "grid_slope_aspect": q_grid_slope_aspect,
     "traj_comovement": q_traj_comovement,
+    "events_gap_fill": q_events_gap_fill,
+    "events_kmv_distinct": q_events_kmv_distinct,
+    "doc_edit_distance": q_doc_edit_distance,
 }
 
 
@@ -9916,4 +10054,7 @@ ORACLE_SQL = {
     "revenue_cube": SQL_REVENUE_CUBE,
     "grid_slope_aspect": SQL_GRID_SLOPE_ASPECT,
     "traj_comovement": SQL_TRAJ_COMOVEMENT,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
+    "events_kmv_distinct": SQL_EVENTS_KMV_DISTINCT,
+    "doc_edit_distance": SQL_DOC_EDIT_DISTANCE,
 }

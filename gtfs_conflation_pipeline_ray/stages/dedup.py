@@ -702,3 +702,125 @@ def normalized_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
         return out.drop(columns=["nh"])
 
     return bucketed_groups(hashed, ["nh"], _final, pre_fn=_pre)
+
+
+def _myers_levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost Levenshtein distance via Myers' bit-parallel
+    algorithm (Myers 1999, Hyyrö 2001 form) — the whole pattern bitvector
+    lives in ONE Python big int, so each text character costs ~10 word
+    ops regardless of pattern length (vs the O(|a|) inner loop of the
+    classic DP). Identical by definition to the full DP / DuckDB's
+    ``levenshtein()``; pytest pins both."""
+    m = len(a)
+    if m == 0:
+        return len(b)
+    if len(b) == 0:
+        return m
+    peq: dict[str, int] = {}
+    for i, c in enumerate(a):
+        peq[c] = peq.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv, mv, score = mask, 0, m
+    for c in b:
+        eq = peq.get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        if mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        max_dist: int = 16, prefix: int = 12,
+                        block_cap: int = 64):
+    """Edit-distance near-duplicate VERIFICATION — the fuzzy-dedup family's
+    exact member next to MinHash/SimHash/n-gram Jaccard: candidate pairs
+    block on the first ``prefix`` chars of the normalized text (lower,
+    [a-z0-9] only — robust to the re-punctuation edits the fixture
+    plants), blocks cap at ``block_cap`` members by min id (logged), and
+    surviving pairs verify with the EXACT unit-cost Levenshtein distance
+    on the raw text; pairs with distance <= ``max_dist`` emit.
+
+    Engine-only sound prunes (they only skip pairs provably beyond
+    ``max_dist``, so the SQL oracle needn't mirror them): length gap
+    (d >= |len(a)-len(b)|) and the character-histogram bound
+    (d >= ceil(L1(hist_a, hist_b) / 2): one substitution moves the
+    histogram L1 by at most 2, one indel by 1). Random same-prefix pairs
+    die in the histogram prune; the Myers DP runs only on genuinely
+    close texts. Blocks shuffle by key; no all-pairs pass."""
+    import logging
+
+    from ..functions.text import _ASCII_LOWER_TBL, _AZ09_RUN_RE
+    from .relational import bucketed_groups
+
+    # ASCII-exact squeeze (cf. functions.text.ascii_normalize, which keeps
+    # run separators): strip every non-[a-z0-9] codepoint outright — ≙
+    # DuckDB regexp_replace(translate(text, A..Z, a..z), '[^a-z0-9]+', '', 'g')
+    def _squeeze(s: str) -> str:
+        return "".join(_AZ09_RUN_RE.findall(s.translate(_ASCII_LOWER_TBL)))
+
+    def _norm(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        texts = t[text_col].to_pylist()
+        norms = [_squeeze(s) for s in texts]
+        return pa.table({
+            id_col: t[id_col],
+            text_col: t[text_col],
+            "blk": pa.array([n[:prefix] for n in norms]),
+        })
+
+    blocked = ds.map_batches(_norm, batch_format="pyarrow", batch_size=4096)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["blk", id_col], kind="mergesort")
+        blk = d["blk"].to_numpy()
+        ids = d[id_col].to_numpy()
+        texts = d[text_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, blk[1:] != blk[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        n_dropped = 0
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s > block_cap:
+                n_dropped += e - s - block_cap
+                e = s + block_cap  # ids sorted: keep the min-id members
+            if e - s < 2:
+                continue
+            ts = texts[s:e]
+            lens = np.fromiter((len(x) for x in ts), np.int64, e - s)
+            hists = np.zeros((e - s, 128), np.int64)
+            for i, x in enumerate(ts):
+                cc = np.frombuffer(x.encode("utf-8"), np.uint8)
+                hists[i] = np.bincount(cc[cc < 128], minlength=128)
+            for i in range(e - s):
+                ld = np.abs(lens[i + 1:] - lens[i])
+                l1 = np.abs(hists[i + 1:] - hists[i]).sum(axis=1)
+                cand = np.flatnonzero((ld <= max_dist)
+                                      & (l1 <= 2 * max_dist)) + i + 1
+                for j in cand:
+                    dist = _myers_levenshtein(ts[i], ts[j])
+                    if dist <= max_dist:
+                        out_a.append(ids[s + i])
+                        out_b.append(ids[s + j])
+                        out_d.append(dist)
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "edit_distance_pairs: dropped %d members beyond the "
+                "%d-per-block cap", n_dropped, block_cap)
+        return pd.DataFrame({
+            "doc_a": np.array(out_a, np.int64),
+            "doc_b": np.array(out_b, np.int64),
+            "edit_dist": np.array(out_d, np.int64),
+        })
+
+    return bucketed_groups(blocked, ["blk"], _pairs)

@@ -458,3 +458,60 @@ def bloom_semi_join(facts, keys_ref, fact_key: str, bits_log2: int = 20,
 
     return facts.map_batches(_filter, batch_format="pyarrow",
                              batch_size=batch_size)
+
+
+def kmv_distinct(ds, keys: list[str], value_col: str, k: int = 64,
+                 n_buckets: int | None = None):
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002) — the
+    fourth sketch next to HLL registers (``approx_distinct``), Misra-Gries
+    (heavy hitters) and Count-Min: per group keep the ``k`` smallest
+    distinct ``splitmix64`` hashes of the value; the unbiased-form
+    estimate is ``(k-1) * 2^64 // h_k`` (k-th smallest hash, hashes
+    uniform on [0, 2^64)), exact big-int floor so a HUGEINT oracle
+    mirrors it bit-for-bit. Groups with fewer than ``k`` distinct values
+    report their exact count (splitmix64 is a bijection on uint64, so
+    distinct hashes == distinct values).
+
+    Shuffle bound: each batch contributes at most ``k`` rows per group —
+    the merge property (k smallest of a union = k smallest of the
+    per-part k-smallest) is what makes KMV a one-pass distributed
+    sketch. Returns keys + (n_exact, kmv_est)."""
+    from ..functions import text as tx
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.ascontiguousarray(
+            df[value_col].to_numpy().astype(np.int64)).view(np.uint64)
+        # _h stays uint64: "k smallest" must rank in UNSIGNED order (the
+        # oracle's non-negative HUGEINT order); a signed view would sort
+        # hashes >= 2^63 first
+        d = df[keys].assign(_h=tx.splitmix64(v))
+        d = d.drop_duplicates(keys + ["_h"])
+        d = d.sort_values(keys + ["_h"], kind="mergesort")
+        return d.groupby(keys, as_index=False, sort=False,
+                         observed=True).head(k)
+
+    def _est(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(keys + ["_h"]).sort_values(
+            keys + ["_h"], kind="mergesort")
+        gb = d.groupby(keys, as_index=False, sort=False, observed=True)
+        top = gb.head(k)
+        kv = top[keys].to_numpy()
+        h = top["_h"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(
+            np.r_[True, (kv[1:] != kv[:-1]).any(axis=1)])
+        ends = np.r_[starts[1:], len(top)]
+        nd = gb.size()["size"].to_numpy()  # distinct in this bucket's union
+        out_est = np.empty(len(starts), np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if nd[i] >= k:
+                hk = int(h[s + k - 1])
+                out_est[i] = ((k - 1) << 64) // hk
+            else:
+                out_est[i] = nd[i]
+        res = top.iloc[starts][keys].reset_index(drop=True)
+        res["n_min_hashes"] = np.minimum(nd, k).astype(np.int64)
+        res["kmv_est"] = out_est
+        return res
+
+    staged = ds.map_batches(_pre, batch_format="pandas", batch_size=32768)
+    return bucketed_groups(staged, keys, _est)

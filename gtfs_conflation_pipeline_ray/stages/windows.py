@@ -424,3 +424,60 @@ def scd2_intervals(ds, key: str, order: list[str], ts_col: str,
         })
 
     return bucketed_groups(ds, [key], _scan)
+
+
+def gap_fill_locf(ds, key: str, day_col: str, order: list[str],
+                  val_col: str):
+    """Dense-grid GAP FILLING with last-observation-carried-forward — the
+    time-series repair pass every metrics/feature store runs before
+    training (a sparse per-key daily stream becomes a dense series with
+    no holes). Per key: the last value of each present day (greatest
+    ``order``, e.g. (ts, event_id)) wins, the day grid spans the key's
+    own [min_day, max_day], and absent days copy the previous day's
+    value (``is_filled`` marks them).
+
+    Execution shape: the per-(key, day) "last row wins" reduction is
+    associative, so it runs as a per-batch combiner BEFORE the one
+    key-bucketed shuffle (the shuffle moves at most one row per (key,
+    day) per batch, never raw events). The in-bucket pass is fully
+    vectorized: a ragged ``arange`` expansion builds every key's dense
+    grid at once and the carry-forward is one global
+    ``np.maximum.accumulate`` over last-present positions — sound
+    across key boundaries because each key's FIRST grid day is always
+    present (it is that key's min present day).
+    """
+    from .relational import bucketed_groups
+
+    def _last_per_day(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, day_col, *order], kind="mergesort")
+        return d.groupby([key, day_col], as_index=False, sort=False,
+                         observed=True).last()
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        d = _last_per_day(g)
+        k = d[key].to_numpy()
+        day = d[day_col].to_numpy().astype(np.int64)
+        v = d[val_col].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        d0, d1 = day[starts], day[ends - 1]
+        reps = d1 - d0 + 1
+        off0 = np.cumsum(reps) - reps  # each key's base slot in the grid
+        n = int(reps.sum())
+        gi = np.repeat(np.arange(len(starts)), reps)  # key index per slot
+        grid_day = d0[gi] + (np.arange(n) - off0[gi])
+        # scatter present rows onto their grid slots
+        row_gi = np.repeat(np.arange(len(starts)), ends - starts)
+        slot = off0[row_gi] + (day - d0[row_gi])
+        vals = np.zeros(n, np.int64)
+        present = np.zeros(n, bool)
+        vals[slot] = v
+        present[slot] = True
+        # LOCF: index of the latest present slot at-or-before each slot
+        src = np.maximum.accumulate(np.where(present, np.arange(n), -1))
+        return pd.DataFrame({
+            key: k[starts][gi], "day": grid_day, "v_c": vals[src],
+            "is_filled": (~present).astype(np.int64),
+        })
+
+    return bucketed_groups(ds, [key], _fill, pre_fn=_last_per_day)
