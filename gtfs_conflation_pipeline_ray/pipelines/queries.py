@@ -9658,6 +9658,108 @@ WHERE levenshtein(a.text, b.text) <= 16
 """
 
 
+def q_grid_contours(sf_dir: str):  # exact oracle (4-corner fan-out mirrored)
+    """Marching-squares isoline extraction over the probe-point density
+    raster (``spatial.marching_squares``): iso-level = ceil-mean of the
+    occupied cells, every level-crossing 2x2 corner window emits its 4-bit
+    case code (1..14). Hot cells fan out x4; one grid-sized shuffle."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.marching_squares(pts, "px", "py", cell=1024)
+
+
+SQL_GRID_CONTOURS = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+t AS (SELECT (SUM(v) + COUNT(*) - 1) // COUNT(*) AS thr FROM cells),
+hot AS (SELECT cx, cy FROM cells, t WHERE v >= thr),
+wins AS (
+  SELECT cx AS wx, cy AS wy, 1 AS b FROM hot
+  UNION ALL SELECT cx - 1, cy, 2 FROM hot
+  UNION ALL SELECT cx, cy - 1, 4 FROM hot
+  UNION ALL SELECT cx - 1, cy - 1, 8 FROM hot
+)
+SELECT wx, wy, CAST(SUM(b) AS BIGINT) AS case_code
+FROM wins GROUP BY 1, 2 HAVING SUM(b) < 15
+"""
+
+
+def q_doc_langid_confusion(sf_dir: str):  # exact oracle (langid rule mirrored)
+    """Language-ID CONFUSION MATRIX — the model-evaluation loop applied to
+    the heuristic classifier (the text sibling of ``ann_recall``): predicted
+    vs fixture-true language, counted per (true, pred) pair. Prediction is
+    the same vectorized kernel ``doc_langid`` gates; the count shuffle is
+    (languages)²-bounded."""
+    from ..functions import text as tx
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _pred(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "lang_true": batch["lang"],
+            "lang_pred": pa.array(list(tx.lang_id(texts)), type=pa.string()),
+        })
+
+    mapped = docs.map_batches(_pred, batch_format="pyarrow", batch_size=4096)
+    return rel.partial_groupby_sum(mapped, ["lang_true", "lang_pred"], [],
+                                   count_as="n_docs")
+
+
+SQL_DOC_LANGID_CONFUSION = """
+WITH pred AS (
+__LANGID__
+)
+SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def q_lineitem_group_median(sf_dir: str):  # exact oracle (order statistics)
+    """EXACT grouped median (``relational.group_median2``, doubled form so
+    even-n averages stay integer): per (returnflag, linestatus), the two
+    middle order statistics of the extended-price cents — the holistic
+    aggregate that genuinely needs the group's full multiset (the sketch
+    sibling is ``value_quantiles``)."""
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "vc": pa.array(cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = li.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+    return rel.group_median2(prep, ["l_returnflag", "l_linestatus"], "vc",
+                             est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_LINEITEM_GROUP_MEDIAN = """
+WITH v AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS vc
+  FROM lineitem
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM v
+)
+SELECT l_returnflag, l_linestatus, CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN vc ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN vc ELSE 0 END)
+            AS BIGINT) AS med2
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9862,6 +9964,9 @@ QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_kmv_distinct": q_events_kmv_distinct,
     "doc_edit_distance": q_doc_edit_distance,
+    "grid_contours": q_grid_contours,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "lineitem_group_median": q_lineitem_group_median,
 }
 
 
@@ -10057,4 +10162,9 @@ ORACLE_SQL = {
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_kmv_distinct": SQL_EVENTS_KMV_DISTINCT,
     "doc_edit_distance": SQL_DOC_EDIT_DISTANCE,
+    "grid_contours": SQL_GRID_CONTOURS,
+    "doc_langid_confusion": SQL_DOC_LANGID_CONFUSION.replace(
+        "__LANGID__", SQL_DOC_LANGID.replace(
+            "__PROFILES__", _langid_profile_values())),
+    "lineitem_group_median": SQL_LINEITEM_GROUP_MEDIAN,
 }

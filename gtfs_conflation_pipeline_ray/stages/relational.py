@@ -515,3 +515,35 @@ def kmv_distinct(ds, keys: list[str], value_col: str, k: int = 64,
 
     staged = ds.map_batches(_pre, batch_format="pandas", batch_size=32768)
     return bucketed_groups(staged, keys, _est)
+
+
+def group_median2(ds, keys: list[str], val_col: str,
+                  n_buckets: int | None = None, est_rows: int | None = None):
+    """EXACT grouped median, doubled to stay in int64 (``med2`` = the sum
+    of the two middle order statistics for even n, twice the middle one
+    for odd n — so med2/2 is the textbook median and no 0.5 ever appears
+    in the comparison): the one aggregate the streaming partials can't
+    compute (an exact median needs the group's full value multiset), so
+    groups shuffle whole by key — the documented partitioning assumption
+    is that a single group's values fit one worker (use
+    ``binned_quantiles`` for the sketch-shaped scale path). The in-bucket
+    pass is fully vectorized: one sort, boundary arithmetic picks both
+    middles for every group at once."""
+
+    def _med(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(keys + [val_col], kind="mergesort")
+        kv = d[keys].to_numpy()
+        v = d[val_col].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, (kv[1:] != kv[:-1]).any(axis=1)])
+        ends = np.r_[starts[1:], len(d)]
+        n = ends - starts
+        lo = starts + (n - 1) // 2   # rn = (n+1)//2, 0-based
+        hi = starts + n // 2         # rn = (n+2)//2, 0-based
+        out = d.iloc[starts][keys].reset_index(drop=True)
+        out["n_rows"] = n.astype(np.int64)
+        out["med2"] = v[lo] + v[hi]
+        return out
+
+    return bucketed_groups(ds, keys, _med, n_buckets=n_buckets,
+                           est_rows=est_rows)

@@ -1457,3 +1457,59 @@ def grid_slope_aspect(points, x_col: str, y_col: str, cell: int,
         return out.astype({c: np.int64 for c in out.columns})
 
     return bucketed_groups(exp, ["cx", "cy"], _match, est_rows=est_rows)
+
+
+def marching_squares(points, x_col: str, y_col: str, cell: int,
+                     est_rows: int | None = None):
+    """Marching-squares ISOLINE extraction over the point-density raster —
+    the contouring pass of every heatmap / choropleth product (turf
+    isolines / GDAL contour parity): cells collapse map-side to the
+    density grid, the iso-threshold is the ceil-MEAN of the occupied
+    cells (data-derived, so the contour is non-trivial at every data
+    scale), and every 2x2 corner window crossed by the iso-level emits
+    its classic 4-bit case code (bit0 = (wx, wy) hot, bit1 = (wx+1, wy),
+    bit2 = (wx, wy+1), bit3 = (wx+1, wy+1); codes 1..14 are the crossing
+    cases, 0/15 are fully outside/inside and are dropped).
+
+    Scale shape: points collapse to the grid map-side; only HOT cells fan
+    out (x4) to the windows they corner; one grid-sized bucketed shuffle
+    sums the disjoint bit contributions (sum ≡ OR here). The two global
+    scalars (Σv, n_cells) are the only driver-side values."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    # materialize POST-collapse: the raster is grid-bounded (≤ (65536/cell)²
+    # rows), and both the threshold scan and the fan-out read it — without
+    # this the lazy plan would re-run the full point read twice
+    cells = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v").materialize()
+
+    agg = cells.aggregate(Sum("v"), Count())
+    thr = (int(agg["sum(v)"]) + int(agg["count()"]) - 1) // int(agg["count()"])
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df[df["v"].to_numpy(np.int64) >= thr]
+        cx = hot["cx"].to_numpy(np.int64)
+        cy = hot["cy"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "wx": np.concatenate([cx, cx - 1, cx, cx - 1]),
+            "wy": np.concatenate([cy, cy, cy - 1, cy - 1]),
+            "b": np.repeat(np.array([1, 2, 4, 8], np.int64), len(cx)),
+        })
+
+    exp = cells.map_batches(_expand, batch_format="pandas", batch_size=8192)
+
+    def _codes(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["wx", "wy"], as_index=False, sort=True)["b"]
+                .sum().rename(columns={"b": "case_code"}))
+        out = out[out["case_code"] < 15]
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return bucketed_groups(exp, ["wx", "wy"], _codes, est_rows=est_rows)
