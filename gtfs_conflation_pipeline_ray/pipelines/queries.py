@@ -9760,6 +9760,201 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_tile_union_area(sf_dir: str):  # exact oracle (strip sweep mirrored)
+    """EXACT union area of the overlapping tile-rect layer
+    (``spatial.rect_union_area``): per-cell strip-sweep decomposition —
+    the 2D coverage-area primitive next to the 1D
+    ``user_interval_coverage`` sweep and the clipped-SUM (not union) of
+    ``tile_coverage_grid``. Fan-out shuffle bounded at rects × ≤4 cells."""
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _rects(batch: pa.Table) -> pd.DataFrame:
+        t = td.tiles_batch(batch)
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        hw = t["hw"].to_numpy()
+        hh = t["hh"].to_numpy()
+        x0 = np.maximum(cx - hw, 0)
+        x1 = np.minimum(cx + hw, 65536)
+        y0 = np.maximum(cy - hh, 0)
+        y1 = np.minimum(cy + hh, 65536)
+        keep = (x1 > x0) & (y1 > y0)
+        return pd.DataFrame({"x0": x0[keep], "x1": x1[keep],
+                             "y0": y0[keep], "y1": y1[keep]})
+
+    rects = part.map_batches(_rects, batch_format="pyarrow", batch_size=8192)
+    return spatial.rect_union_area(rects, cell=4096,
+                                   est_rows=_nrows(sf_dir, "part"))
+
+
+SQL_TILE_UNION_AREA = f"""
+WITH tiles AS ({td.TILES_SQL}),
+rects AS (
+  SELECT GREATEST(cx - hw, 0) AS x0, LEAST(cx + hw, 65536) AS x1,
+         GREATEST(cy - hh, 0) AS y0, LEAST(cy + hh, 65536) AS y1
+  FROM tiles
+  WHERE LEAST(cx + hw, 65536) > GREATEST(cx - hw, 0)
+    AND LEAST(cy + hh, 65536) > GREATEST(cy - hh, 0)
+),
+cr AS (
+  SELECT gx.g AS gx, gy.g AS gy,
+         GREATEST(r.x0, gx.g * 4096) AS x0, LEAST(r.x1, (gx.g + 1) * 4096) AS x1,
+         GREATEST(r.y0, gy.g * 4096) AS y0, LEAST(r.y1, (gy.g + 1) * 4096) AS y1
+  FROM rects r,
+       (SELECT unnest(range(16)) AS g) gx,
+       (SELECT unnest(range(16)) AS g) gy
+  WHERE r.x0 < (gx.g + 1) * 4096 AND r.x1 > gx.g * 4096
+    AND r.y0 < (gy.g + 1) * 4096 AND r.y1 > gy.g * 4096
+),
+xs AS (
+  SELECT DISTINCT gx, gy, x FROM (
+    SELECT gx, gy, x0 AS x FROM cr UNION ALL SELECT gx, gy, x1 FROM cr)
+),
+strips AS (
+  SELECT gx, gy, x AS sx0,
+         LEAD(x) OVER (PARTITION BY gx, gy ORDER BY x) AS sx1
+  FROM xs
+),
+iv AS (
+  SELECT s.gx, s.gy, s.sx0, s.sx1, r.y0, r.y1
+  FROM strips s JOIN cr r
+    ON r.gx = s.gx AND r.gy = s.gy AND r.x0 < s.sx1 AND r.x1 > s.sx0
+  WHERE s.sx1 IS NOT NULL
+),
+m AS (
+  SELECT *,
+         MAX(y1) OVER (PARTITION BY gx, gy, sx0 ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT *,
+         SUM(CASE WHEN prev_max IS NULL OR y0 > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY gx, gy, sx0 ORDER BY y0, y1
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+ilen AS (
+  SELECT gx, gy, sx0, sx1, island, MAX(y1) - MIN(y0) AS len
+  FROM isl GROUP BY 1, 2, 3, 4, 5
+)
+SELECT gx, gy, CAST(SUM((sx1 - sx0) * len) AS BIGINT) AS covered_area
+FROM ilen GROUP BY 1, 2
+"""
+
+
+def q_image_components(sf_dir: str):  # exact oracle (column-parity closed form)
+    """Blob labeling through the decode path (``media.ImageComponents``):
+    threshold = R-channel PARITY (the gradient fixture then yields several
+    full-height stripes per image), 4-connected components via the general
+    run-merge union-find (pytest fuzzes it against BFS on random 2D
+    masks). The oracle replays the per-column R value — jpeg dequant
+    included — and counts odd-column islands."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_components(synth, batch_size=512)
+
+
+SQL_IMAGE_COMPONENTS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi, (doc_id * 7) % 200 AS br
+  FROM documents
+),
+cols AS (
+  SELECT image_id, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+odd AS (SELECT image_id, h, j FROM cols WHERE v % 2 = 1),
+runs AS (
+  SELECT image_id, h,
+         j - ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY j) AS grp
+  FROM odd
+),
+comp AS (
+  SELECT image_id, MIN(h) AS h, COUNT(*) AS run_w
+  FROM runs GROUP BY image_id, grp
+),
+agg AS (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(MAX(run_w) * MIN(h) AS BIGINT) AS largest_area
+  FROM comp GROUP BY image_id
+)
+SELECT i.image_id,
+       COALESCE(a.n_components, 0) AS n_components,
+       COALESCE(a.largest_area, 0) AS largest_area
+FROM im i LEFT JOIN agg a USING (image_id)
+"""
+
+
+def q_embedding_hard_negatives(sf_dir: str):  # exact oracle (label-masked cosine)
+    """Hard-negative mining for contrastive training
+    (``ann.hard_negative_topk``): per query vector, the 5 most
+    cosine-similar vectors with a DIFFERENT label — the near-miss
+    negatives a retrieval loss learns most from. Broadcast query matrix +
+    labels; the merge moves ≤ k rows per (query, batch)."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"],
+                         filters=[("vec_id", "<", 8)])
+    qtab = pa.table({"query_id": qtab["vec_id"],
+                     "embedding": qtab["embedding"],
+                     "label": qtab["label"]})
+    out = ann.hard_negative_topk(emb, ray.put(qtab), k=5)
+    return out.map_batches(_sim_q4, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label <> q.qlabel
+)
+SELECT query_id, vec_id, sim_rank,
+       CAST(FLOOR(sim * 10000 + 0.5) AS BIGINT) AS sim_q4 FROM (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS sim_rank
+  FROM sims
+) WHERE sim_rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9967,6 +10162,9 @@ QUERIES = {
     "grid_contours": q_grid_contours,
     "doc_langid_confusion": q_doc_langid_confusion,
     "lineitem_group_median": q_lineitem_group_median,
+    "tile_union_area": q_tile_union_area,
+    "image_components": q_image_components,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
 
@@ -10167,4 +10365,7 @@ ORACLE_SQL = {
         "__LANGID__", SQL_DOC_LANGID.replace(
             "__PROFILES__", _langid_profile_values())),
     "lineitem_group_median": SQL_LINEITEM_GROUP_MEDIAN,
+    "tile_union_area": SQL_TILE_UNION_AREA,
+    "image_components": SQL_IMAGE_COMPONENTS,
+    "embedding_hard_negatives": SQL_EMBEDDING_HARD_NEGATIVES,
 }

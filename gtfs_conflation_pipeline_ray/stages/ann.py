@@ -708,3 +708,45 @@ def sq8_topk(vectors, queries_ref, mn: np.ndarray, span: np.ndarray, k: int,
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
     return group_topk(local, ["query_id"], [("d2", True), ("vec_id", True)],
                       k, rank_col="d2_rank")
+
+
+def hard_negative_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding", label_col: str = "label"):
+    """HARD-NEGATIVE MINING for contrastive training (the retrieval-training
+    data op next to ``cosine_topk``): per query, the k most cosine-similar
+    vectors whose LABEL DIFFERS from the query's — the near-miss negatives a
+    contrastive loss learns most from (same-label neighbors are positives
+    and are masked out, which also masks self). Same execution shape as
+    ``cosine_topk``: broadcast query matrix + labels, per-batch matmul and
+    local top-k, then the k-per-(query, batch)-bounded global merge."""
+    from .util import cached_state
+
+    def _state(q: pa.Table):
+        st = _QueryState(q, vec_col)
+        st.qlabel = q[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return st
+
+    def _local(batch: pa.Table) -> pa.Table:
+        st = cached_state(queries_ref, _state,
+                          token=f"_HardNegState:{vec_col}:{label_col}")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "sim": np.array([], dtype=np.float64)})
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col, dim=st.qm.shape[1])
+        sims = st.sims_against(x)  # (Q, B)
+        sims = np.where(st.qlabel[:, None] == labels[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        keep = np.isfinite(ps.reshape(-1))
+        return pa.table({
+            "query_id": np.repeat(st.qid, kk)[keep],
+            "vec_id": ids[part].reshape(-1)[keep],
+            "sim": ps.reshape(-1)[keep],
+        })
+
+    local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
+    return _merge_topk(local, k)
