@@ -9955,6 +9955,126 @@ SELECT query_id, vec_id, sim_rank,
 """
 
 
+def q_shape_dtw(sf_dir: str):  # exact oracle (anti-diagonal recursive CTE)
+    """Dynamic-time-warping curve similarity between the two halves of each
+    shape (``segments.shape_dtw_halves``) — the accumulating third scorer
+    next to Fréchet (max) and Hausdorff (max-of-min), completing the
+    curve-scoring family of the reference (``frechet.js:8-35``). Integer
+    by construction; the oracle replays the same 24×24 DP by
+    anti-diagonals in one recursive CTE."""
+    from ..stages import segments
+
+    return segments.shape_dtw_halves(_event_shapes(sf_dir))
+
+
+SQL_SHAPE_DTW = "WITH RECURSIVE " + _SQL_SHAPE_PTS + """,
+halves AS (
+  SELECT p.user_id,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ax,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi <= n.n // 2) AS ay,
+         list(p.x ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS bx,
+         list(p.y ORDER BY p.gi) FILTER (WHERE p.gi > n.n // 2) AS "by"
+  FROM pts p JOIN nn n USING (user_id) WHERE n.n >= 4
+  GROUP BY p.user_id
+),
+picked AS MATERIALIZED (  -- stride_pick to 24 vertices per half
+  SELECT user_id,
+         [ax[1 + _j * (len(ax) - 1) // 23] FOR _j IN range(24)] AS pax,
+         [ay[1 + _j * (len(ay) - 1) // 23] FOR _j IN range(24)] AS pay,
+         [bx[1 + _j * (len(bx) - 1) // 23] FOR _j IN range(24)] AS pbx,
+         ["by"[1 + _j * (len("by") - 1) // 23] FOR _j IN range(24)] AS pby
+  FROM halves
+),
+dtw AS (  -- DTW DP by anti-diagonals: cell = d + min(left, up, diag)
+  SELECT user_id, 0 AS k,
+         [(pax[1] - pbx[1]) * (pax[1] - pbx[1])
+          + (pay[1] - pby[1]) * (pay[1] - pby[1])] AS cur,
+         CAST(NULL AS BIGINT[]) AS prev,
+         pax, pay, pbx, pby
+  FROM picked
+  UNION ALL
+  SELECT user_id, k + 1,
+         [ (pax[_i + 1] - pbx[k + 1 - _i + 1]) * (pax[_i + 1] - pbx[k + 1 - _i + 1])
+           + (pay[_i + 1] - pby[k + 1 - _i + 1]) * (pay[_i + 1] - pby[k + 1 - _i + 1])
+           + least(
+               COALESCE(cur[_i - greatest(0, k - 23) + 1], 1099511627776),
+               COALESCE(cur[_i - 1 - greatest(0, k - 23) + 1], 1099511627776),
+               COALESCE(prev[_i - 1 - greatest(0, k - 1 - 23) + 1], 1099511627776)
+             )
+           FOR _i IN range(greatest(0, k + 1 - 23), least(k + 1, 23) + 1) ] AS cur,
+         cur AS prev, pax, pay, pbx, pby
+  FROM dtw WHERE k < 46
+),
+best AS (SELECT user_id, cur[1] AS c FROM dtw WHERE k = 46)
+SELECT n.user_id,
+       CAST(CASE WHEN n.n < 4 THEN -1 ELSE b.c END AS BIGINT) AS dtw_sq
+FROM nn n LEFT JOIN best b USING (user_id)
+"""
+
+
+def q_grid_distance_transform(sf_dir: str):  # exact oracle (min over sources)
+    """L1 distance transform over the point-density raster
+    (``spatial.grid_distance_transform``): dense cells (v ≥ (max+1)//2)
+    are sources, every cell of the 64×64 grid gets its city-block distance
+    to the nearest source via the exact two-scan chamfer. The oracle
+    computes the same field as a brute-force min over all sources."""
+    pts = conflation.read_points(sf_dir)
+    out = spatial.grid_distance_transform(pts, "px", "py", cell=1024)
+    return out
+
+
+SQL_GRID_DISTANCE_TRANSFORM = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+mx AS (SELECT (MAX(v) + 1) // 2 AS thr FROM cells),
+grid AS (
+  SELECT gx.i AS cx, gy.i AS cy
+  FROM (SELECT unnest(range(64)) AS i) gx, (SELECT unnest(range(64)) AS i) gy
+),
+fullg AS (
+  SELECT g.cx, g.cy, COALESCE(c.v, 0) AS v
+  FROM grid g LEFT JOIN cells c USING (cx, cy)
+),
+src AS (SELECT cx, cy FROM cells, mx WHERE v >= thr),
+d AS (
+  SELECT f.cx, f.cy, MIN(ABS(f.cx - s.cx) + ABS(f.cy - s.cy)) AS dist_l1
+  FROM fullg f CROSS JOIN src s GROUP BY f.cx, f.cy
+)
+SELECT f.cx, f.cy, CAST(f.v AS BIGINT) AS v,
+       f.v >= mx.thr AS is_src, CAST(d.dist_l1 AS BIGINT) AS dist_l1
+FROM fullg f JOIN d USING (cx, cy), mx
+"""
+
+
+def q_doc_readability(sf_dir: str):  # exact oracle (regex count mirror)
+    """Integer LIX readability scoring (``textops.readability``) — the
+    document-quality filter next to the Gopher repetition metrics:
+    avg-sentence-length ×1000 plus long-word(≥7) percentage ×1000, all
+    floor divisions. Map-only; text never shuffles."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textops.readability(docs)
+
+
+SQL_DOC_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+')) AS n_words,
+         len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')) AS n_sentences,
+         len(list_filter(regexp_extract_all(lower(COALESCE(text, '')), '[0-9a-z_]+'),
+                         w -> length(w) >= 7)) AS n_long
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_long AS BIGINT) AS n_long,
+       CAST(n_words * 1000 // GREATEST(n_sentences, 1)
+            + n_long * 100000 // GREATEST(n_words, 1) AS BIGINT) AS lix_q
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10165,6 +10285,9 @@ QUERIES = {
     "tile_union_area": q_tile_union_area,
     "image_components": q_image_components,
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    "shape_dtw": q_shape_dtw,
+    "grid_distance_transform": q_grid_distance_transform,
+    "doc_readability": q_doc_readability,
 }
 
 
@@ -10368,4 +10491,7 @@ ORACLE_SQL = {
     "tile_union_area": SQL_TILE_UNION_AREA,
     "image_components": SQL_IMAGE_COMPONENTS,
     "embedding_hard_negatives": SQL_EMBEDDING_HARD_NEGATIVES,
+    "shape_dtw": SQL_SHAPE_DTW,
+    "grid_distance_transform": SQL_GRID_DISTANCE_TRANSFORM,
+    "doc_readability": SQL_DOC_READABILITY,
 }

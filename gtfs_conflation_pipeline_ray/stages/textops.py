@@ -159,6 +159,42 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(_rep, batch_format="pyarrow", batch_size=4096)
 
 
+def readability(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, n_sentences, n_long, lix_q) — integer LIX-style
+    readability scoring, the document-quality filter that complements the
+    Gopher repetition metrics: words are ASCII ``\\w+`` tokens of the
+    lowered text, sentences are maximal ``[.!?]+`` runs, long words have
+    ≥ 7 chars, and the score is the classic LIX form kept integer-exact:
+    ``lix_q = words·1000 // max(sentences,1) + long·100000 // max(words,1)``
+    (avg sentence length ×1000 plus long-word percentage ×1000). Map-only;
+    text never shuffles."""
+    import re
+
+    sent_re = re.compile(r"[.!?]+")
+
+    def _lix(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        n_sent = np.zeros(n, np.int64)
+        n_long = np.zeros(n, np.int64)
+        for j, t in enumerate(texts):
+            t = t or ""
+            ws = tx._WORD_ASCII_RE.findall(t.lower())
+            n_words[j] = len(ws)
+            n_sent[j] = len(sent_re.findall(t))
+            n_long[j] = sum(1 for w in ws if len(w) >= 7)
+        lix = (n_words * 1000 // np.maximum(n_sent, 1)
+               + n_long * 100000 // np.maximum(n_words, 1))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": n_words, "n_sentences": n_sent, "n_long": n_long,
+            "lix_q": lix,
+        })
+
+    return ds.map_batches(_lix, batch_format="pyarrow", batch_size=8192)
+
+
 def vocab_topk(ds, k: int = 50, text_col: str = "text",
                est_rows: int | None = None):
     """Global top-k token vocabulary (vocabulary-building pass of a training
