@@ -10075,6 +10075,193 @@ FROM c
 """
 
 
+def q_image_morphology(sf_dir: str):  # exact oracle (column-parity closed form)
+    """3×3 binary erosion/dilation pixel counts through the decode path
+    (``media.image_morphology``): threshold = R-channel parity over the
+    gradient fixture (full-height stripe masks). The kernel is the general
+    shifted-window morphology (pytest-fuzzed vs brute force); the oracle
+    replays the per-column R value — jpeg dequant included — and collapses
+    the full-height structure: eroded = (h−2)·|cols whose 3-col window is
+    all-odd|, dilated = h·|cols with ≥1 odd in-bounds neighbor col|."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_morphology(synth, batch_size=512)
+
+
+SQL_IMAGE_MORPHOLOGY = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi, (doc_id * 7) % 200 AS br
+  FROM documents
+),
+cols AS (
+  SELECT image_id, w, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END % 2 AS m
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+nb AS (
+  SELECT image_id, w, h, j, m,
+         COALESCE(lag(m) OVER (PARTITION BY image_id ORDER BY j), 0) AS ml,
+         COALESCE(lead(m) OVER (PARTITION BY image_id ORDER BY j), 0) AS mr
+  FROM cols
+)
+SELECT image_id,
+       CAST(h * SUM(m) AS BIGINT) AS n_mask,
+       CAST((h - 2) * SUM(CASE WHEN j >= 1 AND j <= w - 2
+                               AND m = 1 AND ml = 1 AND mr = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_eroded,
+       CAST(h * SUM(CASE WHEN m = 1 OR ml = 1 OR mr = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dilated
+FROM nb GROUP BY image_id, h
+"""
+
+
+def q_tile_isochrone(sf_dir: str):  # exact oracle (unrolled relax rounds)
+    """Weighted multi-source shortest-path COST FIELD over the tile kNN
+    graph (``graphrank.sssp_rounds``, 3 Bellman-Ford rounds, edge weight =
+    centroid dist²) — the isochrone / nearest-depot-cost pass next to the
+    hop-count BFS. Seeds are every 50th tile; exact for all paths ≤ 3
+    edges by the fixed-round convention (oracle unrolls MATERIALIZED
+    rounds, the ``kcore``/``pagerank`` pattern)."""
+    from ..stages.graphrank import sssp_rounds
+
+    knn = q_tile_knn_graph(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = t["src_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["dist2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d, w = s[m], d[m], w[m]
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s]),
+                         "w": np.concatenate([w, w])})
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": tid[tid % 50 == 0]})
+
+    seeds = part.map_batches(_seeds, batch_format="pyarrow",
+                             batch_size=65536)
+    out = sssp_rounds(edges, seeds, rounds=3)
+    return out.map_batches(
+        lambda t: pa.table({"tile_id": t["node"], "cost": t["cost"]}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_ISO_HEAD = f"""
+WITH tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+knn AS (
+  SELECT src_tile, tile_id, dist2 FROM (
+    SELECT p.src_tile, t.tile_id,
+           (p.px - t.cx) * (p.px - t.cx)
+           + (p.py - t.cy) * (p.py - t.cy) AS dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src_tile
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank
+    FROM probes p CROSS JOIN tiles t
+  ) WHERE knn_rank <= 4
+),
+ed AS MATERIALIZED (
+  SELECT src_tile AS s, tile_id AS t, dist2 AS w FROM knn
+  WHERE tile_id <> src_tile
+  UNION ALL
+  SELECT tile_id, src_tile, dist2 FROM knn WHERE tile_id <> src_tile
+),
+d0 AS (SELECT tile_id AS node, CAST(0 AS BIGINT) AS cost
+       FROM tiles WHERE tile_id % 50 = 0)
+"""
+
+SQL_TILE_ISOCHRONE = _SQL_ISO_HEAD + "".join(
+    f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT node, MIN(cost) AS cost FROM (
+    SELECT node, cost FROM d{r}
+    UNION ALL
+    SELECT e.t AS node, d{r}.cost + e.w AS cost
+    FROM d{r} JOIN ed e ON e.s = d{r}.node
+  ) GROUP BY node
+)"""
+    for r in range(3)
+) + """
+SELECT node AS tile_id, CAST(cost AS BIGINT) AS cost FROM d3
+"""
+
+
+def q_user_type_gini(sf_dir: str):  # exact oracle (integer impurity)
+    """Per-user event-type DIVERSITY via integer Gini impurity — the
+    engagement-breadth / exploration metric of behavioral analytics:
+    ``gini_q = (n² − Σ c_t²) · 1000000 // n²`` (0 = one type only; →1e6 =
+    uniform over many). One (user, type)-keyed combiner-first count, then
+    a user-bucketed combine; no per-row Python."""
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    pairs = rel.partial_groupby_sum(ev, ["user_id", "event_type"], [],
+                                    count_as="c",
+                                    est_rows=_nrows(sf_dir, "events"))
+
+    def _gini(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        g = df.assign(c2=c * c).groupby("user_id", as_index=False, sort=False,
+                                        observed=True).agg(
+            n=("c", "sum"), n_types=("c", "size"), sumsq=("c2", "sum"))
+        n = g["n"].to_numpy(np.int64)
+        g["gini_q"] = (n * n - g["sumsq"].to_numpy(np.int64)) * 1000000 // (n * n)
+        return g[["user_id", "n", "n_types", "gini_q"]].astype(np.int64)
+
+    return rel.bucketed_groups(pairs, ["user_id"], _gini)
+
+
+SQL_USER_TYPE_GINI = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types, SUM(c * c) AS sumsq
+  FROM c GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(n_types AS BIGINT) AS n_types,
+       CAST((n * n - sumsq) * 1000000 // (n * n) AS BIGINT) AS gini_q
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10288,6 +10475,9 @@ QUERIES = {
     "shape_dtw": q_shape_dtw,
     "grid_distance_transform": q_grid_distance_transform,
     "doc_readability": q_doc_readability,
+    "image_morphology": q_image_morphology,
+    "tile_isochrone": q_tile_isochrone,
+    "user_type_gini": q_user_type_gini,
 }
 
 
@@ -10494,4 +10684,7 @@ ORACLE_SQL = {
     "shape_dtw": SQL_SHAPE_DTW,
     "grid_distance_transform": SQL_GRID_DISTANCE_TRANSFORM,
     "doc_readability": SQL_DOC_READABILITY,
+    "image_morphology": SQL_IMAGE_MORPHOLOGY,
+    "tile_isochrone": SQL_TILE_ISOCHRONE,
+    "user_type_gini": SQL_USER_TYPE_GINI,
 }

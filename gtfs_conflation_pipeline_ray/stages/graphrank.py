@@ -343,3 +343,64 @@ def kcore_peel(edges, k: int, rounds: int, a_col: str = "supp_a",
                             batch_size=65536).materialize()
 
     return _deg(ed)
+
+
+def sssp_rounds(edges, seeds, rounds: int = 3, src_col: str = "src",
+                dst_col: str = "dst", w_col: str = "w",
+                node_col: str = "node", n_parts: int = 8):
+    """Multi-source WEIGHTED shortest path (the isochrone / cost-field
+    pass: travel cost from the nearest depot, reach within a budget),
+    fixed-round Bellman-Ford so the oracle unrolls as MATERIALIZED rounds:
+
+        dist_{r+1} = grouped-min( dist_r  ∪  { (v, dist_r(u) + w) : (u,v,w) } )
+
+    The weighted sibling of :func:`bfs_hops` — BFS counts hops, this
+    accumulates edge weights; after ``rounds`` relaxations the result is
+    exact for every node whose shortest path uses ≤ ``rounds`` edges.
+
+    Scale shape: per round ONE hash join (dist ⋈ edges on src — shuffle
+    volume is the reached set's out-neighborhood) + a combiner-first
+    grouped min; state is the reached node set, never edges. Returns
+    (node, cost) for every node reached within ``rounds`` edges.
+    """
+    from .relational import bucketed_groups
+
+    def _seed(t: pa.Table) -> pa.Table:
+        n = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": n, "cost": np.zeros(len(n), np.int64)})
+
+    def _grouped_min(ds):
+        def _pre(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False, sort=False,
+                              observed=True).agg(cost=("cost", "min"))
+
+        return bucketed_groups(ds, ["node"], _pre, pre_fn=_pre,
+                               n_buckets=n_parts)
+
+    dist = seeds.map_batches(_seed, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    for r in range(rounds):
+        np_h = max(1, min(n_parts, dist.count() // 50_000 + 1))
+        relaxed = edges.join(
+            dist.map_batches(
+                lambda t: pa.table({"fnode": t["node"], "fcost": t["cost"]}),
+                batch_format="pyarrow", batch_size=65536).materialize(),
+            "inner", np_h, on=(src_col,), right_on=("fnode",))
+
+        def _relax(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[dst_col],
+                "cost": (t["fcost"].to_numpy(zero_copy_only=False).astype(np.int64)
+                         + t[w_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            })
+
+        cand = relaxed.map_batches(_relax, batch_format="pyarrow",
+                                   batch_size=65536)
+        # re-normalize to Arrow blocks: bucketed_groups emits pandas blocks
+        # and a mixed-block union breaks Ray's batcher on the next round
+        dist = _grouped_min(dist.union(cand)).map_batches(
+            lambda t: t.select(["node", "cost"]),
+            batch_format="pyarrow", batch_size=65536).materialize()
+
+    return dist

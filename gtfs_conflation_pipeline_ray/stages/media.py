@@ -846,6 +846,70 @@ def label_components(mask: np.ndarray) -> tuple[int, int]:
     return len(roots), max(size[r] for r in roots)
 
 
+def morph_counts(mask: np.ndarray) -> tuple[int, int, int]:
+    """3×3 binary EROSION and DILATION pixel counts of a boolean mask —
+    the morphological open/close primitives of every mask-cleanup pass.
+    Out-of-bounds neighbors are UNSET (border pixels never survive
+    erosion; dilation does not wrap). General shifted-window kernel —
+    no structure of the mask is assumed. Returns (n_mask, n_eroded,
+    n_dilated)."""
+    h, w = mask.shape
+    p = np.zeros((h + 2, w + 2), dtype=bool)
+    p[1:-1, 1:-1] = mask
+    er = np.ones((h, w), dtype=bool)
+    di = np.zeros((h, w), dtype=bool)
+    for di_ in range(3):
+        for dj in range(3):
+            win = p[di_:di_ + h, dj:dj + w]
+            er &= win
+            di |= win
+    return int(mask.sum()), int(er.sum()), int(di.sum())
+
+
+class ImageMorphology:
+    """Actor-pool batch fn: 3×3 binary erosion/dilation counts through the
+    genuine decode path — the mask-hygiene pass (speckle removal / hole
+    closing) of a segmentation pipeline. Threshold = R-channel parity
+    (the gradient fixture yields full-height stripe masks, so the oracle
+    can replay per-column; the kernel itself is the general
+    :func:`morph_counts`, pytest-fuzzed on random 2D masks). Emits
+    (image_id, n_mask, n_eroded, n_dilated)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        m_out = np.empty(len(ids), np.int64)
+        e_out = np.empty(len(ids), np.int64)
+        d_out = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            m, e, d = morph_counts(img[:, :, 0] % 2 == 1)
+            m_out[i], e_out[i], d_out[i] = m, e, d
+        return pa.table({"image_id": ids, "n_mask": m_out,
+                         "n_eroded": e_out, "n_dilated": d_out})
+
+
+def image_morphology(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                     fmt_col: str = "fmt", concurrency: int | None = None,
+                     batch_size: int = 256):
+    return ds.map_batches(
+        ImageMorphology,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the
