@@ -10262,6 +10262,194 @@ FROM g
 """
 
 
+def q_image_otsu(sf_dir: str):  # exact oracle (column-histogram replay)
+    """Per-image integer OTSU THRESHOLD of the decoded R channel
+    (``media.image_otsu``): automatic binarization ahead of the mask
+    pipelines. Kernel = general 256-bin histogram argmax
+    (:func:`media.otsu_threshold`, pytest vs brute-force exact-fraction
+    comparison); the oracle replays the column-constant R values (jpeg
+    dequant included) and scores every candidate split with the identical
+    floor-quantized cross-multiplied variance."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_otsu(synth, batch_size=512)
+
+
+SQL_IMAGE_OTSU = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi, (doc_id * 7) % 200 AS br
+  FROM documents
+),
+cols AS (
+  SELECT image_id, w, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+cand AS (
+  SELECT DISTINCT image_id, v AS t
+  FROM (SELECT image_id, v, MAX(v) OVER (PARTITION BY image_id) AS mx
+        FROM cols)
+  WHERE v < mx
+),
+sc AS (
+  SELECT c.image_id, c.t,
+         ANY_VALUE(x.h) AS h,
+         SUM(CASE WHEN x.v <= c.t THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN x.v <= c.t THEN x.v ELSE 0 END) AS sb,
+         COUNT(*) AS cw, SUM(x.v) AS sw
+  FROM cand c JOIN cols x USING (image_id)
+  GROUP BY c.image_id, c.t
+),
+scored AS (
+  SELECT image_id, t, h * cb AS n_bg,
+         (h * sb * (h * (cw - cb)) - h * (sw - sb) * (h * cb))
+         * (h * sb * (h * (cw - cb)) - h * (sw - sb) * (h * cb))
+         // ((h * cb) * (h * (cw - cb))) AS score
+  FROM sc
+)
+SELECT image_id, CAST(t AS BIGINT) AS otsu_t, CAST(score AS BIGINT) AS score_q,
+       CAST(n_bg AS BIGINT) AS n_bg
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                                   ORDER BY score DESC, t ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def q_part_hierarchy_rollup(sf_dir: str):  # exact oracle (recursive chain walk)
+    """Ancestor-chain rollup over the implicit part hierarchy
+    (parent = p_partkey // 2, partkey 0 the root — the org-chart / BOM /
+    thread-tree shape): per part, chain DEPTH and the SUM of p_size over
+    self + all ancestors, computed by pointer doubling
+    (``graphrank.pointer_double_chain``) — O(log depth) self-joins, the
+    PRAM list-ranking pattern, vs the oracle's O(depth) recursive walk."""
+    from ..stages.graphrank import pointer_double_chain
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": k,
+                         "parent": np.where(k > 0, k // 2, np.int64(-1)),
+                         "val": v})
+
+    state0 = part.map_batches(_prep, batch_format="pyarrow", batch_size=65536)
+    out = pointer_double_chain(state0, rounds=6)
+    return out.map_batches(
+        lambda t: pa.table({"p_partkey": t["node"], "depth": t["depth"],
+                            "chain_sum": t["chain_sum"]}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+SQL_PART_HIERARCHY_ROLLUP = """
+WITH RECURSIVE chain AS (
+  SELECT p_partkey AS node, p_partkey AS cur,
+         CAST(p_size AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+  FROM part
+  UNION ALL
+  SELECT c.node, p.p_partkey, c.s + p.p_size, c.d + 1
+  FROM chain c JOIN part p ON p.p_partkey = c.cur // 2
+  WHERE c.cur > 0
+)
+SELECT node AS p_partkey, d AS depth, s AS chain_sum
+FROM chain WHERE cur = 0
+"""
+
+
+def q_supplier_qty_trend(sf_dir: str):  # exact oracle (integer cross-moments)
+    """Per-supplier ORDINARY-LEAST-SQUARES trend of shipped quantity over
+    ship date — the demand-drift detector of a procurement pipeline — in
+    exact integer form: slope = slope_num / slope_den and intercept =
+    icept_num / slope_den with
+
+        slope_num = n·Σxy − Σx·Σy   slope_den = n·Σx² − (Σx)²
+        icept_num = Σy·Σx² − Σx·Σxy
+
+    (x = ship day − day 8000, y = quantity; numerator/denominator reported
+    separately so no division semantics enter the hash). One combiner-first
+    grouped-sum shuffle of 5 int64 moments; exact while n·Σx² < 2^63
+    (n < ~10^8 rows/supplier at this date span — documented bound)."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = ts // 86_400_000_000 - 8000
+        y = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"], "x": x, "y": y,
+                         "xy": x * y, "xx": x * x})
+
+    derived = li.map_batches(_derive, batch_format="pyarrow", batch_size=65536)
+    sums = rel.partial_groupby_sum(derived, ["l_suppkey"],
+                                   ["x", "y", "xy", "xx"], count_as="n",
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        sx = df["x"].to_numpy(np.int64)
+        sy = df["y"].to_numpy(np.int64)
+        sxy = df["xy"].to_numpy(np.int64)
+        sxx = df["xx"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "n": n,
+            "slope_num": n * sxy - sx * sy,
+            "slope_den": n * sxx - sx * sx,
+            "icept_num": sy * sxx - sx * sxy,
+        })
+
+    return sums.map_batches(_final, batch_format="pandas", batch_size=65536)
+
+
+SQL_SUPPLIER_QTY_TREND = """
+WITH d AS (
+  SELECT l_suppkey,
+         epoch_us(l_shipdate) // 86400000000 - 8000 AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_suppkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM d GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10478,6 +10666,9 @@ QUERIES = {
     "image_morphology": q_image_morphology,
     "tile_isochrone": q_tile_isochrone,
     "user_type_gini": q_user_type_gini,
+    "image_otsu": q_image_otsu,
+    "part_hierarchy_rollup": q_part_hierarchy_rollup,
+    "supplier_qty_trend": q_supplier_qty_trend,
 }
 
 
@@ -10687,4 +10878,7 @@ ORACLE_SQL = {
     "image_morphology": SQL_IMAGE_MORPHOLOGY,
     "tile_isochrone": SQL_TILE_ISOCHRONE,
     "user_type_gini": SQL_USER_TYPE_GINI,
+    "image_otsu": SQL_IMAGE_OTSU,
+    "part_hierarchy_rollup": SQL_PART_HIERARCHY_ROLLUP,
+    "supplier_qty_trend": SQL_SUPPLIER_QTY_TREND,
 }

@@ -404,3 +404,77 @@ def sssp_rounds(edges, seeds, rounds: int = 3, src_col: str = "src",
             batch_format="pyarrow", batch_size=65536).materialize()
 
     return dist
+
+
+def pointer_double_chain(state0, rounds: int = 6, n_parts: int = 8):
+    """Ancestor-chain rollup by POINTER DOUBLING (a.k.a. pointer jumping) —
+    the O(log depth) distributed form of "walk every node's parent chain to
+    the root": per round ONE self-join doubles the walked prefix, so depth
+    2^rounds resolves in ``rounds`` shuffles where naive per-level walking
+    needs ``depth`` (the PRAM list-ranking classic; the hierarchy/BOM
+    rollup every org-chart / category-tree / thread-tree pipeline runs).
+
+    Input columns (node, parent, val) with parent < 0 marking the root
+    (a NEGATIVE sentinel, so 0 stays a legal node id). State invariant
+    after k rounds, per node: ``ptr`` = the 2^k-th ancestor
+    (-1 once the chain is exhausted), ``acc`` = sum of val over the walked
+    prefix [node .. ptr), ``dep`` = edges inside that prefix. One doubling
+    step joins every unfinished row with the SAME round's state of its ptr:
+
+        acc' = acc + acc[ptr];  dep' = dep + dep[ptr] + 1;  ptr' = ptr[ptr]
+
+    Finished rows (ptr < 0) stay in the table — they are exactly the
+    suffix-sums their descendants still need. Exact for every chain of
+    depth <= 2^rounds; the sf fixtures (parent = key // 2) are depth
+    <= log2(max key). Returns (node, depth, chain_sum)."""
+
+    def _init(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        par = t["parent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": node, "ptr": par, "acc": val,
+                         "dep": np.zeros(len(node), np.int64)})
+
+    state = state0.map_batches(_init, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+
+    def _split(want_done: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ptr = t["ptr"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ptr < 0 if want_done else ptr >= 0))
+
+        return _f
+
+    for _ in range(rounds):
+        active = state.map_batches(_split(False), batch_format="pyarrow",
+                                   batch_size=65536)
+        if active.count() == 0:
+            break
+        done = state.map_batches(_split(True), batch_format="pyarrow",
+                                 batch_size=65536)
+        right = state.map_batches(
+            lambda t: pa.table({"rnode": t["node"], "rptr": t["ptr"],
+                                "racc": t["acc"], "rdep": t["dep"]}),
+            batch_format="pyarrow", batch_size=65536).materialize()
+        joined = active.join(right, "inner", n_parts,
+                             on=("ptr",), right_on=("rnode",))
+
+        def _step(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "ptr": t["rptr"],
+                "acc": (t["acc"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        + t["racc"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "dep": (t["dep"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        + t["rdep"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        + 1),
+            })
+
+        state = done.union(
+            joined.map_batches(_step, batch_format="pyarrow",
+                               batch_size=65536)).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "depth": t["dep"],
+                            "chain_sum": t["acc"]}),
+        batch_format="pyarrow", batch_size=65536)

@@ -910,6 +910,78 @@ def image_morphology(ds, bytes_col: str = "bytes", id_col: str = "image_id",
     )
 
 
+def otsu_threshold(channel: np.ndarray) -> tuple[int, int, int]:
+    """OTSU'S METHOD in exact integer arithmetic: the threshold t maximizing
+    the between-class variance of the (<=t | >t) split of an 8-bit channel,
+    scored as the floor-quantized fraction
+
+        score(t) = (sumB*nF - sumF*nB)^2 // (nB * nF)
+
+    (the cross-multiplied form of nB*nF*(muB-muF)^2 — identical argmax, no
+    floats). Ties break to the SMALLEST t; images with a single gray level
+    have no valid split and return (-1, 0, 0). Magnitude bound: exact in
+    int64 for images up to ~2.4e8 pixels (sumB*nF < 2^63 needs
+    255*n*n < 9.2e18). Returns (t, score, n_background)."""
+    hist = np.bincount(channel.reshape(-1), minlength=256).astype(np.int64)
+    n = int(hist.sum())
+    vals = np.arange(256, dtype=np.int64)
+    cn = np.cumsum(hist)          # nB for t = 0..255
+    cs = np.cumsum(hist * vals)   # sumB
+    nb, sb = cn[:-1], cs[:-1]     # t = 0..254 (t = 255 leaves no foreground)
+    nf = n - nb
+    valid = (nb > 0) & (nf > 0)
+    if not valid.any():
+        return -1, 0, 0
+    num = sb * nf - (cs[-1] - sb) * nb
+    score = np.where(valid, num * num // np.where(valid, nb * nf, 1), -1)
+    t = int(np.argmax(score))     # argmax returns the FIRST max -> smallest t
+    return t, int(score[t]), int(nb[t])
+
+
+class ImageOtsu:
+    """Actor-pool batch fn: per-image OTSU THRESHOLD of the decoded R channel
+    — the automatic binarization step ahead of every mask pipeline
+    (components / morphology / contours). Goes through the genuine decode
+    path (jpeg dequantization included); the kernel is the general
+    histogram form (:func:`otsu_threshold`, pytest vs brute-force fraction
+    comparison) — the oracle exploits only the fixture's column-constant R
+    structure to replay the histogram. Emits (image_id, otsu_t, score_q,
+    n_bg)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        t_out = np.empty(len(ids), np.int64)
+        s_out = np.empty(len(ids), np.int64)
+        b_out = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            t_out[i], s_out[i], b_out[i] = otsu_threshold(img[:, :, 0])
+        return pa.table({"image_id": ids, "otsu_t": t_out,
+                         "score_q": s_out, "n_bg": b_out})
+
+
+def image_otsu(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+               fmt_col: str = "fmt", concurrency: int | None = None,
+               batch_size: int = 256):
+    return ds.map_batches(
+        ImageOtsu,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the
