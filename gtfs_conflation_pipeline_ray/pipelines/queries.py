@@ -10450,6 +10450,202 @@ FROM s
 """
 
 
+def q_value_mad_by_type(sf_dir: str):  # exact oracle (order statistics)
+    """Grouped MEDIAN ABSOLUTE DEVIATION — the robust dispersion twin of
+    ``lineitem_group_median``: per event_type, med2 (two-middle-sum median
+    of value cents) and mad2 (two-middle-sum of |2·v − med2|, i.e. MAD in
+    quarter-cent units) — outliers barely move it where variance explodes.
+    Both medians come out of ONE group-shuffled pass (same
+    groups-fit-a-worker assumption as ``group_median2``; the in-bucket
+    kernel sorts twice, all boundary arithmetic vectorized)."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vc": pa.array(cents(
+                batch["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+
+    def _mad(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["event_type", "vc"], kind="mergesort")
+        kv = d["event_type"].to_numpy()
+        v = d["vc"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        n = ends - starts
+        med2 = v[starts + (n - 1) // 2] + v[starts + n // 2]
+        dev = np.abs(2 * v - np.repeat(med2, n))
+        # second order-statistics pass over deviations, same group layout
+        gid = np.repeat(np.arange(len(starts)), n)
+        sdev = dev[np.lexsort((dev, gid))]
+        mad2 = sdev[starts + (n - 1) // 2] + sdev[starts + n // 2]
+        return pd.DataFrame({"event_type": kv[starts],
+                             "n_rows": n.astype(np.int64),
+                             "med2": med2, "mad2": mad2})
+
+    return rel.bucketed_groups(prep, ["event_type"], _mad,
+                               est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_VALUE_MAD_BY_TYPE = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+m AS (
+  SELECT event_type,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN vc ELSE 0 END)
+         + SUM(CASE WHEN rn = (n + 2) // 2 THEN vc ELSE 0 END) AS med2
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, ABS(2 * v.vc - m.med2) AS dev, m.med2
+  FROM v JOIN m USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(med2) AS BIGINT) AS med2,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev ELSE 0 END)
+            AS BIGINT) AS mad2
+FROM r2 GROUP BY event_type
+"""
+
+
+def q_image_integral_rects(sf_dir: str):  # exact oracle (axis-separable replay)
+    """Fixed-rect channel sums via a SUMMED-AREA TABLE through the decode
+    path (``media.image_integral_rects``): the Haar-feature / box-statistic
+    primitive. R is column-driven and G is row-driven in the gradient
+    fixture, so the oracle replays one axis per probe (jpeg dequant
+    included) and multiplies by the rect's other extent; the kernel is the
+    general SAT (pytest vs brute-force rect sums)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_integral_rects(synth, batch_size=512)
+
+
+SQL_IMAGE_INTEGRAL_RECTS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rc AS (  -- R channel: value depends on column j only
+  SELECT image_id, w, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gr AS (  -- G channel: value depends on row r only
+  SELECT image_id, w, h, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h
+),
+rq AS (
+  SELECT image_id,
+         (h // 2) * SUM(CASE WHEN j < w // 2 THEN v ELSE 0 END) AS r_quad_sum
+  FROM rc GROUP BY image_id, h
+),
+gc AS (
+  SELECT image_id,
+         (w // 2) * SUM(CASE WHEN r >= h // 4 AND r < h // 4 + h // 2
+                        THEN g ELSE 0 END) AS g_center_sum
+  FROM gr GROUP BY image_id, w
+)
+SELECT image_id, CAST(r_quad_sum AS BIGINT) AS r_quad_sum,
+       CAST(g_center_sum AS BIGINT) AS g_center_sum
+FROM rq JOIN gc USING (image_id)
+"""
+
+
+def q_audio_pitch_period(sf_dir: str):  # exact oracle (closed-form argmax)
+    """Per-clip PITCH PERIOD by exact integer autocorrelation through the
+    genuine WAV decode path (``media.audio_pitch``): the
+    fundamental-frequency pass of audio curation. The square-wave fixture
+    autocorrelates perfectly at its full period P = 2·(2 + id % 14) — value
+    exactly (n − P)·amp² — and strictly worse at every other lag in [2, 64]
+    (mismatch cost ≈ 2·amp²·L·n/P dwarfs the (n − L) gain for n ≥ 1000), so
+    the oracle is the synthesis closed form; the kernel
+    (:func:`media.autocorr_pitch`) is the general argmax, pytest vs brute
+    force on random signals."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            sr = 8000 + (i % 3) * 4000
+            n = 1000 + (i * 101) % 4000
+            amp = 1000 + (i * 37) % 20000
+            p = 2 + i % 14
+            t = np.arange(n, dtype=np.int64)
+            s = np.where((t // p) % 2 == 0, amp, -amp).astype(np.int16)
+            blobs.append(M.encode_wav(s, int(sr)))
+        return pa.table({
+            "audio_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(["wav"] * len(ids), type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.audio_pitch(synth, batch_size=512)
+
+
+SQL_AUDIO_PITCH_PERIOD = """
+SELECT doc_id AS audio_id,
+       2 * (2 + doc_id % 14) AS pitch_lag,
+       (1000 + (doc_id * 101) % 4000 - 2 * (2 + doc_id % 14))
+         * (1000 + (doc_id * 37) % 20000)
+         * (1000 + (doc_id * 37) % 20000) AS corr_peak
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10669,6 +10865,9 @@ QUERIES = {
     "image_otsu": q_image_otsu,
     "part_hierarchy_rollup": q_part_hierarchy_rollup,
     "supplier_qty_trend": q_supplier_qty_trend,
+    "value_mad_by_type": q_value_mad_by_type,
+    "image_integral_rects": q_image_integral_rects,
+    "audio_pitch_period": q_audio_pitch_period,
 }
 
 
@@ -10881,4 +11080,7 @@ ORACLE_SQL = {
     "image_otsu": SQL_IMAGE_OTSU,
     "part_hierarchy_rollup": SQL_PART_HIERARCHY_ROLLUP,
     "supplier_qty_trend": SQL_SUPPLIER_QTY_TREND,
+    "value_mad_by_type": SQL_VALUE_MAD_BY_TYPE,
+    "image_integral_rects": SQL_IMAGE_INTEGRAL_RECTS,
+    "audio_pitch_period": SQL_AUDIO_PITCH_PERIOD,
 }

@@ -982,6 +982,126 @@ def image_otsu(ds, bytes_col: str = "bytes", id_col: str = "image_id",
     )
 
 
+def integral_rect_sums(channel: np.ndarray,
+                       rects: list[tuple[int, int, int, int]]) -> list[int]:
+    """SUMMED-AREA TABLE (integral image) rect-sum queries — the O(1)-per-
+    query primitive behind Haar features, box filters and tile statistics.
+    Builds the (h+1, w+1) int64 SAT once, answers each half-open rect
+    (r0, r1, c0, c1) as ``S[r1,c1] - S[r0,c1] - S[r1,c0] + S[r0,c0]``."""
+    sat = np.zeros((channel.shape[0] + 1, channel.shape[1] + 1), np.int64)
+    np.cumsum(np.cumsum(channel.astype(np.int64), axis=0), axis=1,
+              out=sat[1:, 1:])
+    return [int(sat[r1, c1] - sat[r0, c1] - sat[r1, c0] + sat[r0, c0])
+            for r0, r1, c0, c1 in rects]
+
+
+class ImageIntegralRects:
+    """Actor-pool batch fn: fixed-rect channel sums via a SUMMED-AREA TABLE
+    through the genuine decode path — the Haar-feature / box-statistic
+    primitive. Two probes per image: R over the top-left quadrant
+    [0,h/2)×[0,w/2) and G over the centered half-size rect
+    [h/4,h/4+h/2)×[w/4,w/4+w/2) — one row-constant and one column-constant
+    channel of the gradient fixture, so the oracle replays each axis
+    separately while the kernel (:func:`integral_rect_sums`) stays the
+    general SAT. Emits (image_id, r_quad_sum, g_center_sum)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        rq = np.empty(len(ids), np.int64)
+        gc = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            h, w = img.shape[:2]
+            rq[i] = integral_rect_sums(img[:, :, 0],
+                                       [(0, h // 2, 0, w // 2)])[0]
+            gc[i] = integral_rect_sums(
+                img[:, :, 1],
+                [(h // 4, h // 4 + h // 2, w // 4, w // 4 + w // 2)])[0]
+        return pa.table({"image_id": ids, "r_quad_sum": rq,
+                         "g_center_sum": gc})
+
+
+def image_integral_rects(ds, bytes_col: str = "bytes",
+                         id_col: str = "image_id", fmt_col: str = "fmt",
+                         concurrency: int | None = None,
+                         batch_size: int = 256):
+    return ds.map_batches(
+        ImageIntegralRects,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def autocorr_pitch(s: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
+    """PITCH-PERIOD detection by exact integer autocorrelation: the lag
+    L in [lo, hi] maximizing ``sum(s[t]*s[t+L])`` (ties to the SMALLEST
+    lag — the fundamental, not a harmonic multiple). Returns
+    (best_lag, corr_at_best); (-1, 0) when the clip is shorter than lo+1
+    samples. int64-exact for PCM16 up to ~2^31 samples."""
+    n = len(s)
+    s64 = s.astype(np.int64)
+    best_lag, best = -1, None
+    for lag in range(lo, min(hi, n - 1) + 1):
+        c = int(np.dot(s64[: n - lag], s64[lag:]))
+        if best is None or c > best:
+            best_lag, best = lag, c
+    return (best_lag, best) if best is not None else (-1, 0)
+
+
+class AudioPitch:
+    """Actor-pool batch fn: per-clip integer autocorrelation pitch period
+    through the genuine WAV decode path — the fundamental-frequency pass of
+    an audio-curation pipeline. The kernel (:func:`autocorr_pitch`) is the
+    general argmax; the square-wave fixture makes the oracle closed-form
+    (a period-P square wave autocorrelates perfectly at lag P with value
+    (n-P)·amp², and strictly worse everywhere else in range, so the argmax
+    is exactly the synthesis period). Emits (audio_id, pitch_lag,
+    corr_peak)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "audio_id",
+                 fmt_col: str = "fmt", lo: int = 2, hi: int = 64):
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.lo, self.hi = lo, hi
+        self.decode = media.decode_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        lag_out = np.empty(batch.num_rows, np.int64)
+        c_out = np.empty(batch.num_rows, np.int64)
+        for i in range(batch.num_rows):
+            s, _sr = self.decode(blobs[i], fmts[i])
+            lag_out[i], c_out[i] = autocorr_pitch(s, self.lo, self.hi)
+        return pa.table({"audio_id": ids, "pitch_lag": lag_out,
+                         "corr_peak": c_out})
+
+
+def audio_pitch(ds, bytes_col: str = "bytes", id_col: str = "audio_id",
+                fmt_col: str = "fmt", lo: int = 2, hi: int = 64,
+                concurrency: int | None = None, batch_size: int = 256):
+    return ds.map_batches(
+        AudioPitch,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col, "lo": lo, "hi": hi},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the
