@@ -10646,6 +10646,153 @@ FROM documents
 """
 
 
+def q_embedding_gram(sf_dir: str):  # exact oracle (unnest self-join)
+    """Distributed GRAM MATRIX X^T X of the fixed-point embeddings
+    (``ann.gram_matrix``) — the covariance/PCA precursor: per-batch int64
+    ``V.T @ V`` partials (the ideal combiner — dim² rows shuffle per batch
+    no matter how many rows fed it) + one dim²-keyed grouped sum. The SQL
+    mirror unnests the vector twice and self-joins on vec_id."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from ..stages.ann import gram_matrix
+
+    return gram_matrix(emb, dim=64)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(unnest(embedding) * 1e6 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+)
+SELECT a.d AS i, b.d AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+FROM q a JOIN q b USING (vec_id)
+GROUP BY a.d, b.d
+"""
+
+
+def q_image_caption_consistency(sf_dir: str):  # exact oracle (closed form)
+    """CROSS-MODAL pair validation over the native (image, caption) shape
+    (``media.image_caption_check``): decode the payload for its TRUE WxH,
+    regex-parse the caption's claimed WxH, flag mismatches — the
+    data-quality gate of a scraped corpus (≙ BASELINE.json's caption-half
+    of the per-row invariant as an operator). Fixture: every 17th caption
+    LIES about the width (w+8), so `consistent` is non-trivially mixed;
+    the oracle is the synthesis closed form."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts, caps = [], [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200)
+            img[:, :, 1] = np.uint8((i * 11) % 200)
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+            w_claim = w + 8 if i % 17 == 0 else w
+            caps.append(f"photo {w_claim}x{h} tone {int(i * 13) % 7}")
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": pa.array(caps, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_caption_check(synth, batch_size=512)
+
+
+SQL_IMAGE_CAPTION_CONSISTENCY = """
+SELECT doc_id AS image_id,
+       16 + (doc_id % 4) * 8 AS w_true,
+       12 + (doc_id % 3) * 6 AS h_true,
+       16 + (doc_id % 4) * 8
+         + CASE WHEN doc_id % 17 = 0 THEN 8 ELSE 0 END AS w_caption,
+       12 + (doc_id % 3) * 6 AS h_caption,
+       CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS consistent
+FROM documents
+"""
+
+
+def q_image_equalize(sf_dir: str):  # exact oracle (h cancels in the floor)
+    """Per-image HISTOGRAM-EQUALIZATION checksum of the decoded R channel
+    (``media.image_equalize``): the contrast-normalization pass. Kernel =
+    general 256-bin discrete equalization (:func:`media.equalize_checksum`,
+    pytest vs per-pixel brute force); the oracle replays the
+    column-constant R values — cdf counts share the factor h with n, which
+    cancels exactly inside the floor division, so the per-column replay is
+    bit-exact (eq_sum then scales back by h)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_equalize(synth, batch_size=512)
+
+
+SQL_IMAGE_EQUALIZE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi, (doc_id * 7) % 200 AS br
+  FROM documents
+),
+cols AS (
+  SELECT image_id, w, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+cd AS (
+  SELECT image_id, w, h, v,
+         SUM(1) OVER (PARTITION BY image_id ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c_le,
+         SUM(CASE WHEN v = mn THEN 1 ELSE 0 END)
+           OVER (PARTITION BY image_id) AS c_min
+  FROM (SELECT *, MIN(v) OVER (PARTITION BY image_id) AS mn FROM cols)
+),
+eq AS (
+  SELECT image_id, h,
+         CASE WHEN w > c_min
+              THEN (c_le - c_min) * 255 // (w - c_min) ELSE 0 END AS nv
+  FROM cd
+)
+SELECT image_id, CAST(MAX(h) * SUM(nv) AS BIGINT) AS eq_sum,
+       CAST(COUNT(DISTINCT nv) AS BIGINT) AS eq_distinct
+FROM eq GROUP BY image_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10868,6 +11015,9 @@ QUERIES = {
     "value_mad_by_type": q_value_mad_by_type,
     "image_integral_rects": q_image_integral_rects,
     "audio_pitch_period": q_audio_pitch_period,
+    "embedding_gram": q_embedding_gram,
+    "image_caption_consistency": q_image_caption_consistency,
+    "image_equalize": q_image_equalize,
 }
 
 
@@ -11083,4 +11233,7 @@ ORACLE_SQL = {
     "value_mad_by_type": SQL_VALUE_MAD_BY_TYPE,
     "image_integral_rects": SQL_IMAGE_INTEGRAL_RECTS,
     "audio_pitch_period": SQL_AUDIO_PITCH_PERIOD,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
+    "image_caption_consistency": SQL_IMAGE_CAPTION_CONSISTENCY,
+    "image_equalize": SQL_IMAGE_EQUALIZE,
 }

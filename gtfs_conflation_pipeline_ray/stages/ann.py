@@ -750,3 +750,30 @@ def hard_negative_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
 
     local = vectors.map_batches(_local, batch_format="pyarrow", batch_size=4096)
     return _merge_topk(local, k)
+
+
+def gram_matrix(ds, vec_col: str = "embedding", dim: int = 64):
+    """Distributed GRAM MATRIX (X^T X) of a fixed-point-quantized embedding
+    column — the covariance/PCA precursor and the simplest distributed
+    dense linear algebra: each batch contributes one exact int64
+    ``V.T @ V`` partial (a dim×dim matmul, the ideal combiner — shuffle
+    volume is dim² rows PER BATCH regardless of row count), then one
+    dim²-keyed grouped sum. Quantization is :func:`quantize_fixed` so the
+    SQL mirror is bit-exact. Exact while rows·maxq² < 2^63
+    (maxq ≈ 1.1e6 → ~7.6e6 rows per coefficient at unit-norm inputs; scale
+    past that by chunked accumulation in int128/object or a coarser scale).
+    Returns (i, j, gram) for all dim² coefficients."""
+    from .relational import partial_groupby_sum
+
+    ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64),
+                         np.arange(dim, dtype=np.int64), indexing="ij")
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = _batch_matrix(batch, vec_col, dim)
+        q = quantize_fixed(v)
+        g = q.T @ q
+        return pa.table({"i": ii, "j": jj, "gram": g.reshape(-1)})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+    return partial_groupby_sum(parts, ["i", "j"], ["gram"])

@@ -1102,6 +1102,131 @@ def audio_pitch(ds, bytes_col: str = "bytes", id_col: str = "audio_id",
     )
 
 
+def equalize_checksum(channel: np.ndarray) -> tuple[int, int]:
+    """HISTOGRAM EQUALIZATION of an 8-bit channel in exact integer
+    arithmetic — the contrast-normalization pass of image preprocessing:
+
+        new(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min)
+
+    with cdf_min = count of the minimum present value (the standard
+    discrete form, floor-quantized identically on both sides). Returns
+    (eq_sum, eq_distinct): the checksum sum of all equalized pixels and
+    the number of distinct equalized levels (monotone remaps can merge
+    levels). A constant image has no spread and returns (0, 1)."""
+    hist = np.bincount(channel.reshape(-1), minlength=256).astype(np.int64)
+    n = int(hist.sum())
+    cdf = np.cumsum(hist)
+    present = hist > 0
+    cmin = int(cdf[np.argmax(present)])  # count of the min present value
+    if n == cmin:
+        return 0, 1
+    lut = (cdf - cmin) * 255 // (n - cmin)
+    eq_sum = int((lut * hist).sum())
+    eq_distinct = int(len(np.unique(lut[present])))
+    return eq_sum, eq_distinct
+
+
+class ImageEqualize:
+    """Actor-pool batch fn: per-image HISTOGRAM-EQUALIZATION checksum of the
+    decoded R channel through the genuine decode path. The kernel
+    (:func:`equalize_checksum`) is the general 256-bin discrete form
+    (pytest vs a per-pixel brute force); the oracle replays the
+    column-constant R values — the shared factor h cancels exactly inside
+    the floor division, so the per-column replay is bit-exact. Emits
+    (image_id, eq_sum, eq_distinct)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        s_out = np.empty(len(ids), np.int64)
+        d_out = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            s_out[i], d_out[i] = equalize_checksum(img[:, :, 0])
+        return pa.table({"image_id": ids, "eq_sum": s_out,
+                         "eq_distinct": d_out})
+
+
+def image_equalize(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                   fmt_col: str = "fmt", concurrency: int | None = None,
+                   batch_size: int = 256):
+    return ds.map_batches(
+        ImageEqualize,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+class ImageCaptionCheck:
+    """Actor-pool batch fn: CROSS-MODAL pair validation over the engine's
+    native (image, caption) input shape — decode the image payload for its
+    TRUE dimensions, parse the caption's claimed ``WxH`` with a regex
+    compiled once per actor, and flag mismatched pairs (the data-quality
+    gate a web-scraped image+caption corpus runs before training; ≙ the
+    caption-equality half of BASELINE.json's per-row invariant, made an
+    operator). Emits (image_id, w_true, h_true, w_caption, h_caption,
+    consistent); pairs whose caption carries no parsable claim get
+    (-1, -1, 0)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt", caption_col: str = "caption"):
+        import re
+
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.fmt_col, self.caption_col = fmt_col, caption_col
+        self.pat = re.compile(r"(\d+)x(\d+)")  # compiled once per actor
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[self.id_col]
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        caps = batch[self.caption_col].to_pylist()
+        wt = np.empty(n, np.int64)
+        ht = np.empty(n, np.int64)
+        wc = np.full(n, -1, np.int64)
+        hc = np.full(n, -1, np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            ht[i], wt[i] = img.shape[:2]
+            m = self.pat.search(caps[i] or "")
+            if m:
+                wc[i], hc[i] = int(m.group(1)), int(m.group(2))
+        cons = ((wt == wc) & (ht == hc)).astype(np.int64)
+        return pa.table({"image_id": ids, "w_true": wt, "h_true": ht,
+                         "w_caption": wc, "h_caption": hc,
+                         "consistent": cons})
+
+
+def image_caption_check(ds, bytes_col: str = "bytes",
+                        id_col: str = "image_id", fmt_col: str = "fmt",
+                        caption_col: str = "caption",
+                        concurrency: int | None = None,
+                        batch_size: int = 256):
+    return ds.map_batches(
+        ImageCaptionCheck,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col, "caption_col": caption_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the
