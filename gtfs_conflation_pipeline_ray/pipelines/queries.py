@@ -10793,6 +10793,142 @@ FROM eq GROUP BY image_id
 """
 
 
+def q_video_motion_estimate(sf_dir: str):  # exact oracle (unique zero-SAD)
+    """BLOCK-MATCHING MOTION ESTIMATION between the first two frames of
+    each clip (``media.video_motion``): the fixture translates a monotone
+    horizontal ramp +2 px/frame over a strictly increasing vertical ramp
+    (QVID is lossless), so (dy, dx) = (0, 2) is the unique zero-SAD shift
+    in the ±4 search box — any dy≠0 offsets every row by a nonzero
+    constant, any dx≠2 leaves a non-constant column difference. The
+    no-motion cost sad00 is replayed exactly per column (the row term
+    cancels at dy = 0). Kernel = general SAD scan
+    (:func:`media.block_motion`), pytest vs brute force."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        from ..functions import media as M
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            br = (i * 7) % 150
+            g = ((np.arange(w, dtype=np.int64) * 55) // (w - 1))
+            f_r = ((np.arange(h, dtype=np.int64) * 41) // (h - 1))
+            frames = np.empty((2, h, w, 3), dtype=np.uint8)
+            for f in range(2):
+                shifted = np.roll(g, 2 * f)
+                frames[f, :, :, 0] = (br + shifted[None, :]
+                                      + f_r[:, None]).astype(np.uint8)
+                frames[f, :, :, 1] = (i * 11) % 200
+                frames[f, :, :, 2] = (i * 3) % 200
+            blobs.append(M.encode_video(frames, fps=24))
+        return pa.table({"video_id": ids,
+                         "bytes": pa.array(blobs, type=pa.binary())})
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=256)
+    return mstage.video_motion(synth, radius=4, batch_size=256)
+
+
+SQL_VIDEO_MOTION_ESTIMATE = """
+WITH im AS (
+  SELECT doc_id AS video_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+cols AS (
+  SELECT video_id, h,
+         ABS((((j + w - 2) % w) * 55) // (w - 1) - (j * 55) // (w - 1))
+           AS d
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+)
+SELECT video_id, CAST(0 AS BIGINT) AS dy_best, CAST(2 AS BIGINT) AS dx_best,
+       CAST(0 AS BIGINT) AS sad_best, CAST(h * SUM(d) AS BIGINT) AS sad00
+FROM cols GROUP BY video_id, h
+"""
+
+
+def q_doc_collocations(sf_dir: str):  # exact oracle (integer PMI argument)
+    """PMI COLLOCATION MINING (``textops.collocation_pmi``): adjacent word
+    pairs ranked by the integer-quantized PMI argument
+    ``c_xy·N²·100 // (c_x·c_y·M)`` — the phrase-discovery pass of corpus
+    curation. Text never shuffles; the unigram table is vocab-bounded and
+    broadcast into the bigram finisher."""
+    docs = _rp(sf_dir, "documents", ["text"])
+    return textops.collocation_pmi(docs, min_count=5,
+                                   est_rows=_nrows(sf_dir, "documents"))
+
+
+SQL_DOC_COLLOCATIONS = """
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '[0-9a-z_]+') AS w FROM documents
+),
+uc AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word
+),
+nn AS (SELECT SUM(c) AS n FROM uc),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS cxy FROM (
+    SELECT w[j] AS w1, w[j + 1] AS w2
+    FROM ws, (SELECT unnest(range(1, 200)) AS j) js WHERE j < len(w)
+  ) GROUP BY w1, w2
+),
+mm AS (SELECT SUM(cxy) AS m FROM bc)
+SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS c_xy,
+       CAST(b.cxy * nn.n * nn.n * 100 // (u1.c * u2.c * mm.m) AS BIGINT)
+         AS pmi_q
+FROM bc b
+JOIN uc u1 ON u1.word = b.w1
+JOIN uc u2 ON u2.word = b.w2
+CROSS JOIN nn CROSS JOIN mm
+WHERE b.cxy >= 5
+"""
+
+
+def q_part_abc_classes(sf_dir: str):  # exact oracle (windowed cum share)
+    """ABC / PARETO CLASSIFICATION of parts by revenue
+    (``relational.abc_classes``): rank by revenue cents descending, class A
+    through 70 % cumulative share, B to 90 %, C beyond — thresholds
+    compared cross-multiplied so no division enters the hash. The global
+    ranked prefix sum is two-phase (value-band totals -> driver cumsum over
+    the bounded band list -> one band-bucketed finish), never a single-node
+    sort."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "rev_c": pa.array(cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = li.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+    rev = rel.partial_groupby_sum(prep, ["l_partkey"], ["rev_c"],
+                                  est_rows=_nrows(sf_dir, "lineitem"))
+    return rel.abc_classes(rev, "l_partkey", "rev_c")
+
+
+SQL_PART_ABC_CLASSES = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT l_partkey, rev_c,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum,
+         SUM(rev_c) OVER () AS tot
+  FROM pr
+)
+SELECT l_partkey, CAST(rev_c AS BIGINT) AS rev_c,
+       CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+            WHEN cum * 10 <= tot * 9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11018,6 +11154,9 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "image_caption_consistency": q_image_caption_consistency,
     "image_equalize": q_image_equalize,
+    "video_motion_estimate": q_video_motion_estimate,
+    "doc_collocations": q_doc_collocations,
+    "part_abc_classes": q_part_abc_classes,
 }
 
 
@@ -11236,4 +11375,7 @@ ORACLE_SQL = {
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "image_caption_consistency": SQL_IMAGE_CAPTION_CONSISTENCY,
     "image_equalize": SQL_IMAGE_EQUALIZE,
+    "video_motion_estimate": SQL_VIDEO_MOTION_ESTIMATE,
+    "doc_collocations": SQL_DOC_COLLOCATIONS,
+    "part_abc_classes": SQL_PART_ABC_CLASSES,
 }

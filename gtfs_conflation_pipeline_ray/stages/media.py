@@ -1227,6 +1227,156 @@ def image_caption_check(ds, bytes_col: str = "bytes",
     )
 
 
+def block_motion(prev: np.ndarray, cur: np.ndarray,
+                 radius: int = 4) -> tuple[int, int, int, int]:
+    """BLOCK-MATCHING MOTION ESTIMATION between two frames of one channel:
+    the (dy, dx) in [-radius, radius]² minimizing the sum of absolute
+    differences over the cropped overlap ``|cur[r, j] - prev[r-dy, j-dx]|``
+    — the motion-vector primitive of every video codec / stabilization /
+    optical-flow-lite pass. Scan order (dy, dx) ascending with strict-<
+    improvement, so ties resolve to the lexicographically smallest shift.
+    Returns (dy_best, dx_best, sad_best, sad00) with sad00 the no-motion
+    cost. Frames must overhang the radius (h, w > 2·radius)."""
+    h, w = prev.shape
+    p = prev.astype(np.int64)
+    c = cur.astype(np.int64)
+    best = (0, 0, None)
+    sad00 = int(np.abs(c - p).sum())
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            cr = c[max(dy, 0):h + min(dy, 0), max(dx, 0):w + min(dx, 0)]
+            pr = p[max(-dy, 0):h + min(-dy, 0), max(-dx, 0):w + min(-dx, 0)]
+            sad = int(np.abs(cr - pr).sum())
+            if best[2] is None or sad < best[2]:
+                best = (dy, dx, sad)
+    return best[0], best[1], best[2], sad00
+
+
+class VideoMotion:
+    """Actor-pool batch fn: motion vector between the first two frames of
+    each clip through the genuine QVID seek-decode path (header + exactly
+    two frame decodes per clip — never the whole container). The fixture
+    translates a monotone horizontal ramp by +2 px/frame over a strictly
+    increasing vertical ramp, so (0, +2) is the UNIQUE zero-SAD shift in
+    range (any dy≠0 offsets every row by a nonzero constant; any dx≠2
+    leaves a non-constant column difference) — the oracle is that closed
+    form plus the exactly replayed no-motion cost. The kernel
+    (:func:`block_motion`) is the general SAD scan, pytest vs brute force.
+    Emits (video_id, dy_best, dx_best, sad_best, sad00)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "video_id",
+                 radius: int = 4):
+        self.bytes_col, self.id_col, self.radius = bytes_col, id_col, radius
+        self.decode_frame = media.decode_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        blobs = batch[self.bytes_col].to_pylist()
+        n = batch.num_rows
+        dy = np.empty(n, np.int64)
+        dx = np.empty(n, np.int64)
+        sb = np.empty(n, np.int64)
+        s0 = np.empty(n, np.int64)
+        for i in range(n):
+            f0 = self.decode_frame(blobs[i], 0)
+            f1 = self.decode_frame(blobs[i], 1)
+            dy[i], dx[i], sb[i], s0[i] = block_motion(
+                f0[:, :, 0], f1[:, :, 0], self.radius)
+        return pa.table({"video_id": ids, "dy_best": dy, "dx_best": dx,
+                         "sad_best": sb, "sad00": s0})
+
+
+def video_motion(ds, bytes_col: str = "bytes", id_col: str = "video_id",
+                 radius: int = 4, concurrency: int | None = None,
+                 batch_size: int = 256):
+    return ds.map_batches(
+        VideoMotion,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "radius": radius},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def hadamard_matrix(n: int) -> np.ndarray:
+    """Natural-order WALSH-HADAMARD matrix H[u, r] = (-1)^popcount(u & r)
+    (n a power of two) — the ±1 integer orthogonal transform, so every
+    coefficient is an exact int64 signed pixel sum (the float-free stand-in
+    for the DCT in energy-compaction features)."""
+    u = np.arange(n, dtype=np.int64)[:, None]
+    r = np.arange(n, dtype=np.int64)[None, :]
+    pc = np.zeros((n, n), dtype=np.int64)
+    x = u & r
+    while x.any():
+        pc += x & 1
+        x >>= 1
+    return np.where(pc % 2 == 1, np.int64(-1), np.int64(1))
+
+
+def wht_energy(block: np.ndarray, low_pc: int = 1) -> tuple[int, int]:
+    """2D Walsh-Hadamard transform of a square power-of-two block; returns
+    (low_energy, high_energy): the sum of squared coefficients whose
+    sequency class popcount(u) + popcount(v) is <= ``low_pc`` vs the rest —
+    the energy-compaction split every transform-domain quality / blur /
+    complexity heuristic reads. Exact int64 (|coef| <= n²·255)."""
+    n = block.shape[0]
+    h = hadamard_matrix(n)
+    coef = h @ block.astype(np.int64) @ h
+    pc = np.array([bin(i).count("1") for i in range(n)], dtype=np.int64)
+    cls = pc[:, None] + pc[None, :]
+    e = coef * coef
+    low = int(e[cls <= low_pc].sum())
+    return low, int(e.sum()) - low
+
+
+class ImageWhtEnergy:
+    """Actor-pool batch fn: WALSH-HADAMARD energy split of the top-left 8×8
+    crop through the genuine decode path — the transform-domain
+    complexity/blur feature (DCT's exact integer sibling). Probes BOTH
+    gradient axes of the fixture: R (column-driven) and G (row-driven), so
+    the oracle collapses each to a 1D transform — only the u=0 (resp. v=0)
+    line survives because Hadamard rows other than the first sum to zero —
+    while the kernel (:func:`wht_energy`) stays the general 2D transform
+    (pytest vs brute-force double matmul + Parseval pin). Emits
+    (image_id, r_low, r_high, g_low, g_high)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        rl = np.empty(len(ids), np.int64)
+        rh = np.empty(len(ids), np.int64)
+        gl = np.empty(len(ids), np.int64)
+        gh = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            rl[i], rh[i] = wht_energy(img[:8, :8, 0])
+            gl[i], gh[i] = wht_energy(img[:8, :8, 1])
+        return pa.table({"image_id": ids, "r_low": rl, "r_high": rh,
+                         "g_low": gl, "g_high": gh})
+
+
+def image_wht_energy(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                     fmt_col: str = "fmt", concurrency: int | None = None,
+                     batch_size: int = 256):
+    return ds.map_batches(
+        ImageWhtEnergy,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the

@@ -547,3 +547,56 @@ def group_median2(ds, keys: list[str], val_col: str,
 
     return bucketed_groups(ds, keys, _med, n_buckets=n_buckets,
                            est_rows=est_rows)
+
+
+def abc_classes(ds, key_col: str, val_col: str, band_width: int = 1 << 20,
+                a_tenths: int = 7, b_tenths: int = 9,
+                est_rows: int | None = None):
+    """PARETO / ABC CLASSIFICATION — rank items by value descending and
+    split at cumulative-share thresholds (A: first 70 %, B: to 90 %, C:
+    rest) — the inventory / revenue-concentration classic. The global
+    RANKED prefix sum is two-phase so no full sort ever lands one worker:
+    (1) items hash into VALUE BANDS (``val // band_width`` — band order IS
+    rank order between bands), per-band totals cumsum'd on the driver over
+    the bounded band list and broadcast; (2) one band-bucketed shuffle
+    finishes the within-band (val desc, key asc) cumsum. Thresholds
+    compare cross-multiplied (cum·10 vs total·{7,9}) so no division enters.
+    Ties are impossible in the full (val, key) order, making the window
+    mirror exact. Returns (key, val, abc_class)."""
+    from .util import cached_state
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_band=df[val_col].to_numpy(np.int64) // band_width)
+
+    banded = ds.map_batches(_band, batch_format="pandas",
+                            batch_size=65536).materialize()
+
+    sums = partial_groupby_sum(banded.select_columns(["_band", val_col]),
+                               ["_band"], [val_col]).to_pandas()
+    sums = sums.sort_values("_band", ascending=False)
+    bands = sums["_band"].to_numpy(np.int64)
+    tots = sums[val_col].to_numpy(np.int64)
+    total = int(tots.sum())
+    offs = np.concatenate([[0], np.cumsum(tots)[:-1]])
+    off_ref = ray.put((bands, offs))
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        bnds, boffs = cached_state(off_ref, lambda m: m, token="abc_offsets")
+        g = g.sort_values([val_col, key_col], ascending=[False, True],
+                          kind="mergesort")
+        v = g[val_col].to_numpy(np.int64)
+        bk = g["_band"].to_numpy(np.int64)
+        cs = np.cumsum(v)
+        first = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        base = np.repeat(cs[first] - v[first],
+                         np.diff(np.r_[first, len(bk)]))
+        # descending bands array -> index by searchsorted on negated keys
+        pos = np.searchsorted(-bnds, -bk)
+        cum = boffs[pos] + (cs - base)
+        cls = np.where(cum * 10 <= total * a_tenths, "A",
+                       np.where(cum * 10 <= total * b_tenths, "B", "C"))
+        return pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             val_col: v, "abc_class": cls})
+
+    return bucketed_groups(banded, ["_band"], _classify,
+                           est_rows=est_rows)

@@ -641,3 +641,73 @@ def bpe_pair_topk(ds, k: int = 50, text_col: str = "text",
                                            kind="mergesort").head(k)
     return pa.table({"pair": merged["pair"].astype(str).to_numpy(),
                      "n": merged["n"].to_numpy().astype(np.int64)})
+
+
+def collocation_pmi(ds, min_count: int = 5, text_col: str = "text",
+                    est_rows: int | None = None):
+    """PMI COLLOCATION MINING — rank adjacent word pairs by pointwise
+    mutual information, the phrase-discovery pass ("new york", "machine
+    learning") of corpus curation, in exact integer form:
+
+        pmi_q = c_xy · N² · 100 // (c_x · c_y · M)
+
+    (the argument of log-PMI, floor-quantized to centi-units — monotone in
+    PMI, so ranking and thresholds agree with the float form). Distributed
+    shape: text never shuffles — per-batch (word, n) and (w1, w2, n)
+    partials ride two bucketed combines; the unigram table is
+    VOCAB-BOUNDED and is broadcast (ray.put) into the bigram finisher,
+    same contract as ``doc_lm_score``'s corpus model. Emits every bigram
+    with c_xy >= min_count. int64-exact while max(c_xy)·N²·100 < 2^63
+    (N ≲ 2·10⁶ at typical burstiness; past that report num/den columns)."""
+    import ray
+
+    from ..functions.text import _WORD_ASCII_RE
+    from .relational import bucketed_groups
+    from .util import cached_state
+
+    def _pre_uni(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in df[text_col]:
+            words.extend(_WORD_ASCII_RE.findall((t or "").lower()))
+        vc = pd.Series(words, dtype=object).value_counts()
+        return pd.DataFrame({"word": vc.index.astype(object),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def _sum_counts(g: pd.DataFrame, key: list[str]) -> pd.DataFrame:
+        return g.groupby(key, as_index=False, sort=False)["n"].sum()
+
+    txt = ds.select_columns([text_col])
+    uni = bucketed_groups(txt, ["word"], lambda g: _sum_counts(g, ["word"]),
+                          pre_fn=_pre_uni, est_rows=est_rows).to_pandas()
+    # vocab-bounded driver materialization (documented contract above)
+    n_total = int(uni["n"].sum())
+    uni_ref = ray.put(dict(zip(uni["word"], uni["n"].astype(int))))
+
+    def _pre_bi(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: list[tuple[str, str]] = []
+        for t in df[text_col]:
+            ws = _WORD_ASCII_RE.findall((t or "").lower())
+            pairs.extend(zip(ws, ws[1:]))
+        vc = pd.Series(pairs, dtype=object).value_counts()
+        idx = vc.index
+        return pd.DataFrame({"w1": [a for a, _ in idx],
+                             "w2": [b for _, b in idx],
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    big = bucketed_groups(txt, ["w1", "w2"],
+                          lambda g: _sum_counts(g, ["w1", "w2"]),
+                          pre_fn=_pre_bi, est_rows=est_rows).materialize()
+    m_total = int(big.sum("n"))
+
+    def _pmi(df: pd.DataFrame) -> pd.DataFrame:
+        u = cached_state(uni_ref, lambda m: m, token="collocation_unigrams")
+        df = df[df["n"] >= min_count]
+        cxy = df["n"].to_numpy(np.int64)
+        cx = np.array([u[w] for w in df["w1"]], dtype=np.int64)
+        cy = np.array([u[w] for w in df["w2"]], dtype=np.int64)
+        pmi = cxy * n_total * n_total * 100 // (cx * cy * m_total)
+        return pd.DataFrame({"w1": df["w1"].to_numpy(object),
+                             "w2": df["w2"].to_numpy(object),
+                             "c_xy": cxy, "pmi_q": pmi})
+
+    return big.map_batches(_pmi, batch_format="pandas", batch_size=65536)
