@@ -10929,6 +10929,221 @@ FROM r
 """
 
 
+def q_image_wht_energy(sf_dir: str):  # exact oracle (1D collapse per axis)
+    """WALSH-HADAMARD transform energy of the top-left 8×8 crop through
+    the decode path (``media.image_wht_energy``): the exact-integer DCT
+    sibling — energy split between low-sequency (popcount(u)+popcount(v)
+    <= 1) and high-sequency coefficients, the transform-domain
+    blur/complexity feature. The fixture's R channel is column-driven and
+    G row-driven, so in the oracle only the u=0 (resp. v=0) transform line
+    survives (all other Hadamard rows sum to zero) and each side collapses
+    to an 8-point 1D transform replayed with bit_count signs."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_wht_energy(synth, batch_size=512)
+
+
+# R crop is column-constant -> 2D coef(u,v) = 0 unless u = 0, and
+# coef(0,v) = 8 * sum_j sign(v,j) * R(j); symmetrically for G with rows.
+# low sequency = popcount(u)+popcount(v) <= 1: for the surviving line that
+# is v in {0,1,2,4}.
+SQL_IMAGE_WHT_ENERGY = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+px AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS r,
+         CASE WHEN fi = 2
+              THEN ((bg + (j * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (j * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (j * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(8)) AS j) js
+),
+coef AS (
+  SELECT image_id, v,
+         SUM(CASE WHEN bit_count(v & j) % 2 = 1 THEN -r ELSE r END) AS cr,
+         SUM(CASE WHEN bit_count(v & j) % 2 = 1 THEN -g ELSE g END) AS cg
+  FROM px, (SELECT unnest(range(8)) AS v) vs
+  GROUP BY image_id, v
+)
+SELECT image_id,
+       CAST(64 * SUM(CASE WHEN bit_count(v) <= 1 THEN cr * cr ELSE 0 END)
+            AS BIGINT) AS r_low,
+       CAST(64 * SUM(CASE WHEN bit_count(v) > 1 THEN cr * cr ELSE 0 END)
+            AS BIGINT) AS r_high,
+       CAST(64 * SUM(CASE WHEN bit_count(v) <= 1 THEN cg * cg ELSE 0 END)
+            AS BIGINT) AS g_low,
+       CAST(64 * SUM(CASE WHEN bit_count(v) > 1 THEN cg * cg ELSE 0 END)
+            AS BIGINT) AS g_high
+FROM coef GROUP BY image_id
+"""
+
+
+def q_orders_seasonal_index(sf_dir: str):  # exact oracle (cross-mult ratio)
+    """Monthly SEASONAL INDEX of order revenue — month average vs overall
+    average, the classic retail seasonality diagnostic — as the exact
+    integer quantization ``idx_q = m_sum·n_total·1000 // (total·n_month)``
+    (1000 = neutral). One combiner-first month rollup (12 rows) then
+    driver-side Python-int arithmetic, so no int64 overflow at any scale."""
+    orders = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # month from epoch-us via pandas (vectorized), matching SQL month()
+        mon = pd.to_datetime(ts, unit="us").month.to_numpy()
+        return pa.table({
+            "month": mon.astype(np.int64),
+            "price_c": pa.array(cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = orders.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+    sums = rel.partial_groupby_sum(prep, ["month"], ["price_c"],
+                                   count_as="n_orders",
+                                   est_rows=_nrows(sf_dir, "orders"))
+    df = sums.to_pandas()  # 12 rows
+    total = int(df["price_c"].sum())
+    n_total = int(df["n_orders"].sum())
+    idx = [int(m) * n_total * 1000 // (total * int(n))
+           for m, n in zip(df["price_c"], df["n_orders"])]
+    out = pd.DataFrame({
+        "month": df["month"].astype(np.int64),
+        "n_orders": df["n_orders"].astype(np.int64),
+        "sum_c": df["price_c"].astype(np.int64),
+        "idx_q": np.array(idx, dtype=np.int64),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_SEASONAL_INDEX = """
+WITH m AS (
+  SELECT month(o_orderdate) AS month, COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_c
+  FROM orders GROUP BY month
+),
+t AS (SELECT SUM(sum_c) AS total, SUM(n_orders) AS n_total FROM m)
+SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(sum_c AS BIGINT) AS sum_c,
+       CAST(sum_c * n_total * 1000 // (total * n_orders) AS BIGINT) AS idx_q
+FROM m, t
+"""
+
+
+def q_traj_turn_octants(sf_dir: str):  # exact oracle (CASE-order mirror)
+    """Per-trajectory TURNING-BEHAVIOR stats (``spatial.traj_turn_stats``)
+    over the stay-point traces: octant-coded step directions (pure
+    sign/compare, no atan2), octant-change counts, stationary steps, and
+    the modal octant with smallest-code ties — the heading-dynamics
+    summary that separates directed travel from dwell drift."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+    nk = 50
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        traj = eid % nk
+        seq = eid // nk
+        blk = seq // (8 + traj % 5)
+        spike = np.where((seq * 7919) % 23 == 0, 40, 0)
+        x = traj * 100000 + blk * 1000 + (seq * 2654435761) % 13 + spike
+        y = blk * 1000 + (seq * 40503) % 11
+        return pa.table({"traj_id": traj, "seq": seq,
+                         "x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    pts = ev.map_batches(_synth, batch_format="pyarrow", batch_size=8192)
+    return spatial.traj_turn_stats(pts, "traj_id", "seq", "x", "y",
+                                   est_rows=_nrows(sf_dir, "events"))
+
+
+SQL_TRAJ_TURN_OCTANTS = """
+WITH xy AS (
+  SELECT event_id % 50 AS traj_id, event_id // 50 AS seq,
+         (event_id % 50) * 100000
+           + ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 2654435761) % 13
+           + CASE WHEN ((event_id // 50) * 7919) % 23 = 0
+                  THEN 40 ELSE 0 END AS x,
+         ((event_id // 50) // (8 + (event_id % 50) % 5)) * 1000
+           + ((event_id // 50) * 40503) % 11 AS y
+  FROM events
+),
+st AS (
+  SELECT traj_id, seq,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM xy WINDOW w AS (PARTITION BY traj_id ORDER BY seq)
+),
+oc AS (
+  SELECT traj_id, seq,
+         CASE WHEN dx = 0 AND dy = 0 THEN 8
+              WHEN 2 * ABS(dy) <= ABS(dx) AND dx > 0 THEN 0
+              WHEN 2 * ABS(dy) <= ABS(dx) THEN 4
+              WHEN 2 * ABS(dx) <= ABS(dy) AND dy > 0 THEN 2
+              WHEN 2 * ABS(dx) <= ABS(dy) THEN 6
+              WHEN dx > 0 AND dy > 0 THEN 1
+              WHEN dx < 0 AND dy > 0 THEN 3
+              WHEN dx < 0 AND dy < 0 THEN 5
+              ELSE 7 END AS o
+  FROM st WHERE dx IS NOT NULL
+),
+seqd AS (
+  SELECT traj_id, o,
+         lag(o) OVER (PARTITION BY traj_id ORDER BY seq) AS po
+  FROM oc
+),
+dom AS (
+  SELECT traj_id, o AS dom_oct FROM (
+    SELECT traj_id, o, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY traj_id
+                              ORDER BY COUNT(*) DESC, o ASC) AS rn
+    FROM oc GROUP BY traj_id, o
+  ) WHERE rn = 1
+)
+SELECT q.traj_id, CAST(q.n_steps AS BIGINT) AS n_steps,
+       CAST(q.n_turns AS BIGINT) AS n_turns,
+       CAST(q.n_stationary AS BIGINT) AS n_stationary,
+       CAST(dom.dom_oct AS BIGINT) AS dom_oct
+FROM (
+  SELECT traj_id, COUNT(*) AS n_steps,
+         SUM(CASE WHEN po IS NOT NULL AND o <> po THEN 1 ELSE 0 END)
+           AS n_turns,
+         SUM(CASE WHEN o = 8 THEN 1 ELSE 0 END) AS n_stationary
+  FROM seqd GROUP BY traj_id
+) q JOIN dom USING (traj_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11157,6 +11372,9 @@ QUERIES = {
     "video_motion_estimate": q_video_motion_estimate,
     "doc_collocations": q_doc_collocations,
     "part_abc_classes": q_part_abc_classes,
+    "image_wht_energy": q_image_wht_energy,
+    "orders_seasonal_index": q_orders_seasonal_index,
+    "traj_turn_octants": q_traj_turn_octants,
 }
 
 
@@ -11378,4 +11596,7 @@ ORACLE_SQL = {
     "video_motion_estimate": SQL_VIDEO_MOTION_ESTIMATE,
     "doc_collocations": SQL_DOC_COLLOCATIONS,
     "part_abc_classes": SQL_PART_ABC_CLASSES,
+    "image_wht_energy": SQL_IMAGE_WHT_ENERGY,
+    "orders_seasonal_index": SQL_ORDERS_SEASONAL_INDEX,
+    "traj_turn_octants": SQL_TRAJ_TURN_OCTANTS,
 }

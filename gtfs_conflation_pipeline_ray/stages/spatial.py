@@ -1652,3 +1652,73 @@ def rect_union_area(rects, cell: int = 4096, est_rows: int | None = None):
                              "covered_area": area})
 
     return bucketed_groups(diced, ["gx", "gy"], _final, est_rows=est_rows)
+
+
+def octant_codes(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """8-way integer DIRECTION CLASSIFICATION of step vectors — E=0, NE=1,
+    N=2, NW=3, W=4, SW=5, SE=7, stationary=8 — with pure sign/compare
+    arithmetic (no atan2): axis classes claim steps with 2·|minor| <=
+    |major| (ties to the axis), diagonals take the rest. The CASE order is
+    the contract; the SQL mirror replays it verbatim."""
+    adx, ady = np.abs(dx), np.abs(dy)
+    return np.select(
+        [
+            (dx == 0) & (dy == 0),
+            (2 * ady <= adx) & (dx > 0),
+            2 * ady <= adx,
+            (2 * adx <= ady) & (dy > 0),
+            2 * adx <= ady,
+            (dx > 0) & (dy > 0),
+            (dx < 0) & (dy > 0),
+            (dx < 0) & (dy < 0),
+        ],
+        [8, 0, 4, 2, 6, 1, 3, 5],
+        default=7,
+    ).astype(np.int64)
+
+
+def traj_turn_stats(points, key_col: str, seq_col: str, x_col: str,
+                    y_col: str, est_rows: int | None = None):
+    """Per-trajectory TURNING-BEHAVIOR statistics over the octant codes of
+    consecutive steps: n_steps, n_turns (octant changes between adjacent
+    steps), n_stationary (zero steps), and dom_oct (the modal octant,
+    smallest code on ties) — the heading-dynamics summary of movement
+    analytics (vehicle / pedestrian / drift discrimination). Same scale
+    shape as :func:`traj_step_stats`: ONE trajectory-bucketed shuffle of
+    4-int rows + an O(n) vectorized shift scan per bucket."""
+    from .relational import bucketed_groups
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        key = df[key_col].to_numpy()
+        x = df[x_col].to_numpy().astype(np.int64)
+        y = df[y_col].to_numpy().astype(np.int64)
+        same = key[1:] == key[:-1]            # step i valid
+        oc = octant_codes(np.diff(x), np.diff(y))
+        sk, so = key[1:][same], oc[same]
+
+        counts = (pd.DataFrame({key_col: sk, "oct": so, "one": 1})
+                  .groupby([key_col, "oct"], sort=False)["one"].sum()
+                  .reset_index()
+                  .sort_values(["one", "oct"], ascending=[False, True],
+                               kind="mergesort"))
+        dom = counts.drop_duplicates(key_col)[[key_col, "oct"]].rename(
+            columns={"oct": "dom_oct"})
+
+        pairv = same[1:] & same[:-1]          # steps i and i+1 in one traj
+        turn = (oc[1:] != oc[:-1]) & pairv
+        base = pd.DataFrame({key_col: sk, "stat": (so == 8).astype(np.int64)})
+        agg = base.groupby(key_col, sort=True).agg(
+            n_steps=("stat", "size"), n_stationary=("stat", "sum"))
+        turns = (pd.DataFrame({key_col: key[2:][pairv],
+                               "t": turn[pairv].astype(np.int64)})
+                 .groupby(key_col, sort=True)["t"].sum().rename("n_turns"))
+        out = (agg.join(turns, how="left").reset_index()
+               .merge(dom, on=key_col, how="left"))
+        out["n_turns"] = out["n_turns"].fillna(0)
+        for c in ("n_steps", "n_stationary", "n_turns", "dom_oct"):
+            out[c] = out[c].astype(np.int64)
+        return out[[key_col, "n_steps", "n_turns", "n_stationary",
+                    "dom_oct"]]
+
+    return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
