@@ -2,7 +2,10 @@
 
 Headline: the flagship spatial-join + tile-aggregation pipeline over
 ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus per-query timings for
-the full registry and the engine-native image pipeline over a cached
+the DRIVER WINDOW (the first 50 registry entries — the set the per-round
+correctness artifact checks; the registry has grown past 200 entries, so a
+full sweep no longer fits a bounded bench budget; set GRAFT_BENCH_ALL=1 for
+the full sweep) and the engine-native image pipeline over a cached
 generated fixture (BASELINE.json input shape, N=100k).
 
 Prints ONE JSON line:
@@ -188,8 +191,12 @@ def run_bench() -> dict:
     qtimes: dict[str, float] = {}
     qruns: dict[str, list[float]] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        if os.environ.get("GRAFT_BENCH_ALL"):
+            bench_queries = dict(QUERIES)
+        else:  # driver window: first 50 registry entries
+            bench_queries = dict(list(QUERIES.items())[:50])
         for sweep in range(2):  # two full sweeps -> best-of-2 per query
-            for name, fn in QUERIES.items():
+            for name, fn in bench_queries.items():
                 t0 = time.time()
                 _consume(fn(SF_DIR))
                 qruns.setdefault(name, []).append(round(time.time() - t0, 3))

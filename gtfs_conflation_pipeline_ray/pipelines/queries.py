@@ -11144,6 +11144,364 @@ FROM (
 """
 
 
+def q_tile_label_propagation(sf_dir: str):  # exact oracle (unrolled rounds)
+    """Semi-supervised LABEL PROPAGATION over the tile kNN graph
+    (``graphrank.label_propagation_rounds``, 2 rounds): every 25th tile is
+    seeded with label ``tile_id % 7``; each round a node adopts the MODAL
+    label of its labeled in-neighbors (ties to the smallest label), seeds
+    clamped — the graph-ML label-spreading pass next to PageRank (value
+    propagation) and CC (min propagation). Oracle unrolls both rounds as
+    MATERIALIZED mode selections."""
+    from ..stages.graphrank import label_propagation_rounds
+
+    knn = q_tile_knn_graph(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = t["src_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        t = td.tiles_batch(batch)
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tid = tid[tid % 25 == 0]
+        return pa.table({"node": tid, "label": tid % 7})
+
+    seeds = part.map_batches(_seeds, batch_format="pyarrow",
+                             batch_size=65536)
+    out = label_propagation_rounds(edges, seeds, rounds=2)
+    return out.map_batches(
+        lambda t: pa.table({"tile_id": t["node"], "label": t["label"]}),
+        batch_format="pyarrow", batch_size=65536)
+
+
+_SQL_LP_HEAD = f"""
+WITH tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+knn AS (
+  SELECT src_tile, tile_id FROM (
+    SELECT p.src_tile, t.tile_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src_tile
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank
+    FROM probes p CROSS JOIN tiles t
+  ) WHERE knn_rank <= 4
+),
+ed AS MATERIALIZED (
+  SELECT src_tile AS s, tile_id AS t FROM knn WHERE tile_id <> src_tile
+  UNION ALL
+  SELECT tile_id, src_tile FROM knn WHERE tile_id <> src_tile
+),
+d0 AS (SELECT tile_id AS node, tile_id % 7 AS label
+       FROM tiles WHERE tile_id % 25 = 0)
+"""
+
+SQL_TILE_LABEL_PROPAGATION = _SQL_LP_HEAD + "".join(
+    f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM d0
+  UNION ALL
+  SELECT node, label FROM (
+    SELECT e.t AS node, d{r}.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.t
+                              ORDER BY COUNT(*) DESC, d{r}.label ASC) AS rn
+    FROM d{r} JOIN ed e ON e.s = d{r}.node
+    GROUP BY e.t, d{r}.label
+  ) WHERE rn = 1 AND node NOT IN (SELECT node FROM d0)
+)"""
+    for r in range(2)
+) + """
+SELECT node AS tile_id, CAST(label AS BIGINT) AS label FROM d2
+"""
+
+
+def q_image_laplacian_noise(sf_dir: str):  # exact oracle (1D stencil replay)
+    """Per-image LAPLACIAN-ENERGY blur/noise metric through the decode path
+    (``media.image_laplacian``): sum of squared 4-neighbor Laplacian
+    responses over interior pixels, on both fixture axes (R column-driven,
+    G row-driven — each collapses the 2D stencil to a 1D second
+    difference in the oracle; the kernel stays the general 2D stencil)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_laplacian(synth, batch_size=512)
+
+
+SQL_IMAGE_LAPLACIAN_NOISE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rc AS (
+  SELECT image_id, w, h, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gr AS (
+  SELECT image_id, w, h, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h
+),
+rc2 AS (
+  SELECT image_id, w, h, j,
+         2 * v - lag(v) OVER wd - lead(v) OVER wd AS lap
+  FROM rc WINDOW wd AS (PARTITION BY image_id ORDER BY j)
+),
+gr2 AS (
+  SELECT image_id, w, h, r,
+         2 * g - lag(g) OVER wd - lead(g) OVER wd AS lap
+  FROM gr WINDOW wd AS (PARTITION BY image_id ORDER BY r)
+),
+rl AS (
+  SELECT image_id,
+         (h - 2) * SUM(CASE WHEN j >= 1 AND j <= w - 2
+                       THEN lap * lap ELSE 0 END) AS r_lap
+  FROM rc2 GROUP BY image_id, h
+),
+gl AS (
+  SELECT image_id,
+         (w - 2) * SUM(CASE WHEN r >= 1 AND r <= h - 2
+                       THEN lap * lap ELSE 0 END) AS g_lap
+  FROM gr2 GROUP BY image_id, w
+)
+SELECT image_id, CAST(r_lap AS BIGINT) AS r_lap,
+       CAST(g_lap AS BIGINT) AS g_lap
+FROM rl JOIN gl USING (image_id)
+"""
+
+
+def q_orders_benford_digits(sf_dir: str):  # exact oracle (string first digit)
+    """BENFORD first-digit distribution of order totals per priority class
+    — the forensic digit-frequency screen for fabricated values: counts of
+    the leading digit of the price cents, one combiner-first
+    (priority, digit) rollup. The digit is extracted by pure integer
+    division (repeated ÷10, vectorized), mirrored in SQL via the leading
+    character."""
+    orders = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        v = cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        d = v.copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "digit": d})
+
+    prep = orders.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+    return rel.partial_groupby_sum(prep, ["o_orderpriority", "digit"], [],
+                                   count_as="n",
+                                   est_rows=_nrows(sf_dir, "orders"))
+
+
+SQL_ORDERS_BENFORD_DIGITS = """
+SELECT o_orderpriority,
+       CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_grid_heat_diffusion(sf_dir: str):  # exact oracle (unrolled stencil)
+    """Two rounds of integer HEAT DIFFUSION over the probe-point density
+    raster (``spatial.grid_heat_diffusion``): v' = (4v + Σ 4-neighbors)//8,
+    zeros dropped — the iterative stencil-relaxation pattern (PDE lite)
+    next to the one-shot box blur. Oracle unrolls both rounds as weighted
+    offset joins."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_heat_diffusion(pts, "px", "py", cell=1024, rounds=2)
+
+
+SQL_GRID_HEAT_DIFFUSION = _CTES + """,
+d0 AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+  FROM points GROUP BY 1, 2
+),
+offs(ox, oy, wgt) AS (VALUES (0, 0, 4), (1, 0, 1), (-1, 0, 1),
+                             (0, 1, 1), (0, -1, 1)),
+d1 AS MATERIALIZED (
+  SELECT cx, cy, v FROM (
+    SELECT d0.cx + o.ox AS cx, d0.cy + o.oy AS cy,
+           SUM(d0.v * o.wgt) // 8 AS v
+    FROM d0 CROSS JOIN offs o GROUP BY 1, 2
+  ) WHERE v > 0
+),
+d2 AS MATERIALIZED (
+  SELECT cx, cy, v FROM (
+    SELECT d1.cx + o.ox AS cx, d1.cy + o.oy AS cy,
+           SUM(d1.v * o.wgt) // 8 AS v
+    FROM d1 CROSS JOIN offs o GROUP BY 1, 2
+  ) WHERE v > 0
+)
+SELECT cx, cy, CAST(v AS BIGINT) AS v FROM d2
+"""
+
+
+def q_image_palette(sf_dir: str):  # exact oracle (factorized color counts)
+    """Per-image PALETTE PROFILE through the decode path
+    (``media.image_palette``): distinct-color count, modal packed color
+    (smallest on ties) and its pixel count — the palette-complexity screen
+    separating diagrams from photographs. The fixture factorizes (R by
+    column × G by row, B constant), so the oracle cross-joins per-value
+    column and row multiplicities; the kernel is the general pixel-multiset
+    profile."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_palette(synth, batch_size=512)
+
+
+SQL_IMAGE_PALETTE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rv AS (
+  SELECT image_id, v, COUNT(*) AS c FROM (
+    SELECT image_id,
+           CASE WHEN fi = 2
+                THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                     + ((br + (j * 55) // (w - 1)) // 4) // 16
+                ELSE br + (j * 55) // (w - 1) END AS v
+    FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+  ) GROUP BY image_id, v
+),
+gv AS (
+  SELECT image_id, g, COUNT(*) AS c FROM (
+    SELECT image_id,
+           CASE WHEN fi = 2
+                THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                     + ((bg + (r * 41) // (h - 1)) // 4) // 16
+                ELSE bg + (r * 41) // (h - 1) END AS g
+    FROM im, (SELECT unnest(range(24)) AS r) rs WHERE r < h
+  ) GROUP BY image_id, g
+),
+bb AS (
+  SELECT image_id,
+         CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+              ELSE bb END AS b
+  FROM im
+),
+nc AS (
+  SELECT r.image_id,
+         (SELECT COUNT(*) FROM rv WHERE rv.image_id = r.image_id)
+           * (SELECT COUNT(*) FROM gv WHERE gv.image_id = r.image_id)
+           AS n_colors
+  FROM (SELECT DISTINCT image_id FROM rv) r
+),
+top AS (
+  SELECT image_id, v, g, cc FROM (
+    SELECT rv.image_id, rv.v, gv.g, rv.c * gv.c AS cc,
+           ROW_NUMBER() OVER (PARTITION BY rv.image_id
+                              ORDER BY rv.c * gv.c DESC, rv.v ASC, gv.g ASC)
+             AS rn
+    FROM rv JOIN gv USING (image_id)
+  ) WHERE rn = 1
+)
+SELECT t.image_id, CAST(nc.n_colors AS BIGINT) AS n_colors,
+       CAST(t.v * 65536 + t.g * 256 + bb.b AS BIGINT) AS top_color,
+       CAST(t.cc AS BIGINT) AS top_count
+FROM top t JOIN nc USING (image_id) JOIN bb USING (image_id)
+"""
+
+
+def q_part_weighted_sample(sf_dir: str):  # exact oracle (priority top-k)
+    """Deterministic WEIGHTED SAMPLING of parts (k = 100): priority =
+    knuth32(partkey) // p_size, global k smallest (priority, key) — the
+    integer exponential-clock scheme (heavier parts draw smaller
+    priorities proportionally more often), reproducible across runs and
+    cluster sizes, no RNG state (the weighted sibling of
+    ``relational.hash_sample``)."""
+    part = _rp(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def _prio(batch: pa.Table) -> pa.Table:
+        ids = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        masked = (ids & np.int64(0xFFFFFFFF)).astype(np.uint64)
+        h = ((masked * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+        return pa.table({"p_partkey": ids, "p_size": w, "priority": h // w})
+
+    prio = part.map_batches(_prio, batch_format="pyarrow", batch_size=65536)
+    return prio.sort(["priority", "p_partkey"]).limit(100)
+
+
+SQL_PART_WEIGHTED_SAMPLE = """
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       ((p_partkey & 4294967295) * 2654435761 % 4294967296)
+         // p_size AS priority
+FROM part ORDER BY priority, p_partkey LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11375,6 +11733,9 @@ QUERIES = {
     "image_wht_energy": q_image_wht_energy,
     "orders_seasonal_index": q_orders_seasonal_index,
     "traj_turn_octants": q_traj_turn_octants,
+    "tile_label_propagation": q_tile_label_propagation,
+    "image_laplacian_noise": q_image_laplacian_noise,
+    "orders_benford_digits": q_orders_benford_digits,
 }
 
 
@@ -11599,4 +11960,7 @@ ORACLE_SQL = {
     "image_wht_energy": SQL_IMAGE_WHT_ENERGY,
     "orders_seasonal_index": SQL_ORDERS_SEASONAL_INDEX,
     "traj_turn_octants": SQL_TRAJ_TURN_OCTANTS,
+    "tile_label_propagation": SQL_TILE_LABEL_PROPAGATION,
+    "image_laplacian_noise": SQL_IMAGE_LAPLACIAN_NOISE,
+    "orders_benford_digits": SQL_ORDERS_BENFORD_DIGITS,
 }

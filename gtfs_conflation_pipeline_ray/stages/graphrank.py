@@ -478,3 +478,62 @@ def pointer_double_chain(state0, rounds: int = 6, n_parts: int = 8):
         lambda t: pa.table({"node": t["node"], "depth": t["dep"],
                             "chain_sum": t["acc"]}),
         batch_format="pyarrow", batch_size=65536)
+
+
+def label_propagation_rounds(edges, seeds, rounds: int = 2,
+                             src_col: str = "src", dst_col: str = "dst",
+                             n_parts: int = 8):
+    """Semi-supervised LABEL PROPAGATION, fixed rounds so the oracle
+    unrolls: each round every node adopts the MODAL label of its labeled
+    in-neighbors (ties to the smallest label); SEED labels are clamped
+    (never overwritten) — the graph-ML label-spreading pass next to
+    PageRank (value propagation) and CC (min propagation). Per round ONE
+    hash join (labels ⋈ edges on src) + a combiner-first (dst, label)
+    count + a bucketed per-dst mode; the seed set is BROADCAST-bounded
+    (documented assumption) for the clamp. Unreached nodes stay absent.
+    Returns (node, label)."""
+    import ray
+
+    from .relational import bucketed_groups, partial_groupby_sum
+    from .util import cached_state
+
+    seed_pd = seeds.to_pandas()  # bounded seed set (contract above)
+    seed_ref = ray.put(dict(zip(seed_pd["node"].astype(int),
+                                seed_pd["label"].astype(int))))
+
+    labels = seeds.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    for _ in range(rounds):
+        right = labels.map_batches(
+            lambda t: pa.table({"fnode": t["node"], "flab": t["label"]}),
+            batch_format="pyarrow", batch_size=65536).materialize()
+        votes = edges.join(right, "inner", n_parts,
+                           on=(src_col,), right_on=("fnode",))
+        pairs = votes.map_batches(
+            lambda t: pa.table({"node": t[dst_col], "label": t["flab"]}),
+            batch_format="pyarrow", batch_size=65536)
+        counts = partial_groupby_sum(pairs, ["node", "label"], [],
+                                     count_as="c", n_buckets=n_parts)
+
+        def _mode(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["c", "label"], ascending=[False, True],
+                              kind="mergesort")
+            g = g.drop_duplicates("node")
+            sd = cached_state(seed_ref, lambda m: m, token="labelprop_seeds")
+            mask = ~g["node"].isin(sd.keys())
+            return g.loc[mask, ["node", "label"]]
+
+        spread = bucketed_groups(counts, ["node"], _mode, n_buckets=n_parts)
+        # clamp: next round's labels = seeds (verbatim) ∪ non-seed modes
+        labels = seeds.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow", batch_size=65536).union(
+            spread.map_batches(
+                lambda df: pa.Table.from_pandas(
+                    df.astype({"node": np.int64, "label": np.int64}),
+                    preserve_index=False),
+                batch_format="pandas", batch_size=65536)).materialize()
+
+    return labels

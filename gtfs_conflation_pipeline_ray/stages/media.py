@@ -1377,6 +1377,117 @@ def image_wht_energy(ds, bytes_col: str = "bytes", id_col: str = "image_id",
     )
 
 
+def laplacian_sq_sum(channel: np.ndarray) -> int:
+    """Sum of squared 4-neighbor LAPLACIAN responses over interior pixels —
+    the variance-of-Laplacian blur/noise metric (high = sharp/noisy, low =
+    smooth/blurred) in exact int64, summed instead of divided so no float
+    enters. lap(r,j) = 4·v − up − down − left − right; border excluded."""
+    v = channel.astype(np.int64)
+    if v.shape[0] < 3 or v.shape[1] < 3:
+        return 0
+    lap = (4 * v[1:-1, 1:-1] - v[:-2, 1:-1] - v[2:, 1:-1]
+           - v[1:-1, :-2] - v[1:-1, 2:])
+    return int((lap * lap).sum())
+
+
+class ImageLaplacian:
+    """Actor-pool batch fn: per-image Laplacian-energy blur/noise metric
+    through the genuine decode path (``laplacian_sq_sum`` on R and G). On
+    the gradient fixture the R channel is column-driven (vertical second
+    difference vanishes) and G row-driven, so each oracle side collapses
+    to a 1D second-difference replay scaled by the interior extent; the
+    kernel is the general 2D stencil (pytest vs brute force). Emits
+    (image_id, r_lap, g_lap)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        r_out = np.empty(len(ids), np.int64)
+        g_out = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            r_out[i] = laplacian_sq_sum(img[:, :, 0])
+            g_out[i] = laplacian_sq_sum(img[:, :, 1])
+        return pa.table({"image_id": ids, "r_lap": r_out, "g_lap": g_out})
+
+
+def image_laplacian(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                    fmt_col: str = "fmt", concurrency: int | None = None,
+                    batch_size: int = 256):
+    return ds.map_batches(
+        ImageLaplacian,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def palette_stats(img: np.ndarray) -> tuple[int, int, int]:
+    """PALETTE PROFILE of a decoded RGB image: number of distinct colors,
+    the modal color (packed r<<16 | g<<8 | b, ties to the smallest packed
+    value) and its pixel count — the palette-complexity screen
+    (screenshots/diagrams vs photographs) of image curation."""
+    flat = (img[:, :, 0].astype(np.int64) << 16 \
+            | img[:, :, 1].astype(np.int64) << 8 \
+            | img[:, :, 2].astype(np.int64)).reshape(-1)
+    vals, counts = np.unique(flat, return_counts=True)
+    best = np.lexsort((vals, -counts))[0]
+    return int(len(vals)), int(vals[best]), int(counts[best])
+
+
+class ImagePalette:
+    """Actor-pool batch fn: per-image palette profile through the genuine
+    decode path (:func:`palette_stats`). On the gradient fixture R varies
+    only by column and G only by row (B constant), so every (R, G) combo
+    occurs and the oracle factorizes: n_colors = |distinct R|·|distinct G|
+    and the modal color's count is the product of the modal column and
+    row multiplicities; the kernel is the general pixel-multiset profile.
+    Emits (image_id, n_colors, top_color, top_count)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        nc = np.empty(len(ids), np.int64)
+        tc = np.empty(len(ids), np.int64)
+        tn = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            nc[i], tc[i], tn[i] = palette_stats(img)
+        return pa.table({"image_id": ids, "n_colors": nc,
+                         "top_color": tc, "top_count": tn})
+
+
+def image_palette(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                  fmt_col: str = "fmt", concurrency: int | None = None,
+                  batch_size: int = 256):
+    return ds.map_batches(
+        ImagePalette,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
 class ImageComponents:
     """Actor-pool batch fn: BLOB LABELING through the genuine decode path —
     threshold the decoded R channel with the parity predicate (R odd; the

@@ -1722,3 +1722,56 @@ def traj_turn_stats(points, key_col: str, seq_col: str, x_col: str,
                     "dom_oct"]]
 
     return bucketed_groups(points, [key_col], _scan, est_rows=est_rows)
+
+
+def grid_heat_diffusion(points, x_col: str, y_col: str, cell: int,
+                        rounds: int = 2, est_rows: int | None = None):
+    """Fixed-round HEAT DIFFUSION over the point-density raster — the
+    iterative 5-point-stencil simulation pattern (PDE relaxation, heatmap
+    smoothing-to-steady-state):
+
+        v_{k+1}(c) = (4·v_k(c) + Σ_{4-neighbors} v_k(n)) // 8
+
+    in exact floor arithmetic, zero cells dropped after each round (the
+    support grows one ring per round, so sparsity is preserved up to
+    rounds rings). Scale shape per round: each occupied cell fans out to
+    5 weighted landing positions, ONE grid-sized bucketed combine sums
+    them — the raster never densifies beyond the occupied support + ring.
+    The oracle unrolls rounds as MATERIALIZED weighted-offset joins."""
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    state = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                est_rows=est_rows)
+
+    offs = [(0, 0, 4), (1, 0, 1), (-1, 0, 1), (0, 1, 1), (0, -1, 1)]
+
+    for _ in range(rounds):
+        def _expand(df: pd.DataFrame) -> pd.DataFrame:
+            cx = df["cx"].to_numpy(np.int64)
+            cy = df["cy"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            return pd.concat(
+                [pd.DataFrame({"cx": cx + dx, "cy": cy + dy, "v": v * wgt})
+                 for dx, dy, wgt in offs], ignore_index=True)
+
+        exp = state.map_batches(_expand, batch_format="pandas",
+                                batch_size=8192)
+
+        def _combine(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["cx", "cy"], as_index=False, sort=False)["v"].sum()
+            s["v"] = s["v"].to_numpy(np.int64) // 8
+            return s[s["v"] > 0]
+
+        state = bucketed_groups(exp, ["cx", "cy"], _combine,
+                                pre_fn=lambda d: d.groupby(
+                                    ["cx", "cy"], as_index=False,
+                                    sort=False)["v"].sum())
+
+    return state
