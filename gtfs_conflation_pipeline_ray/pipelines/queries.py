@@ -11736,6 +11736,9 @@ QUERIES = {
     "tile_label_propagation": q_tile_label_propagation,
     "image_laplacian_noise": q_image_laplacian_noise,
     "orders_benford_digits": q_orders_benford_digits,
+    "grid_heat_diffusion": q_grid_heat_diffusion,
+    "image_palette": q_image_palette,
+    "part_weighted_sample": q_part_weighted_sample,
 }
 
 
@@ -11963,4 +11966,7 @@ ORACLE_SQL = {
     "tile_label_propagation": SQL_TILE_LABEL_PROPAGATION,
     "image_laplacian_noise": SQL_IMAGE_LAPLACIAN_NOISE,
     "orders_benford_digits": SQL_ORDERS_BENFORD_DIGITS,
+    "grid_heat_diffusion": SQL_GRID_HEAT_DIFFUSION,
+    "image_palette": SQL_IMAGE_PALETTE,
+    "part_weighted_sample": SQL_PART_WEIGHTED_SAMPLE,
 }
