@@ -11502,6 +11502,186 @@ FROM part ORDER BY priority, p_partkey LIMIT 100
 """
 
 
+def q_grid_nearest_site(sf_dir: str):  # exact oracle (argmin cross join)
+    """Discrete VORONOI partition (``spatial.grid_nearest_sites``): every
+    occupied density-raster cell assigned to the nearest site (exact int
+    center-to-site dist², ties to smallest site_id; sites = every 40th
+    tile centroid), rolled up per site — the nearest-facility / coverage-
+    allocation primitive. Site table broadcast once per worker; the only
+    shuffle is the grid-sized per-site rollup."""
+    # site table is dimension-sized: derive it driver-side from the tile
+    # table (same footer-pruned read tiles_ref uses) and broadcast once
+    t = td.tiles_table(sf_dir)
+    keep = pa.array(t["tile_id"].to_numpy() % 40 == 0)
+    t = t.filter(keep)
+    sites = pa.table({"site_id": t["tile_id"], "sx": t["cx"],
+                      "sy": t["cy"]})
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_nearest_sites(pts, ray.put(sites), "px", "py",
+                                      cell=1024,
+                                      est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_GRID_NEAREST_SITE = _CTES + """,
+d0 AS (SELECT px // 1024 AS cx, py // 1024 AS cy, COUNT(*) AS v
+       FROM points GROUP BY 1, 2),
+sites AS (SELECT tile_id AS site_id, cx AS sx, cy AS sy
+          FROM tiles WHERE tile_id % 40 = 0),
+asg AS (
+  SELECT cx, cy, v, site_id FROM (
+    SELECT d0.cx, d0.cy, d0.v, s.site_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d0.cx, d0.cy
+             ORDER BY (d0.cx * 1024 + 512 - s.sx) * (d0.cx * 1024 + 512 - s.sx)
+                    + (d0.cy * 1024 + 512 - s.sy) * (d0.cy * 1024 + 512 - s.sy),
+                      s.site_id) AS rn
+    FROM d0 CROSS JOIN sites s
+  ) WHERE rn = 1
+)
+SELECT site_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS mass
+FROM asg GROUP BY 1
+"""
+
+
+def q_fk_integrity_audit(sf_dir: str):  # exact oracle (left-join counts)
+    """Referential-integrity AUDIT over the star schema — the data-quality
+    gate every warehouse load runs: for each FK relation, total child
+    rows, distinct child keys, orphan keys and orphan rows (child keys with
+    no parent). Child side collapses to (key, n) map-side (combiner), the
+    parent side to its distinct keys; ONE key-bucketed shuffle merges them
+    (union-merge anti-join — Ray 2.49's native left_anti is broken, and a
+    broadcast would not scale to fact-sized parents like orders), and each
+    bucket emits a single partial row, so the final rollup is
+    bucket-count-sized."""
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    outs = []
+    for name, ctab, ckey, ptab, pkey in rels:
+        child = _rp(sf_dir, ctab, [ckey]).map_batches(
+            lambda t, _k=ckey: t.rename_columns(["k"]),
+            batch_format="pyarrow", batch_size=65536)
+        ckeys = rel.partial_groupby_sum(child, ["k"], [], count_as="n",
+                                        est_rows=_nrows(sf_dir, ctab))
+        ckeys = ckeys.map_batches(
+            lambda df: df.assign(side=np.int64(0)), batch_format="pandas")
+
+        def _pdistinct(df: pd.DataFrame, _k=pkey) -> pd.DataFrame:
+            u = np.unique(df[_k].to_numpy(np.int64))
+            return pd.DataFrame({"k": u, "n": np.int64(0),
+                                 "side": np.int64(1)})
+
+        pkeys = _rp(sf_dir, ptab, [pkey]).map_batches(
+            _pdistinct, batch_format="pandas", batch_size=65536)
+
+        def _bucket_audit(df: pd.DataFrame, _name=name) -> pd.DataFrame:
+            g = df.groupby("k", sort=False).agg(n=("n", "sum"),
+                                                par=("side", "max"))
+            is_child = g["n"].to_numpy(np.int64) > 0
+            orph = is_child & (g["par"].to_numpy(np.int64) == 0)
+            return pd.DataFrame({
+                "relation": [_name],
+                "child_rows": [np.int64(g["n"].sum())],
+                "distinct_keys": [np.int64(is_child.sum())],
+                "orphan_keys": [np.int64(orph.sum())],
+                "orphan_rows": [np.int64(g["n"].to_numpy(np.int64)[orph].sum())],
+            })
+
+        outs.append(rel.bucketed_groups(
+            ckeys.union(pkeys), ["k"], _bucket_audit,
+            est_rows=_nrows(sf_dir, ctab)))
+    merged = outs[0].union(*outs[1:])
+    return rel.partial_groupby_sum(
+        merged, ["relation"],
+        ["child_rows", "distinct_keys", "orphan_keys", "orphan_rows"])
+
+
+def _sql_fk_block(name: str, ctab: str, ckey: str, ptab: str, pkey: str) -> str:
+    return f"""
+SELECT '{name}' AS relation,
+       CAST(SUM(n) AS BIGINT) AS child_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_keys,
+       CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN n END), 0) AS BIGINT)
+         AS orphan_rows
+FROM (SELECT {ckey} AS k, COUNT(*) AS n FROM {ctab} GROUP BY 1) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS pk FROM {ptab}) p ON c.k = p.pk
+"""
+
+
+SQL_FK_INTEGRITY_AUDIT = " UNION ALL ".join([
+    _sql_fk_block("lineitem->orders", "lineitem", "l_orderkey",
+                  "orders", "o_orderkey"),
+    _sql_fk_block("lineitem->part", "lineitem", "l_partkey",
+                  "part", "p_partkey"),
+    _sql_fk_block("lineitem->supplier", "lineitem", "l_suppkey",
+                  "supplier", "s_suppkey"),
+    _sql_fk_block("orders->customer", "orders", "o_custkey",
+                  "customer", "c_custkey"),
+])
+
+
+def q_value_trimmed_mean(sf_dir: str):  # exact oracle (order statistics)
+    """Grouped 10%-TRIMMED sum (robust location next to the exact median
+    and the MAD): per (returnflag, linestatus), drop the k = n//10 lowest
+    and highest price cents and sum the middle — trimming by VALUE rank,
+    so the kept multiset (hence the exact sum) is tie-order-independent.
+    Same holistic group-shuffled shape as ``lineitem_group_median``."""
+    li = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "vc": pa.array(cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    prep = li.map_batches(_pre, batch_format="pyarrow", batch_size=16384)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (rf, ls), g in df.groupby(["l_returnflag", "l_linestatus"],
+                                      sort=False):
+            v = np.sort(g["vc"].to_numpy(np.int64))
+            n = len(v)
+            k = n // 10
+            rows.append((rf, ls, np.int64(n), np.int64(n - 2 * k),
+                         np.int64(v[k:n - k].sum())))
+        return pd.DataFrame(rows, columns=["l_returnflag", "l_linestatus",
+                                           "n_rows", "n_kept", "trim_sum"])
+
+    return rel.bucketed_groups(prep, ["l_returnflag", "l_linestatus"],
+                               _final, est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_VALUE_TRIMMED_MEAN = """
+WITH v AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS vc
+  FROM lineitem
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM v
+)
+SELECT l_returnflag, l_linestatus, CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                THEN vc ELSE 0 END) AS BIGINT) AS trim_sum
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11739,6 +11919,9 @@ QUERIES = {
     "grid_heat_diffusion": q_grid_heat_diffusion,
     "image_palette": q_image_palette,
     "part_weighted_sample": q_part_weighted_sample,
+    "grid_nearest_site": q_grid_nearest_site,
+    "fk_integrity_audit": q_fk_integrity_audit,
+    "value_trimmed_mean": q_value_trimmed_mean,
 }
 
 
@@ -11969,4 +12152,7 @@ ORACLE_SQL = {
     "grid_heat_diffusion": SQL_GRID_HEAT_DIFFUSION,
     "image_palette": SQL_IMAGE_PALETTE,
     "part_weighted_sample": SQL_PART_WEIGHTED_SAMPLE,
+    "grid_nearest_site": SQL_GRID_NEAREST_SITE,
+    "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
+    "value_trimmed_mean": SQL_VALUE_TRIMMED_MEAN,
 }

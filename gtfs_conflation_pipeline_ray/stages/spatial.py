@@ -1775,3 +1775,60 @@ def grid_heat_diffusion(points, x_col: str, y_col: str, cell: int,
                                     sort=False)["v"].sum())
 
     return state
+
+
+def grid_nearest_sites(points, sites_ref, x_col: str, y_col: str, cell: int,
+                       est_rows: int | None = None):
+    """Discrete VORONOI partition of the point-density raster: every
+    occupied cell is assigned to its nearest site (exact integer squared
+    distance between the cell CENTER and the site position; ties to the
+    smallest site_id), then rolled up per site — the nearest-facility /
+    coverage-allocation primitive (service areas, label placement, shard
+    assignment by geography). ≙ the reference's nearest-match selection
+    (min-deviation pick, `snapGtfsStopsSequenceToGtfsShape.js:64-84`)
+    lifted from per-stop candidates to a full raster partition.
+
+    ``sites_ref``: ``ray.put`` of an Arrow table (site_id, sx, sy) — the
+    site table is dimension-sized, so it is broadcast ONCE per worker and
+    the argmin runs map-side; the only shuffle is the grid-sized per-site
+    rollup. Returns (site_id, n_cells, mass) for sites that win ≥1 cell."""
+    import ray as _ray
+
+    from .relational import partial_groupby_sum
+    from .util import cached_state
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    cells = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                est_rows=est_rows)
+
+    def _build(tab: pa.Table):
+        return (tab["site_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tab["sx"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tab["sy"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        sid, sx, sy = cached_state(sites_ref, _build,
+                                   token="grid_nearest_sites.sites")
+        ccx = df["cx"].to_numpy(np.int64) * cell + cell // 2
+        ccy = df["cy"].to_numpy(np.int64) * cell + cell // 2
+        # cells × sites distance matrix; both sides bounded (grid ≤ 64²
+        # cells per batch, sites dimension-sized), all int64-exact
+        d2 = ((ccx[:, None] - sx[None, :]) ** 2
+              + (ccy[:, None] - sy[None, :]) ** 2)
+        # argmin with (d2, site_id) tie-break: sites are pre-sorted by id,
+        # so np.argmin's first-hit rule IS the smallest-id tie-break
+        order = np.argsort(sid, kind="stable")
+        best = order[np.argmin(d2[:, order], axis=1)]
+        return pd.DataFrame({"site_id": sid[best],
+                             "n_cells": np.int64(1),
+                             "mass": df["v"].to_numpy(np.int64)})
+
+    assigned = cells.map_batches(_assign, batch_format="pandas",
+                                 batch_size=8192)
+    return partial_groupby_sum(assigned, ["site_id"], ["n_cells", "mass"])
