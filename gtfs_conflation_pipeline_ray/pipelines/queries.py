@@ -11682,6 +11682,233 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_supplier_theilsen_trend(sf_dir: str):  # exact oracle (rational median)
+    """THEIL-SEN robust trend per supplier — the median of pairwise slopes
+    over the 12 monthly quantity sums, immune to the outlier months that
+    drag the OLS ``supplier_qty_trend``. Exact-rational trick: month gaps
+    dx ∈ 1..11 all divide 27720 = lcm(1..11), so slope_key =
+    dy·(27720 // dx) is an INTEGER strictly monotone in the slope dy/dx —
+    ordering/median of rationals with zero float involvement. Reported as
+    the two-middle sum (med2 convention) of slope keys, i.e. the median
+    slope × 2·27720. Shape: one combiner-first (supp, month) rollup, then
+    a supplier-bucketed pass builds the ≤66 pairs per group in-memory."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        return pa.table({
+            "l_suppkey": t["l_suppkey"], "mo": mo,
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)})
+
+    derived = li.map_batches(_derive, batch_format="pyarrow",
+                             batch_size=65536)
+    monthly = rel.partial_groupby_sum(derived, ["l_suppkey", "mo"], ["q"],
+                                      est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for supp, g in df.groupby("l_suppkey", sort=False):
+            g = g.sort_values("mo")
+            mo = g["mo"].to_numpy(np.int64)
+            q = g["q"].to_numpy(np.int64)
+            i, j = np.triu_indices(len(mo), k=1)
+            dx = mo[j] - mo[i]
+            keys = np.sort((q[j] - q[i]) * (27720 // dx))
+            n = len(keys)
+            if n == 0:
+                continue
+            med2 = int(keys[(n + 1) // 2 - 1]) + int(keys[(n + 2) // 2 - 1])
+            rows.append((np.int64(supp), np.int64(n), np.int64(med2)))
+        return pd.DataFrame(rows, columns=["l_suppkey", "n_pairs",
+                                           "ts_med2"])
+
+    return rel.bucketed_groups(monthly, ["l_suppkey"], _final,
+                               est_rows=_nrows(sf_dir, "supplier"))
+
+
+SQL_SUPPLIER_THEILSEN_TREND = """
+WITH m AS (
+  SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS mo,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT a.l_suppkey, (b.q - a.q) * (27720 // (b.mo - a.mo)) AS skey
+  FROM m a JOIN m b ON a.l_suppkey = b.l_suppkey AND b.mo > a.mo
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY skey) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM p
+)
+SELECT l_suppkey, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN skey ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN skey ELSE 0 END)
+            AS BIGINT) AS ts_med2
+FROM r GROUP BY 1
+"""
+
+
+def q_events_chi2_pieces(sf_dir: str):  # exact oracle (window-sum pieces)
+    """CHI-SQUARE test of independence between event_type and user segment
+    (user_id % 4) — the A/B-test / drift-detection statistic — in exact
+    integer PIECES: per observed cell, O and the cross-multiplied
+    num_base = O·T − R·C and den = R·C·T, so χ² = Σ num_base²/den with no
+    float entering the hash (same convention as the z-rule in
+    ``events_anomaly``). Bound: R·C·T < 2^63 ⇒ valid to ~2M events/side
+    at this segmentation — documented, fixture-safe. One combiner-first
+    rollup; margins computed on the cells table (types × 4 rows)."""
+    ev = _rp(sf_dir, "events", ["event_type", "user_id"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "seg": t["user_id"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) % 4})
+
+    prep = ev.map_batches(_pre, batch_format="pyarrow", batch_size=65536)
+    cells = rel.partial_groupby_sum(prep, ["event_type", "seg"], [],
+                                    count_as="o").to_pandas()  # types×4 rows
+    total = np.int64(cells["o"].sum())
+    rmap = cells.groupby("event_type")["o"].sum()
+    cmap = cells.groupby("seg")["o"].sum()
+    r = rmap[cells["event_type"]].to_numpy(np.int64)
+    c = cmap[cells["seg"]].to_numpy(np.int64)
+    o = cells["o"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": cells["event_type"].to_numpy(),
+        "seg": cells["seg"].to_numpy(np.int64),
+        "o": o,
+        "num_base": o * total - r * c,
+        "den": r * c * total,
+    })
+
+
+SQL_EVENTS_CHI2_PIECES = """
+WITH cells AS (
+  SELECT event_type, user_id % 4 AS seg, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, seg, CAST(o AS BIGINT) AS o,
+       CAST(o * SUM(o) OVER ()
+            - SUM(o) OVER (PARTITION BY event_type)
+              * SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS num_base,
+       CAST(SUM(o) OVER (PARTITION BY event_type)
+            * SUM(o) OVER (PARTITION BY seg)
+            * SUM(o) OVER () AS BIGINT) AS den
+FROM cells
+"""
+
+
+def q_doc_bm25(sf_dir: str):  # exact oracle (rational BM25 pieces)
+    """BM25 retrieval scoring for the query {merge, window, vector} — the
+    ranking function behind every lexical search engine — with k1 = 6/5
+    and b = 3/4 kept as EXACT RATIONALS: per (doc, matching term),
+
+        tf_norm = tfn_num/tfn_den = 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+        idf     = ln(idf_num/idf_den) = ln((2N − 2df + 1)/(2df + 1))
+
+    (multiply k1/b through by 10·L: avgdl = L/N never materializes as a
+    float). Pieces are emitted, not the product, so the hash is exact;
+    bound 22·L·tf < 2^63 documented. Two passes over the doc-count-sized
+    (doc, dl, tf…) profile: one tiny global aggregate (N, L, df), then a
+    map-side emit with the scalars in the closure."""
+    from ..functions.text import _WORD_ASCII_RE
+
+    terms = ("merge", "window", "vector")
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _profile(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        dl = np.empty(len(ids), dtype=np.int64)
+        tfs = np.zeros((len(ids), 3), dtype=np.int64)
+        for k, t in enumerate(texts):
+            ws = _WORD_ASCII_RE.findall((t or "").lower())
+            dl[k] = len(ws)
+            for ti, term in enumerate(terms):
+                tfs[k, ti] = sum(1 for w in ws if w == term)
+        return pa.table({"doc_id": ids, "dl": dl, "tf_merge": tfs[:, 0],
+                         "tf_window": tfs[:, 1], "tf_vector": tfs[:, 2]})
+
+    prof = docs.map_batches(_profile, batch_format="pyarrow",
+                            batch_size=1024).materialize()
+    agg = prof.map_batches(
+        lambda t: pa.table({
+            "n": [np.int64(t.num_rows)],
+            "l": [np.int64(t["dl"].to_numpy().sum())],
+            **{f"df_{x}": [np.int64((t[f"tf_{x}"].to_numpy() > 0).sum())]
+               for x in terms}}),
+        batch_format="pyarrow").to_pandas().sum()
+    n_docs, total_l = np.int64(agg["n"]), np.int64(agg["l"])
+    dfs = {x: np.int64(agg[f"df_{x}"]) for x in terms}
+
+    def _emit(t: pa.Table) -> pa.Table:
+        outs = []
+        ids = t["doc_id"].to_numpy()
+        dl = t["dl"].to_numpy()
+        for term in terms:
+            tf = t[f"tf_{term}"].to_numpy()
+            m = tf > 0
+            df = dfs[term]
+            outs.append(pa.table({
+                "doc_id": ids[m],
+                "term": pa.array([term] * int(m.sum()), type=pa.string()),
+                "tf": tf[m],
+                "tfn_num": 22 * total_l * tf[m],
+                "tfn_den": 10 * total_l * tf[m] + 3 * total_l
+                           + 9 * dl[m] * n_docs,
+                "idf_num": np.full(int(m.sum()),
+                                   2 * n_docs - 2 * df + 1, dtype=np.int64),
+                "idf_den": np.full(int(m.sum()), 2 * df + 1,
+                                   dtype=np.int64),
+            }))
+        return pa.concat_tables(outs)
+
+    return prof.map_batches(_emit, batch_format="pyarrow", batch_size=65536)
+
+
+SQL_DOC_BM25 = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'merge')) AS tf_merge,
+         len(list_filter(w, x -> x = 'window')) AS tf_window,
+         len(list_filter(w, x -> x = 'vector')) AS tf_vector
+  FROM ws
+),
+g AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS l,
+         SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+         SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+         SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+  FROM d
+),
+u AS (
+  SELECT doc_id, dl, 'merge' AS term, tf_merge AS tf, df_merge AS df,
+         n, l FROM d, g WHERE tf_merge > 0
+  UNION ALL
+  SELECT doc_id, dl, 'window', tf_window, df_window, n, l
+  FROM d, g WHERE tf_window > 0
+  UNION ALL
+  SELECT doc_id, dl, 'vector', tf_vector, df_vector, n, l
+  FROM d, g WHERE tf_vector > 0
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(22 * l * tf AS BIGINT) AS tfn_num,
+       CAST(10 * l * tf + 3 * l + 9 * dl * n AS BIGINT) AS tfn_den,
+       CAST(2 * n - 2 * df + 1 AS BIGINT) AS idf_num,
+       CAST(2 * df + 1 AS BIGINT) AS idf_den
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11922,6 +12149,9 @@ QUERIES = {
     "grid_nearest_site": q_grid_nearest_site,
     "fk_integrity_audit": q_fk_integrity_audit,
     "value_trimmed_mean": q_value_trimmed_mean,
+    "supplier_theilsen_trend": q_supplier_theilsen_trend,
+    "events_chi2_pieces": q_events_chi2_pieces,
+    "doc_bm25": q_doc_bm25,
 }
 
 
@@ -12155,4 +12385,7 @@ ORACLE_SQL = {
     "grid_nearest_site": SQL_GRID_NEAREST_SITE,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "value_trimmed_mean": SQL_VALUE_TRIMMED_MEAN,
+    "supplier_theilsen_trend": SQL_SUPPLIER_THEILSEN_TREND,
+    "events_chi2_pieces": SQL_EVENTS_CHI2_PIECES,
+    "doc_bm25": SQL_DOC_BM25,
 }
