@@ -11909,6 +11909,107 @@ FROM u
 """
 
 
+def q_tile_mst(sf_dir: str):  # exact oracle (round replay + recursive CC)
+    """Minimum spanning FOREST of the tile kNN graph by BORŮVKA
+    (``graphrank.boruvka_msf``) — the parallel-MST classic (each component
+    grabs its lightest incident edge under the (w, u, v) total order,
+    components contract via CC, O(log n) rounds): single-linkage
+    clustering / network-skeleton primitive next to CC, BFS, SSSP and
+    PageRank. The tie-break total order makes the MSF unique, so the
+    oracle's round replay (per-round argmin + recursive-CTE contraction)
+    and the pytest Kruskal both reproduce it bit-exactly. Emits
+    (u, v, w, r) — forest edges + the round that selected them."""
+    from ..stages.graphrank import boruvka_msf
+
+    knn = q_tile_knn_graph(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = t["src_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["dist2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d, w = s[m], d[m], w[m]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        df = pd.DataFrame({"u": u, "v": v, "w": w}).drop_duplicates(
+            ["u", "v"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow",
+                            batch_size=65536)
+    return boruvka_msf(edges, max_rounds=12)
+
+
+def _sql_boruvka_rounds(rounds: int) -> str:
+    parts = []
+    for r in range(rounds):
+        parts.append(f""",
+x{r} AS MATERIALIZED (
+  SELECT la.c AS ca, lb.c AS cb, e.w, e.u, e.v
+  FROM e JOIN lab{r} la ON la.node = e.u JOIN lab{r} lb ON lb.node = e.v
+  WHERE la.c <> lb.c
+),
+s{r} AS MATERIALIZED (
+  SELECT DISTINCT u, v, w FROM (
+    SELECT c, u, v, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM (SELECT ca AS c, u, v, w FROM x{r}
+          UNION ALL SELECT cb, u, v, w FROM x{r})
+  ) WHERE rn = 1
+),
+a{r} AS MATERIALIZED (
+  SELECT la.c AS ca, lb.c AS cb
+  FROM s{r} s JOIN lab{r} la ON la.node = s.u
+              JOIN lab{r} lb ON lb.node = s.v
+  UNION
+  SELECT lb.c, la.c
+  FROM s{r} s JOIN lab{r} la ON la.node = s.u
+              JOIN lab{r} lb ON lb.node = s.v
+),
+r{r} AS (
+  SELECT ca AS a, ca AS m FROM a{r}
+  UNION
+  SELECT a{r}.cb, r{r}.m FROM r{r} JOIN a{r} ON a{r}.ca = r{r}.a
+),
+c{r} AS MATERIALIZED (SELECT a, MIN(m) AS root FROM r{r} GROUP BY 1),
+lab{r + 1} AS MATERIALIZED (
+  SELECT l.node, COALESCE(cm.root, l.c) AS c
+  FROM lab{r} l LEFT JOIN c{r} cm ON cm.a = l.c
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT u, v, w, {r} AS r FROM s{r}" for r in range(rounds))
+    return "".join(parts) + f"""
+SELECT u, v, CAST(w AS BIGINT) AS w, CAST(r AS BIGINT) AS r FROM (
+{sel}
+)"""
+
+
+SQL_TILE_MST = f"""
+WITH RECURSIVE tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+knn AS (
+  SELECT src_tile, tile_id, dist2 FROM (
+    SELECT p.src_tile, t.tile_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src_tile
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank,
+           (p.px - t.cx) * (p.px - t.cx)
+             + (p.py - t.cy) * (p.py - t.cy) AS dist2
+    FROM probes p CROSS JOIN tiles t
+  ) WHERE knn_rank <= 4
+),
+e AS MATERIALIZED (
+  -- dist2 is symmetric, so DISTINCT collapses both orientations exactly
+  SELECT DISTINCT LEAST(src_tile, tile_id) AS u,
+         GREATEST(src_tile, tile_id) AS v, dist2 AS w
+  FROM knn WHERE tile_id <> src_tile
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+lab0 AS MATERIALIZED (SELECT node, node AS c FROM nodes)
+""" + _sql_boruvka_rounds(12)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12152,6 +12253,7 @@ QUERIES = {
     "supplier_theilsen_trend": q_supplier_theilsen_trend,
     "events_chi2_pieces": q_events_chi2_pieces,
     "doc_bm25": q_doc_bm25,
+    "tile_mst": q_tile_mst,
 }
 
 
@@ -12388,4 +12490,5 @@ ORACLE_SQL = {
     "supplier_theilsen_trend": SQL_SUPPLIER_THEILSEN_TREND,
     "events_chi2_pieces": SQL_EVENTS_CHI2_PIECES,
     "doc_bm25": SQL_DOC_BM25,
+    "tile_mst": SQL_TILE_MST,
 }

@@ -537,3 +537,180 @@ def label_propagation_rounds(edges, seeds, rounds: int = 2,
                 batch_format="pandas", batch_size=65536)).materialize()
 
     return labels
+
+
+def _boruvka_kernel(u, v, w, max_rounds: int = 16):
+    """Vectorized single-worker Borůvka over int64 arrays (u < v per edge,
+    (u, v) distinct). Tie-break total order (w, u, v) makes the MSF unique,
+    so the distributed path and any correct MST algorithm agree bit-exactly.
+    Returns (sel_idx, sel_round) — indices into the input edge arrays."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    comp = np.arange(len(nodes), dtype=np.int64)
+    sel_idx, sel_round = [], []
+    for r in range(max_rounds):
+        cu, cv = comp[ui], comp[vi]
+        cross = cu != cv
+        if not cross.any():
+            break
+        idx = np.nonzero(cross)[0]
+        # both orientations: every component sees its incident cross edges
+        cc = np.concatenate([cu[idx], cv[idx]])
+        ei = np.concatenate([idx, idx])
+        order = np.lexsort((v[ei], u[ei], w[ei], cc))
+        cc_s, ei_s = cc[order], ei[order]
+        first = np.ones(len(cc_s), dtype=bool)
+        first[1:] = cc_s[1:] != cc_s[:-1]
+        chosen = np.unique(ei_s[first])
+        sel_idx.append(chosen)
+        sel_round.append(np.full(len(chosen), r, dtype=np.int64))
+        # contract: hash-min + pointer-doubling CC over the selected
+        # component arcs (same loop as dedup_clusters' _cc_kernel)
+        ca, cb = comp[ui[chosen]], comp[vi[chosen]]
+        cn, cinv = np.unique(np.concatenate([ca, cb]), return_inverse=True)
+        si = np.concatenate([cinv[:len(ca)], cinv[len(ca):]])
+        di = np.concatenate([cinv[len(ca):], cinv[:len(ca)]])
+        lbl = np.arange(len(cn), dtype=np.int64)
+        # contraction must reach the FIXPOINT (the oracle's recursive CTE
+        # is exact transitive closure) — its round budget is independent
+        # of the Borůvka round budget
+        for _ in range(64):
+            prev = lbl.copy()
+            nxt = lbl.copy()
+            np.minimum.at(nxt, di, lbl[si])
+            lbl = np.minimum(nxt[nxt], nxt)
+            if (lbl == prev).all():
+                break
+        else:
+            raise RuntimeError("boruvka contraction: no CC fixpoint")
+        uc = np.unique(comp)
+        remap = uc.copy()
+        remap[np.searchsorted(uc, cn)] = cn[lbl]  # cn ⊆ uc
+        comp = remap[np.searchsorted(uc, comp)]
+    if sel_idx:
+        return np.concatenate(sel_idx), np.concatenate(sel_round)
+    return (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+
+
+def boruvka_msf(edges, max_rounds: int = 10, n_parts: int = 8,
+                smallgraph_edges: int = 2_000_000):
+    """Minimum spanning FOREST by Borůvka — the parallel-MST classic (each
+    component grabs its lightest incident edge, components contract,
+    repeat; O(log n) rounds): the clustering / network-design primitive
+    (single-linkage dendrograms, road-network skeletons) next to CC
+    (``dedup_clusters``) and SSSP (``sssp_rounds``).
+
+    ``edges``: Dataset (u, v, w) int64 with u < v, (u, v) distinct. The
+    tie-break total order (w, u, v) makes the MSF UNIQUE, so any correct
+    MST algorithm reproduces it — the oracle replays the rounds with
+    per-round recursive-CTE contraction, pytest cross-checks Kruskal.
+
+    Scale shape (mirrors ``dedup_clusters``' size-based plan selection):
+    an edge set that fits one task collapses to one vectorized kernel;
+    larger graphs take the round loop where edges NEVER leave their
+    shards — per round each shard emits per-component partial argmins
+    (combiner), one component-bucketed shuffle finalizes the argmin, and
+    the contraction runs on the SELECTED edge set (component-count-sized,
+    halving per round). Per-round driver state is the component map, never
+    the edge set. Returns (u, v, w, r) — MSF edges + selection round."""
+    import ray
+
+    from .relational import bucketed_groups
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import pyarrow as _pa
+        return ray.data.from_arrow(_pa.table({
+            "u": _pa.array([], type=_pa.int64()),
+            "v": _pa.array([], type=_pa.int64()),
+            "w": _pa.array([], type=_pa.int64()),
+            "r": _pa.array([], type=_pa.int64())}))
+
+    if n_edges <= smallgraph_edges:
+        def _msf(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # global (u, v) dedup — per-shard dedup upstream can't see
+            # cross-shard duplicates, and the kernel requires distinct pairs
+            order = np.lexsort((w, v, u))
+            u, v, w = u[order], v[order], w[order]
+            first = np.ones(len(u), dtype=bool)
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v, w = u[first], v[first], w[first]
+            sel, rnd = _boruvka_kernel(u, v, w, max_rounds=max_rounds)
+            return pa.table({"u": u[sel], "v": v[sel], "w": w[sel],
+                             "r": rnd})
+
+        return edges.repartition(1).map_batches(
+            _msf, batch_format="pyarrow", batch_size=None)
+
+    # distributed rounds: labels live driver-side only as the CONTRACTED
+    # component map (halving per round); edges stay sharded throughout
+    from .util import cached_state
+
+    out_parts = []
+    label_map: dict[int, int] = {}  # node -> comp (identity when absent)
+    for r in range(max_rounds):
+        lref = ray.put(label_map)
+
+        def _partial_min(df: pd.DataFrame, _lref=lref, _r=r) -> pd.DataFrame:
+            lm = cached_state(_lref, lambda m: m, token=f"boruvka.lab{_r}")
+            uu = df["u"].to_numpy(np.int64)
+            vv = df["v"].to_numpy(np.int64)
+            ww = df["w"].to_numpy(np.int64)
+            cu = np.array([lm.get(int(x), int(x)) for x in uu])
+            cv = np.array([lm.get(int(x), int(x)) for x in vv])
+            m = cu != cv
+            if not m.any():
+                return pd.DataFrame({"c": [], "w": [], "u": [], "v": []}
+                                    ).astype(np.int64)
+            d = pd.DataFrame({
+                "c": np.concatenate([cu[m], cv[m]]),
+                "w": np.concatenate([ww[m], ww[m]]),
+                "u": np.concatenate([uu[m], uu[m]]),
+                "v": np.concatenate([vv[m], vv[m]])})
+            d = d.sort_values(["c", "w", "u", "v"], kind="mergesort")
+            return d.drop_duplicates("c", keep="first")
+
+        def _final_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["c", "w", "u", "v"], kind="mergesort")
+            return g.drop_duplicates("c", keep="first")
+
+        staged = edges.map_batches(_partial_min, batch_format="pandas",
+                                   batch_size=65536)
+        sel = bucketed_groups(staged, ["c"], _final_min,
+                              n_buckets=n_parts)
+        sel_df = sel.to_pandas()  # component-count-sized, halves per round
+        sel_df = sel_df.drop_duplicates(["u", "v"])
+        if len(sel_df) == 0:
+            break
+        out_parts.append(sel_df.assign(r=np.int64(r))[["u", "v", "w", "r"]])
+        # contract on the selected component arcs
+        cu = np.array([label_map.get(int(x), int(x))
+                       for x in sel_df["u"].to_numpy(np.int64)])
+        cv = np.array([label_map.get(int(x), int(x))
+                       for x in sel_df["v"].to_numpy(np.int64)])
+        cn, cinv = np.unique(np.concatenate([cu, cv]), return_inverse=True)
+        si = np.concatenate([cinv[:len(cu)], cinv[len(cu):]])
+        di = np.concatenate([cinv[len(cu):], cinv[:len(cu)]])
+        lbl = np.arange(len(cn), dtype=np.int64)
+        for _ in range(32):
+            prev = lbl.copy()
+            nxt = lbl.copy()
+            np.minimum.at(nxt, di, lbl[si])
+            lbl = np.minimum(nxt[nxt], nxt)
+            if (lbl == prev).all():
+                break
+        root = dict(zip(cn.tolist(), cn[lbl].tolist()))
+        # compose: every node whose comp got contracted follows it
+        for nd in list(label_map):
+            label_map[nd] = root.get(label_map[nd], label_map[nd])
+        for c, rt in root.items():
+            label_map.setdefault(c, rt)
+    import pandas as _pd
+    allsel = (_pd.concat(out_parts, ignore_index=True) if out_parts
+              else _pd.DataFrame({"u": [], "v": [], "w": [], "r": []}
+                                 ).astype(np.int64))
+    return ray.data.from_pandas(allsel)
