@@ -12010,6 +12010,239 @@ lab0 AS MATERIALIZED (SELECT node, node AS c FROM nodes)
 """ + _sql_boruvka_rounds(12)
 
 
+def q_image_autocrop(sf_dir: str):  # exact oracle (planted-border closed form)
+    """AUTOCROP / border-trim through the decode path
+    (``media.image_autocrop``): the tightest bbox of content pixels
+    (anything differing from the top-left background) — the scanned-page /
+    letterbox / window-chrome trim of image curation. Fixture plants a
+    constant border of width 1 + (5i mod 4) around a gradient interior
+    whose channel values are multiples of 4 below 64 (fixed points of the
+    QJPG quantizer, so all three formats decode bit-exactly) and never
+    equal the background 60 — the bbox is therefore EXACTLY the planted
+    rectangle and the oracle is the synthesis closed form. The kernel is
+    the general any-channel-differs scan (pytest drives ragged content)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            bw = int(1 + (i * 5) % 4)
+            img = np.full((h, w, 3), 60, dtype=np.uint8)
+            jj = np.arange(w, dtype=np.int64)
+            rr = np.arange(h, dtype=np.int64)
+            img[bw:h - bw, bw:w - bw, 0] = (4 * ((i + jj) % 14))[None, bw:w - bw]
+            img[bw:h - bw, bw:w - bw, 1] = (4 * ((i + rr) % 14))[bw:h - bw, None]
+            img[bw:h - bw, bw:w - bw, 2] = 4 * (i % 14)
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_autocrop(synth, batch_size=512)
+
+
+SQL_IMAGE_AUTOCROP = """
+SELECT doc_id AS image_id,
+       CAST(1 + (doc_id * 5) % 4 AS BIGINT) AS x0,
+       CAST(1 + (doc_id * 5) % 4 AS BIGINT) AS y0,
+       CAST(16 + (doc_id % 4) * 8 - 2 - (doc_id * 5) % 4 AS BIGINT) AS x1,
+       CAST(12 + (doc_id % 3) * 6 - 2 - (doc_id * 5) % 4 AS BIGINT) AS y1,
+       CAST((16 + (doc_id % 4) * 8 - 2 * (1 + (doc_id * 5) % 4))
+            * (12 + (doc_id % 3) * 6 - 2 * (1 + (doc_id * 5) % 4))
+            AS BIGINT) AS content_area
+FROM documents
+"""
+
+
+def q_image_downscale_stats(sf_dir: str):  # exact oracle (separable replay)
+    """Exact 2× BOX DOWNSAMPLE through the decode path
+    (``media.image_downscale_stats``): per-image floor-mean 2×2 pyramid
+    level reduced to integer checkpoints — the oracle-backed face of the
+    resize op (``media.image_resize`` stays pytest-only because re-encoded
+    BYTES aren't SQL-mirrorable; the downsampled PIXELS are). On the
+    gradient fixture R varies only by column and G only by row, so each
+    2×2 block mean collapses to a pair floor-mean along one axis and the
+    (j'+1)(r'+1)-weighted sum factorizes; the kernel is the general 2-D
+    block mean."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_downscale_stats(synth, batch_size=512)
+
+
+SQL_IMAGE_DOWNSCALE_STATS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rp AS (
+  SELECT a.image_id, a.j // 2 AS jp, (a.v + b.v) // 2 AS dv
+  FROM rq a JOIN rq b ON a.image_id = b.image_id AND b.j = a.j + 1
+  WHERE a.j % 2 = 0
+),
+rs AS (
+  SELECT image_id, SUM(dv) AS s, SUM((jp + 1) * dv) AS ws
+  FROM rp GROUP BY image_id
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+gp AS (
+  SELECT a.image_id, a.r // 2 AS rp2, (a.v + b.v) // 2 AS dv
+  FROM gq a JOIN gq b ON a.image_id = b.image_id AND b.r = a.r + 1
+  WHERE a.r % 2 = 0
+),
+gs AS (
+  SELECT image_id, SUM(dv) AS s, SUM((rp2 + 1) * dv) AS ws
+  FROM gp GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(w // 2 AS BIGINT) AS dw, CAST(h // 2 AS BIGINT) AS dh,
+       CAST((h // 2) * rs.s AS BIGINT) AS r_sum,
+       CAST(((h // 2) * (h // 2 + 1) // 2) * rs.ws AS BIGINT) AS r_wsum,
+       CAST((w // 2) * gs.s AS BIGINT) AS g_sum,
+       CAST(((w // 2) * (w // 2 + 1) // 2) * gs.ws AS BIGINT) AS g_wsum
+FROM im JOIN rs USING (image_id) JOIN gs USING (image_id)
+"""
+
+
+def q_image_rle_profile(sf_dir: str):  # exact oracle (1-D LAG replay)
+    """RLE COMPRESSIBILITY profile through the decode path
+    (``media.image_rle_profile``): run-length token counts (horizontal R,
+    vertical G, horizontal B) — the synthetic-vs-photographic screen of
+    image curation (diagrams/screenshots RLE to a handful of tokens per
+    scanline, photographs don't). On the gradient fixture every R row is
+    identical, so the oracle is h × a 1-D LAG change count (and w × for
+    the row-driven G, h × 1 for the constant B); the kernel is the
+    general 2-D neighbor-change count."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_rle_profile(synth, batch_size=512)
+
+
+SQL_IMAGE_RLE_PROFILE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rruns AS (
+  SELECT image_id,
+         1 + SUM(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END)
+           AS runs
+  FROM (SELECT image_id, v,
+               LAG(v) OVER (PARTITION BY image_id ORDER BY j) AS pv
+        FROM rq)
+  GROUP BY image_id
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+gruns AS (
+  SELECT image_id,
+         1 + SUM(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END)
+           AS runs
+  FROM (SELECT image_id, v,
+               LAG(v) OVER (PARTITION BY image_id ORDER BY r) AS pv
+        FROM gq)
+  GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(h * rruns.runs AS BIGINT) AS r_runs_h,
+       CAST(w * gruns.runs AS BIGINT) AS g_runs_v,
+       CAST(h AS BIGINT) AS b_runs_h
+FROM im JOIN rruns USING (image_id) JOIN gruns USING (image_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12254,6 +12487,9 @@ QUERIES = {
     "events_chi2_pieces": q_events_chi2_pieces,
     "doc_bm25": q_doc_bm25,
     "tile_mst": q_tile_mst,
+    "image_autocrop": q_image_autocrop,
+    "image_downscale_stats": q_image_downscale_stats,
+    "image_rle_profile": q_image_rle_profile,
 }
 
 
@@ -12491,4 +12727,7 @@ ORACLE_SQL = {
     "events_chi2_pieces": SQL_EVENTS_CHI2_PIECES,
     "doc_bm25": SQL_DOC_BM25,
     "tile_mst": SQL_TILE_MST,
+    "image_autocrop": SQL_IMAGE_AUTOCROP,
+    "image_downscale_stats": SQL_IMAGE_DOWNSCALE_STATS,
+    "image_rle_profile": SQL_IMAGE_RLE_PROFILE,
 }

@@ -1529,3 +1529,189 @@ def image_components(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def content_bbox(img: np.ndarray) -> tuple[int, int, int, int]:
+    """CONTENT BOUNDING BOX of a decoded RGB image: the tightest (x0, y0,
+    x1, y1) (inclusive) covering every pixel that differs from the
+    background, where background = the top-left corner pixel — the autocrop
+    / border-trim primitive of image curation (scanned pages, letterboxed
+    frames, screenshots with window chrome). Returns (-1, -1, -1, -1) for a
+    fully-background image."""
+    bg = img[0, 0, :]
+    mask = (img != bg[None, None, :]).any(axis=2)
+    rows = mask.any(axis=1)
+    cols = mask.any(axis=0)
+    if not rows.any():
+        return -1, -1, -1, -1
+    ys = np.flatnonzero(rows)
+    xs = np.flatnonzero(cols)
+    return int(xs[0]), int(ys[0]), int(xs[-1]), int(ys[-1])
+
+
+class ImageAutocrop:
+    """Actor-pool batch fn: per-image content bbox through the genuine
+    decode path (:func:`content_bbox`). Emits (image_id, x0, y0, x1, y1,
+    content_area). The kernel is the general any-channel-differs scan —
+    fixtures that plant a constant border make the oracle the synthesis
+    closed form, but nothing about the border is assumed here."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        x0 = np.empty(n, np.int64)
+        y0 = np.empty(n, np.int64)
+        x1 = np.empty(n, np.int64)
+        y1 = np.empty(n, np.int64)
+        area = np.empty(n, np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            a, b, c, d = content_bbox(img)
+            x0[i], y0[i], x1[i], y1[i] = a, b, c, d
+            area[i] = (c - a + 1) * (d - b + 1) if a >= 0 else 0
+        return pa.table({"image_id": ids, "x0": x0, "y0": y0,
+                         "x1": x1, "y1": y1, "content_area": area})
+
+
+def image_autocrop(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                   fmt_col: str = "fmt", concurrency: int | None = None,
+                   batch_size: int = 256):
+    return ds.map_batches(
+        ImageAutocrop,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def box_downscale2(img: np.ndarray) -> np.ndarray:
+    """Exact 2× BOX DOWNSAMPLE: each output pixel is the floor-mean of its
+    2×2 source block per channel (odd trailing row/column dropped) — the
+    thumbnail / pyramid-level constructor in pure int arithmetic, so the
+    result is bit-identical across hosts (no float resampler variance)."""
+    h, w, c = img.shape
+    v = img[: h - h % 2, : w - w % 2, :].astype(np.int64)
+    return (v.reshape(h // 2, 2, w // 2, 2, c).sum(axis=(1, 3)) // 4)
+
+
+class ImageDownscaleStats:
+    """Actor-pool batch fn: exact 2× box downsample through the genuine
+    decode path (:func:`box_downscale2`), reduced to integer checkpoints —
+    the ORACLE-BACKED upgrade of the resize op (``image_resize`` is
+    pytest-only because re-encoded bytes aren't SQL-mirrorable; the
+    downsampled PIXELS are). Emits (image_id, dw, dh, r_sum, r_wsum,
+    g_sum, g_wsum) where *_wsum weights pixel (r', j') by
+    (j'+1)·(r'+1) — separable, so a column×row factorized fixture keeps
+    the DuckDB mirror 1-D while the kernel stays the general 2-D block
+    mean."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = {k: np.empty(n, np.int64)
+               for k in ("dw", "dh", "r_sum", "r_wsum", "g_sum", "g_wsum")}
+        for i in range(n):
+            d = box_downscale2(self.decode(blobs[i], fmts[i]))
+            dh, dw = d.shape[0], d.shape[1]
+            wj = np.arange(1, dw + 1, dtype=np.int64)
+            wr = np.arange(1, dh + 1, dtype=np.int64)
+            out["dw"][i], out["dh"][i] = dw, dh
+            out["r_sum"][i] = int(d[:, :, 0].sum())
+            out["r_wsum"][i] = int((d[:, :, 0] * wj[None, :] * wr[:, None]).sum())
+            out["g_sum"][i] = int(d[:, :, 1].sum())
+            out["g_wsum"][i] = int((d[:, :, 1] * wj[None, :] * wr[:, None]).sum())
+        return pa.table({"image_id": ids, **{k: out[k] for k in
+                         ("dw", "dh", "r_sum", "r_wsum", "g_sum", "g_wsum")}})
+
+
+def image_downscale_stats(ds, bytes_col: str = "bytes",
+                          id_col: str = "image_id", fmt_col: str = "fmt",
+                          concurrency: int | None = None,
+                          batch_size: int = 256):
+    return ds.map_batches(
+        ImageDownscaleStats,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def rle_runs(channel: np.ndarray, axis: int) -> int:
+    """Total RUN-LENGTH-ENCODING token count of a channel along ``axis``
+    (0 = down each column, 1 = along each row): one token per maximal
+    constant run per scanline — the compressibility / synthetic-vs-photo
+    screen (diagrams RLE tiny, photographs don't)."""
+    v = channel.astype(np.int64)
+    if axis == 1:
+        changes = int((v[:, 1:] != v[:, :-1]).sum())
+        return changes + v.shape[0]
+    changes = int((v[1:, :] != v[:-1, :]).sum())
+    return changes + v.shape[1]
+
+
+class ImageRleProfile:
+    """Actor-pool batch fn: per-image RLE compressibility profile through
+    the genuine decode path (:func:`rle_runs`): horizontal token count of
+    R, vertical token count of G, horizontal token count of B. On the
+    gradient fixture R varies only by column (every row identical → the
+    oracle is h × a 1-D LAG replay) and G only by row; the kernel is the
+    general 2-D change count. Emits (image_id, r_runs_h, g_runs_v,
+    b_runs_h)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        r_out = np.empty(n, np.int64)
+        g_out = np.empty(n, np.int64)
+        b_out = np.empty(n, np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            r_out[i] = rle_runs(img[:, :, 0], axis=1)
+            g_out[i] = rle_runs(img[:, :, 1], axis=0)
+            b_out[i] = rle_runs(img[:, :, 2], axis=1)
+        return pa.table({"image_id": ids, "r_runs_h": r_out,
+                         "g_runs_v": g_out, "b_runs_h": b_out})
+
+
+def image_rle_profile(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                      fmt_col: str = "fmt", concurrency: int | None = None,
+                      batch_size: int = 256):
+    return ds.map_batches(
+        ImageRleProfile,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
