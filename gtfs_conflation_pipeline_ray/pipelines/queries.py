@@ -12243,6 +12243,168 @@ FROM im JOIN rruns USING (image_id) JOIN gruns USING (image_id)
 """
 
 
+def q_points_str_pack(sf_dir: str):  # exact oracle (ROW_NUMBER rank replay)
+    """SORT-TILE-RECURSIVE R-tree bulk load (``spatial.str_pack_pages``)
+    over the full probe-point set: global (x, id) rank → S vertical slabs
+    of cap·S rows (S = ⌈√⌈n/cap⌉⌉) → per-slab (y, id) rank → pages of
+    cap — one row per leaf page with its MBR. This is the INDEX BUILD
+    itself as a distributed operator (the in-memory ``state.strtree``
+    builds the same packing per worker for the broadcast side; this path
+    is for when the INDEXED side is the 100 TB one). Two bucketed
+    shuffles, never a global sort on one node; the x-rank is a two-phase
+    prefix sum over value-domain-bounded chunk counts."""
+    pts = conflation.read_points(sf_dir)
+    n = _nrows(sf_dir, "lineitem")
+    return spatial.str_pack_pages(pts, n_rows=n)
+
+
+SQL_POINTS_STR_PACK = _CTES + """,
+xr AS (
+  SELECT point_id, px, py,
+         ROW_NUMBER() OVER (ORDER BY px, point_id) - 1 AS xrank,
+         COUNT(*) OVER () AS n
+  FROM points
+),
+sl AS (
+  SELECT point_id, px, py,
+         xrank // (64 * CAST(CEIL(SQRT(CEIL(n / 64.0))) AS BIGINT)) AS slab
+  FROM xr
+),
+yr AS (
+  SELECT slab, px, py,
+         ROW_NUMBER() OVER (PARTITION BY slab ORDER BY py, point_id) - 1
+           AS yrank
+  FROM sl
+)
+SELECT CAST(slab * 1000000 + yrank // 64 AS BIGINT) AS page_id,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(MIN(px) AS BIGINT) AS x0, CAST(MIN(py) AS BIGINT) AS y0,
+       CAST(MAX(px) AS BIGINT) AS x1, CAST(MAX(py) AS BIGINT) AS y1
+FROM yr GROUP BY 1
+"""
+
+
+def _two_sample_counts(sf_dir: str, type_a: str, type_b: str):
+    """Shared distributed core of the two-sample rank statistics: per-side
+    per-cents-value counts via the map-side combiner (the count table is
+    VALUE-DOMAIN-bounded — ≤ ~49k distinct cents per side regardless of
+    row count — so the driver finalize is O(distinct values), documented
+    bounded). Returns (values, ca, cb) sorted by value."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (t == type_a) | (t == type_b)
+        v = cents(batch["value"].to_numpy(zero_copy_only=False)[keep])
+        side = (t[keep] == type_b).astype(np.int64)
+        return pa.table({"side": side, "v": v})
+
+    c = rel.partial_groupby_sum(
+        ev.map_batches(_prep, batch_format="pyarrow", batch_size=65536),
+        ["side", "v"], [], count_as="c").to_pandas()
+    piv = c.pivot_table(index="v", columns="side", values="c",
+                        aggfunc="sum", fill_value=0)
+    vals = piv.index.to_numpy(np.int64)
+    ca = (piv[0].to_numpy(np.int64) if 0 in piv.columns
+          else np.zeros(len(vals), np.int64))
+    cb = (piv[1].to_numpy(np.int64) if 1 in piv.columns
+          else np.zeros(len(vals), np.int64))
+    return vals, ca, cb
+
+
+def q_events_mannwhitney(sf_dir: str):  # exact oracle (window cum-count)
+    """MANN-WHITNEY U / AUC between the 'click' and 'error' value samples
+    as exact integers: u2 = 2·#(a>b) + #(a=b) over all cross pairs (so
+    AUC = u2 / (2·n_a·n_b) exactly) — the nonparametric A/B significance
+    and ROC-AUC primitive. Never forms pairs: per-side value counts
+    (combiner-first, value-domain-bounded) + a cumulative cross-multiply,
+    identical shape to the SQL window mirror."""
+    vals, ca, cb = _two_sample_counts(sf_dir, "click", "error")
+    cumb = np.concatenate([[0], np.cumsum(cb)[:-1]])
+    u2 = int((ca * (2 * cumb + cb)).sum())
+    ties = int((ca * cb).sum())
+    return pa.table({
+        "n_a": pa.array([int(ca.sum())], pa.int64()),
+        "n_b": pa.array([int(cb.sum())], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "ties": pa.array([ties], pa.int64()),
+    })
+
+
+SQL_EVENTS_MANNWHITNEY = """
+WITH ab AS (
+  SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'error')
+),
+c AS (SELECT side, v, COUNT(*) AS c FROM ab GROUP BY side, v),
+m AS (
+  SELECT v,
+         COALESCE(SUM(CASE WHEN side = 0 THEN c END), 0) AS ca,
+         COALESCE(SUM(CASE WHEN side = 1 THEN c END), 0) AS cb
+  FROM c GROUP BY v
+),
+w AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM m
+)
+SELECT CAST((SELECT SUM(ca) FROM m) AS BIGINT) AS n_a,
+       CAST((SELECT SUM(cb) FROM m) AS BIGINT) AS n_b,
+       CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+       CAST(SUM(ca * cb) AS BIGINT) AS ties
+FROM w
+"""
+
+
+def q_events_ks_stat(sf_dir: str):  # exact oracle (window ECDF cross-mult)
+    """Two-sample KOLMOGOROV-SMIRNOV statistic between the 'view' and
+    'purchase' value samples as exact integers: d_num = max over values of
+    |cumA(v)·n_b − cumB(v)·n_a| (so D = d_num / (n_a·n_b) exactly), plus
+    the smallest cents value attaining it — the distribution-drift
+    detector of a data-quality pipeline. Same value-domain-bounded count
+    core as Mann-Whitney; the max scan is a cumsum over the count table."""
+    vals, ca, cb = _two_sample_counts(sf_dir, "view", "purchase")
+    na, nb = int(ca.sum()), int(cb.sum())
+    gap = np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na)
+    best = int(np.argmax(gap))  # first hit = smallest v on ties
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d_num": pa.array([int(gap[best])], pa.int64()),
+        "ks_at": pa.array([int(vals[best])], pa.int64()),
+    })
+
+
+SQL_EVENTS_KS_STAT = """
+WITH ab AS (
+  SELECT CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+c AS (SELECT side, v, COUNT(*) AS c FROM ab GROUP BY side, v),
+m AS (
+  SELECT v,
+         COALESCE(SUM(CASE WHEN side = 0 THEN c END), 0) AS ca,
+         COALESCE(SUM(CASE WHEN side = 1 THEN c END), 0) AS cb
+  FROM c GROUP BY v
+),
+w AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb
+  FROM m
+),
+tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM m)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(ABS(cuma * n_b - cumb * n_a) AS BIGINT) AS d_num,
+       CAST(v AS BIGINT) AS ks_at
+FROM w, tot
+ORDER BY ABS(cuma * n_b - cumb * n_a) DESC, v LIMIT 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12490,6 +12652,9 @@ QUERIES = {
     "image_autocrop": q_image_autocrop,
     "image_downscale_stats": q_image_downscale_stats,
     "image_rle_profile": q_image_rle_profile,
+    "points_str_pack": q_points_str_pack,
+    "events_mannwhitney": q_events_mannwhitney,
+    "events_ks_stat": q_events_ks_stat,
 }
 
 
@@ -12730,4 +12895,7 @@ ORACLE_SQL = {
     "image_autocrop": SQL_IMAGE_AUTOCROP,
     "image_downscale_stats": SQL_IMAGE_DOWNSCALE_STATS,
     "image_rle_profile": SQL_IMAGE_RLE_PROFILE,
+    "points_str_pack": SQL_POINTS_STR_PACK,
+    "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
+    "events_ks_stat": SQL_EVENTS_KS_STAT,
 }

@@ -1832,3 +1832,82 @@ def grid_nearest_sites(points, sites_ref, x_col: str, y_col: str, cell: int,
     assigned = cells.map_batches(_assign, batch_format="pandas",
                                  batch_size=8192)
     return partial_groupby_sum(assigned, ["site_id"], ["n_cells", "mass"])
+
+
+def str_pack_pages(pts, n_rows: int, cap: int = 64, page_stride: int = 1_000_000,
+                   x_col: str = "px", y_col: str = "py", id_col: str = "point_id",
+                   x_chunk: int = 256):
+    """SORT-TILE-RECURSIVE R-tree bulk load as a distributed operator — the
+    page/leaf assignment of the STR packing (Leutenegger et al.) the engine's
+    broadcast :class:`~..state.strtree.STRtree` builds in-memory, expressed
+    over an UNBOUNDED point set so the index itself can be constructed at
+    100 TB: points are ranked globally by (x, id), cut into S vertical slabs
+    of ``cap·S`` rows (S = ⌈√⌈n/cap⌉⌉, the classic STR slab count), and each
+    slab is ranked by (y, id) and cut into pages of ``cap``. Emits one row
+    per PAGE: (page_id, n_entries, x0, y0, x1, y1) — the leaf MBR table a
+    packed R-tree materializes.
+
+    Scale shape: the global x-rank is a TWO-PHASE prefix sum (the
+    ``pack_sequences`` pattern): per-value-chunk counts (x // x_chunk; the
+    chunk table is value-domain-bounded) cumsum'd on the driver and
+    broadcast, then ONE bucketed shuffle ranks within chunks — equal x land
+    in the same chunk, so chunk order extends to the exact global (x, id)
+    order. The slab pass is a second bucketed shuffle keyed on slab; a slab
+    holds cap·S ≈ cap·√(n/cap) rows (8M at n = 10¹²) — bounded per worker.
+    S is computed as ⌈√⌈n/cap⌉⌉ in IEEE double (both engine and oracle), so
+    the cut points agree bit-exactly."""
+    import math
+
+    from .relational import bucketed_groups, partial_groupby_sum
+
+    S = int(math.ceil(math.sqrt(math.ceil(n_rows / float(cap)))))
+    slab_rows = cap * S
+
+    def _chunked(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_chunk": x // x_chunk, "x": x, "y": y, "pid": ids})
+
+    chunked = pts.map_batches(_chunked, batch_format="pyarrow",
+                              batch_size=65536)
+
+    counts = partial_groupby_sum(chunked, ["_chunk"], [], count_as="c",
+                                 est_rows=n_rows).to_pandas()
+    counts = counts.sort_values("_chunk")
+    cids = counts["_chunk"].to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts["c"].to_numpy())[:-1]]).astype(np.int64)
+    off_ref = ray.put((cids, offs))
+
+    def _slab(df: pd.DataFrame) -> pd.DataFrame:
+        ids_, offs_ = cached_state(off_ref, lambda m: m,
+                                   token="str_pack.chunk_offsets")
+        df = df.sort_values(["_chunk", "x", "pid"], kind="mergesort")
+        ck = df["_chunk"].to_numpy(np.int64)
+        pos = np.arange(len(df), dtype=np.int64)
+        first = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        base = np.repeat(pos[first], np.diff(np.r_[first, len(ck)]))
+        xrank = offs_[np.searchsorted(ids_, ck)] + (pos - base)
+        return pd.DataFrame({"slab": xrank // slab_rows,
+                             "x": df["x"].to_numpy(np.int64),
+                             "y": df["y"].to_numpy(np.int64),
+                             "pid": df["pid"].to_numpy(np.int64)})
+
+    slabs = bucketed_groups(chunked, ["_chunk"], _slab, est_rows=n_rows)
+
+    def _pages(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["slab", "y", "pid"], kind="mergesort")
+        sl = df["slab"].to_numpy(np.int64)
+        pos = np.arange(len(df), dtype=np.int64)
+        first = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        base = np.repeat(pos[first], np.diff(np.r_[first, len(sl)]))
+        page = sl * page_stride + (pos - base) // cap
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        out = pd.DataFrame({"page_id": page, "x": x, "y": y})
+        g = out.groupby("page_id", as_index=False, sort=False)
+        return g.agg(n_entries=("x", "size"), x0=("x", "min"), y0=("y", "min"),
+                     x1=("x", "max"), y1=("y", "max")).astype(
+                         {"n_entries": np.int64})
+
+    return bucketed_groups(slabs, ["slab"], _pages, est_rows=n_rows)
