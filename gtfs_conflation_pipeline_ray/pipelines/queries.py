@@ -12243,6 +12243,206 @@ FROM im JOIN rruns USING (image_id) JOIN gruns USING (image_id)
 """
 
 
+def q_image_grad_orientation(sf_dir: str):  # exact oracle (1-D x 1-D octants)
+    """GRADIENT-ORIENTATION octant histogram (HOG-lite) through the decode
+    path (``media.image_grad_orientation``): central-difference dx/dy of
+    the luma sum R+G+B on interior pixels, the classic 8-octant
+    sign/|dx|-vs-|dy| comparison tree (no atan2 — integer-exact), one
+    count column per octant plus the flat (zero-gradient) count — the
+    edge-direction texture signature of synthetic-vs-photo screening. On
+    the factorized fixture dx depends only on the column (the R h-gradient;
+    G and B cancel in the difference) and dy only on the row, so the
+    oracle is a cross join of two 1-D difference grids; the kernel is the
+    general 2-D tree."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_grad_orientation(synth, batch_size=512)
+
+
+SQL_IMAGE_GRAD_ORIENTATION = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rq AS (  -- dequantized R value per column (jpeg -> QJPG bin centers)
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+dxs AS (  -- central difference over interior columns (G,B cancel)
+  SELECT a.image_id, a.j - 1 AS x, a.v - b.v AS dx
+  FROM rq a JOIN rq b ON b.image_id = a.image_id AND b.j = a.j - 2
+),
+dys AS (
+  SELECT a.image_id, a.r - 1 AS y, a.v - b.v AS dy
+  FROM gq a JOIN gq b ON b.image_id = a.image_id AND b.r = a.r - 2
+),
+px AS (
+  SELECT dxs.image_id, dx, dy,
+         CASE WHEN dx = 0 AND dy = 0 THEN -1
+              WHEN dy >= 0 AND dx >= 0 AND ABS(dy) <= ABS(dx) THEN 0
+              WHEN dy >= 0 AND dx >= 0 THEN 1
+              WHEN dy >= 0 AND dx < 0 AND ABS(dy) > ABS(dx) THEN 2
+              WHEN dy >= 0 THEN 3
+              WHEN dx < 0 AND ABS(dy) <= ABS(dx) THEN 4
+              WHEN dx < 0 THEN 5
+              WHEN ABS(dy) > ABS(dx) THEN 6
+              ELSE 7 END AS oct
+  FROM dxs JOIN dys ON dys.image_id = dxs.image_id
+)
+SELECT image_id,
+       CAST(SUM(CASE WHEN oct = -1 THEN 1 ELSE 0 END) AS BIGINT) AS flat_n,
+       CAST(SUM(CASE WHEN oct = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oct0,
+       CAST(SUM(CASE WHEN oct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS oct1,
+       CAST(SUM(CASE WHEN oct = 2 THEN 1 ELSE 0 END) AS BIGINT) AS oct2,
+       CAST(SUM(CASE WHEN oct = 3 THEN 1 ELSE 0 END) AS BIGINT) AS oct3,
+       CAST(SUM(CASE WHEN oct = 4 THEN 1 ELSE 0 END) AS BIGINT) AS oct4,
+       CAST(SUM(CASE WHEN oct = 5 THEN 1 ELSE 0 END) AS BIGINT) AS oct5,
+       CAST(SUM(CASE WHEN oct = 6 THEN 1 ELSE 0 END) AS BIGINT) AS oct6,
+       CAST(SUM(CASE WHEN oct = 7 THEN 1 ELSE 0 END) AS BIGINT) AS oct7
+FROM px GROUP BY image_id
+"""
+
+
+def q_image_bayer_dither(sf_dir: str):  # exact oracle (residue-class counts)
+    """4×4 BAYER ORDERED DITHER black-pixel counts per channel through the
+    decode path (``media.image_bayer_dither``): pixel dithers black iff
+    v // 16 <= B(y % 4, x % 4) — the 1-bit-display / thumbnail-ink
+    estimate, and the parallel-safe member of the dithering family (error
+    diffusion is inherently sequential; the ordered matrix is why this one
+    distributes). Each fixture channel varies along one axis, so the
+    oracle collapses the tiled threshold into residue-class row/column
+    counts ((h + 3 − m) // 4 rows have y % 4 = m) instead of an h×w join;
+    the kernel is the general 2-D compare."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_bayer_dither(synth, batch_size=512)
+
+
+SQL_IMAGE_BAYER_DITHER = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+bayer(m, k, t) AS (VALUES
+  (0,0,0),(0,1,8),(0,2,2),(0,3,10),
+  (1,0,12),(1,1,4),(1,2,14),(1,3,6),
+  (2,0,3),(2,1,11),(2,2,1),(2,3,9),
+  (3,0,15),(3,1,7),(3,2,13),(3,3,5)
+),
+rq AS (
+  SELECT image_id, j, h,
+         CASE WHEN fi = 2
+              THEN (((br + (j * 55) // (w - 1)) // 4) * 4
+                    + ((br + (j * 55) // (w - 1)) // 4) // 16) // 16
+              ELSE (br + (j * 55) // (w - 1)) // 16 END AS q
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gq AS (
+  SELECT image_id, r, w,
+         CASE WHEN fi = 2
+              THEN (((bg + (r * 41) // (h - 1)) // 4) * 4
+                    + ((bg + (r * 41) // (h - 1)) // 4) // 16) // 16
+              ELSE (bg + (r * 41) // (h - 1)) // 16 END AS q
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+blk_r AS (  -- R varies by column: weight each (column, row-residue) pair
+  SELECT image_id,
+         SUM(CASE WHEN q <= t THEN (h + 3 - m) // 4 ELSE 0 END) AS n
+  FROM rq JOIN bayer ON bayer.k = rq.j % 4
+  GROUP BY image_id
+),
+blk_g AS (
+  SELECT image_id,
+         SUM(CASE WHEN q <= t THEN (w + 3 - k) // 4 ELSE 0 END) AS n
+  FROM gq JOIN bayer ON bayer.m = gq.r % 4
+  GROUP BY image_id
+),
+blk_b AS (  -- constant channel: all 16 residue classes at once
+  SELECT image_id,
+         SUM(CASE WHEN (CASE WHEN fi = 2
+                             THEN ((bb // 4) * 4 + (bb // 4) // 16) // 16
+                             ELSE bb // 16 END) <= t
+                  THEN ((h + 3 - m) // 4) * ((w + 3 - k) // 4)
+                  ELSE 0 END) AS n
+  FROM im, bayer
+  GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(blk_r.n AS BIGINT) AS black_r,
+       CAST(blk_g.n AS BIGINT) AS black_g,
+       CAST(blk_b.n AS BIGINT) AS black_b
+FROM im JOIN blk_r USING (image_id) JOIN blk_g USING (image_id)
+        JOIN blk_b USING (image_id)
+"""
+
+
 def q_points_str_pack(sf_dir: str):  # exact oracle (ROW_NUMBER rank replay)
     """SORT-TILE-RECURSIVE R-tree bulk load (``spatial.str_pack_pages``)
     over the full probe-point set: global (x, id) rank → S vertical slabs
@@ -12655,6 +12855,8 @@ QUERIES = {
     "points_str_pack": q_points_str_pack,
     "events_mannwhitney": q_events_mannwhitney,
     "events_ks_stat": q_events_ks_stat,
+    "image_grad_orientation": q_image_grad_orientation,
+    "image_bayer_dither": q_image_bayer_dither,
 }
 
 
@@ -12898,4 +13100,6 @@ ORACLE_SQL = {
     "points_str_pack": SQL_POINTS_STR_PACK,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "events_ks_stat": SQL_EVENTS_KS_STAT,
+    "image_grad_orientation": SQL_IMAGE_GRAD_ORIENTATION,
+    "image_bayer_dither": SQL_IMAGE_BAYER_DITHER,
 }

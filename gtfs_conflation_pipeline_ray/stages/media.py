@@ -1715,3 +1715,140 @@ def image_rle_profile(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def grad_octant_hist(luma: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-bin GRADIENT-ORIENTATION histogram of a 2-D luma plane (HOG-lite,
+    integer-exact): central-difference dx/dy on interior pixels, octant by
+    the classic sign/|dx|-vs-|dy| comparison tree (no atan2, no floats) —
+    the texture/edge-direction signature used to screen synthetic vs
+    photographic content and as the block descriptor of pedestrian-era
+    HOG. Returns (counts[8], flat_count); flat = dx == dy == 0.
+
+    Octants (0 = east, counter-clockwise): ties go to the LOWER octant
+    (|dy| <= |dx| stays in the axis-hugging bin)."""
+    v = luma.astype(np.int64)
+    dx = v[1:-1, 2:] - v[1:-1, :-2]
+    dy = v[2:, 1:-1] - v[:-2, 1:-1]
+    dx, dy = dx.ravel(), dy.ravel()
+    flat = (dx == 0) & (dy == 0)
+    ax, ay = np.abs(dx), np.abs(dy)
+    # comparison tree: quadrant from signs, halve by |dy| <= |dx|
+    oct_ = np.where(
+        dy >= 0,
+        np.where(dx >= 0, np.where(ay <= ax, 0, 1),
+                 np.where(ay > ax, 2, 3)),
+        np.where(dx < 0, np.where(ay <= ax, 4, 5),
+                 np.where(ay > ax, 6, 7)),
+    )
+    counts = np.bincount(oct_[~flat], minlength=8).astype(np.int64)
+    return counts, int(flat.sum())
+
+
+class ImageGradOrientation:
+    """Actor-pool batch fn: per-image gradient-orientation octant histogram
+    of the luma sum R+G+B through the genuine decode path
+    (:func:`grad_octant_hist`). On the factorized gradient fixture dx
+    depends only on the column and dy only on the row, so the oracle is a
+    1-D × 1-D cross join; the kernel is the general 2-D comparison tree.
+    Emits (image_id, flat_n, oct0..oct7)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        octs = np.empty((n, 8), np.int64)
+        flat = np.empty(n, np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i]).astype(np.int64)
+            luma = img[:, :, 0] + img[:, :, 1] + img[:, :, 2]
+            octs[i], flat[i] = grad_octant_hist(luma)
+        cols = {"image_id": ids, "flat_n": flat}
+        for k in range(8):
+            cols[f"oct{k}"] = octs[:, k].copy()
+        return pa.table(cols)
+
+
+def image_grad_orientation(ds, bytes_col: str = "bytes",
+                           id_col: str = "image_id", fmt_col: str = "fmt",
+                           concurrency: int | None = None,
+                           batch_size: int = 256):
+    return ds.map_batches(
+        ImageGradOrientation,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+# Standard 4x4 Bayer index matrix (values 0..15).
+BAYER4 = np.array([[0, 8, 2, 10],
+                   [12, 4, 14, 6],
+                   [3, 11, 1, 9],
+                   [15, 7, 13, 5]], dtype=np.int64)
+
+
+def bayer_black_count(channel: np.ndarray) -> int:
+    """ORDERED-DITHER black-pixel count of one channel under the classic
+    4x4 Bayer matrix: a pixel dithers to black iff its 16-level
+    quantization v // 16 is <= the tiled threshold B(y % 4, x % 4) —
+    integer-exact, embarrassingly parallel (the reason ordered dithering,
+    unlike Floyd-Steinberg error diffusion, distributes)."""
+    v = channel.astype(np.int64) >> 4
+    h, w = v.shape
+    thr = BAYER4[np.arange(h)[:, None] % 4, np.arange(w)[None, :] % 4]
+    return int((v <= thr).sum())
+
+
+class ImageBayerDither:
+    """Actor-pool batch fn: per-image, per-channel black-pixel counts of
+    the 4x4 Bayer ordered dither through the genuine decode path
+    (:func:`bayer_black_count`) — the 1-bit-display / thumbnail-ink
+    estimate. On the factorized fixture each channel varies along one axis
+    only, so the oracle collapses the tiled threshold to residue-class
+    counts; the kernel is the general 2-D compare. Emits
+    (image_id, black_r, black_g, black_b)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 3), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            for c in range(3):
+                out[i, c] = bayer_black_count(img[:, :, c])
+        return pa.table({"image_id": ids, "black_r": out[:, 0].copy(),
+                         "black_g": out[:, 1].copy(),
+                         "black_b": out[:, 2].copy()})
+
+
+def image_bayer_dither(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                       fmt_col: str = "fmt", concurrency: int | None = None,
+                       batch_size: int = 256):
+    return ds.map_batches(
+        ImageBayerDither,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

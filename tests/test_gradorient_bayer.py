@@ -1,0 +1,119 @@
+"""Gradient-orientation octant histogram and Bayer ordered dither kernels."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _octant_naive(dx, dy):
+    """Spec: atan2 binning for interior angles; boundary angles (axes and
+    diagonals) follow the documented tie rules of the comparison tree —
+    E->0, N->1, W->3, S->6; diagonals to the axis-hugging bin of their
+    quadrant: (+,+)->0, (-,+)->3, (-,-)->4, (+,-)->7."""
+    if dx == 0 and dy == 0:
+        return -1
+    if dy == 0:
+        return 0 if dx > 0 else 3
+    if dx == 0:
+        return 1 if dy > 0 else 6
+    if abs(dx) == abs(dy):
+        if dx > 0 and dy > 0:
+            return 0
+        if dx < 0 and dy > 0:
+            return 3
+        if dx < 0 and dy < 0:
+            return 4
+        return 7
+    ang = math.atan2(dy, dx) % (2 * math.pi)
+    return int(ang // (math.pi / 4)) % 8
+
+
+def test_grad_octants_vs_atan2_naive():
+    from gtfs_conflation_pipeline_ray.stages.media import grad_octant_hist
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(20, 30), dtype=np.int64)
+    counts, flat = grad_octant_hist(img)
+    want = np.zeros(8, np.int64)
+    wflat = 0
+    for y in range(1, 19):
+        for x in range(1, 29):
+            dx = int(img[y, x + 1]) - int(img[y, x - 1])
+            dy = int(img[y + 1, x]) - int(img[y - 1, x])
+            o = _octant_naive(dx, dy)
+            if o < 0:
+                wflat += 1
+            else:
+                want[o] += 1
+    assert wflat == flat
+    assert (counts == want).all()
+    assert counts.sum() + flat == 18 * 28
+
+
+def test_grad_octants_cardinal_directions():
+    from gtfs_conflation_pipeline_ray.stages.media import grad_octant_hist
+
+    # pure horizontal ramp: dx > 0, dy = 0 everywhere -> octant 0
+    ramp = np.tile(np.arange(10, dtype=np.int64) * 3, (8, 1))
+    counts, flat = grad_octant_hist(ramp)
+    assert flat == 0 and counts[0] == 6 * 8 and counts[1:].sum() == 0
+    # pure vertical ramp (increasing y): dy > 0, dx = 0 -> octant 1 region?
+    vert = np.tile((np.arange(8, dtype=np.int64) * 3)[:, None], (1, 10))
+    counts, flat = grad_octant_hist(vert)
+    # dx=0, dy>0: tree: dy>=0, dx>=0, |dy|<=|dx| false -> octant 1 (north)
+    assert flat == 0 and counts[1] == 6 * 8 and np.delete(counts, 1).sum() == 0
+    # constant image -> all flat
+    counts, flat = grad_octant_hist(np.full((6, 6), 9, np.int64))
+    assert flat == 4 * 4 and counts.sum() == 0
+
+
+def test_bayer_black_count_vs_naive():
+    from gtfs_conflation_pipeline_ray.stages.media import (
+        BAYER4, bayer_black_count)
+
+    rng = np.random.default_rng(13)
+    ch = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    got = bayer_black_count(ch)
+    want = 0
+    for y in range(17):
+        for x in range(23):
+            if (int(ch[y, x]) >> 4) <= BAYER4[y % 4, x % 4]:
+                want += 1
+    assert got == want
+    # extremes: all-0 channel is black everywhere; all-255 only where
+    # threshold is 15 (v>>4 == 15 <= t requires t == 15: one cell per tile)
+    assert bayer_black_count(np.zeros((8, 8), np.uint8)) == 64
+    assert bayer_black_count(np.full((8, 8), 255, np.uint8)) == 4
+
+
+def test_image_stages_end_to_end(ray_session):
+    """Both stages through encode->decode on random images, vs direct
+    kernel calls on the same pixels (bmp = lossless path)."""
+    import ray
+
+    from gtfs_conflation_pipeline_ray.functions import codecs
+    from gtfs_conflation_pipeline_ray.stages import media as mstage
+    from gtfs_conflation_pipeline_ray.stages.media import (
+        bayer_black_count, grad_octant_hist)
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            for _ in range(6)]
+    tbl = pa.table({
+        "image_id": pa.array(range(6), pa.int64()),
+        "bytes": pa.array([codecs.encode(im, "bmp") for im in imgs],
+                          pa.binary()),
+        "fmt": pa.array(["bmp"] * 6),
+    })
+    ds = ray.data.from_arrow(tbl)
+    go = mstage.image_grad_orientation(ds).to_pandas().set_index("image_id")
+    bd = mstage.image_bayer_dither(ds).to_pandas().set_index("image_id")
+    for i, im in enumerate(imgs):
+        luma = im[:, :, 0].astype(np.int64) + im[:, :, 1] + im[:, :, 2]
+        counts, flat = grad_octant_hist(luma)
+        assert go.loc[i, "flat_n"] == flat
+        assert [go.loc[i, f"oct{k}"] for k in range(8)] == list(counts)
+        assert bd.loc[i, "black_r"] == bayer_black_count(im[:, :, 0])
+        assert bd.loc[i, "black_g"] == bayer_black_count(im[:, :, 1])
+        assert bd.loc[i, "black_b"] == bayer_black_count(im[:, :, 2])
