@@ -12443,6 +12443,115 @@ FROM im JOIN blk_r USING (image_id) JOIN blk_g USING (image_id)
 """
 
 
+def q_points_quadtree(sf_dir: str):  # exact oracle (per-depth rollup replay)
+    """Adaptive QUADTREE bulk build over the probe points
+    (``spatial.quadtree_leaves``): split a quadrant while it holds more
+    than 256 points, depth floor 8 — one row per occupied leaf
+    (depth, qx, qy, n_points). The tiling-service twin of
+    ``points_str_pack`` and the adaptive form of the reference's
+    geo-proximity key prefix (`getGeoProximityKey.js:8-46`). One
+    value-domain-bounded combiner shuffle (counts at depth 8); the rollup
+    and leaf rule run on that <= 65536-row table."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.quadtree_leaves(pts, "px", "py", cap=256, max_depth=8,
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+
+
+def _qt_sql() -> str:
+    ctes = ["c8 AS (SELECT px // 256 AS qx, py // 256 AS qy, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM points GROUP BY 1, 2)"]
+    for d in range(7, -1, -1):
+        ctes.append(
+            f"c{d} AS (SELECT qx // 2 AS qx, qy // 2 AS qy, SUM(n) AS n "
+            f"FROM c{d + 1} GROUP BY 1, 2)")
+    unions = ["SELECT 0 AS depth, qx, qy, n FROM c0 WHERE n <= 256"]
+    for d in range(1, 8):
+        unions.append(
+            f"SELECT {d}, c.qx, c.qy, c.n FROM c{d} c "
+            f"JOIN c{d - 1} p ON p.qx = c.qx // 2 AND p.qy = c.qy // 2 "
+            f"WHERE c.n <= 256 AND p.n > 256")
+    unions.append(
+        "SELECT 8, c.qx, c.qy, c.n FROM c8 c "
+        "JOIN c7 p ON p.qx = c.qx // 2 AND p.qy = c.qy // 2 "
+        "WHERE p.n > 256")
+    return (_CTES + ", " + ",\n".join(ctes)
+            + "\nSELECT CAST(depth AS BIGINT) AS depth, qx, qy, "
+              "CAST(n AS BIGINT) AS n_points FROM (\n"
+            + "\nUNION ALL\n".join(unions) + "\n)")
+
+
+SQL_POINTS_QUADTREE = _qt_sql()
+
+
+# fixed query bbox for the z-order range scan (inclusive; 16-aligned edges
+# keep the decomposition O(perimeter / 16) without changing its semantics)
+_MRS = (11104, 44447, 22208, 53327)
+
+
+def q_morton_range_scan(sf_dir: str):  # exact oracle (recursive descent CTE)
+    """Z-ORDER RANGE SCAN: answer a bbox query through the Morton key only
+    (``spatial.morton_range_scan``): BIGMIN-style quadtree descent
+    decomposes the box into disjoint morton intervals, each probed with a
+    searchsorted per batch — the read-pruning primitive of a
+    Morton-sorted 100 TB layout (each interval = a contiguous file span).
+    Emits (lo, hi, n_points) per interval INCLUDING empties: the
+    decomposition itself is under test. Oracle: the identical descent as
+    a recursive CTE + the bit-spread ladder + a BETWEEN range join."""
+    pts = conflation.read_points(sf_dir)
+    x0, x1, y0, y1 = _MRS
+    return spatial.morton_range_scan(pts, x0, x1, y0, y1,
+                                     est_rows=_nrows(sf_dir, "lineitem"))
+
+
+def _mrs_sql() -> str:
+    x0, x1, y0, y1 = _MRS
+    cx0, cx1 = "(qx << (16 - d))", "(((qx + 1) << (16 - d)) - 1)"
+    cy0, cy1 = "(qy << (16 - d))", "(((qy + 1) << (16 - d)) - 1)"
+    inside = (f"({cx0} >= {x0} AND {cx1} <= {x1} "
+              f"AND {cy0} >= {y0} AND {cy1} <= {y1})")
+    disjoint = (f"({cx1} < {x0} OR {cx0} > {x1} "
+                f"OR {cy1} < {y0} OR {cy0} > {y1})")
+    spread = """
+{p}1 AS (SELECT {keep}, (({v} | ({v} << 16)) & 281470681808895) AS a FROM {src}),
+{p}2 AS (SELECT {keep}, ((a | (a << 8)) & 71777214294589695) AS b FROM {p}1),
+{p}3 AS (SELECT {keep}, ((b | (b << 4)) & 1085102592571150095) AS c FROM {p}2),
+{p}4 AS (SELECT {keep}, ((c | (c << 2)) & 3689348814741910323) AS dd FROM {p}3),
+{p}5 AS (SELECT {keep}, ((dd | (dd << 1)) & 6148914691236517205) AS sp FROM {p}4)"""
+    return _CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+part(d, qx, qy) AS (
+  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT d, qx, qy FROM (
+    SELECT p.d + 1 AS d, p.qx * 2 + ci % 2 AS qx, p.qy * 2 + ci // 2 AS qy
+    FROM part p, (SELECT unnest(range(4)) AS ci) ch
+    WHERE p.d < 16
+  ) WHERE NOT {inside} AND NOT {disjoint}
+),
+leafq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d, qx, qy) AS cid, d,
+         qx << (16 - d) AS x0, qy << (16 - d) AS y0
+  FROM (
+    SELECT p.d + 1 AS d, p.qx * 2 + ci % 2 AS qx, p.qy * 2 + ci // 2 AS qy
+    FROM part p, (SELECT unnest(range(4)) AS ci) ch
+  ) WHERE {inside}
+),{spread.format(p='lx', keep='cid, d, y0', v='x0', src='leafq')},{spread.format(p='ly', keep='cid, d, xs', v='y0',
+               src='(SELECT cid, d, sp AS xs, y0 FROM lx5)')},
+iv AS (
+  SELECT (xs | (sp << 1)) AS lo,
+         (xs | (sp << 1)) + ((CAST(1 AS BIGINT) << (2 * (16 - d))) - 1) AS hi
+  FROM ly5
+),{spread.format(p='px', keep='py', v='px', src='points')},{spread.format(p='py_', keep='xs', v='py',
+               src='(SELECT sp AS xs, py FROM px5)')},
+pc AS (SELECT (xs | (sp << 1)) AS code FROM py_5)
+SELECT iv.lo, iv.hi, CAST(COUNT(pc.code) AS BIGINT) AS n_points
+FROM iv LEFT JOIN pc ON pc.code BETWEEN iv.lo AND iv.hi
+GROUP BY iv.lo, iv.hi
+"""
+
+
+SQL_MORTON_RANGE_SCAN = _mrs_sql()
+
+
 def q_points_str_pack(sf_dir: str):  # exact oracle (ROW_NUMBER rank replay)
     """SORT-TILE-RECURSIVE R-tree bulk load (``spatial.str_pack_pages``)
     over the full probe-point set: global (x, id) rank → S vertical slabs
@@ -12857,6 +12966,8 @@ QUERIES = {
     "events_ks_stat": q_events_ks_stat,
     "image_grad_orientation": q_image_grad_orientation,
     "image_bayer_dither": q_image_bayer_dither,
+    "points_quadtree": q_points_quadtree,
+    "morton_range_scan": q_morton_range_scan,
 }
 
 
@@ -13102,4 +13213,6 @@ ORACLE_SQL = {
     "events_ks_stat": SQL_EVENTS_KS_STAT,
     "image_grad_orientation": SQL_IMAGE_GRAD_ORIENTATION,
     "image_bayer_dither": SQL_IMAGE_BAYER_DITHER,
+    "points_quadtree": SQL_POINTS_QUADTREE,
+    "morton_range_scan": SQL_MORTON_RANGE_SCAN,
 }

@@ -1911,3 +1911,157 @@ def str_pack_pages(pts, n_rows: int, cap: int = 64, page_stride: int = 1_000_000
                          {"n_entries": np.int64})
 
     return bucketed_groups(slabs, ["slab"], _pages, est_rows=n_rows)
+
+
+def quadtree_leaves(pts, x_col: str = "px", y_col: str = "py",
+                    cap: int = 256, max_depth: int = 8,
+                    world_bits: int = 16, est_rows: int | None = None):
+    """Adaptive QUADTREE bulk build — the tiling-service twin of
+    :func:`str_pack_pages`: split a quadrant while it holds more than
+    ``cap`` points, down to ``max_depth``. Emits one row per occupied LEAF
+    (depth, qx, qy, n_points): a node is a leaf iff its count <= cap and
+    its parent's count > cap (root included when the whole set fits), plus
+    overfull leaves pinned at max_depth. This is the reference's
+    geo-proximity-key prefix tree (`getGeoProximityKey.js:8-46` truncates
+    the interleaved key to exactly such quadrant prefixes) made adaptive.
+
+    Scale shape: the per-POINT pass is one map-side combiner (counts at
+    max_depth), so the shuffle is VALUE-DOMAIN-bounded at 4^max_depth
+    cells regardless of row count; the depth rollup + leaf selection run
+    on that bounded table (<= 65536 rows at the default depth 8 — choose
+    max_depth so 4^max_depth stays driver-sized, the same contract as the
+    density-raster ops)."""
+    from .relational import partial_groupby_sum
+
+    shift = world_bits - max_depth
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"qx": x >> shift, "qy": y >> shift})
+
+    cells = pts.map_batches(_cells, batch_format="pyarrow", batch_size=65536)
+    c = partial_groupby_sum(cells, ["qx", "qy"], [], count_as="n",
+                            est_rows=est_rows).to_pandas()
+
+    # rollup counts per depth (bounded: 4^max_depth cells at the deepest)
+    levels: dict[int, pd.DataFrame] = {max_depth: c}
+    for d in range(max_depth - 1, -1, -1):
+        ch = levels[d + 1]
+        p = pd.DataFrame({"qx": ch["qx"].to_numpy() // 2,
+                          "qy": ch["qy"].to_numpy() // 2,
+                          "n": ch["n"].to_numpy()})
+        levels[d] = p.groupby(["qx", "qy"], as_index=False, sort=False).sum()
+
+    out_d, out_x, out_y, out_n = [], [], [], []
+    root = levels[0]
+    if int(root["n"].iloc[0]) <= cap:
+        out_d.append(0); out_x.append(0); out_y.append(0)
+        out_n.append(int(root["n"].iloc[0]))
+    else:
+        for d in range(1, max_depth + 1):
+            cur, par = levels[d], levels[d - 1]
+            pn = par.set_index(["qx", "qy"])["n"]
+            parent_n = pn.loc[list(zip(cur["qx"] // 2, cur["qy"] // 2))].to_numpy()
+            if d < max_depth:
+                m = (cur["n"].to_numpy() <= cap) & (parent_n > cap)
+            else:  # overfull nodes become leaves at the depth floor
+                m = parent_n > cap
+            sel = cur[m]
+            out_d.extend([d] * len(sel))
+            out_x.extend(sel["qx"].tolist())
+            out_y.extend(sel["qy"].tolist())
+            out_n.extend(sel["n"].tolist())
+    return pa.table({
+        "depth": pa.array(out_d, pa.int64()),
+        "qx": pa.array(np.asarray(out_x, np.int64)),
+        "qy": pa.array(np.asarray(out_y, np.int64)),
+        "n_points": pa.array(np.asarray(out_n, np.int64)),
+    })
+
+
+def morton_bbox_intervals(x0: int, x1: int, y0: int, y1: int,
+                          world_bits: int = 16) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decompose an inclusive bbox into maximal quadtree cells = disjoint
+    MORTON-CODE INTERVALS (the BIGMIN / z-order range-scan decomposition):
+    level-by-level descent, a cell fully inside emits, disjoint drops,
+    partial splits into its 4 children. Returns (depth, lo, hi) sorted by
+    lo; every point in the bbox falls in exactly one [lo, hi] and no point
+    outside does. Vectorized per level; output is O(perimeter) cells."""
+    from ..functions.cells import morton_encode
+
+    qx = np.zeros(1, np.int64)
+    qy = np.zeros(1, np.int64)
+    out_d: list[np.ndarray] = []
+    out_qx: list[np.ndarray] = []
+    out_qy: list[np.ndarray] = []
+    for d in range(world_bits + 1):
+        if len(qx) == 0:
+            break
+        size = 1 << (world_bits - d)
+        cx0, cy0 = qx * size, qy * size
+        cx1, cy1 = cx0 + size - 1, cy0 + size - 1
+        inside = (cx0 >= x0) & (cx1 <= x1) & (cy0 >= y0) & (cy1 <= y1)
+        disjoint = (cx1 < x0) | (cx0 > x1) | (cy1 < y0) | (cy0 > y1)
+        if inside.any():
+            out_d.append(np.full(int(inside.sum()), d, np.int64))
+            out_qx.append(qx[inside])
+            out_qy.append(qy[inside])
+        part = ~inside & ~disjoint
+        px_, py_ = qx[part], qy[part]
+        qx = np.concatenate([px_ * 2, px_ * 2 + 1, px_ * 2, px_ * 2 + 1])
+        qy = np.concatenate([py_ * 2, py_ * 2, py_ * 2 + 1, py_ * 2 + 1])
+    assert len(qx) == 0, "descent must terminate at single-unit cells"
+    depth = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+    cqx = np.concatenate(out_qx) if out_qx else np.empty(0, np.int64)
+    cqy = np.concatenate(out_qy) if out_qy else np.empty(0, np.int64)
+    span = (world_bits - depth).astype(np.uint64)
+    lo = (morton_encode(cqx.astype(np.uint64) << span,
+                        cqy.astype(np.uint64) << span)).astype(np.int64)
+    hi = lo + (np.int64(1) << (2 * span.astype(np.int64))) - 1
+    order = np.argsort(lo, kind="mergesort")
+    return depth[order], lo[order], hi[order]
+
+
+def morton_range_scan(pts, x0: int, x1: int, y0: int, y1: int,
+                      x_col: str = "px", y_col: str = "py",
+                      world_bits: int = 16, est_rows: int | None = None):
+    """Z-ORDER INDEX RANGE SCAN: answer a bbox query through the Morton
+    key ONLY — decompose the box into disjoint morton intervals
+    (:func:`morton_bbox_intervals`), broadcast the interval table, and
+    probe each point's interleaved code with one searchsorted per batch
+    (the read-pruning pattern of a Morton-sorted 100 TB layout: each
+    interval maps to a contiguous key range = a contiguous file/row-group
+    span, so the scan touches only O(perimeter) ranges instead of the
+    whole table). Emits one row per interval (lo, hi, n_points) INCLUDING
+    empty intervals — the decomposition itself is part of the contract.
+
+    The probe is a fused combiner: each batch emits per-interval partial
+    counts, so the shuffle is interval-table-sized."""
+    from ..functions.cells import morton_encode
+    from .relational import partial_groupby_sum
+
+    depth, lo, hi = morton_bbox_intervals(x0, x1, y0, y1, world_bits)
+    iv_ref = ray.put((lo, hi))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = cached_state(iv_ref, lambda t: t,
+                                token="morton_range_scan.intervals")
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        code = morton_encode(x, y).astype(np.int64)
+        idx = np.searchsorted(lo_, code, side="right") - 1
+        ok = (idx >= 0) & (code <= hi_[np.clip(idx, 0, len(hi_) - 1)])
+        cnt = np.bincount(idx[ok], minlength=len(lo_))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"iv": nz.astype(np.int64),
+                         "n": cnt[nz].astype(np.int64)})
+
+    partial = pts.map_batches(_probe, batch_format="pyarrow",
+                              batch_size=65536)
+    agg = partial_groupby_sum(partial, ["iv"], ["n"],
+                              est_rows=est_rows).to_pandas()
+    n_points = np.zeros(len(lo), np.int64)
+    n_points[agg["iv"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                     "n_points": pa.array(n_points)})
