@@ -12552,6 +12552,66 @@ GROUP BY iv.lo, iv.hi
 SQL_MORTON_RANGE_SCAN = _mrs_sql()
 
 
+def q_grid_flow_d8(sf_dir: str):  # exact oracle (argmin rank + round joins)
+    """D8 FLOW ROUTING over the probe-point density raster
+    (``spatial.grid_flow_d8``): steepest-rational-descent direction per
+    occupied cell (cardinal drop×99 vs diagonal drop×70 — the classic
+    rational √2; ties to the smallest code; pits −1) plus 6 synchronous
+    rounds of flow accumulation (bounded-horizon upslope area) — the
+    hydrology/DEM sibling of `grid_slope_aspect` and `tile_isochrone`."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_flow_d8(pts, "px", "py", cell=1024, rounds=6,
+                                est_rows=_nrows(sf_dir, "lineitem"))
+
+
+def _flow_sql(rounds: int = 6) -> str:
+    nl = ",\n"
+    accs = ["a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM dir)"]
+    for t in range(1, rounds + 1):
+        accs.append(
+            f"a{t} AS (SELECT d.cx, d.cy, 1 + COALESCE(SUM(p.acc), 0) AS acc"
+            f" FROM dir d LEFT JOIN dir s ON s.tx = d.cx AND s.ty = d.cy"
+            f" LEFT JOIN a{t - 1} p ON p.cx = s.cx AND p.cy = s.cy"
+            f" GROUP BY d.cx, d.cy)")
+    return _CTES + f""",
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS v
+  FROM points GROUP BY 1, 2
+),
+d8(code, dx, dy, num) AS (VALUES
+  (0, 1, 0, 99), (1, 1, 1, 70), (2, 0, 1, 99), (3, -1, 1, 70),
+  (4, -1, 0, 99), (5, -1, -1, 70), (6, 0, -1, 99), (7, 1, -1, 70)
+),
+nb AS (
+  SELECT b.cx, b.cy, b.v, d8.code, d8.dx, d8.dy,
+         b.v - COALESCE(n.v, 0) AS drp,
+         (b.v - COALESCE(n.v, 0)) * d8.num AS key
+  FROM cells b CROSS JOIN d8
+  LEFT JOIN cells n ON n.cx = b.cx + d8.dx AND n.cy = b.cy + d8.dy
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+             ORDER BY CASE WHEN drp > 0 THEN 0 ELSE 1 END, key DESC, code)
+           AS rn
+  FROM nb
+),
+dir AS (
+  SELECT cx, cy, v,
+         CASE WHEN drp > 0 THEN code ELSE -1 END AS dir,
+         CASE WHEN drp > 0 THEN cx + dx END AS tx,
+         CASE WHEN drp > 0 THEN cy + dy END AS ty
+  FROM rk WHERE rn = 1
+),
+{nl.join(accs)}
+SELECT dir.cx, dir.cy, dir.v, CAST(dir.dir AS BIGINT) AS dir,
+       CAST(a{rounds}.acc AS BIGINT) AS acc
+FROM dir JOIN a{rounds} ON a{rounds}.cx = dir.cx AND a{rounds}.cy = dir.cy
+"""
+
+
+SQL_GRID_FLOW_D8 = _flow_sql(6)
+
+
 def q_points_str_pack(sf_dir: str):  # exact oracle (ROW_NUMBER rank replay)
     """SORT-TILE-RECURSIVE R-tree bulk load (``spatial.str_pack_pages``)
     over the full probe-point set: global (x, id) rank → S vertical slabs
@@ -12968,6 +13028,7 @@ QUERIES = {
     "image_bayer_dither": q_image_bayer_dither,
     "points_quadtree": q_points_quadtree,
     "morton_range_scan": q_morton_range_scan,
+    "grid_flow_d8": q_grid_flow_d8,
 }
 
 
@@ -13215,4 +13276,5 @@ ORACLE_SQL = {
     "image_bayer_dither": SQL_IMAGE_BAYER_DITHER,
     "points_quadtree": SQL_POINTS_QUADTREE,
     "morton_range_scan": SQL_MORTON_RANGE_SCAN,
+    "grid_flow_d8": SQL_GRID_FLOW_D8,
 }

@@ -2065,3 +2065,148 @@ def morton_range_scan(pts, x0: int, x1: int, y0: int, y1: int,
     n_points[agg["iv"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
     return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
                      "n_points": pa.array(n_points)})
+
+
+# D8 direction table: code -> (dx, dy, slope numerator). Cardinal drops
+# weight 99, diagonal 70 (99/70 is the classic rational sqrt(2); the
+# approximation IS the definition, so engine and oracle are exact).
+D8 = [(0, 1, 0, 99), (1, 1, 1, 70), (2, 0, 1, 99), (3, -1, 1, 70),
+      (4, -1, 0, 99), (5, -1, -1, 70), (6, 0, -1, 99), (7, 1, -1, 70)]
+
+
+def grid_flow_d8(points, x_col: str, y_col: str, cell: int,
+                 rounds: int = 6, est_rows: int | None = None):
+    """D8 FLOW DIRECTION + fixed-round FLOW ACCUMULATION over the
+    point-density raster — the hydrology classic (flow routing over a DEM;
+    here density is elevation and flow descends): each occupied cell
+    points at the neighbor with the steepest rational-weighted drop
+    (cardinal drop x 99 vs diagonal drop x 70; ties to the smallest
+    direction code; no positive drop = pit, dir -1; absent neighbors have
+    elevation 0, so edge cells drain off-raster), then ``rounds``
+    synchronous rounds of
+
+        acc_{t+1}(c) = 1 + sum_{n : target(n) = c, c occupied} acc_t(n)
+
+    give the number of cells whose flow path reaches c within <= rounds
+    steps (itself included) — the bounded-horizon form of upslope area,
+    same contract as `grid_heat_diffusion` / `tile_isochrone`.
+
+    Scale shape: ONE value-domain-bounded combiner builds the raster;
+    direction is a 9-way fan-out + one grid-sized combine; each
+    accumulation round is one fan-out along the static edge set (broadcast
+    once) + one grid-sized combine. Emits (cx, cy, v, dir, acc)."""
+    from .relational import bucketed_groups, partial_groupby_sum
+    from .util import cached_state
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=est_rows)
+
+    opposite = {0: 4, 1: 5, 2: 6, 3: 7, 4: 0, 5: 1, 6: 2, 7: 3}
+
+    def _fan(df: pd.DataFrame) -> pd.DataFrame:
+        cx = df["cx"].to_numpy(np.int64)
+        cy = df["cy"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        parts = [pd.DataFrame({"cx": cx, "cy": cy,
+                               "code": np.int64(-1), "nv": v})]
+        for code, dx, dy, _num in D8:
+            parts.append(pd.DataFrame({
+                "cx": cx + dx, "cy": cy + dy,
+                "code": np.int64(opposite[code]), "nv": v}))
+        return pd.concat(parts, ignore_index=True)
+
+    fan = density.map_batches(_fan, batch_format="pandas", batch_size=8192)
+
+    num_of = np.zeros(8, np.int64)
+    dx_of = np.zeros(8, np.int64)
+    dy_of = np.zeros(8, np.int64)
+    for code, dx, dy, num in D8:
+        num_of[code], dx_of[code], dy_of[code] = num, dx, dy
+
+    def _direction(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["code"] == -1].set_index(["cx", "cy"])["nv"]
+        nb = g[g["code"] >= 0]
+        piv = nb.pivot_table(index=["cx", "cy"], columns="code",
+                             values="nv", aggfunc="sum", fill_value=0)
+        piv = piv.reindex(columns=range(8), fill_value=0)
+        piv = piv.reindex(own.index, fill_value=0)
+        drops = own.to_numpy(np.int64)[:, None] - piv.to_numpy(np.int64)
+        keys = drops * num_of[None, :]
+        keys = np.where(drops > 0, keys, np.int64(-1))
+        best = np.argmax(keys, axis=1)  # first max = smallest code on ties
+        has = keys[np.arange(len(best)), best] >= 0
+        d = np.where(has, best, -1).astype(np.int64)
+        cx = own.index.get_level_values(0).to_numpy(np.int64)
+        cy = own.index.get_level_values(1).to_numpy(np.int64)
+        return pd.DataFrame({"cx": cx, "cy": cy,
+                             "v": own.to_numpy(np.int64), "dir": d})
+
+    dirs = bucketed_groups(fan, ["cx", "cy"], _direction, est_rows=est_rows)
+
+    # static edge table (grid-bounded), broadcast once for the rounds
+    dtab = dirs.to_pandas()
+    d_arr = dtab["dir"].to_numpy(np.int64)
+    has_t = d_arr >= 0
+    edges = pd.DataFrame({
+        "cx": dtab["cx"].to_numpy(np.int64),
+        "cy": dtab["cy"].to_numpy(np.int64),
+        "tx": dtab["cx"].to_numpy(np.int64) + np.where(has_t, dx_of[np.clip(d_arr, 0, 7)], 0),
+        "ty": dtab["cy"].to_numpy(np.int64) + np.where(has_t, dy_of[np.clip(d_arr, 0, 7)], 0),
+        "has": has_t,
+    }).set_index(["cx", "cy"])
+    edges_ref = ray.put(edges)
+
+    state = ray.data.from_pandas(
+        pd.DataFrame({"cx": dtab["cx"].to_numpy(np.int64),
+                      "cy": dtab["cy"].to_numpy(np.int64),
+                      "acc": np.int64(1)}))
+
+    for _ in range(rounds):
+        def _send(df: pd.DataFrame) -> pd.DataFrame:
+            e = cached_state(edges_ref, lambda t: t, token="flow_d8.edges")
+            idx = pd.MultiIndex.from_arrays(
+                [df["cx"].to_numpy(np.int64), df["cy"].to_numpy(np.int64)])
+            ee = e.loc[idx]
+            m = ee["has"].to_numpy()
+            out = [pd.DataFrame({"cx": df["cx"].to_numpy(np.int64),
+                                 "cy": df["cy"].to_numpy(np.int64),
+                                 "inc": np.int64(0), "occ": np.int64(1)})]
+            if m.any():
+                out.append(pd.DataFrame({
+                    "cx": ee["tx"].to_numpy(np.int64)[m],
+                    "cy": ee["ty"].to_numpy(np.int64)[m],
+                    "inc": df["acc"].to_numpy(np.int64)[m],
+                    "occ": np.int64(0)}))
+            return pd.concat(out, ignore_index=True)
+
+        sent = state.map_batches(_send, batch_format="pandas",
+                                 batch_size=8192)
+
+        def _gather(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["cx", "cy"], as_index=False, sort=False).agg(
+                inc=("inc", "sum"), occ=("occ", "sum"))
+            s = s[s["occ"] > 0]
+            return pd.DataFrame({"cx": s["cx"].to_numpy(np.int64),
+                                 "cy": s["cy"].to_numpy(np.int64),
+                                 "acc": 1 + s["inc"].to_numpy(np.int64)})
+
+        state = bucketed_groups(sent, ["cx", "cy"], _gather,
+                                est_rows=est_rows)
+
+    acc = state.to_pandas().set_index(["cx", "cy"])["acc"]
+    acc = acc.loc[pd.MultiIndex.from_arrays(
+        [dtab["cx"].to_numpy(np.int64), dtab["cy"].to_numpy(np.int64)])]
+    return pa.table({
+        "cx": pa.array(dtab["cx"].to_numpy(np.int64)),
+        "cy": pa.array(dtab["cy"].to_numpy(np.int64)),
+        "v": pa.array(dtab["v"].to_numpy(np.int64)),
+        "dir": pa.array(dtab["dir"].to_numpy(np.int64)),
+        "acc": pa.array(acc.to_numpy(np.int64)),
+    })
