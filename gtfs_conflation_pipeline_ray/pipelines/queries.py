@@ -12612,6 +12612,76 @@ FROM dir JOIN a{rounds} ON a{rounds}.cx = dir.cx AND a{rounds}.cy = dir.cy
 SQL_GRID_FLOW_D8 = _flow_sql(6)
 
 
+def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
+    """MANN-KENDALL trend test per supplier over the 12 monthly quantity
+    sums — the nonparametric significance COMPANION of the Theil-Sen
+    slope (`supplier_theilsen_trend` answers "how steep", this answers
+    "is there a trend at all"): S = Σ_{i<j} sign(q_j − q_i) in month
+    order, plus the exact integer variance numerator
+    18·Var = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5). Same shape as Theil-Sen:
+    one combiner-first (supp, month) rollup, then a supplier-bucketed pass
+    over ≤66 pairs per group."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        return pa.table({
+            "l_suppkey": t["l_suppkey"], "mo": mo,
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)})
+
+    derived = li.map_batches(_derive, batch_format="pyarrow",
+                             batch_size=65536)
+    monthly = rel.partial_groupby_sum(derived, ["l_suppkey", "mo"], ["q"],
+                                      est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for supp, g in df.groupby("l_suppkey", sort=False):
+            g = g.sort_values("mo")
+            q = g["q"].to_numpy(np.int64)
+            n = len(q)
+            i, j = np.triu_indices(n, k=1)
+            s = int(np.sign(q[j] - q[i]).sum())
+            _, t_cnt = np.unique(q, return_counts=True)
+            var18 = int(n * (n - 1) * (2 * n + 5)
+                        - (t_cnt * (t_cnt - 1) * (2 * t_cnt + 5)).sum())
+            rows.append((np.int64(supp), np.int64(n), np.int64(s),
+                         np.int64(var18)))
+        return pd.DataFrame(rows, columns=["l_suppkey", "n_months",
+                                           "s_stat", "var18"])
+
+    return rel.bucketed_groups(monthly, ["l_suppkey"], _final,
+                               est_rows=_nrows(sf_dir, "supplier"))
+
+
+SQL_SUPPLIER_MANN_KENDALL = """
+WITH m AS (
+  SELECT l_suppkey, EXTRACT(MONTH FROM l_shipdate) AS mo,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT a.l_suppkey, SUM(SIGN(b.q - a.q)) AS s
+  FROM m a JOIN m b ON b.l_suppkey = a.l_suppkey AND b.mo > a.mo
+  GROUP BY 1
+),
+n AS (SELECT l_suppkey, COUNT(*) AS n FROM m GROUP BY 1),
+t AS (
+  SELECT l_suppkey, SUM(t * (t - 1) * (2 * t + 5)) AS tie
+  FROM (SELECT l_suppkey, q, COUNT(*) AS t FROM m GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT n.l_suppkey, CAST(n.n AS BIGINT) AS n_months,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie AS BIGINT) AS var18
+FROM n LEFT JOIN p ON p.l_suppkey = n.l_suppkey
+       JOIN t ON t.l_suppkey = n.l_suppkey
+"""
+
+
 def q_points_str_pack(sf_dir: str):  # exact oracle (ROW_NUMBER rank replay)
     """SORT-TILE-RECURSIVE R-tree bulk load (``spatial.str_pack_pages``)
     over the full probe-point set: global (x, id) rank → S vertical slabs
@@ -13029,6 +13099,7 @@ QUERIES = {
     "points_quadtree": q_points_quadtree,
     "morton_range_scan": q_morton_range_scan,
     "grid_flow_d8": q_grid_flow_d8,
+    "supplier_mann_kendall": q_supplier_mann_kendall,
 }
 
 
@@ -13277,4 +13348,5 @@ ORACLE_SQL = {
     "points_quadtree": SQL_POINTS_QUADTREE,
     "morton_range_scan": SQL_MORTON_RANGE_SCAN,
     "grid_flow_d8": SQL_GRID_FLOW_D8,
+    "supplier_mann_kendall": SQL_SUPPLIER_MANN_KENDALL,
 }
