@@ -12612,6 +12612,90 @@ FROM dir JOIN a{rounds} ON a{rounds}.cx = dir.cx AND a{rounds}.cy = dir.cy
 SQL_GRID_FLOW_D8 = _flow_sql(6)
 
 
+def q_image_seam_energy(sf_dir: str):  # exact oracle (list-DP recursive CTE)
+    """SEAM-CARVING minimum-energy vertical path per image through the
+    decode path (``media.image_seam_energy``): the content-aware-resize DP
+    M[i][j] = e[i][j] + min(M[i−1][j−1..j+1]) over the interior energy
+    grid e = |dx| + |dy| of the luma sum — integer-exact, 8-connected.
+    On the factorized fixture e(i, j) = a(j) + b(i) (dx cancels G/B, dy
+    cancels R/B), so the oracle carries the whole DP row as a LIST through
+    a recursive CTE (the same vector-in-CTE device as `path_dijkstra`);
+    the kernel is the general 2-D DP."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_seam_energy(synth, batch_size=512)
+
+
+def _seam_sql() -> str:
+    def dq(expr: str) -> str:
+        return (f"CASE WHEN fi = 2 THEN (({expr}) // 4) * 4"
+                f" + (({expr}) // 4) // 16 ELSE {expr} END")
+
+    rv = dq("br + (({x}) * 55) // (w - 1)")
+    gv = dq("bg + (({y}) * 41) // (h - 1)")
+    a_j = (f"ABS(({rv.format(x='j + 2')}) - ({rv.format(x='j')}))")
+    b_i = (f"ABS(({gv.format(y=' i2 + 2')}) - ({gv.format(y=' i2')}))")
+    return f"""
+WITH RECURSIVE im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+base AS (
+  SELECT image_id, w - 2 AS wi, h - 2 AS hi,
+         list_transform(range(w - 2), j -> {a_j}) AS A,
+         list_transform(range(h - 2), i2 -> {b_i}) AS B
+  FROM im
+),
+dp AS (
+  SELECT image_id, wi, hi, A, B, 0 AS i,
+         list_transform(range(wi), j -> A[j + 1] + B[1]) AS m
+  FROM base
+  UNION ALL
+  SELECT image_id, wi, hi, A, B, i + 1,
+         list_transform(range(wi), j -> A[j + 1] + B[i + 2] + least(
+           m[CASE WHEN j = 0 THEN 1 ELSE j END],
+           m[j + 1],
+           m[CASE WHEN j = wi - 1 THEN wi ELSE j + 2 END]))
+  FROM dp WHERE i < hi - 1
+)
+SELECT image_id,
+       CAST(list_min(m) AS BIGINT) AS seam_cost,
+       CAST(list_position(m, list_min(m)) - 1 AS BIGINT) AS seam_end,
+       CAST(hi * list_sum(A) + wi * list_sum(B) AS BIGINT) AS e_total
+FROM dp WHERE i = hi - 1
+"""
+
+
+SQL_IMAGE_SEAM_ENERGY = _seam_sql()
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13100,6 +13184,7 @@ QUERIES = {
     "morton_range_scan": q_morton_range_scan,
     "grid_flow_d8": q_grid_flow_d8,
     "supplier_mann_kendall": q_supplier_mann_kendall,
+    "image_seam_energy": q_image_seam_energy,
 }
 
 
@@ -13349,4 +13434,5 @@ ORACLE_SQL = {
     "morton_range_scan": SQL_MORTON_RANGE_SCAN,
     "grid_flow_d8": SQL_GRID_FLOW_D8,
     "supplier_mann_kendall": SQL_SUPPLIER_MANN_KENDALL,
+    "image_seam_energy": SQL_IMAGE_SEAM_ENERGY,
 }

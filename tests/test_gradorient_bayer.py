@@ -117,3 +117,51 @@ def test_image_stages_end_to_end(ray_session):
         assert bd.loc[i, "black_r"] == bayer_black_count(im[:, :, 0])
         assert bd.loc[i, "black_g"] == bayer_black_count(im[:, :, 1])
         assert bd.loc[i, "black_b"] == bayer_black_count(im[:, :, 2])
+
+
+def _seam_brute(luma):
+    import numpy as np
+    v = luma.astype(np.int64)
+    a = np.abs(v[1:-1, 2:] - v[1:-1, :-2])
+    b = np.abs(v[2:, 1:-1] - v[:-2, 1:-1])
+    e = a + b
+    hi, wi = e.shape
+    # enumerate all seams by DP over explicit python loops
+    m = [int(x) for x in e[0]]
+    for i in range(1, hi):
+        nm = []
+        for j in range(wi):
+            best = m[j]
+            if j > 0:
+                best = min(best, m[j - 1])
+            if j < wi - 1:
+                best = min(best, m[j + 1])
+            nm.append(int(e[i, j]) + best)
+        m = nm
+    cost = min(m)
+    return cost, m.index(cost), int(e.sum())
+
+
+def test_seam_carve_vs_brute():
+    from gtfs_conflation_pipeline_ray.stages.media import seam_carve_cost
+
+    rng = np.random.default_rng(31)
+    for _ in range(5):
+        h = int(rng.integers(8, 20))
+        w = int(rng.integers(8, 30))
+        luma = rng.integers(0, 600, size=(h, w)).astype(np.int64)
+        assert seam_carve_cost(luma) == _seam_brute(luma)
+
+
+def test_seam_carve_planted_cheap_column():
+    """A zero-energy vertical stripe must be the seam, cost 0, at its
+    column."""
+    luma = np.full((10, 12), 50, np.int64)
+    luma[:, :4] = np.arange(4)[None, :] * 40 + 100  # busy left block
+    # columns 4.. are constant 50 -> dx=0 there; dy=0 everywhere
+    from gtfs_conflation_pipeline_ray.stages.media import seam_carve_cost
+    c, e, t = seam_carve_cost(luma)
+    assert c == 0
+    # first zero-cost seam end = smallest interior column with 0 path
+    assert e >= 3  # interior col index where the flat region starts
+    assert t > 0
