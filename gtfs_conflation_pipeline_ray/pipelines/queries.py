@@ -12696,6 +12696,91 @@ FROM dp WHERE i = hi - 1
 SQL_IMAGE_SEAM_ENERGY = _seam_sql()
 
 
+def q_tile_matching(sf_dir: str):  # exact oracle (round replay)
+    """MAXIMAL MATCHING of the tile kNN graph by locally-dominant edges
+    (``graphrank.greedy_matching``, Preis / Manne-Bisseling): per round an
+    edge is selected iff it is the (w, u, v)-minimum live edge at BOTH
+    endpoints; matched tiles retire. With the strict total order this
+    EQUALS sequential greedy matching (pytest proves it), making it the
+    one-to-one assignment core of conflation — 'pair each segment with at
+    most one counterpart, lightest conflict wins' — next to MST/CC/SSSP
+    in the distributed-graph set. Emits (u, v, w, r)."""
+    from ..stages.graphrank import greedy_matching
+
+    knn = q_tile_knn_graph(sf_dir)
+
+    def _edges(t: pa.Table) -> pa.Table:
+        s = t["src_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["dist2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d, w = s[m], d[m], w[m]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        df = pd.DataFrame({"u": u, "v": v, "w": w}).drop_duplicates(
+            ["u", "v"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = knn.map_batches(_edges, batch_format="pyarrow",
+                            batch_size=65536)
+    return greedy_matching(edges, max_rounds=12)
+
+
+def _sql_matching_rounds(rounds: int) -> str:
+    parts = [""",
+mat0 AS (SELECT CAST(NULL AS BIGINT) AS node WHERE 1 = 0)"""]
+    for r in range(rounds):
+        parts.append(f""",
+lv{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w FROM e
+  WHERE e.u NOT IN (SELECT node FROM mat{r})
+    AND e.v NOT IN (SELECT node FROM mat{r})
+),
+vm{r} AS MATERIALIZED (
+  SELECT u, v, w FROM (
+    SELECT x, u, v, w,
+           ROW_NUMBER() OVER (PARTITION BY x ORDER BY w, u, v) AS rn
+    FROM (SELECT u AS x, u, v, w FROM lv{r}
+          UNION ALL SELECT v, u, v, w FROM lv{r})
+  ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (
+  SELECT u, v, w FROM vm{r} GROUP BY u, v, w HAVING COUNT(*) = 2
+),
+mat{r + 1} AS MATERIALIZED (
+  SELECT node FROM mat{r}
+  UNION SELECT u FROM s{r} UNION SELECT v FROM s{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT u, v, w, {r} AS r FROM s{r}" for r in range(rounds))
+    return "".join(parts) + f"""
+SELECT u, v, CAST(w AS BIGINT) AS w, CAST(r AS BIGINT) AS r FROM (
+{sel}
+)"""
+
+
+SQL_TILE_MATCHING = f"""
+WITH tiles AS ({td.TILES_SQL}),
+probes AS (SELECT tile_id AS src_tile, cx AS px, cy AS py
+           FROM tiles WHERE tile_id % 10 = 0),
+knn AS (
+  SELECT src_tile, tile_id, dist2 FROM (
+    SELECT p.src_tile, t.tile_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.src_tile
+             ORDER BY (p.px - t.cx) * (p.px - t.cx)
+                    + (p.py - t.cy) * (p.py - t.cy), t.tile_id) AS knn_rank,
+           (p.px - t.cx) * (p.px - t.cx)
+             + (p.py - t.cy) * (p.py - t.cy) AS dist2
+    FROM probes p CROSS JOIN tiles t
+  ) WHERE knn_rank <= 4
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src_tile, tile_id) AS u,
+         GREATEST(src_tile, tile_id) AS v, dist2 AS w
+  FROM knn WHERE tile_id <> src_tile
+)""" + _sql_matching_rounds(12)
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13185,6 +13270,7 @@ QUERIES = {
     "grid_flow_d8": q_grid_flow_d8,
     "supplier_mann_kendall": q_supplier_mann_kendall,
     "image_seam_energy": q_image_seam_energy,
+    "tile_matching": q_tile_matching,
 }
 
 
@@ -13435,4 +13521,5 @@ ORACLE_SQL = {
     "grid_flow_d8": SQL_GRID_FLOW_D8,
     "supplier_mann_kendall": SQL_SUPPLIER_MANN_KENDALL,
     "image_seam_energy": SQL_IMAGE_SEAM_ENERGY,
+    "tile_matching": SQL_TILE_MATCHING,
 }

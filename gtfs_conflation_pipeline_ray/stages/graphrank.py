@@ -714,3 +714,146 @@ def boruvka_msf(edges, max_rounds: int = 10, n_parts: int = 8,
               else _pd.DataFrame({"u": [], "v": [], "w": [], "r": []}
                                  ).astype(np.int64))
     return ray.data.from_pandas(allsel)
+
+
+def _matching_kernel(u: np.ndarray, v: np.ndarray, w: np.ndarray,
+                     max_rounds: int) -> tuple[np.ndarray, np.ndarray]:
+    """One-worker vectorized locally-dominant matching rounds. Returns
+    (selected edge indices, their rounds)."""
+    n = len(u)
+    alive = np.ones(n, bool)
+    matched: set[int] = set()
+    sel_idx: list[int] = []
+    sel_r: list[int] = []
+    for r in range(max_rounds):
+        live = np.flatnonzero(alive)
+        if len(live) == 0:
+            break
+        lu, lv, lw = u[live], v[live], w[live]
+        x = np.concatenate([lu, lv])
+        ew = np.concatenate([lw, lw])
+        eu = np.concatenate([lu, lu])
+        ev = np.concatenate([lv, lv])
+        ei = np.concatenate([live, live])
+        order = np.lexsort((ev, eu, ew, x))
+        xs = x[order]
+        first = np.r_[True, xs[1:] != xs[:-1]]
+        min_edge = ei[order][first]  # one per live vertex
+        # an edge dominant at both endpoints appears twice
+        me_sorted = np.sort(min_edge)
+        dup = me_sorted[1:] == me_sorted[:-1]
+        chosen = me_sorted[1:][dup]
+        if len(chosen) == 0:
+            break
+        sel_idx.extend(chosen.tolist())
+        sel_r.extend([r] * len(chosen))
+        for e in chosen:
+            matched.add(int(u[e]))
+            matched.add(int(v[e]))
+        if matched:
+            ma = np.fromiter(matched, np.int64)
+            alive &= ~(np.isin(u, ma) | np.isin(v, ma))
+    return (np.asarray(sel_idx, np.int64), np.asarray(sel_r, np.int64))
+
+
+def greedy_matching(edges, max_rounds: int = 12, n_parts: int = 8,
+                    smallgraph_edges: int = 2_000_000):
+    """MAXIMAL MATCHING by locally-dominant edges (Preis / Manne-Bisseling;
+    the parallel analog of sequential greedy matching — with the strict
+    (w, u, v) total order the two produce the SAME matching, which pytest
+    exploits): per round an edge is selected iff it is the minimum-key
+    live edge at BOTH endpoints; matched vertices retire their edges.
+    The one-to-one assignment primitive of conflation itself — 'pair each
+    GTFS segment with at most one OSM segment, lightest conflict wins'.
+
+    ``edges``: Dataset (u, v, w) int64, u < v, duplicates collapse to the
+    same key. Emits (u, v, w, r) — matched edges + selection round.
+
+    Scale shape mirrors :func:`boruvka_msf`: small edge sets collapse to
+    one vectorized task; larger graphs run distributed rounds where edges
+    never leave their shards — per round each shard emits per-VERTEX
+    partial argmins (combiner), one vertex-bucketed shuffle finalizes, a
+    second edge-key-bucketed pass counts dominance (= 2 means selected),
+    and only the matching-sized selected set reaches the driver (the
+    matched-vertex set broadcasts back, growing by 2 x selected per
+    round)."""
+    import ray
+
+    from .relational import bucketed_groups
+    from .util import cached_state
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.int64()),
+            "w": pa.array([], type=pa.int64()),
+            "r": pa.array([], type=pa.int64())}))
+
+    if n_edges <= smallgraph_edges:
+        def _match(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((w, v, u))
+            u, v, w = u[order], v[order], w[order]
+            first = np.ones(len(u), dtype=bool)
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v, w = u[first], v[first], w[first]
+            sel, rnd = _matching_kernel(u, v, w, max_rounds=max_rounds)
+            return pa.table({"u": u[sel], "v": v[sel], "w": w[sel],
+                             "r": rnd})
+
+        return edges.repartition(1).map_batches(
+            _match, batch_format="pyarrow", batch_size=None)
+
+    out_parts = []
+    matched = np.empty(0, np.int64)
+    for r in range(max_rounds):
+        mref = ray.put(np.sort(matched))
+
+        def _partial_min(df: pd.DataFrame, _mref=mref, _r=r) -> pd.DataFrame:
+            ma = cached_state(_mref, lambda m: m, token=f"match.m{_r}")
+            uu = df["u"].to_numpy(np.int64)
+            vv = df["v"].to_numpy(np.int64)
+            ww = df["w"].to_numpy(np.int64)
+            live = ~(np.isin(uu, ma) | np.isin(vv, ma))
+            uu, vv, ww = uu[live], vv[live], ww[live]
+            if len(uu) == 0:
+                return pd.DataFrame({"x": [], "w": [], "u": [], "v": []}
+                                    ).astype(np.int64)
+            d = pd.DataFrame({
+                "x": np.concatenate([uu, vv]),
+                "w": np.concatenate([ww, ww]),
+                "u": np.concatenate([uu, uu]),
+                "v": np.concatenate([vv, vv])})
+            d = d.sort_values(["x", "w", "u", "v"], kind="mergesort")
+            return d.drop_duplicates("x", keep="first")
+
+        def _final_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["x", "w", "u", "v"], kind="mergesort")
+            return g.drop_duplicates("x", keep="first")
+
+        staged = edges.map_batches(_partial_min, batch_format="pandas",
+                                   batch_size=65536)
+        vmin = bucketed_groups(staged, ["x"], _final_min, n_buckets=n_parts)
+
+        def _dominant(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.groupby(["w", "u", "v"], as_index=False, sort=False
+                          ).agg(k=("x", "size"))
+            return c[c["k"] == 2][["u", "v", "w"]]
+
+        sel = bucketed_groups(vmin, ["w", "u", "v"], _dominant,
+                              n_buckets=n_parts)
+        sel_df = sel.to_pandas()  # matching-sized
+        if len(sel_df) == 0:
+            break
+        out_parts.append(sel_df.assign(r=np.int64(r))[["u", "v", "w", "r"]])
+        matched = np.concatenate([
+            matched, sel_df["u"].to_numpy(np.int64),
+            sel_df["v"].to_numpy(np.int64)])
+    allsel = (pd.concat(out_parts, ignore_index=True) if out_parts
+              else pd.DataFrame({"u": [], "v": [], "w": [], "r": []}
+                                ).astype(np.int64))
+    return ray.data.from_pandas(allsel)
