@@ -12781,6 +12781,48 @@ e AS MATERIALIZED (
 )""" + _sql_matching_rounds(12)
 
 
+def q_embedding_power_iteration(sf_dir: str):  # exact oracle (round joins)
+    """Dominant-eigenvector POWER ITERATION over the embedding Gram matrix
+    (``ann.power_iteration``) — the PCA-direction / spectral primitive as
+    exact integers: the distributed piece is the dim²-bounded Gram
+    combiner (fixed-point 1e3 so the iteration fits int64); then 6
+    deterministic steps y = G·x, x ← trunc(y·8192 / max|y|) with
+    TRUNCATING division (SQL ``//`` semantics — documented; numpy floors,
+    so the kernel truncates explicitly). No floats, no tolerance."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.power_iteration(emb, dim=64, rounds=6, scale=1000)
+
+
+def _power_sql(rounds: int = 6) -> str:
+    steps = ["x0 AS (SELECT unnest(range(64)) AS d, CAST(1 AS BIGINT) AS xv)"]
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"y{t} AS (SELECT g.i AS d, SUM(g.gram * x{t - 1}.xv) AS yv"
+            f" FROM g JOIN x{t - 1} ON x{t - 1}.d = g.j GROUP BY 1)")
+        steps.append(
+            f"x{t} AS (SELECT d, (yv * 8192)"
+            f" // GREATEST((SELECT MAX(ABS(yv)) FROM y{t}), 1) AS xv"
+            f" FROM y{t})")
+    nl = ",\n"
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(unnest(embedding) * 1e3 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+),
+g AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, SUM(a.v * b.v) AS gram
+  FROM q a JOIN q b USING (vec_id)
+  GROUP BY a.d, b.d
+),
+{nl.join(steps)}
+SELECT CAST(d AS BIGINT) AS d, CAST(xv AS BIGINT) AS xv FROM x{rounds}
+"""
+
+
+SQL_EMBEDDING_POWER_ITERATION = _power_sql(6)
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13271,6 +13313,7 @@ QUERIES = {
     "supplier_mann_kendall": q_supplier_mann_kendall,
     "image_seam_energy": q_image_seam_energy,
     "tile_matching": q_tile_matching,
+    "embedding_power_iteration": q_embedding_power_iteration,
 }
 
 
@@ -13522,4 +13565,5 @@ ORACLE_SQL = {
     "supplier_mann_kendall": SQL_SUPPLIER_MANN_KENDALL,
     "image_seam_energy": SQL_IMAGE_SEAM_ENERGY,
     "tile_matching": SQL_TILE_MATCHING,
+    "embedding_power_iteration": SQL_EMBEDDING_POWER_ITERATION,
 }

@@ -777,3 +777,47 @@ def gram_matrix(ds, vec_col: str = "embedding", dim: int = 64):
 
     parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
     return partial_groupby_sum(parts, ["i", "j"], ["gram"])
+
+
+def power_iteration(ds, vec_col: str = "embedding", dim: int = 64,
+                    rounds: int = 6, scale: int = 1000):
+    """Dominant-eigenvector POWER ITERATION over the embedding Gram matrix
+    — the PCA-direction / spectral-centrality primitive, exact-integer
+    end to end: the distributed part is the Gram combiner (same shape as
+    :func:`gram_matrix`, at fixed-point ``scale`` so the iteration stays
+    inside int64), the iteration itself runs on the dim²-bounded result:
+
+        y = G @ x;  x <- trunc(y * 8192 / max|y|)
+
+    with TRUNCATING division (toward zero — matching SQL integer
+    division), x_0 = all-ones. Deterministic, no floats, no convergence
+    tolerance: exactly ``rounds`` steps. Returns (d, xv) — the scaled
+    eigenvector estimate. Overflow bound: 64 · max|gram| · 8192 < 2^63,
+    i.e. max|gram| < 1.7e13 (at scale 1e3 that is ~1.4e7 unit-norm rows;
+    scale down or chunk-accumulate past that, same caveat as
+    gram_matrix)."""
+    from .relational import partial_groupby_sum
+
+    ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64),
+                         np.arange(dim, dtype=np.int64), indexing="ij")
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = _batch_matrix(batch, vec_col, dim)
+        q = np.floor(v * scale + 0.5).astype(np.int64)
+        g = q.T @ q
+        return pa.table({"i": ii, "j": jj, "gram": g.reshape(-1)})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+    gdf = partial_groupby_sum(parts, ["i", "j"], ["gram"]).to_pandas()
+    G = np.zeros((dim, dim), np.int64)
+    G[gdf["i"].to_numpy(np.int64), gdf["j"].to_numpy(np.int64)] = \
+        gdf["gram"].to_numpy(np.int64)
+    x = np.ones(dim, np.int64)
+    for _ in range(rounds):
+        y = G @ x
+        m = max(int(np.abs(y).max()), 1)
+        # truncating division toward zero (SQL // semantics)
+        x = (np.sign(y) * ((np.abs(y) * 8192) // m)).astype(np.int64)
+    return pa.table({"d": pa.array(np.arange(dim, dtype=np.int64)),
+                     "xv": pa.array(x)})
