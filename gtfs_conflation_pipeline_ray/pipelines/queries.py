@@ -12823,6 +12823,44 @@ SELECT CAST(d AS BIGINT) AS d, CAST(xv AS BIGINT) AS xv FROM x{rounds}
 SQL_EMBEDDING_POWER_ITERATION = _power_sql(6)
 
 
+def q_grid_flow_basins(sf_dir: str):  # exact oracle (doubling self-joins)
+    """WATERSHED basin labeling over the D8 flow forest
+    (``spatial.grid_flow_basins``): every occupied raster cell follows its
+    steepest-descent direction to its TERMINAL (pit or last occupied cell
+    before the flow exits the raster) by POINTER DOUBLING — succ ← succ∘
+    succ, 7 rounds covering chains up to 128 (PRAM list ranking, same
+    device as `part_hierarchy_rollup`). The basin partition companion of
+    `grid_flow_d8`'s accumulation. Oracle: the identical direction CTE +
+    7 unrolled self-joins of the successor map."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_flow_basins(pts, "px", "py", cell=1024,
+                                    doublings=7,
+                                    est_rows=_nrows(sf_dir, "lineitem"))
+
+
+def _basin_sql(doublings: int = 7) -> str:
+    base = _flow_sql(0)  # reuse the direction CTEs; 0 accumulation rounds
+    head = base[:base.index(",\na0 AS ")]
+    steps = ["""
+s0 AS MATERIALIZED (
+  SELECT d.cx, d.cy,
+         CASE WHEN t.cx IS NOT NULL THEN d.tx ELSE d.cx END AS sx,
+         CASE WHEN t.cy IS NOT NULL THEN d.ty ELSE d.cy END AS sy
+  FROM dir d LEFT JOIN dir t ON t.cx = d.tx AND t.cy = d.ty
+)"""]
+    for k in range(1, doublings + 1):
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT a.cx, a.cy, b.sx, b.sy
+  FROM s{k - 1} a JOIN s{k - 1} b ON b.cx = a.sx AND b.cy = a.sy
+)""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT cx, cy, sx AS bx, sy AS by FROM s{doublings}\n")
+
+
+SQL_GRID_FLOW_BASINS = _basin_sql(7)
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13314,6 +13352,7 @@ QUERIES = {
     "image_seam_energy": q_image_seam_energy,
     "tile_matching": q_tile_matching,
     "embedding_power_iteration": q_embedding_power_iteration,
+    "grid_flow_basins": q_grid_flow_basins,
 }
 
 
@@ -13566,4 +13605,5 @@ ORACLE_SQL = {
     "image_seam_energy": SQL_IMAGE_SEAM_ENERGY,
     "tile_matching": SQL_TILE_MATCHING,
     "embedding_power_iteration": SQL_EMBEDDING_POWER_ITERATION,
+    "grid_flow_basins": SQL_GRID_FLOW_BASINS,
 }

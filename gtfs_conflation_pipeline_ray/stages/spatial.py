@@ -2074,29 +2074,13 @@ D8 = [(0, 1, 0, 99), (1, 1, 1, 70), (2, 0, 1, 99), (3, -1, 1, 70),
       (4, -1, 0, 99), (5, -1, -1, 70), (6, 0, -1, 99), (7, 1, -1, 70)]
 
 
-def grid_flow_d8(points, x_col: str, y_col: str, cell: int,
-                 rounds: int = 6, est_rows: int | None = None):
-    """D8 FLOW DIRECTION + fixed-round FLOW ACCUMULATION over the
-    point-density raster — the hydrology classic (flow routing over a DEM;
-    here density is elevation and flow descends): each occupied cell
-    points at the neighbor with the steepest rational-weighted drop
-    (cardinal drop x 99 vs diagonal drop x 70; ties to the smallest
-    direction code; no positive drop = pit, dir -1; absent neighbors have
-    elevation 0, so edge cells drain off-raster), then ``rounds``
-    synchronous rounds of
-
-        acc_{t+1}(c) = 1 + sum_{n : target(n) = c, c occupied} acc_t(n)
-
-    give the number of cells whose flow path reaches c within <= rounds
-    steps (itself included) — the bounded-horizon form of upslope area,
-    same contract as `grid_heat_diffusion` / `tile_isochrone`.
-
-    Scale shape: ONE value-domain-bounded combiner builds the raster;
-    direction is a 9-way fan-out + one grid-sized combine; each
-    accumulation round is one fan-out along the static edge set (broadcast
-    once) + one grid-sized combine. Emits (cx, cy, v, dir, acc)."""
+def d8_direction_table(points, x_col: str, y_col: str, cell: int,
+                       est_rows: int | None = None):
+    """Shared D8 front half: density raster (one value-domain-bounded
+    combiner) + steepest-rational-descent direction per occupied cell
+    (9-way fan-out + one grid-sized combine). Returns a Dataset
+    (cx, cy, v, dir) — see :func:`grid_flow_d8` for the direction rule."""
     from .relational import bucketed_groups, partial_groupby_sum
-    from .util import cached_state
 
     def _cells_of(batch: pa.Table) -> pa.Table:
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2148,7 +2132,41 @@ def grid_flow_d8(points, x_col: str, y_col: str, cell: int,
         return pd.DataFrame({"cx": cx, "cy": cy,
                              "v": own.to_numpy(np.int64), "dir": d})
 
-    dirs = bucketed_groups(fan, ["cx", "cy"], _direction, est_rows=est_rows)
+    return bucketed_groups(fan, ["cx", "cy"], _direction, est_rows=est_rows)
+
+
+def grid_flow_d8(points, x_col: str, y_col: str, cell: int,
+                 rounds: int = 6, est_rows: int | None = None):
+    """D8 FLOW DIRECTION + fixed-round FLOW ACCUMULATION over the
+    point-density raster — the hydrology classic (flow routing over a DEM;
+    here density is elevation and flow descends): each occupied cell
+    points at the neighbor with the steepest rational-weighted drop
+    (cardinal drop x 99 vs diagonal drop x 70; ties to the smallest
+    direction code; no positive drop = pit, dir -1; absent neighbors have
+    elevation 0, so edge cells drain off-raster), then ``rounds``
+    synchronous rounds of
+
+        acc_{t+1}(c) = 1 + sum_{n : target(n) = c, c occupied} acc_t(n)
+
+    give the number of cells whose flow path reaches c within <= rounds
+    steps (itself included) — the bounded-horizon form of upslope area,
+    same contract as `grid_heat_diffusion` / `tile_isochrone`.
+
+    Scale shape: ONE value-domain-bounded combiner builds the raster;
+    direction is a 9-way fan-out + one grid-sized combine
+    (:func:`d8_direction_table`); each accumulation round is one fan-out
+    along the static edge set (broadcast once) + one grid-sized combine.
+    Emits (cx, cy, v, dir, acc)."""
+    from .relational import bucketed_groups
+    from .util import cached_state
+
+    num_of = np.zeros(8, np.int64)
+    dx_of = np.zeros(8, np.int64)
+    dy_of = np.zeros(8, np.int64)
+    for code, dx, dy, num in D8:
+        num_of[code], dx_of[code], dy_of[code] = num, dx, dy
+
+    dirs = d8_direction_table(points, x_col, y_col, cell, est_rows=est_rows)
 
     # static edge table (grid-bounded), broadcast once for the rounds
     dtab = dirs.to_pandas()
@@ -2209,4 +2227,48 @@ def grid_flow_d8(points, x_col: str, y_col: str, cell: int,
         "v": pa.array(dtab["v"].to_numpy(np.int64)),
         "dir": pa.array(dtab["dir"].to_numpy(np.int64)),
         "acc": pa.array(acc.to_numpy(np.int64)),
+    })
+
+
+def grid_flow_basins(points, x_col: str, y_col: str, cell: int,
+                     doublings: int = 7, est_rows: int | None = None):
+    """WATERSHED / BASIN DELINEATION over the D8 flow forest
+    (:func:`d8_direction_table`): every occupied cell follows its flow
+    direction to a TERMINAL cell — a pit, or the last occupied cell
+    before the flow leaves the raster — and is labeled with that
+    terminal's coordinates. The flow graph is a functional forest (each
+    step strictly decreases elevation, so no cycles); the terminal chase
+    is POINTER DOUBLING: succ ← succ∘succ for ``doublings`` rounds covers
+    chains up to 2^doublings long (128 at the default — an upper bound on
+    any monotone path in a 64×64 raster is its cell count, and pytest
+    pins a long-chain case). PRAM list-ranking, the same device as
+    `part_hierarchy_rollup`; the successor table is grid-sized, so the
+    doubling runs as 7 self-compositions on the bounded table. Emits
+    (cx, cy, bx, by) — cell → basin terminal."""
+    dirs = d8_direction_table(points, x_col, y_col, cell, est_rows=est_rows)
+    dtab = dirs.to_pandas()
+
+    dx_of = np.zeros(8, np.int64)
+    dy_of = np.zeros(8, np.int64)
+    for code, dx, dy, _num in D8:
+        dx_of[code], dy_of[code] = dx, dy
+
+    cx = dtab["cx"].to_numpy(np.int64)
+    cy = dtab["cy"].to_numpy(np.int64)
+    d = dtab["dir"].to_numpy(np.int64)
+    has = d >= 0
+    tx = cx + np.where(has, dx_of[np.clip(d, 0, 7)], 0)
+    ty = cy + np.where(has, dy_of[np.clip(d, 0, 7)], 0)
+    # successor = target if occupied else self (terminal self-loop)
+    occ = pd.MultiIndex.from_arrays([cx, cy])
+    pos = pd.Series(np.arange(len(cx)), index=occ)
+    tpos = pos.reindex(pd.MultiIndex.from_arrays([tx, ty])).to_numpy()
+    succ = np.where(has & ~np.isnan(tpos),
+                    np.nan_to_num(tpos, nan=0).astype(np.int64),
+                    np.arange(len(cx)))
+    for _ in range(doublings):
+        succ = succ[succ]
+    return pa.table({
+        "cx": pa.array(cx), "cy": pa.array(cy),
+        "bx": pa.array(cx[succ]), "by": pa.array(cy[succ]),
     })

@@ -103,3 +103,72 @@ def test_flow_d8_diagonal_vs_cardinal_rational():
 
     assert eng_d8 == D8
     assert 5 * 99 > 7 * 70 and 5 * 99 < 8 * 70
+
+
+def test_flow_basins_vs_brute(ray_session):
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages import spatial
+
+    rng = np.random.default_rng(23)
+    cells = {}
+    for _ in range(70):
+        c = (int(rng.integers(0, 8)), int(rng.integers(0, 8)))
+        cells[c] = int(rng.integers(1, 13))
+    # brute: follow D8 direction to terminal
+    dirs = {c: _brute(cells, 0)[c][0] for c in cells}
+
+    def term(c):
+        seen = set()
+        while True:
+            assert c not in seen  # acyclicity of strict descent
+            seen.add(c)
+            d = dirs[c]
+            if d < 0:
+                return c
+            _, dx, dy, _n = D8[d]
+            t = (c[0] + dx, c[1] + dy)
+            if t not in cells:
+                return c
+            c = t
+
+    xs, ys = [], []
+    for (cx, cy), v in cells.items():
+        for k in range(v):
+            xs.append(cx * 4 + k % 4)
+            ys.append(cy * 4 + (k // 4) % 4)
+    ds = ray.data.from_arrow(pa.table({
+        "px": np.array(xs, np.int64), "py": np.array(ys, np.int64)}))
+    got = (spatial.grid_flow_basins(ds, "px", "py", cell=4, doublings=7)
+           .to_pandas().set_index(["cx", "cy"]))
+    assert len(got) == len(cells)
+    for c in cells:
+        assert (got.loc[c, "bx"], got.loc[c, "by"]) == term(c), c
+
+
+def test_flow_basins_long_chain(ray_session):
+    """A strictly monotone 20-cell trench chain collapses to one terminal
+    (needs ceil(log2(20)) = 5 doublings; run with exactly 5 to pin the
+    2^k chain-length bound)."""
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages import spatial
+
+    cells = {}
+    n = 20
+    for i in range(n):
+        cells[(0, i)] = 1000
+        cells[(2, i)] = 1000
+        cells[(1, i)] = 10 + i
+    xs, ys = [], []
+    for (cx, cy), v in cells.items():
+        for k in range(v):
+            xs.append(cx * 4 + k % 4)
+            ys.append(cy * 4 + (k // 4) % 4)
+    ds = ray.data.from_arrow(pa.table({
+        "px": np.array(xs, np.int64), "py": np.array(ys, np.int64)}))
+    got = (spatial.grid_flow_basins(ds, "px", "py", cell=4, doublings=5)
+           .to_pandas().set_index(["cx", "cy"]))
+    # every interior trench cell drains to the mouth (1, 0)
+    for i in range(0, n - 1):
+        assert (got.loc[(1, i), "bx"], got.loc[(1, i), "by"]) == (1, 0)
