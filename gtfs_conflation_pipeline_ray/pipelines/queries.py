@@ -12861,6 +12861,121 @@ s{k} AS MATERIALIZED (
 SQL_GRID_FLOW_BASINS = _basin_sql(7)
 
 
+def q_events_runs_test(sf_dir: str):  # exact oracle (window LAG run starts)
+    """WALD-WOLFOWITZ RUNS TEST per event type: sign of each value against
+    the type's lower median (ties dropped, the classic convention), runs =
+    number of maximal same-sign stretches in (ts, event_id) order — the
+    randomness/clustering check of a monitoring pipeline (too few runs =
+    regime drift, too many = oscillation). Distribution shape: the median
+    comes from a value-domain-bounded count table; the ordered scan is the
+    pack_sequences block-summary monoid — per (type, day-bucket) groups
+    emit ONE summary row (first/last sign, internal run starts, counts)
+    and the driver merges the ≤ #days summaries in order."""
+    ev = _rp(sf_dir, "events", ["event_type", "value", "ts", "event_id"])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "v": cents(batch["value"].to_numpy(zero_copy_only=False)),
+        })
+
+    counts = rel.partial_groupby_sum(
+        ev.map_batches(_cnt, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "v"], [], count_as="c").to_pandas()
+    counts = counts.sort_values(["event_type", "v"])
+    med: dict[str, int] = {}
+    for t, g in counts.groupby("event_type", sort=False):
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        rank = (n + 1) // 2
+        med[t] = int(g["v"].to_numpy(np.int64)[np.searchsorted(cum, rank)])
+    med_ref = ray.put(med)
+
+    DAY_US = 86_400_000_000
+
+    def _signs(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        m = cached_state(med_ref, lambda d: d, token="runs_test.medians")
+        t = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = cents(batch["value"].to_numpy(zero_copy_only=False))
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mv = np.array([m[x] for x in t], np.int64)
+        sg = np.sign(v - mv).astype(np.int64)
+        keep = sg != 0
+        return pa.table({
+            "event_type": pa.array(t[keep]),
+            "b": ts[keep] // DAY_US,
+            "ts": ts[keep], "event_id": eid[keep], "sg": sg[keep],
+        })
+
+    signs = ev.map_batches(_signs, batch_format="pyarrow", batch_size=65536)
+
+    def _summary(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (t, b), gg in g.groupby(["event_type", "b"], sort=False):
+            gg = gg.sort_values(["ts", "event_id"], kind="mergesort")
+            s = gg["sg"].to_numpy(np.int64)
+            rows.append((t, int(b), int(s[0]), int(s[-1]),
+                         int((s[1:] != s[:-1]).sum()),
+                         int((s == 1).sum()), int((s == -1).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "b", "first",
+                                           "last", "chg", "npos", "nneg"])
+
+    summ = rel.bucketed_groups(signs, ["event_type", "b"], _summary,
+                               est_rows=_nrows(sf_dir, "events")).to_pandas()
+    out_t, out_p, out_n, out_r = [], [], [], []
+    for t, g in summ.groupby("event_type", sort=True):
+        g = g.sort_values("b")
+        runs = 1 + int(g["chg"].sum())
+        runs += int((g["first"].to_numpy(np.int64)[1:]
+                     != g["last"].to_numpy(np.int64)[:-1]).sum())
+        out_t.append(t)
+        out_p.append(int(g["npos"].sum()))
+        out_n.append(int(g["nneg"].sum()))
+        out_r.append(runs)
+    return pa.table({
+        "event_type": pa.array(out_t), "n_pos": pa.array(out_p, pa.int64()),
+        "n_neg": pa.array(out_n, pa.int64()),
+        "runs": pa.array(out_r, pa.int64()),
+    })
+
+
+SQL_EVENTS_RUNS_TEST = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         ts, event_id
+  FROM events
+),
+med AS (
+  SELECT event_type, v AS med FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM c
+  ) WHERE rn = (n + 1) // 2
+),
+s AS (
+  SELECT c.event_type, CAST(SIGN(c.v - med.med) AS BIGINT) AS sg,
+         ts, event_id
+  FROM c JOIN med USING (event_type) WHERE c.v <> med.med
+),
+w AS (
+  SELECT event_type, sg,
+         LAG(sg) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS pg
+  FROM s
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(CASE WHEN pg IS NULL OR sg <> pg THEN 1 ELSE 0 END)
+            AS BIGINT) AS runs
+FROM w GROUP BY event_type
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13353,6 +13468,7 @@ QUERIES = {
     "tile_matching": q_tile_matching,
     "embedding_power_iteration": q_embedding_power_iteration,
     "grid_flow_basins": q_grid_flow_basins,
+    "events_runs_test": q_events_runs_test,
 }
 
 
@@ -13606,4 +13722,5 @@ ORACLE_SQL = {
     "tile_matching": SQL_TILE_MATCHING,
     "embedding_power_iteration": SQL_EMBEDDING_POWER_ITERATION,
     "grid_flow_basins": SQL_GRID_FLOW_BASINS,
+    "events_runs_test": SQL_EVENTS_RUNS_TEST,
 }

@@ -150,3 +150,34 @@ def test_two_sample_queries_on_tiny_sfdir(ray_session, tmp_path):
     # ECDF gap: at v=100 |1*1 - 0*2| = 1; at 200 |1 - 2| = 1; at 400 0.
     # max gap 1 first attained at v=100.
     assert (ks.d_num, ks.ks_at) == (1, 100)
+
+
+def test_runs_test_brute_and_boundary(ray_session, tmp_path):
+    """Runs over a hand-built sequence that crosses day-bucket boundaries:
+    the block-summary merge must count boundary sign changes exactly once."""
+    import pyarrow.parquet as pq
+
+    from gtfs_conflation_pipeline_ray.pipelines import queries
+
+    # one type spread over three days; the sign sequence crosses both
+    # bucket boundaries and contains median-ties to drop
+    day = 86_400_000_000
+    ts = [0, 1, day - 1, day, day + 1, 2 * day, 2 * day + 1]
+    vals = [9.0, 8.0, 1.0, 2.0, 1.0, 8.0, 9.0]
+    ev = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([1] * 7, pa.int64()),
+        "event_type": pa.array(["x"] * 7),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 7),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, d / "events.parquet")
+    got = queries.q_events_runs_test(str(d)).to_pandas().iloc[0]
+    # lower median of sorted cents [100,100,200,800,800,900,900] rank 4
+    # -> 800; signs vs 800 (zeros dropped):
+    # 9->+, 8->0(drop), 1->-, 2->-, 1->-, 8->0(drop), 9->+
+    # sequence: + - - - +  => runs = 3, n_pos = 2, n_neg = 3
+    assert (got.n_pos, got.n_neg, got.runs) == (2, 3, 3)
