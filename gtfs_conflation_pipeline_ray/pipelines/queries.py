@@ -12976,6 +12976,102 @@ FROM w GROUP BY event_type
 """
 
 
+def q_image_upscale_stats(sf_dir: str):  # exact oracle (1-D LEAD collapse)
+    """Exact 2× BILINEAR UPSAMPLE checkpoints through the decode path
+    (``media.image_upscale_stats``): corner-aligned floor-integer
+    bilinear (source / mean-of-2 / mean-of-4 lattice), per-channel sums +
+    a row-weighted G sum — the UPSCALE face of the resize op next to
+    `image_downscale_stats`' box pyramid. On the factorized fixture every
+    output row (R) / column (G) is identical, so the oracle collapses to
+    1-D grids with LEAD midpoints."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_upscale_stats(synth, batch_size=512)
+
+
+SQL_IMAGE_UPSCALE_STATS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, h,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gq AS (
+  SELECT image_id, r, w,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+r2 AS (
+  SELECT image_id, v,
+         LEAD(v) OVER (PARTITION BY image_id ORDER BY j) AS nv
+  FROM rq
+),
+rs AS (  -- one upsampled R row: sources + LEAD midpoints
+  SELECT image_id, SUM(v) + SUM((v + nv) // 2) AS rowsum
+  FROM r2 GROUP BY image_id
+),
+g2 AS (
+  SELECT image_id, r, v,
+         LEAD(v) OVER (PARTITION BY image_id ORDER BY r) AS nv
+  FROM gq
+),
+gs AS (  -- one upsampled G column + its row-position weights
+  SELECT image_id,
+         SUM(v) + SUM((v + nv) // 2) AS colsum,
+         SUM(v * (2 * r + 1))
+           + SUM(((v + nv) // 2) * (2 * r + 2)) AS wcolsum
+  FROM g2 GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(2 * h - 1 AS BIGINT) AS up_h,
+       CAST(2 * w - 1 AS BIGINT) AS up_w,
+       CAST((2 * h - 1) * rs.rowsum AS BIGINT) AS sum_r,
+       CAST((2 * w - 1) * gs.colsum AS BIGINT) AS sum_g,
+       CAST((2 * h - 1) * (2 * w - 1) *
+            (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+                  ELSE bb END) AS BIGINT) AS sum_b,
+       CAST((2 * w - 1) * gs.wcolsum AS BIGINT) AS wsum_g
+FROM im JOIN rs USING (image_id) JOIN gs USING (image_id)
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13469,6 +13565,7 @@ QUERIES = {
     "embedding_power_iteration": q_embedding_power_iteration,
     "grid_flow_basins": q_grid_flow_basins,
     "events_runs_test": q_events_runs_test,
+    "image_upscale_stats": q_image_upscale_stats,
 }
 
 
@@ -13723,4 +13820,5 @@ ORACLE_SQL = {
     "embedding_power_iteration": SQL_EMBEDDING_POWER_ITERATION,
     "grid_flow_basins": SQL_GRID_FLOW_BASINS,
     "events_runs_test": SQL_EVENTS_RUNS_TEST,
+    "image_upscale_stats": SQL_IMAGE_UPSCALE_STATS,
 }

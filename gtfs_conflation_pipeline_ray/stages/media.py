@@ -1917,3 +1917,74 @@ def image_seam_energy(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def bilinear_up2(channel: np.ndarray) -> np.ndarray:
+    """Exact 2x BILINEAR UPSAMPLE (corner-aligned) of one channel in floor
+    integer arithmetic: output is (2h-1, 2w-1); even/even = source pixel,
+    edge midpoints = floor mean of 2, centers = floor mean of 4. The
+    integer twin of the box downsample (:func:`box_downscale2`'s sibling)
+    — together they are the resize pyramid's two directions."""
+    v = channel.astype(np.int64)
+    h, w = v.shape
+    out = np.empty((2 * h - 1, 2 * w - 1), np.int64)
+    out[::2, ::2] = v
+    out[::2, 1::2] = (v[:, :-1] + v[:, 1:]) // 2
+    out[1::2, ::2] = (v[:-1, :] + v[1:, :]) // 2
+    out[1::2, 1::2] = (v[:-1, :-1] + v[:-1, 1:]
+                       + v[1:, :-1] + v[1:, 1:]) // 4
+    return out
+
+
+class ImageUpscaleStats:
+    """Actor-pool batch fn: per-image integer checkpoints of the exact 2x
+    bilinear upsample through the genuine decode path
+    (:func:`bilinear_up2`): per-channel sums plus a row-weighted G sum
+    (sensitive to vertical placement, so a transposed or flipped upsample
+    cannot pass). On the factorized fixture each channel varies along one
+    axis, so every output row (R) / column (G) is identical and the
+    oracle collapses to 1-D grids. Emits
+    (image_id, up_h, up_w, sum_r, sum_g, sum_b, wsum_g)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        uh = np.empty(n, np.int64)
+        uw = np.empty(n, np.int64)
+        sums = np.empty((n, 3), np.int64)
+        wg = np.empty(n, np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            ups = [bilinear_up2(img[:, :, c]) for c in range(3)]
+            uh[i], uw[i] = ups[0].shape
+            for c in range(3):
+                sums[i, c] = ups[c].sum()
+            rows = np.arange(ups[1].shape[0], dtype=np.int64) + 1
+            wg[i] = int((ups[1].sum(axis=1) * rows).sum())
+        return pa.table({"image_id": ids, "up_h": uh, "up_w": uw,
+                         "sum_r": sums[:, 0].copy(),
+                         "sum_g": sums[:, 1].copy(),
+                         "sum_b": sums[:, 2].copy(), "wsum_g": wg})
+
+
+def image_upscale_stats(ds, bytes_col: str = "bytes",
+                        id_col: str = "image_id", fmt_col: str = "fmt",
+                        concurrency: int | None = None,
+                        batch_size: int = 256):
+    return ds.map_batches(
+        ImageUpscaleStats,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

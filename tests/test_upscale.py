@@ -1,0 +1,59 @@
+"""Brute-force parity for the exact 2x bilinear upsample kernel
+(stages/media.bilinear_up2) and the ImageUpscaleStats checkpoints: the
+registry oracle rides a separable fixture, so these drive the general 2-D
+kernel with unstructured random images against a per-pixel naive reference."""
+
+import numpy as np
+
+from gtfs_conflation_pipeline_ray.stages import media
+
+
+RNG = np.random.default_rng(4242)
+
+
+def _up2_naive(v):
+    h, w = v.shape
+    out = np.empty((2 * h - 1, 2 * w - 1), np.int64)
+    vi = v.astype(np.int64)
+    for y in range(2 * h - 1):
+        for x in range(2 * w - 1):
+            if y % 2 == 0 and x % 2 == 0:
+                out[y, x] = vi[y // 2, x // 2]
+            elif y % 2 == 0:
+                out[y, x] = (vi[y // 2, x // 2] + vi[y // 2, x // 2 + 1]) // 2
+            elif x % 2 == 0:
+                out[y, x] = (vi[y // 2, x // 2] + vi[y // 2 + 1, x // 2]) // 2
+            else:
+                out[y, x] = (vi[y // 2, x // 2] + vi[y // 2, x // 2 + 1]
+                             + vi[y // 2 + 1, x // 2]
+                             + vi[y // 2 + 1, x // 2 + 1]) // 4
+    return out
+
+
+def test_bilinear_up2_random_parity():
+    for _ in range(25):
+        h, w = int(RNG.integers(2, 12)), int(RNG.integers(2, 12))
+        ch = RNG.integers(0, 256, size=(h, w)).astype(np.uint8)
+        got = media.bilinear_up2(ch)
+        assert got.shape == (2 * h - 1, 2 * w - 1)
+        assert np.array_equal(got, _up2_naive(ch))
+
+
+def test_bilinear_up2_constant_is_constant():
+    ch = np.full((5, 7), 113, dtype=np.uint8)
+    up = media.bilinear_up2(ch)
+    assert (up == 113).all() and up.shape == (9, 13)
+
+
+def test_bilinear_up2_corner_alignment():
+    # Corners and every even/even lattice point are source pixels verbatim.
+    ch = RNG.integers(0, 256, size=(4, 6)).astype(np.uint8)
+    up = media.bilinear_up2(ch)
+    assert np.array_equal(up[::2, ::2], ch.astype(np.int64))
+
+
+def test_bilinear_up2_floor_semantics():
+    # 2x2 of odd values: midpoints and center must floor, not round.
+    ch = np.array([[1, 2], [4, 9]], dtype=np.uint8)
+    up = media.bilinear_up2(ch)
+    assert up[0, 1] == 1 and up[1, 0] == 2 and up[1, 1] == 4
