@@ -13072,6 +13072,103 @@ FROM im JOIN rs USING (image_id) JOIN gs USING (image_id)
 """
 
 
+def q_image_median_filter(sf_dir: str):  # exact oracle (1-D median-of-3)
+    """3×3 MEDIAN FILTER checkpoints through the decode path
+    (``media.image_median_filter``): per-channel sums of the order-
+    statistic-filtered interior — the impulse-noise denoiser next to the
+    linear blurs (`grid_box_blur`, `image_laplacian_noise`). On the
+    factorized fixture each channel varies along one axis, so the 9-window
+    multiset is {prev×3, cur×3, next×3} and the 5th order statistic is the
+    1-D median-of-3 (x+y+z − GREATEST − LEAST); the kernel is the general
+    2-D filter (pytest drives it with unstructured random images)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_median_filter(synth, batch_size=512)
+
+
+SQL_IMAGE_MEDIAN_FILTER = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+r2 AS (
+  SELECT image_id, j, w, v,
+         LAG(v)  OVER (PARTITION BY image_id ORDER BY j) AS pv,
+         LEAD(v) OVER (PARTITION BY image_id ORDER BY j) AS nv
+  FROM rq
+),
+rs AS (  -- one filtered R row: 1-D median-of-3 over interior columns
+  SELECT image_id,
+         SUM(pv + v + nv - GREATEST(pv, v, nv) - LEAST(pv, v, nv)) AS rowsum
+  FROM r2 WHERE j >= 1 AND j <= w - 2 GROUP BY image_id
+),
+gq AS (
+  SELECT image_id, r, h,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+g2 AS (
+  SELECT image_id, r, h, v,
+         LAG(v)  OVER (PARTITION BY image_id ORDER BY r) AS pv,
+         LEAD(v) OVER (PARTITION BY image_id ORDER BY r) AS nv
+  FROM gq
+),
+gs AS (
+  SELECT image_id,
+         SUM(pv + v + nv - GREATEST(pv, v, nv) - LEAST(pv, v, nv)) AS colsum
+  FROM g2 WHERE r >= 1 AND r <= h - 2 GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(h - 2 AS BIGINT) AS int_h,
+       CAST(w - 2 AS BIGINT) AS int_w,
+       CAST((h - 2) * rs.rowsum AS BIGINT) AS med_r,
+       CAST((w - 2) * gs.colsum AS BIGINT) AS med_g,
+       CAST((h - 2) * (w - 2) *
+            (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+                  ELSE bb END) AS BIGINT) AS med_b
+FROM im JOIN rs USING (image_id) JOIN gs USING (image_id)
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13566,6 +13663,7 @@ QUERIES = {
     "grid_flow_basins": q_grid_flow_basins,
     "events_runs_test": q_events_runs_test,
     "image_upscale_stats": q_image_upscale_stats,
+    "image_median_filter": q_image_median_filter,
 }
 
 
@@ -13821,4 +13919,5 @@ ORACLE_SQL = {
     "grid_flow_basins": SQL_GRID_FLOW_BASINS,
     "events_runs_test": SQL_EVENTS_RUNS_TEST,
     "image_upscale_stats": SQL_IMAGE_UPSCALE_STATS,
+    "image_median_filter": SQL_IMAGE_MEDIAN_FILTER,
 }

@@ -57,3 +57,34 @@ def test_bilinear_up2_floor_semantics():
     ch = np.array([[1, 2], [4, 9]], dtype=np.uint8)
     up = media.bilinear_up2(ch)
     assert up[0, 1] == 1 and up[1, 0] == 2 and up[1, 1] == 4
+
+
+def _median3x3_naive(v):
+    h, w = v.shape
+    out = np.empty((h - 2, w - 2), np.int64)
+    vi = v.astype(np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            out[y - 1, x - 1] = sorted(
+                vi[y - 1:y + 2, x - 1:x + 2].ravel().tolist())[4]
+    return out
+
+
+def test_median3x3_random_parity():
+    for _ in range(25):
+        h, w = int(RNG.integers(3, 12)), int(RNG.integers(3, 12))
+        ch = RNG.integers(0, 256, size=(h, w)).astype(np.uint8)
+        got = media.median3x3(ch)
+        assert got.shape == (h - 2, w - 2)
+        assert np.array_equal(got, _median3x3_naive(ch))
+
+
+def test_median3x3_kills_impulse():
+    # A single salt pixel in a flat field is erased entirely.
+    ch = np.full((6, 8), 40, dtype=np.uint8)
+    ch[3, 4] = 255
+    assert (media.median3x3(ch) == 40).all()
+
+
+def test_median3x3_too_small_is_empty():
+    assert media.median3x3(np.zeros((2, 5), np.uint8)).size == 0
