@@ -13169,6 +13169,88 @@ FROM im JOIN rs USING (image_id) JOIN gs USING (image_id)
 """
 
 
+def q_segment_raster_cells(sf_dir: str):  # exact oracle (recursive replay)
+    """BRESENHAM LINE RASTERIZATION of bounded trajectory segments onto
+    the 256-unit cell grid (``spatial.bresenham_cells``): the vector→
+    raster paint primitive every tile emission computes (the reference's
+    mbtiles path rasterizes every conflation-map line into tile pixels).
+    Per segment: plotted-cell count (Chebyshev span + 1, all octants,
+    combined diagonal step) and a position-sensitive Σ(31x+17y) checksum.
+    The engine walk is a numpy mask loop over ≤ 5 steps for the WHOLE
+    batch; the oracle replays the identical integer error-term recurrence
+    in a recursive CTE. Endpoints clamp into [0, 65535] so floor and
+    trunc division agree on both sides."""
+    from ..stages import segments
+    from ..stages.spatial import bresenham_cells
+
+    def _segs(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        out = []
+        for i in range(len(xyi) - 1):
+            dx = int(xyi[i + 1, 0]) % 2001 - 1000
+            dy = int(xyi[i + 1, 1]) % 2001 - 1000
+            bx = min(max(int(xyi[i, 0]) + dx, 0), 65535)
+            by = min(max(int(xyi[i, 1]) + dy, 0), 65535)
+            out.append({"user_id": np.int64(uid), "seg_i": np.int64(i + 1),
+                        "ax": np.int64(xyi[i, 0]), "ay": np.int64(xyi[i, 1]),
+                        "bx": np.int64(bx), "by": np.int64(by)})
+        return out
+
+    segs = segments.per_shape(_event_shapes(sf_dir), _segs)
+    return bresenham_cells(segs, cell=256)
+
+
+SQL_SEGMENT_RASTER_CELLS = """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+segs AS (
+  SELECT user_id, gi AS seg_i,
+         x // 256 AS cx0, y // 256 AS cy0,
+         LEAST(GREATEST(x + (nx % 2001 - 1000), 0), 65535) // 256 AS cx1,
+         LEAST(GREATEST(y + (ny % 2001 - 1000), 0), 65535) // 256 AS cy1
+  FROM (SELECT user_id, gi, x, y,
+               lead(x) OVER (PARTITION BY user_id ORDER BY gi) AS nx,
+               lead(y) OVER (PARTITION BY user_id ORDER BY gi) AS ny
+        FROM pts)
+  WHERE nx IS NOT NULL
+),
+init AS (
+  SELECT user_id, seg_i, cx1, cy1,
+         ABS(cx1 - cx0) AS dx, -ABS(cy1 - cy0) AS dy,
+         CASE WHEN cx0 < cx1 THEN 1 ELSE -1 END AS sx,
+         CASE WHEN cy0 < cy1 THEN 1 ELSE -1 END AS sy,
+         ABS(cx1 - cx0) - ABS(cy1 - cy0) AS err,
+         cx0 AS x, cy0 AS y
+  FROM segs
+),
+walk AS (
+  SELECT user_id, seg_i, cx1, cy1, dx, dy, sx, sy, err, x, y,
+         CAST(1 AS BIGINT) AS n_cells,
+         31 * x + 17 * y AS cell_sum
+  FROM init
+  UNION ALL
+  SELECT user_id, seg_i, cx1, cy1, dx, dy, sx, sy,
+         err + (CASE WHEN 2 * err >= dy THEN dy ELSE 0 END)
+             + (CASE WHEN 2 * err <= dx THEN dx ELSE 0 END),
+         x + (CASE WHEN 2 * err >= dy THEN sx ELSE 0 END),
+         y + (CASE WHEN 2 * err <= dx THEN sy ELSE 0 END),
+         n_cells + 1,
+         cell_sum + 31 * (x + CASE WHEN 2 * err >= dy THEN sx ELSE 0 END)
+                  + 17 * (y + CASE WHEN 2 * err <= dx THEN sy ELSE 0 END)
+  FROM walk WHERE x != cx1 OR y != cy1
+)
+SELECT user_id, CAST(seg_i AS BIGINT) AS seg_i,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(cell_sum AS BIGINT) AS cell_sum
+FROM walk WHERE x = cx1 AND y = cy1
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13664,6 +13746,7 @@ QUERIES = {
     "events_runs_test": q_events_runs_test,
     "image_upscale_stats": q_image_upscale_stats,
     "image_median_filter": q_image_median_filter,
+    "segment_raster_cells": q_segment_raster_cells,
 }
 
 
@@ -13920,4 +14003,5 @@ ORACLE_SQL = {
     "events_runs_test": SQL_EVENTS_RUNS_TEST,
     "image_upscale_stats": SQL_IMAGE_UPSCALE_STATS,
     "image_median_filter": SQL_IMAGE_MEDIAN_FILTER,
+    "segment_raster_cells": SQL_SEGMENT_RASTER_CELLS,
 }

@@ -1,0 +1,67 @@
+"""Brute-force parity for the vectorized Bresenham raster walk
+(stages/spatial.bresenham_batch): the registry oracle replays the same
+error-term recurrence in a recursive CTE, so these pin the batch kernel
+against a scalar per-segment reference over all octants, plus the
+Chebyshev cell-count identity and degenerate segments."""
+
+import numpy as np
+
+from gtfs_conflation_pipeline_ray.stages import spatial
+
+
+RNG = np.random.default_rng(777)
+
+
+def _bresenham_scalar(x0, y0, x1, y1):
+    dx, dy = abs(x1 - x0), -abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx + dy
+    x, y = x0, y0
+    cells = [(x, y)]
+    while not (x == x1 and y == y1):
+        e2 = 2 * err
+        if e2 >= dy:
+            err += dy
+            x += sx
+        if e2 <= dx:
+            err += dx
+            y += sy
+        cells.append((x, y))
+    return cells
+
+
+def test_bresenham_batch_random_parity():
+    n = 300
+    x0 = RNG.integers(-40, 40, n)
+    y0 = RNG.integers(-40, 40, n)
+    x1 = RNG.integers(-40, 40, n)
+    y1 = RNG.integers(-40, 40, n)
+    n_cells, cell_sum = spatial.bresenham_batch(x0, y0, x1, y1)
+    for i in range(n):
+        cells = _bresenham_scalar(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
+        assert n_cells[i] == len(cells)
+        assert cell_sum[i] == sum(31 * x + 17 * y for x, y in cells)
+
+
+def test_bresenham_count_is_chebyshev_plus_one():
+    n = 200
+    x0 = RNG.integers(0, 100, n)
+    y0 = RNG.integers(0, 100, n)
+    x1 = RNG.integers(0, 100, n)
+    y1 = RNG.integers(0, 100, n)
+    n_cells, _ = spatial.bresenham_batch(x0, y0, x1, y1)
+    cheb = np.maximum(np.abs(x1 - x0), np.abs(y1 - y0))
+    assert np.array_equal(n_cells, cheb + 1)
+
+
+def test_bresenham_degenerate_and_axis_lines():
+    x0 = np.array([5, 0, 3])
+    y0 = np.array([7, 0, 9])
+    x1 = np.array([5, 6, 3])
+    y1 = np.array([7, 0, 2])
+    n_cells, cell_sum = spatial.bresenham_batch(x0, y0, x1, y1)
+    assert n_cells.tolist() == [1, 7, 8]  # point, horizontal, vertical
+    assert cell_sum[0] == 31 * 5 + 17 * 7
+    assert cell_sum[1] == sum(31 * x for x in range(7))
+    assert cell_sum[2] == 8 * 31 * 3 + 17 * sum(range(2, 10))
