@@ -13251,6 +13251,110 @@ FROM walk WHERE x = cx1 AND y = cy1
 """
 
 
+def q_image_glcm_texture(sf_dir: str):  # exact oracle (1-D pair collapse)
+    """GLCM TEXTURE checkpoints through the decode path
+    (``media.image_glcm_texture``): Haralick contrast / energy / occupied-
+    cell trio of the 8-level co-occurrence matrix, R at horizontal offset
+    and G at vertical — the texture screen of image curation (synthetics
+    hug the GLCM diagonal, photographs spread off it). On the factorized
+    fixture each co-occurrence pair repeats exactly h (resp. w) times, so
+    the oracle is a 1-D LEAD pair count; the kernel is the general 2-D
+    bincount (pytest drives random images)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_glcm_texture(synth, batch_size=512)
+
+
+SQL_IMAGE_GLCM_TEXTURE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j,
+         (CASE WHEN fi = 2
+               THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                    + ((br + (j * 55) // (w - 1)) // 4) // 16
+               ELSE br + (j * 55) // (w - 1) END) // 32 AS q
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rp AS (
+  SELECT image_id, q AS qa,
+         LEAD(q) OVER (PARTITION BY image_id ORDER BY j) AS qb
+  FROM rq
+),
+rpc AS (
+  SELECT image_id, qa, qb, COUNT(*) AS c
+  FROM rp WHERE qb IS NOT NULL GROUP BY image_id, qa, qb
+),
+rs AS (
+  SELECT rpc.image_id,
+         SUM(h * c * (qa - qb) * (qa - qb)) AS con,
+         SUM(h * h * c * c) AS ene, COUNT(*) AS cel
+  FROM rpc JOIN im ON im.image_id = rpc.image_id
+  GROUP BY rpc.image_id
+),
+gq AS (
+  SELECT image_id, r,
+         (CASE WHEN fi = 2
+               THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                    + ((bg + (r * 41) // (h - 1)) // 4) // 16
+               ELSE bg + (r * 41) // (h - 1) END) // 32 AS q
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+gp AS (
+  SELECT image_id, q AS qa,
+         LEAD(q) OVER (PARTITION BY image_id ORDER BY r) AS qb
+  FROM gq
+),
+gpc AS (
+  SELECT image_id, qa, qb, COUNT(*) AS c
+  FROM gp WHERE qb IS NOT NULL GROUP BY image_id, qa, qb
+),
+gs AS (
+  SELECT gpc.image_id,
+         SUM(w * c * (qa - qb) * (qa - qb)) AS con,
+         SUM(w * w * c * c) AS ene, COUNT(*) AS cel
+  FROM gpc JOIN im ON im.image_id = gpc.image_id
+  GROUP BY gpc.image_id
+)
+SELECT im.image_id,
+       CAST(rs.con AS BIGINT) AS con_r, CAST(rs.ene AS BIGINT) AS ene_r,
+       CAST(rs.cel AS BIGINT) AS cel_r,
+       CAST(gs.con AS BIGINT) AS con_g, CAST(gs.ene AS BIGINT) AS ene_g,
+       CAST(gs.cel AS BIGINT) AS cel_g
+FROM im JOIN rs ON rs.image_id = im.image_id
+        JOIN gs ON gs.image_id = im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13747,6 +13851,7 @@ QUERIES = {
     "image_upscale_stats": q_image_upscale_stats,
     "image_median_filter": q_image_median_filter,
     "segment_raster_cells": q_segment_raster_cells,
+    "image_glcm_texture": q_image_glcm_texture,
 }
 
 
@@ -14004,4 +14109,5 @@ ORACLE_SQL = {
     "image_upscale_stats": SQL_IMAGE_UPSCALE_STATS,
     "image_median_filter": SQL_IMAGE_MEDIAN_FILTER,
     "segment_raster_cells": SQL_SEGMENT_RASTER_CELLS,
+    "image_glcm_texture": SQL_IMAGE_GLCM_TEXTURE,
 }

@@ -88,3 +88,29 @@ def test_median3x3_kills_impulse():
 
 def test_median3x3_too_small_is_empty():
     assert media.median3x3(np.zeros((2, 5), np.uint8)).size == 0
+
+
+def _glcm_naive(v, dx, dy):
+    h, w = v.shape
+    from collections import Counter
+    cnt = Counter()
+    for y in range(h - dy):
+        for x in range(w - dx):
+            cnt[(int(v[y, x]) >> 5, int(v[y + dy, x + dx]) >> 5)] += 1
+    con = sum(c * (a - b) ** 2 for (a, b), c in cnt.items())
+    ene = sum(c * c for c in cnt.values())
+    return con, ene, len(cnt)
+
+
+def test_glcm_stats_random_parity():
+    for dx, dy in [(1, 0), (0, 1), (1, 1)]:
+        for _ in range(10):
+            h, w = int(RNG.integers(3, 12)), int(RNG.integers(3, 12))
+            ch = RNG.integers(0, 256, size=(h, w)).astype(np.uint8)
+            assert media.glcm_stats(ch, dx, dy) == _glcm_naive(ch, dx, dy)
+
+
+def test_glcm_flat_image_single_cell():
+    ch = np.full((6, 9), 200, dtype=np.uint8)
+    con, ene, cel = media.glcm_stats(ch, 1, 0)
+    assert con == 0 and cel == 1 and ene == (6 * 8) ** 2
