@@ -13355,6 +13355,66 @@ FROM im JOIN rs ON rs.image_id = im.image_id
 """
 
 
+def q_grid_viewshed(sf_dir: str):  # exact oracle (recursive ray replay)
+    """R3 VIEWSHED over the probe-point density raster
+    (``spatial.grid_viewshed``): which cells a mast at (32, 32) with a
+    +2 antenna can see, density as elevation — the DEM coverage-planning
+    classic next to D8 flow routing. Division-free visibility: target T
+    at Bresenham step count K is blocked iff any intermediate cell P at
+    step k has (e(P)−eO)·K ≥ (e(T)−eO)·k (step index as distance, ties
+    block). Engine: one raster combiner, then ONE vectorized mask walk
+    advances all 4095 rays simultaneously; oracle: the identical
+    Bresenham error-term recurrence per target in a recursive CTE with a
+    carried blocked flag."""
+    pts = conflation.read_points(sf_dir)
+    return spatial.grid_viewshed(pts, "px", "py", cell=1024, grid_n=64,
+                                 ox=32, oy=32, antenna=2,
+                                 est_rows=_nrows(sf_dir, "lineitem"))
+
+
+SQL_GRID_VIEWSHED = _CTES.replace("WITH points", "WITH RECURSIVE points", 1) + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS v
+  FROM points GROUP BY 1, 2
+),
+grid AS (
+  SELECT gx.cx, gy.cy, COALESCE(c.v, 0) AS v
+  FROM (SELECT unnest(range(64)) AS cx) gx
+  CROSS JOIN (SELECT unnest(range(64)) AS cy) gy
+  LEFT JOIN cells c ON c.cx = gx.cx AND c.cy = gy.cy
+),
+obs AS (SELECT v + 2 AS eo FROM grid WHERE cx = 32 AND cy = 32),
+tgt AS (
+  SELECT cx, cy, v,
+         GREATEST(ABS(cx - 32), ABS(cy - 32)) AS kk,
+         ABS(cx - 32) AS dx, -ABS(cy - 32) AS dy,
+         CASE WHEN cx > 32 THEN 1 ELSE -1 END AS sx,
+         CASE WHEN cy > 32 THEN 1 ELSE -1 END AS sy,
+         ABS(cx - 32) - ABS(cy - 32) AS err
+  FROM grid WHERE NOT (cx = 32 AND cy = 32)
+),
+walk AS (
+  SELECT cx, cy, v, kk, dx, dy, sx, sy, err,
+         32 AS x, 32 AS y, 0 AS k, FALSE AS blocked
+  FROM tgt
+  UNION ALL
+  SELECT w.cx, w.cy, w.v, w.kk, w.dx, w.dy, w.sx, w.sy,
+         w.err + CASE WHEN 2 * w.err >= w.dy THEN w.dy ELSE 0 END
+               + CASE WHEN 2 * w.err <= w.dx THEN w.dx ELSE 0 END,
+         g.cx, g.cy, w.k + 1,
+         w.blocked OR (g.v - o.eo) * w.kk >= (w.v - o.eo) * (w.k + 1)
+  FROM walk w CROSS JOIN obs o
+  JOIN grid g
+    ON g.cx = w.x + CASE WHEN 2 * w.err >= w.dy THEN w.sx ELSE 0 END
+   AND g.cy = w.y + CASE WHEN 2 * w.err <= w.dx THEN w.sy ELSE 0 END
+  WHERE w.k + 1 <= w.kk - 1
+)
+SELECT cx, cy, CAST(v AS BIGINT) AS v, CAST(kk AS BIGINT) AS k_steps
+FROM walk
+WHERE k = GREATEST(kk - 1, 0) AND NOT blocked
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13852,6 +13912,7 @@ QUERIES = {
     "image_median_filter": q_image_median_filter,
     "segment_raster_cells": q_segment_raster_cells,
     "image_glcm_texture": q_image_glcm_texture,
+    "grid_viewshed": q_grid_viewshed,
 }
 
 
@@ -14110,4 +14171,5 @@ ORACLE_SQL = {
     "image_median_filter": SQL_IMAGE_MEDIAN_FILTER,
     "segment_raster_cells": SQL_SEGMENT_RASTER_CELLS,
     "image_glcm_texture": SQL_IMAGE_GLCM_TEXTURE,
+    "grid_viewshed": SQL_GRID_VIEWSHED,
 }

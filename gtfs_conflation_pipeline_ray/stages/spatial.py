@@ -2333,3 +2333,82 @@ def bresenham_cells(segs, cell: int = 256):
         })
 
     return segs.map_batches(_raster, batch_format="pyarrow", batch_size=65536)
+
+
+def viewshed_visible(elev: np.ndarray, ox: int, oy: int, antenna: int = 2):
+    """R3 VIEWSHED over an integer elevation grid: every cell is a target;
+    the observer sits at (ox, oy) with an ``antenna`` offset; target T at
+    Bresenham step count K is visible iff NO intermediate path cell P at
+    step k satisfies (e(P) − eO)·K ≥ (e(T) − eO)·k — the cross-multiplied
+    (division-free, integer-exact) form of "an intermediate line-of-sight
+    slope at least the target's blocks it" with step index as distance,
+    ties blocking. Vectorized: ONE Bresenham mask walk advances every
+    target's ray simultaneously (loop over ≤ max-Chebyshev steps, not
+    over targets). Returns (tx, ty, eT, K, visible) arrays over all
+    targets except the observer."""
+    h, w = elev.shape
+    cy, cx = np.mgrid[0:h, 0:w]
+    tx = cx.ravel().astype(np.int64)
+    ty = cy.ravel().astype(np.int64)
+    keep = ~((tx == ox) & (ty == oy))
+    tx, ty = tx[keep], ty[keep]
+    e_t = elev[ty, tx].astype(np.int64)
+    e_o = int(elev[oy, ox]) + antenna
+    big_k = np.maximum(np.abs(tx - ox), np.abs(ty - oy))
+    dx = np.abs(tx - ox)
+    dy = -np.abs(ty - oy)
+    sx = np.where(ox < tx, 1, -1)
+    sy = np.where(oy < ty, 1, -1)
+    err = dx + dy
+    x = np.full_like(tx, ox)
+    y = np.full_like(ty, oy)
+    vis = np.ones(len(tx), bool)
+    kmax = int(big_k.max()) if len(big_k) else 0
+    for k in range(1, kmax):  # intermediate steps only (k = 1 .. K-1)
+        adv = big_k - 1 >= k
+        if not adv.any():
+            break
+        e2 = 2 * err
+        stepx = adv & (e2 >= dy)
+        stepy = adv & (e2 <= dx)
+        err[stepx] += dy[stepx]
+        x[stepx] += sx[stepx]
+        err[stepy] += dx[stepy]
+        y[stepy] += sy[stepy]
+        blocked = (elev[y[adv], x[adv]] - e_o) * big_k[adv] >= \
+            (e_t[adv] - e_o) * k
+        va = vis[adv]
+        va &= ~blocked
+        vis[adv] = va
+    return tx, ty, e_t, big_k, vis
+
+
+def grid_viewshed(points, x_col: str, y_col: str, cell: int = 1024,
+                  grid_n: int = 64, ox: int = 32, oy: int = 32,
+                  antenna: int = 2, est_rows: int | None = None):
+    """Viewshed delineation over the point-density raster (density as
+    elevation): which cells can a mast at (ox, oy) see — the DEM classic
+    next to D8 flow routing (`grid_flow_d8`), and the coverage-planning
+    face of the raster suite. ONE value-domain-bounded combiner builds
+    the raster; the viewshed itself runs on the ≤ grid_n² row table
+    (:func:`viewshed_visible`, one vectorized mask walk). Emits one row
+    per VISIBLE target cell: (cx, cy, v, k_steps)."""
+    from .relational import partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // cell, "cy": y // cell})
+
+    raw = points.map_batches(_cells_of, batch_format="pyarrow",
+                             batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=est_rows)
+    dtab = density.to_pandas()  # grid-bounded: <= grid_n^2 rows
+    elev = np.zeros((grid_n, grid_n), np.int64)
+    elev[dtab["cy"].to_numpy(np.int64), dtab["cx"].to_numpy(np.int64)] = \
+        dtab["v"].to_numpy(np.int64)
+    tx, ty, e_t, big_k, vis = viewshed_visible(elev, ox, oy, antenna)
+    return ray.data.from_pandas(pd.DataFrame({
+        "cx": tx[vis], "cy": ty[vis], "v": e_t[vis],
+        "k_steps": big_k[vis].astype(np.int64)}))

@@ -65,3 +65,60 @@ def test_bresenham_degenerate_and_axis_lines():
     assert cell_sum[0] == 31 * 5 + 17 * 7
     assert cell_sum[1] == sum(31 * x for x in range(7))
     assert cell_sum[2] == 8 * 31 * 3 + 17 * sum(range(2, 10))
+
+
+def _viewshed_naive(elev, ox, oy, antenna=2):
+    """Independent reference: Fraction line-of-sight slopes along scalar
+    Bresenham rays (the cross-multiplied engine rule equals a strict
+    slope comparison because step indices are positive)."""
+    from fractions import Fraction
+
+    h, w = elev.shape
+    eo = int(elev[oy, ox]) + antenna
+    out = {}
+    for ty in range(h):
+        for tx in range(w):
+            if (tx, ty) == (ox, oy):
+                continue
+            cells = _bresenham_scalar(ox, oy, tx, ty)
+            big_k = len(cells) - 1
+            et = int(elev[ty, tx])
+            tgt_slope = Fraction(et - eo, big_k)
+            vis = all(Fraction(int(elev[y, x]) - eo, k) < tgt_slope
+                      for k, (x, y) in enumerate(cells[1:big_k], start=1))
+            out[(tx, ty)] = vis
+    return out
+
+
+def test_viewshed_random_parity():
+    for _ in range(8):
+        elev = RNG.integers(0, 30, size=(9, 9)).astype(np.int64)
+        tx, ty, e_t, big_k, vis = spatial.viewshed_visible(elev, 4, 4)
+        naive = _viewshed_naive(elev, 4, 4)
+        for i in range(len(tx)):
+            assert vis[i] == naive[(int(tx[i]), int(ty[i]))], (tx[i], ty[i])
+            assert e_t[i] == elev[ty[i], tx[i]]
+            assert big_k[i] == max(abs(int(tx[i]) - 4), abs(int(ty[i]) - 4))
+
+
+def test_viewshed_wall_blocks_behind():
+    # A tall ridge at x=6 hides the flat cells behind it along the +x row,
+    # while the ridge itself is visible.
+    elev = np.zeros((5, 12), np.int64)
+    elev[:, 6] = 100
+    tx, ty, _, _, vis = spatial.viewshed_visible(elev, 1, 2)
+    vismap = {(int(a), int(b)): v for a, b, v in zip(tx, ty, vis)}
+    assert vismap[(6, 2)]
+    for x in range(7, 12):
+        assert not vismap[(x, 2)]
+    for x in range(2, 6):
+        # flat cells in FRONT of the ridge stay visible (negative target
+        # slope −2/K is strictly above every intermediate's −2/k, k < K)
+        assert vismap[(x, 2)]
+
+
+def test_viewshed_flat_world_all_visible():
+    # With a positive antenna every flat cell clears every intermediate.
+    elev = np.full((7, 7), 5, np.int64)
+    _, _, _, _, vis = spatial.viewshed_visible(elev, 3, 3)
+    assert vis.all()
