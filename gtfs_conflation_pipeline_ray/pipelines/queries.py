@@ -13415,6 +13415,87 @@ WHERE k = GREATEST(kk - 1, 0) AND NOT blocked
 """
 
 
+def q_user_max_nonoverlap(sf_dir: str):  # exact oracle (list-CTE greedy)
+    """ACTIVITY SELECTION (maximum non-overlapping intervals) per user:
+    each event opens a variable window of (event_id % 7 + 1) minutes; the
+    earliest-end greedy — provably optimal for this problem — picks the
+    max set of pairwise non-overlapping windows ([s, e) half-open, next
+    pick needs s ≥ last e; ties by (e, s, event_id)). The scheduling
+    core of every booking / crew-rostering / ad-slot pipeline, and the
+    selection companion of ``user_interval_coverage``'s union sweep.
+    Engine: one bucketed group shuffle, vectorized per-user sort + an
+    O(n) greedy scan; oracle: per-user end-sorted interval LISTS carried
+    through a recursive CTE (the vector-in-CTE device), each round
+    list-filtering for the first start ≥ current end. Emits
+    (user_id, n_sel, e_sum)."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + (eid % 7 + 1) * 60_000_000
+        return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                         "s": s, "e": e, "event_id": eid})
+
+    iv = ev.map_batches(_iv, batch_format="pyarrow", batch_size=8192)
+
+    def _greedy(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "e", "s", "event_id"],
+                          kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        s = d["s"].to_numpy().astype(np.int64)
+        e = d["e"].to_numpy().astype(np.int64)
+        n = len(d)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        users, nsel, esum = [], [], []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            cnt, tot = windows.greedy_nonoverlap(s[a:b], e[a:b])
+            users.append(int(uid[a]))
+            nsel.append(cnt)
+            esum.append(tot)
+        return pd.DataFrame({"user_id": np.asarray(users, np.int64),
+                             "n_sel": np.asarray(nsel, np.int64),
+                             "e_sum": np.asarray(esum, np.int64)})
+
+    return bucketed_groups(iv, ["user_id"], _greedy)
+
+
+SQL_USER_MAX_NONOVERLAP = """
+WITH RECURSIVE iv AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + (event_id % 7 + 1) * 60000000 AS e,
+         event_id
+  FROM events
+),
+lst AS (
+  SELECT user_id,
+         list(s ORDER BY e, s, event_id) AS ss,
+         list(e ORDER BY e, s, event_id) AS ee
+  FROM iv GROUP BY user_id
+),
+greedy AS (
+  SELECT user_id, ss, ee, ee[1] AS cur_end,
+         CAST(1 AS BIGINT) AS cnt, ee[1] AS esum
+  FROM lst
+  UNION ALL
+  SELECT user_id, ss, ee,
+         ee[list_filter(range(1, len(ss) + 1), i -> ss[i] >= cur_end)[1]],
+         cnt + 1,
+         esum + ee[list_filter(range(1, len(ss) + 1),
+                               i -> ss[i] >= cur_end)[1]]
+  FROM greedy
+  WHERE len(list_filter(range(1, len(ss) + 1), i -> ss[i] >= cur_end)) > 0
+)
+SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS n_sel,
+       CAST(MAX(esum) AS BIGINT) AS e_sum
+FROM greedy GROUP BY user_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13913,6 +13994,7 @@ QUERIES = {
     "segment_raster_cells": q_segment_raster_cells,
     "image_glcm_texture": q_image_glcm_texture,
     "grid_viewshed": q_grid_viewshed,
+    "user_max_nonoverlap": q_user_max_nonoverlap,
 }
 
 
@@ -14172,4 +14254,5 @@ ORACLE_SQL = {
     "segment_raster_cells": SQL_SEGMENT_RASTER_CELLS,
     "image_glcm_texture": SQL_IMAGE_GLCM_TEXTURE,
     "grid_viewshed": SQL_GRID_VIEWSHED,
+    "user_max_nonoverlap": SQL_USER_MAX_NONOVERLAP,
 }

@@ -481,3 +481,20 @@ def gap_fill_locf(ds, key: str, day_col: str, order: list[str],
         })
 
     return bucketed_groups(ds, [key], _fill, pre_fn=_last_per_day)
+
+
+def greedy_nonoverlap(s: np.ndarray, e: np.ndarray) -> tuple[int, int]:
+    """Earliest-end GREEDY ACTIVITY SELECTION over one group's intervals,
+    PRE-SORTED by the caller's (e, s, tie) order: scan in end order,
+    pick whenever start ≥ the last picked end ([s, e) half-open). The
+    greedy is provably optimal in selection count for interval
+    scheduling. Returns (n_selected, sum of selected ends)."""
+    cur_end = None
+    cnt = 0
+    tot = 0
+    for i in range(len(s)):
+        if cur_end is None or s[i] >= cur_end:
+            cur_end = int(e[i])
+            cnt += 1
+            tot += cur_end
+    return cnt, tot
