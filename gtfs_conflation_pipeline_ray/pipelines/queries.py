@@ -13496,6 +13496,115 @@ FROM greedy GROUP BY user_id
 """
 
 
+def q_image_hough_lines(sf_dir: str):  # exact oracle (1-D×1-D edge product)
+    """HOUGH LINE TRANSFORM peak through the decode path
+    (``media.image_hough_lines``): interior pixels whose central-
+    difference luma gradient clears |dx|+|dy| ≥ 5 vote into an 8-angle ×
+    quantized-ρ accumulator (fixed-point (cos,sin)·1024 — the integer
+    grid IS the definition, the `shape_rotfrechet` device); emits the
+    edge count and the argmax bucket (ties to smallest (k, ρ)) — the
+    line-structure detector separating diagrams from photographs. On the
+    factorized fixture luma = f(j) + g(r) + const, so the edge set is a
+    product of 1-D gradient grids and the oracle is a cross join × the
+    angle VALUES table; ρ is offset positive so floor and trunc division
+    agree."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_hough_lines(synth, batch_size=512)
+
+
+SQL_IMAGE_HOUGH_LINES = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+ang(k, c, s) AS (VALUES
+  (0, 1024, 0), (1, 946, 392), (2, 724, 724), (3, 392, 946),
+  (4, 0, 1024), (5, -392, 946), (6, -724, 724), (7, -946, 392)
+),
+fq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS f
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+dxq AS (
+  SELECT a.image_id, a.j, n.f - p.f AS df
+  FROM fq a
+  JOIN fq n ON n.image_id = a.image_id AND n.j = a.j + 1
+  JOIN fq p ON p.image_id = a.image_id AND p.j = a.j - 1
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+dyq AS (
+  SELECT a.image_id, a.r, n.g - p.g AS dg
+  FROM gq a
+  JOIN gq n ON n.image_id = a.image_id AND n.r = a.r + 1
+  JOIN gq p ON p.image_id = a.image_id AND p.r = a.r - 1
+),
+edges AS (
+  SELECT d.image_id, d.j, e.r
+  FROM dxq d JOIN dyq e ON e.image_id = d.image_id
+  WHERE ABS(d.df) + ABS(e.dg) >= 5
+),
+ne AS (SELECT image_id, COUNT(*) AS n_edge FROM edges GROUP BY image_id),
+votes AS (
+  SELECT image_id, k, (j * c + r * s + 65536) // 2048 AS rho,
+         COUNT(*) AS v
+  FROM edges CROSS JOIN ang GROUP BY image_id, k, rho
+),
+best AS (
+  SELECT image_id, v, k, rho,
+         ROW_NUMBER() OVER (PARTITION BY image_id
+                            ORDER BY v DESC, k, rho) AS rn
+  FROM votes
+)
+SELECT im.image_id,
+       CAST(COALESCE(ne.n_edge, 0) AS BIGINT) AS n_edge,
+       CAST(COALESCE(b.v, 0) AS BIGINT) AS best_votes,
+       CAST(COALESCE(b.k, -1) AS BIGINT) AS best_k,
+       CAST(COALESCE(b.rho, -1) AS BIGINT) AS best_rho
+FROM im
+LEFT JOIN ne ON ne.image_id = im.image_id
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.image_id = im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -13995,6 +14104,7 @@ QUERIES = {
     "image_glcm_texture": q_image_glcm_texture,
     "grid_viewshed": q_grid_viewshed,
     "user_max_nonoverlap": q_user_max_nonoverlap,
+    "image_hough_lines": q_image_hough_lines,
 }
 
 
@@ -14255,4 +14365,5 @@ ORACLE_SQL = {
     "image_glcm_texture": SQL_IMAGE_GLCM_TEXTURE,
     "grid_viewshed": SQL_GRID_VIEWSHED,
     "user_max_nonoverlap": SQL_USER_MAX_NONOVERLAP,
+    "image_hough_lines": SQL_IMAGE_HOUGH_LINES,
 }

@@ -2124,3 +2124,95 @@ def image_glcm_texture(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+# 8 Hough angles θ = kπ/8 over [0, π) as fixed-point (cos, sin)·1024 —
+# the integer approximation IS the definition (same device as the
+# rational rotation grid in shape_rotfrechet), so engine and oracle are
+# exact by construction. sin ≥ 0 throughout, so ρ = j·c + i·s ≥ −946·j.
+HOUGH_ANGLES = np.array([
+    (1024, 0), (946, 392), (724, 724), (392, 946),
+    (0, 1024), (-392, 946), (-724, 724), (-946, 392)], np.int64)
+HOUGH_RHO_OFFSET = 65536
+HOUGH_RHO_Q = 2048
+
+
+def hough_peak(luma: np.ndarray, thresh: int = 5):
+    """HOUGH LINE TRANSFORM peak of one luma grid: interior pixels with
+    central-difference gradient |dx| + |dy| ≥ thresh vote, for each of
+    the 8 fixed-point angles, into the quantized-ρ accumulator
+    ρq = (j·c + i·s + 65536) // 2048 (offset keeps ρ positive so floor
+    and trunc division agree). Returns (n_edge, best_votes, best_k,
+    best_rho) with ties by smallest (k, ρq); (0, 0, -1, -1) when no
+    pixel clears the threshold — the line-structure detector of the
+    image suite (documents/diagrams spike one bucket, photos spread)."""
+    v = luma.astype(np.int64)
+    h, w = v.shape
+    if h < 3 or w < 3:
+        return 0, 0, -1, -1
+    dx = v[1:h - 1, 2:] - v[1:h - 1, :w - 2]
+    dy = v[2:, 1:w - 1] - v[:h - 2, 1:w - 1]
+    mask = np.abs(dx) + np.abs(dy) >= thresh
+    iy, ix = np.nonzero(mask)
+    if len(iy) == 0:
+        return 0, 0, -1, -1
+    i = (iy + 1).astype(np.int64)
+    j = (ix + 1).astype(np.int64)
+    ncode = (HOUGH_RHO_OFFSET * 2) // HOUGH_RHO_Q + 2
+    codes = []
+    for k in range(len(HOUGH_ANGLES)):
+        c, s = HOUGH_ANGLES[k]
+        rho = (j * c + i * s + HOUGH_RHO_OFFSET) // HOUGH_RHO_Q
+        codes.append(k * ncode + rho)
+    cnt = np.bincount(np.concatenate(codes),
+                      minlength=len(HOUGH_ANGLES) * ncode)
+    best_code = int(np.argmax(cnt))  # first max = smallest (k, ρq) tie rule
+    return (int(len(iy)), int(cnt[best_code]),
+            best_code // ncode, best_code % ncode)
+
+
+class ImageHoughLines:
+    """Actor-pool batch fn: Hough line-transform peak per image through
+    the genuine decode path (:func:`hough_peak` on the R+G+B luma sum).
+    On the factorized fixture the luma is f(j) + g(r) + const, so the
+    edge set is a product of 1-D gradient grids and the oracle is a
+    cross join × the 8-angle table; the kernel is the general 2-D
+    transform. Emits (image_id, n_edge, best_votes, best_k, best_rho)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt", thresh: int = 5):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.thresh = thresh
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 4), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            luma = img.astype(np.int64).sum(axis=2)
+            out[i] = hough_peak(luma, self.thresh)
+        return pa.table({"image_id": ids,
+                         "n_edge": out[:, 0].copy(),
+                         "best_votes": out[:, 1].copy(),
+                         "best_k": out[:, 2].copy(),
+                         "best_rho": out[:, 3].copy()})
+
+
+def image_hough_lines(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                      fmt_col: str = "fmt", thresh: int = 5,
+                      concurrency: int | None = None,
+                      batch_size: int = 256):
+    return ds.map_batches(
+        ImageHoughLines,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col, "thresh": thresh},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -114,3 +114,43 @@ def test_glcm_flat_image_single_cell():
     ch = np.full((6, 9), 200, dtype=np.uint8)
     con, ene, cel = media.glcm_stats(ch, 1, 0)
     assert con == 0 and cel == 1 and ene == (6 * 8) ** 2
+
+
+def _hough_naive(luma, thresh=5):
+    v = luma.astype(np.int64)
+    h, w = v.shape
+    votes = {}
+    n_edge = 0
+    for i in range(1, h - 1):
+        for j in range(1, w - 1):
+            dx = int(v[i, j + 1]) - int(v[i, j - 1])
+            dy = int(v[i + 1, j]) - int(v[i - 1, j])
+            if abs(dx) + abs(dy) >= thresh:
+                n_edge += 1
+                for k, (c, s) in enumerate(media.HOUGH_ANGLES):
+                    rho = (j * int(c) + i * int(s) + 65536) // 2048
+                    votes[(k, rho)] = votes.get((k, rho), 0) + 1
+    if not votes:
+        return 0, 0, -1, -1
+    best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+    return n_edge, best[1], best[0][0], best[0][1]
+
+
+def test_hough_peak_random_parity():
+    for _ in range(15):
+        h, w = int(RNG.integers(3, 14)), int(RNG.integers(3, 14))
+        luma = RNG.integers(0, 768, size=(h, w)).astype(np.int64)
+        assert media.hough_peak(luma) == _hough_naive(luma)
+
+
+def test_hough_vertical_line_peaks_at_k0():
+    # A bright vertical stripe: edge pixels share one x → all their k=0
+    # (θ=0, ρ ∝ j) votes land in few buckets; the winner is a k=0 bucket.
+    luma = np.zeros((12, 16), np.int64)
+    luma[:, 8] = 700
+    n_edge, best_votes, best_k, _ = media.hough_peak(luma)
+    assert n_edge > 0 and best_k == 0 and best_votes >= 10
+
+
+def test_hough_flat_image_no_edges():
+    assert media.hough_peak(np.full((8, 8), 300, np.int64)) == (0, 0, -1, -1)
