@@ -13605,6 +13605,97 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.image_id = im.image_id
 """
 
 
+def q_image_affine_sample(sf_dir: str):  # exact oracle (grid enumeration)
+    """NEAREST-NEIGHBOR AFFINE WARP checkpoints through the decode path
+    (``media.image_affine_sample``): per image a fixed-point rotation
+    (8-angle (cos,sin)·1024 table keyed by id % 8) + small translation
+    resamples onto a 16×16 grid; per-channel sums plus a raster-position-
+    weighted R sum — the rotate/rectify/augmentation resampling core.
+    The oracle enumerates the 256-cell output grid per image, replays
+    the identical offset-positive floor divide + border clamp, and
+    evaluates the fixture's closed-form pixel value at the warped source
+    coordinate (no separability needed — the warp mixes axes)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_affine_sample(synth, batch_size=512)
+
+
+SQL_IMAGE_AFFINE_SAMPLE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb,
+         doc_id % 5 - 2 AS tx, doc_id % 3 - 1 AS ty
+  FROM documents
+),
+ang(k, c, s) AS (VALUES
+  (0, 1024, 0), (1, 946, 392), (2, 724, 724), (3, 392, 946),
+  (4, 0, 1024), (5, -392, 946), (6, -724, 724), (7, -946, 392)
+),
+cells AS (
+  SELECT im.*, ang.c, ang.s, gi.i, gj.j
+  FROM im
+  JOIN ang ON ang.k = im.image_id % 8
+  CROSS JOIN (SELECT unnest(range(16)) AS i) gi
+  CROSS JOIN (SELECT unnest(range(16)) AS j) gj
+),
+src AS (
+  SELECT image_id, w, h, fi, br, bg, bb, i, j,
+         LEAST(GREATEST((j * c - i * s + 16777216) // 1024 - 16384 + tx,
+                        0), w - 1) AS sx,
+         LEAST(GREATEST((j * s + i * c + 16777216) // 1024 - 16384 + ty,
+                        0), h - 1) AS sy
+  FROM cells
+),
+px AS (
+  SELECT image_id, i, j,
+         CASE WHEN fi = 2
+              THEN ((br + (sx * 55) // (w - 1)) // 4) * 4
+                   + ((br + (sx * 55) // (w - 1)) // 4) // 16
+              ELSE br + (sx * 55) // (w - 1) END AS vr,
+         CASE WHEN fi = 2
+              THEN ((bg + (sy * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (sy * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (sy * 41) // (h - 1) END AS vg,
+         CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+              ELSE bb END AS vb
+  FROM src
+)
+SELECT image_id,
+       CAST(SUM(vr) AS BIGINT) AS sum_r,
+       CAST(SUM(vg) AS BIGINT) AS sum_g,
+       CAST(SUM(vb) AS BIGINT) AS sum_b,
+       CAST(SUM(vr * (16 * i + j + 1)) AS BIGINT) AS wsum_r
+FROM px GROUP BY image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14105,6 +14196,7 @@ QUERIES = {
     "grid_viewshed": q_grid_viewshed,
     "user_max_nonoverlap": q_user_max_nonoverlap,
     "image_hough_lines": q_image_hough_lines,
+    "image_affine_sample": q_image_affine_sample,
 }
 
 
@@ -14366,4 +14458,5 @@ ORACLE_SQL = {
     "grid_viewshed": SQL_GRID_VIEWSHED,
     "user_max_nonoverlap": SQL_USER_MAX_NONOVERLAP,
     "image_hough_lines": SQL_IMAGE_HOUGH_LINES,
+    "image_affine_sample": SQL_IMAGE_AFFINE_SAMPLE,
 }

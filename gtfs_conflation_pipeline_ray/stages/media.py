@@ -2216,3 +2216,78 @@ def image_hough_lines(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def affine_nn_sample(img: np.ndarray, c: int, s: int, tx: int, ty: int,
+                     oh: int = 16, ow: int = 16) -> np.ndarray:
+    """NEAREST-NEIGHBOR AFFINE WARP of an image onto an (oh, ow) output
+    grid: source coords are the fixed-point rotation
+    sx = ⌊(j·c − i·s)/1024⌋ + tx, sy = ⌊(j·s + i·c)/1024⌋ + ty (offset
+    positive before the divide so floor and trunc agree), border-clamped
+    into the source — the resampling core of every rotate / rectify /
+    augmentation stage, integer-exact by construction (the rational-
+    matrix device of `shape_rotfrechet`)."""
+    h, w = img.shape[:2]
+    i, j = np.mgrid[0:oh, 0:ow].astype(np.int64)
+    sx = (j * c - i * s + 16777216) // 1024 - 16384 + tx
+    sy = (j * s + i * c + 16777216) // 1024 - 16384 + ty
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    return img[sy, sx]
+
+
+class ImageAffineSample:
+    """Actor-pool batch fn: integer checkpoints of a per-image nearest-
+    neighbor affine warp through the genuine decode path
+    (:func:`affine_nn_sample`): rotation (c,s) from the 8-angle fixed-
+    point table keyed by image_id % 8, translation (id%5−2, id%3−1),
+    16×16 output; emits per-channel sums plus a raster-position-weighted
+    R sum (so a transposed or shifted warp cannot pass). The oracle
+    enumerates the 256-cell output grid per image and evaluates the
+    fixture's closed-form pixel values at the warped source coords.
+    Emits (image_id, sum_r, sum_g, sum_b, wsum_r)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 4), np.int64)
+        i_idx, j_idx = np.mgrid[0:16, 0:16].astype(np.int64)
+        wgt = 16 * i_idx + j_idx + 1
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i]).astype(np.int64)
+            c, s = HOUGH_ANGLES[int(ids[i]) % 8]
+            tx = int(ids[i]) % 5 - 2
+            ty = int(ids[i]) % 3 - 1
+            warp = affine_nn_sample(img, int(c), int(s), tx, ty)
+            out[i, 0] = warp[:, :, 0].sum()
+            out[i, 1] = warp[:, :, 1].sum()
+            out[i, 2] = warp[:, :, 2].sum()
+            out[i, 3] = (warp[:, :, 0] * wgt).sum()
+        return pa.table({"image_id": ids,
+                         "sum_r": out[:, 0].copy(),
+                         "sum_g": out[:, 1].copy(),
+                         "sum_b": out[:, 2].copy(),
+                         "wsum_r": out[:, 3].copy()})
+
+
+def image_affine_sample(ds, bytes_col: str = "bytes",
+                        id_col: str = "image_id", fmt_col: str = "fmt",
+                        concurrency: int | None = None,
+                        batch_size: int = 256):
+    return ds.map_batches(
+        ImageAffineSample,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

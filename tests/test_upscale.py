@@ -154,3 +154,40 @@ def test_hough_vertical_line_peaks_at_k0():
 
 def test_hough_flat_image_no_edges():
     assert media.hough_peak(np.full((8, 8), 300, np.int64)) == (0, 0, -1, -1)
+
+
+def _affine_naive(img, c, s, tx, ty, oh=16, ow=16):
+    h, w = img.shape[:2]
+    out = np.empty((oh, ow) + img.shape[2:], img.dtype)
+    for i in range(oh):
+        for j in range(ow):
+            sx = (j * c - i * s + 16777216) // 1024 - 16384 + tx
+            sy = (j * s + i * c + 16777216) // 1024 - 16384 + ty
+            sx = min(max(sx, 0), w - 1)
+            sy = min(max(sy, 0), h - 1)
+            out[i, j] = img[sy, sx]
+    return out
+
+
+def test_affine_nn_sample_random_parity():
+    for _ in range(12):
+        h, w = int(RNG.integers(4, 24)), int(RNG.integers(4, 24))
+        img = RNG.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        k = int(RNG.integers(0, 8))
+        c, s = (int(v) for v in media.HOUGH_ANGLES[k])
+        tx, ty = int(RNG.integers(-3, 4)), int(RNG.integers(-3, 4))
+        got = media.affine_nn_sample(img, c, s, tx, ty)
+        assert np.array_equal(got, _affine_naive(img, c, s, tx, ty))
+
+
+def test_affine_identity_is_crop():
+    # k=0 (c=1024, s=0), zero translation: the warp is the top-left crop.
+    img = RNG.integers(0, 256, size=(20, 20, 3)).astype(np.uint8)
+    got = media.affine_nn_sample(img, 1024, 0, 0, 0)
+    assert np.array_equal(got, img[:16, :16])
+
+
+def test_affine_translation_shifts():
+    img = RNG.integers(0, 256, size=(30, 30, 3)).astype(np.uint8)
+    got = media.affine_nn_sample(img, 1024, 0, 3, 2)
+    assert np.array_equal(got, img[2:18, 3:19])
