@@ -13696,6 +13696,89 @@ FROM px GROUP BY image_id
 """
 
 
+def q_lineitem_ols2(sf_dir: str):  # exact oracle (centered Cramer pieces)
+    """TWO-FEATURE MULTIPLE REGRESSION per (supplier, ship-year) as exact
+    integer Cramer pieces: fit y = a + b1·x1 + b2·x2 (y = price in $1000
+    units, x1 = quantity, x2 = discount %) via the centered normal
+    equations — emits the shared denominator S11·S22 − S12² and the two
+    slope numerators (b = num/den as exact rationals), completing the
+    regression suite (1-var OLS `supplier_qty_trend`, robust Theil-Sen,
+    Mann-Kendall significance → multiple regression). One combiner-first
+    group shuffle of 9 product sums; the dets are a vectorized epilogue
+    on the group-sized table. Int64-safe for group sizes ≤ ~10⁴ (domain
+    documented; fixture groups are ~10²)."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity",
+                                  "l_discount", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        x1 = cents(batch["l_quantity"].to_numpy(zero_copy_only=False), 1)
+        x2 = cents(batch["l_discount"].to_numpy(zero_copy_only=False), 100)
+        y = cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)) \
+            // 100000
+        yr = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_suppkey": sk, "yr": yr,
+                         "s1": x1, "s2": x2, "sy": y,
+                         "s11": x1 * x1, "s12": x1 * x2, "s22": x2 * x2,
+                         "s1y": x1 * y, "s2y": x2 * y})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(
+        prep, ["l_suppkey", "yr"],
+        ["s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"],
+        count_as="n", est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _dets(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        s1 = df["s1"].to_numpy(np.int64)
+        s2 = df["s2"].to_numpy(np.int64)
+        sy = df["sy"].to_numpy(np.int64)
+        c11 = n * df["s11"].to_numpy(np.int64) - s1 * s1
+        c12 = n * df["s12"].to_numpy(np.int64) - s1 * s2
+        c22 = n * df["s22"].to_numpy(np.int64) - s2 * s2
+        c1y = n * df["s1y"].to_numpy(np.int64) - s1 * sy
+        c2y = n * df["s2y"].to_numpy(np.int64) - s2 * sy
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "yr": df["yr"].to_numpy(np.int64),
+            "n": n, "den": c11 * c22 - c12 * c12,
+            "b1_num": c22 * c1y - c12 * c2y,
+            "b2_num": c11 * c2y - c12 * c1y})
+
+    return sums.map_batches(_dets, batch_format="pandas", batch_size=8192)
+
+
+SQL_LINEITEM_OLS2 = """
+WITH b AS (
+  SELECT l_suppkey, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 100000 AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_suppkey, yr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM b GROUP BY 1, 2
+)
+SELECT l_suppkey, yr, n,
+       CAST((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+            - (n * s12 - s1 * s2) * (n * s12 - s1 * s2) AS BIGINT) AS den,
+       CAST((n * s22 - s2 * s2) * (n * s1y - s1 * sy)
+            - (n * s12 - s1 * s2) * (n * s2y - s2 * sy) AS BIGINT) AS b1_num,
+       CAST((n * s11 - s1 * s1) * (n * s2y - s2 * sy)
+            - (n * s12 - s1 * s2) * (n * s1y - s1 * sy) AS BIGINT) AS b2_num
+FROM g
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14197,6 +14280,7 @@ QUERIES = {
     "user_max_nonoverlap": q_user_max_nonoverlap,
     "image_hough_lines": q_image_hough_lines,
     "image_affine_sample": q_image_affine_sample,
+    "lineitem_ols2": q_lineitem_ols2,
 }
 
 
@@ -14459,4 +14543,5 @@ ORACLE_SQL = {
     "user_max_nonoverlap": SQL_USER_MAX_NONOVERLAP,
     "image_hough_lines": SQL_IMAGE_HOUGH_LINES,
     "image_affine_sample": SQL_IMAGE_AFFINE_SAMPLE,
+    "lineitem_ols2": SQL_LINEITEM_OLS2,
 }

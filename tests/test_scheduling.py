@@ -51,3 +51,24 @@ def test_greedy_nested_picks_shortest():
     iv = [(0, 100), (5, 10), (20, 30)]
     cnt, esum = _greedy(iv)
     assert cnt == 2 and esum == 40
+
+
+def test_ols2_cramer_pieces_recover_planted_plane():
+    # Exact data on a plane y = 3 + 2*x1 - 5*x2: the Cramer rationals
+    # must recover the slopes exactly (b = num/den).
+    x1 = np.array([1, 2, 3, 4, 5, 6, 2, 7], np.int64)
+    x2 = np.array([0, 1, 0, 2, 1, 3, 2, 1], np.int64)
+    y = 3 + 2 * x1 - 5 * x2
+    n = np.int64(len(x1))
+    s1, s2, sy = x1.sum(), x2.sum(), y.sum()
+    c11 = n * (x1 * x1).sum() - s1 * s1
+    c12 = n * (x1 * x2).sum() - s1 * s2
+    c22 = n * (x2 * x2).sum() - s2 * s2
+    c1y = n * (x1 * y).sum() - s1 * sy
+    c2y = n * (x2 * y).sum() - s2 * sy
+    den = c11 * c22 - c12 * c12
+    b1_num = c22 * c1y - c12 * c2y
+    b2_num = c11 * c2y - c12 * c1y
+    assert den != 0
+    assert b1_num == 2 * den
+    assert b2_num == -5 * den
