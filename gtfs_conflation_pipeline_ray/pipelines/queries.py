@@ -13779,6 +13779,122 @@ FROM g
 """
 
 
+def q_tile_corridor(sf_dir: str):  # exact oracle (two unrolled SSSP fields)
+    """LEAST-COST CORRIDOR analysis over the probe-tile kNN graph — the
+    GIS routing primitive one level up from a single path: run the
+    bounded Bellman-Ford cost field (``graphrank.sssp_rounds``, 3 rounds,
+    exact for ≤3-edge paths) from BOTH endpoints (the lowest-id probe and
+    the probe nearest to it), then keep every node whose through-cost
+    dA + dB is within 25 % (integer ``best // 4``) of the best
+    through-cost — the band of near-optimal detours a resilient route
+    plan needs, not just the single shortest chain. The graph links each
+    probe (every 10th tile) to its 4 nearest OTHER probes (dist², tie
+    smallest id) so the corridor rides a connected backbone; the probe
+    table is dimension-sized, so the kNN build is a vectorized driver
+    epilogue while the SSSP fields run distributed over the edge
+    Dataset. Emits (tile_id, da, db)."""
+    from ..stages.graphrank import sssp_rounds
+
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 10 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    n = len(tid)
+    k = min(4, n - 1)
+    srcs, dsts, ws = [], [], []
+    for i in range(n):  # dimension-sized: n = |tiles| / 10
+        d2 = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
+        order = np.lexsort((tid, d2))
+        order = order[order != i][:k]
+        srcs.append(np.full(k, tid[i]))
+        dsts.append(tid[order])
+        ws.append(d2[order])
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    w = np.concatenate(ws)
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": np.concatenate([s, d]), "dst": np.concatenate([d, s]),
+        "w": np.concatenate([w, w])})).materialize()
+    ai = int(np.argmin(tid))
+    d2a = (cx - cx[ai]) ** 2 + (cy - cy[ai]) ** 2
+    order = np.lexsort((tid, d2a))
+    order = order[order != ai]
+    bi = int(order[0])
+    seed_a = ray.data.from_pandas(pd.DataFrame({"node": [int(tid[ai])]}))
+    seed_b = ray.data.from_pandas(pd.DataFrame({"node": [int(tid[bi])]}))
+    da = sssp_rounds(edges, seed_a, rounds=3).to_pandas()
+    db = sssp_rounds(edges, seed_b, rounds=3).to_pandas()
+    # both fields are tile-table-bounded; the merge + scalar filter run
+    # driver-side on dimension-sized data
+    both = da.merge(db, on="node", suffixes=("_a", "_b"))
+    dav = both["cost_a"].to_numpy(np.int64)
+    dbv = both["cost_b"].to_numpy(np.int64)
+    best = int((dav + dbv).min()) if len(both) else 0
+    keep = dav + dbv <= best + best // 4
+    return pd.DataFrame({"tile_id": both["node"].to_numpy(np.int64)[keep],
+                         "da": dav[keep], "db": dbv[keep]})
+
+
+def _sssp_unroll_sql(prefix: str, seed_sql: str, rounds: int = 3) -> str:
+    parts = [f",\n{prefix}0 AS ({seed_sql})"]
+    for r in range(rounds):
+        parts.append(f""",
+{prefix}{r + 1} AS MATERIALIZED (
+  SELECT node, MIN(cost) AS cost FROM (
+    SELECT node, cost FROM {prefix}{r}
+    UNION ALL
+    SELECT e.t AS node, {prefix}{r}.cost + e.w AS cost
+    FROM {prefix}{r} JOIN ed e ON e.s = {prefix}{r}.node
+  ) GROUP BY node
+)""")
+    return "".join(parts)
+
+
+SQL_TILE_CORRIDOR = f"""WITH tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 10 = 0),
+pk AS (
+  SELECT s, t, w FROM (
+    SELECT a.tile_id AS s, b.tile_id AS t,
+           (a.cx - b.cx) * (a.cx - b.cx)
+           + (a.cy - b.cy) * (a.cy - b.cy) AS w,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.tile_id
+             ORDER BY (a.cx - b.cx) * (a.cx - b.cx)
+                    + (a.cy - b.cy) * (a.cy - b.cy), b.tile_id) AS rn
+    FROM pn a JOIN pn b ON b.tile_id <> a.tile_id
+  ) WHERE rn <= 4
+),
+ed AS MATERIALIZED (
+  SELECT s, t, w FROM pk
+  UNION ALL
+  SELECT t, s, w FROM pk
+),
+pa_seed AS (
+  SELECT tile_id AS node, cx, cy FROM pn ORDER BY tile_id LIMIT 1
+),
+pb_seed AS (
+  SELECT b.tile_id AS node FROM pn b, pa_seed a
+  WHERE b.tile_id <> a.node
+  ORDER BY (b.cx - a.cx) * (b.cx - a.cx)
+         + (b.cy - a.cy) * (b.cy - a.cy), b.tile_id
+  LIMIT 1
+)""" + _sssp_unroll_sql(
+    "a", "SELECT node, CAST(0 AS BIGINT) AS cost FROM pa_seed"
+) + _sssp_unroll_sql(
+    "b", "SELECT node, CAST(0 AS BIGINT) AS cost FROM pb_seed"
+) + """,
+ab AS (
+  SELECT a3.node, a3.cost AS da, b3.cost AS db
+  FROM a3 JOIN b3 ON b3.node = a3.node
+),
+best AS (SELECT MIN(da + db) AS m FROM ab)
+SELECT node AS tile_id, CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db
+FROM ab, best WHERE da + db <= m + m // 4
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14281,6 +14397,7 @@ QUERIES = {
     "image_hough_lines": q_image_hough_lines,
     "image_affine_sample": q_image_affine_sample,
     "lineitem_ols2": q_lineitem_ols2,
+    "tile_corridor": q_tile_corridor,
 }
 
 
@@ -14544,4 +14661,5 @@ ORACLE_SQL = {
     "image_hough_lines": SQL_IMAGE_HOUGH_LINES,
     "image_affine_sample": SQL_IMAGE_AFFINE_SAMPLE,
     "lineitem_ols2": SQL_LINEITEM_OLS2,
+    "tile_corridor": SQL_TILE_CORRIDOR,
 }

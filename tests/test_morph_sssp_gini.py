@@ -92,3 +92,30 @@ def test_gini_integer_form():
     assert gini([5, 5]) == 500000
     assert gini([3, 3, 3, 3]) == 750000
     assert gini([9, 1]) == (100 - 82) * 1000000 // 100
+
+
+def test_corridor_band_on_diamond(ray_session):
+    # Diamond A→{P,Q}→B with a cheap path (10+10), a near-optimal one
+    # (10+12), and an expensive spur R (40+40): the 25% corridor keeps
+    # A, B, P, Q and excludes R.
+    import ray
+
+    from gtfs_conflation_pipeline_ray.stages.graphrank import sssp_rounds
+
+    A, P, Q, R, B = 0, 1, 2, 3, 4
+    s = np.array([A, A, A, P, Q, R], np.int64)
+    t = np.array([P, Q, R, B, B, B], np.int64)
+    w = np.array([10, 11, 40, 10, 11, 40], np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": np.concatenate([s, t]), "dst": np.concatenate([t, s]),
+        "w": np.concatenate([w, w])}))
+    da = sssp_rounds(edges, ray.data.from_arrow(pa.table({"node": [A]})),
+                     rounds=3).to_pandas()
+    db = sssp_rounds(edges, ray.data.from_arrow(pa.table({"node": [B]})),
+                     rounds=3).to_pandas()
+    both = da.merge(db, on="node", suffixes=("_a", "_b"))
+    tot = (both["cost_a"] + both["cost_b"]).to_numpy()
+    best = int(tot.min())
+    corridor = set(both["node"].to_numpy()[tot <= best + best // 4])
+    assert best == 20
+    assert corridor == {A, P, Q, B}  # 22 ≤ 25, the R spur (80) is out
