@@ -13895,6 +13895,165 @@ FROM ab, best WHERE da + db <= m + m // 4
 """
 
 
+def q_traj_gyration(sf_dir: str):  # exact oracle (moment sums)
+    """RADIUS OF GYRATION per user trajectory — the mobility-analysis
+    classic (the González/Hidalgo/Barabási characteristic travel scale)
+    as exact integer moment pieces: rg² = A / n² with
+    A = n·Σ(x²+y²) − (Σx)² − (Σy)² (the cross-multiplied centered second
+    moment about the centroid, division-free). One combiner-first group
+    shuffle of four sums; int64-safe for ≤ ~10⁴ points per user
+    (documented; fixture users are ~10²). Emits (user_id, n, a2)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 48271 + uid * 977) % 65536
+        y = (eid * 69621 + 13) % 65536
+        return pa.table({"user_id": uid, "sx": x, "sy": y,
+                         "s2": x * x + y * y})
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(pts, ["user_id"], ["sx", "sy", "s2"],
+                                   count_as="n",
+                                   est_rows=_nrows(sf_dir, "events"))
+
+    def _gyr(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        sx = df["sx"].to_numpy(np.int64)
+        sy = df["sy"].to_numpy(np.int64)
+        s2 = df["s2"].to_numpy(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "n": n, "a2": n * s2 - sx * sx - sy * sy})
+
+    return sums.map_batches(_gyr, batch_format="pandas", batch_size=8192)
+
+
+SQL_TRAJ_GYRATION = """
+WITH pts AS (
+  SELECT user_id,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x + y * y) AS BIGINT) AS s2
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n, CAST(n * s2 - sx * sx - sy * sy AS BIGINT) AS a2
+FROM g
+"""
+
+
+def q_image_fast_corners(sf_dir: str):  # exact oracle (1-D×1-D ring test)
+    """FAST-lite CORNER DETECTION through the decode path
+    (``media.image_fast_corners``): an interior pixel is a corner iff
+    ≥ 6 of its 8 ring neighbors are brighter than center+8 or ≥ 6 darker
+    than center−8 (the FAST segment test at radius 1) — the interest-
+    point counterpart of the Hough line peak. On the factorized fixture
+    each ring delta is a column-delta + row-delta, so the oracle is a
+    1-D×1-D cross join with eight CASE terms; a position checksum
+    Σ(31j+17i) pins the corner LOCATIONS, not just the count."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_fast_corners(synth, batch_size=512)
+
+
+SQL_IMAGE_FAST_CORNERS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+fq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS f
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+cdx AS (
+  SELECT image_id, j,
+         LAG(f)  OVER (PARTITION BY image_id ORDER BY j) - f AS cm,
+         LEAD(f) OVER (PARTITION BY image_id ORDER BY j) - f AS cp
+  FROM fq
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+rdy AS (
+  SELECT image_id, r,
+         LAG(g)  OVER (PARTITION BY image_id ORDER BY r) - g AS rm,
+         LEAD(g) OVER (PARTITION BY image_id ORDER BY r) - g AS rp
+  FROM gq
+),
+px AS (
+  SELECT c.image_id, c.j, d.r,
+         (CASE WHEN c.cm + d.rm > 8 THEN 1 ELSE 0 END
+          + CASE WHEN d.rm > 8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp + d.rm > 8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cm > 8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp > 8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cm + d.rp > 8 THEN 1 ELSE 0 END
+          + CASE WHEN d.rp > 8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp + d.rp > 8 THEN 1 ELSE 0 END) AS bc,
+         (CASE WHEN c.cm + d.rm < -8 THEN 1 ELSE 0 END
+          + CASE WHEN d.rm < -8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp + d.rm < -8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cm < -8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp < -8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cm + d.rp < -8 THEN 1 ELSE 0 END
+          + CASE WHEN d.rp < -8 THEN 1 ELSE 0 END
+          + CASE WHEN c.cp + d.rp < -8 THEN 1 ELSE 0 END) AS dc
+  FROM cdx c JOIN rdy d ON d.image_id = c.image_id
+  WHERE c.cm IS NOT NULL AND c.cp IS NOT NULL
+    AND d.rm IS NOT NULL AND d.rp IS NOT NULL
+)
+SELECT im.image_id,
+       CAST(COALESCE(SUM(CASE WHEN bc >= 6 OR dc >= 6 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_corners,
+       CAST(COALESCE(SUM(CASE WHEN bc >= 6 OR dc >= 6
+                          THEN 31 * j + 17 * r ELSE 0 END),
+                     0) AS BIGINT) AS corner_sum
+FROM im LEFT JOIN px ON px.image_id = im.image_id
+GROUP BY im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14398,6 +14557,8 @@ QUERIES = {
     "image_affine_sample": q_image_affine_sample,
     "lineitem_ols2": q_lineitem_ols2,
     "tile_corridor": q_tile_corridor,
+    "traj_gyration": q_traj_gyration,
+    "image_fast_corners": q_image_fast_corners,
 }
 
 
@@ -14662,4 +14823,6 @@ ORACLE_SQL = {
     "image_affine_sample": SQL_IMAGE_AFFINE_SAMPLE,
     "lineitem_ols2": SQL_LINEITEM_OLS2,
     "tile_corridor": SQL_TILE_CORRIDOR,
+    "traj_gyration": SQL_TRAJ_GYRATION,
+    "image_fast_corners": SQL_IMAGE_FAST_CORNERS,
 }

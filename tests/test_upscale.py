@@ -191,3 +191,38 @@ def test_affine_translation_shifts():
     img = RNG.integers(0, 256, size=(30, 30, 3)).astype(np.uint8)
     got = media.affine_nn_sample(img, 1024, 0, 3, 2)
     assert np.array_equal(got, img[2:18, 3:19])
+
+
+def _fast_naive(luma, t=8):
+    v = luma.astype(np.int64)
+    h, w = v.shape
+    cnt, chk = 0, 0
+    for i in range(1, h - 1):
+        for j in range(1, w - 1):
+            ring = [v[i + di, j + dj] for di in (-1, 0, 1)
+                    for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+            bc = sum(1 for x in ring if x > v[i, j] + t)
+            dc = sum(1 for x in ring if x < v[i, j] - t)
+            if bc >= 6 or dc >= 6:
+                cnt += 1
+                chk += 31 * j + 17 * i
+    return cnt, chk
+
+
+def test_fast_corners_random_parity():
+    for _ in range(15):
+        h, w = int(RNG.integers(3, 14)), int(RNG.integers(3, 14))
+        luma = RNG.integers(0, 768, size=(h, w)).astype(np.int64)
+        assert media.fast_corners(luma) == _fast_naive(luma)
+
+
+def test_fast_corners_dot_yes_edge_no():
+    # An isolated bright dot IS a corner (8 darker ring neighbors); a
+    # pixel on a straight step edge is NOT (only 3 ring neighbors differ).
+    luma = np.zeros((9, 9), np.int64)
+    luma[4, 4] = 500
+    cnt, chk = media.fast_corners(luma)
+    assert cnt == 1 and chk == 31 * 4 + 17 * 4
+    edge = np.zeros((9, 9), np.int64)
+    edge[:, 5:] = 500
+    assert media.fast_corners(edge)[0] == 0
