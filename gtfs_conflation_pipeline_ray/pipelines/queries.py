@@ -14054,6 +14054,168 @@ GROUP BY im.image_id
 """
 
 
+def q_events_range_sum(sf_dir: str):  # exact oracle (RANGE-frame window)
+    """Per-user TIME-RANGE windowed aggregate: for every event, the sum
+    and count of cents-quantized values in the trailing 5-minute RANGE
+    frame (RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW on epoch
+    µs) — the time-based sibling of `events_rolling_sum`'s ROWS frame,
+    and the frame kind RANGE semantics make subtly different: all PEER
+    rows (equal ts) share one frame regardless of physical order. Engine:
+    one bucketed group shuffle, then per user a vectorized two-pointer
+    (searchsorted left bound on ts−W, right bound on ts for peers) over
+    a prefix-sum — no per-row Python. Emits
+    (event_id, user_id, w_sum, w_cnt)."""
+    from ..stages.relational import bucketed_groups
+    from ..functions.numeric import cents as _cents
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = 300_000_000
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "e": df["ts"].astype("int64").to_numpy(),
+            "vc": _cents(df["value"].to_numpy()),
+        })
+
+    prep = ev.map_batches(_pre, batch_format="pandas", batch_size=8192)
+
+    def _frame(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "e", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        e = d["e"].to_numpy()
+        vc = d["vc"].to_numpy()
+        eid = d["event_id"].to_numpy()
+        n = len(d)
+        out_sum = np.empty(n, np.int64)
+        out_cnt = np.empty(n, np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            ee = e[a:b]
+            cs = np.concatenate([[0], np.cumsum(vc[a:b])])
+            lo = np.searchsorted(ee, ee - W, side="left")
+            hi = np.searchsorted(ee, ee, side="right")
+            out_sum[a:b] = cs[hi] - cs[lo]
+            out_cnt[a:b] = hi - lo
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "w_sum": out_sum, "w_cnt": out_cnt})
+
+    return bucketed_groups(prep, ["user_id"], _frame)
+
+
+SQL_EVENTS_RANGE_SUM = """
+WITH b AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS e,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(vc) OVER w AS BIGINT) AS w_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_supplier_bin_packing(sf_dir: str):  # exact oracle (list-CTE FFD)
+    """FIRST-FIT-DECREASING BIN PACKING per supplier: each lineitem's
+    quantity is an item, bins have capacity 100; items sort (qty DESC,
+    orderkey, linenumber) and each goes into the FIRST bin with room,
+    else opens a new bin — the 11/9·OPT+1 classic behind container
+    loading, shard packing and batch assembly, and the CAPACITY face of
+    packing next to `doc_pack_sequences`' sequential token packing.
+    Emits (l_suppkey, n_items, n_bins, asg_sum) where asg_sum =
+    Σ bin_index·qty pins the full assignment, not just the bin count.
+    Engine: one bucketed group shuffle + per-group first-fit scan;
+    oracle: per-supplier sorted item LISTS walked one item per round
+    through a recursive CTE, the bin-load list updated by list_transform
+    at the first-fit index (vector-in-CTE device)."""
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        q = cents(batch["l_quantity"].to_numpy(zero_copy_only=False), 1)
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "okey": batch["l_orderkey"].cast(pa.int64()),
+            "lnum": batch["l_linenumber"].cast(pa.int64()),
+            "qty": q})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["l_suppkey"], kind="mergesort")
+        sk = d["l_suppkey"].to_numpy(np.int64)
+        qty = d["qty"].to_numpy(np.int64)
+        okey = d["okey"].to_numpy(np.int64)
+        lnum = d["lnum"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            order = np.lexsort((lnum[a:b], okey[a:b], -qty[a:b]))
+            bins: list[int] = []
+            asg = 0
+            for q in qty[a:b][order]:
+                q = int(q)
+                for bi in range(len(bins)):
+                    if bins[bi] + q <= 100:
+                        bins[bi] += q
+                        asg += (bi + 1) * q
+                        break
+                else:
+                    bins.append(q)
+                    asg += len(bins) * q
+            rows.append({"l_suppkey": int(sk[a]), "n_items": b - a,
+                         "n_bins": len(bins), "asg_sum": asg})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["l_suppkey"], _pack)
+
+
+SQL_SUPPLIER_BIN_PACKING = """
+WITH RECURSIVE it AS (
+  SELECT l_suppkey, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+lst AS (
+  SELECT l_suppkey,
+         list(qty ORDER BY qty DESC, l_orderkey, l_linenumber) AS items
+  FROM it GROUP BY l_suppkey
+),
+pack AS (
+  SELECT l_suppkey, items, 1 AS k, [items[1]] AS bins,
+         CAST(items[1] AS BIGINT) AS asg
+  FROM lst
+  UNION ALL
+  SELECT l_suppkey, items, k + 1,
+         CASE WHEN fit IS NULL THEN list_append(bins, items[k + 1])
+              ELSE list_transform(range(1, len(bins) + 1),
+                     i -> CASE WHEN i = fit THEN bins[i] + items[k + 1]
+                               ELSE bins[i] END)
+         END,
+         asg + COALESCE(fit, len(bins) + 1) * items[k + 1]
+  FROM (
+    SELECT *, list_filter(range(1, len(bins) + 1),
+                          i -> bins[i] + items[k + 1] <= 100)[1] AS fit
+    FROM pack WHERE k < len(items)
+  )
+)
+SELECT l_suppkey, CAST(len(items) AS BIGINT) AS n_items,
+       CAST(len(bins) AS BIGINT) AS n_bins, CAST(asg AS BIGINT) AS asg_sum
+FROM pack WHERE k = len(items)
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14559,6 +14721,8 @@ QUERIES = {
     "tile_corridor": q_tile_corridor,
     "traj_gyration": q_traj_gyration,
     "image_fast_corners": q_image_fast_corners,
+    "events_range_sum": q_events_range_sum,
+    "supplier_bin_packing": q_supplier_bin_packing,
 }
 
 
@@ -14825,4 +14989,6 @@ ORACLE_SQL = {
     "tile_corridor": SQL_TILE_CORRIDOR,
     "traj_gyration": SQL_TRAJ_GYRATION,
     "image_fast_corners": SQL_IMAGE_FAST_CORNERS,
+    "events_range_sum": SQL_EVENTS_RANGE_SUM,
+    "supplier_bin_packing": SQL_SUPPLIER_BIN_PACKING,
 }

@@ -72,3 +72,70 @@ def test_ols2_cramer_pieces_recover_planted_plane():
     assert den != 0
     assert b1_num == 2 * den
     assert b2_num == -5 * den
+
+
+def test_range_frame_two_pointer_vs_duckdb_with_ties():
+    # The two-pointer kernel must reproduce RANGE-frame peer semantics:
+    # equal-ts rows share one frame (unlike a ROWS frame).
+    import duckdb
+
+    e = np.array([0, 100, 100, 250, 600, 600, 600, 900], np.int64)
+    vc = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.int64)
+    W = 500
+    cs = np.concatenate([[0], np.cumsum(vc)])
+    lo = np.searchsorted(e, e - W, side="left")
+    hi = np.searchsorted(e, e, side="right")
+    got_sum = (cs[hi] - cs[lo]).tolist()
+    got_cnt = (hi - lo).tolist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({int(a)},{int(b)},{k})"
+                           for k, (a, b) in enumerate(zip(e, vc)))
+                + ") v(e, vc, k)")
+    ref = con.execute(
+        "SELECT SUM(vc) OVER w, COUNT(*) OVER w FROM t "
+        "WINDOW w AS (ORDER BY e RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) "
+        "ORDER BY e, k").fetchall()
+    assert got_sum == [int(r[0]) for r in ref]
+    assert got_cnt == [int(r[1]) for r in ref]
+
+
+def _ffd(sizes, cap=100):
+    bins = []
+    asg = 0
+    for q in sorted(sizes, reverse=True):
+        for bi in range(len(bins)):
+            if bins[bi] + q <= cap:
+                bins[bi] += q
+                asg += (bi + 1) * q
+                break
+        else:
+            bins.append(q)
+            asg += len(bins) * q
+    return bins, asg
+
+
+def test_ffd_known_hand_case():
+    # sorted desc: 70, 60, 50, 33, 33, 22, 15 with cap 100
+    # b1=70 -> +22 -> 92; b2=60+33=93; b3=50+33=83+15=98
+    bins, _ = _ffd([33, 70, 15, 22, 50, 60, 33])
+    assert bins == [92, 93, 98]
+
+
+def test_ffd_bound_vs_optimal_lower_bound():
+    # FFD never uses fewer bins than ceil(total/cap), and for random
+    # instances stays within the 11/9*OPT+1 guarantee's trivial corollary
+    # n_bins <= 11/9 * ceil(total/cap) + 1.
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        sizes = rng.integers(1, 101, size=int(rng.integers(1, 40))).tolist()
+        bins, _ = _ffd(sizes)
+        lb = -(-sum(sizes) // 100)
+        assert lb <= len(bins) <= 11 * lb // 9 + 1
+        assert all(b <= 100 for b in bins)
+
+
+def test_ffd_perfect_fit_uses_lower_bound():
+    bins, asg = _ffd([50, 50, 50, 50])
+    assert bins == [100, 100]
+    assert asg == 1 * 50 + 1 * 50 + 2 * 50 + 2 * 50
