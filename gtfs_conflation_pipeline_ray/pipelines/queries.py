@@ -14216,6 +14216,83 @@ FROM pack WHERE k = len(items)
 """
 
 
+def q_shape_visvalingam(sf_dir: str):  # exact oracle (list-CTE peeling)
+    """VISVALINGAM–WHYATT line simplification per user trajectory — the
+    area-based classic next to the distance-based RDP
+    (`shape_simplify`): repeatedly remove the interior vertex with the
+    smallest doubled triangle area |cross(prev→cur, prev→next)| (tie →
+    smallest position) until ≤ 8 vertices remain; neighbors' areas
+    re-evaluate after each removal, which is exactly what makes VW
+    different from a one-pass filter. Emits (user_id, n_orig, n_kept,
+    rem_chk) with rem_chk = Σ round·removed_area2 pinning the removal
+    ORDER, not just the survivor set. Engine: one bucketed group shuffle
+    + per-shape O(n²) peel (shapes are small); oracle: coordinate LISTS
+    peeled one vertex per round in a recursive CTE (list_transform areas
+    → list_position argmin → slice-concat removal)."""
+    from ..stages import segments
+
+    def _vw(uid: int, xy: np.ndarray):
+        xyi = xy.astype(np.int64)
+        xs = [int(v) for v in xyi[:, 0]]
+        ys = [int(v) for v in xyi[:, 1]]
+        n0 = len(xs)
+        k, chk = 0, 0
+        while len(xs) > 8:
+            best_a, best_p = None, -1
+            for p in range(1, len(xs) - 1):
+                a2 = abs((xs[p] - xs[p - 1]) * (ys[p + 1] - ys[p - 1])
+                         - (xs[p + 1] - xs[p - 1]) * (ys[p] - ys[p - 1]))
+                if best_a is None or a2 < best_a:
+                    best_a, best_p = a2, p
+            k += 1
+            chk += k * best_a
+            del xs[best_p]
+            del ys[best_p]
+        return {"user_id": np.int64(uid), "n_orig": np.int64(n0),
+                "n_kept": np.int64(len(xs)), "rem_chk": np.int64(chk)}
+
+    return segments.per_shape(_event_shapes(sf_dir), _vw)
+
+
+SQL_SHAPE_VISVALINGAM = """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x,
+         CAST((event_id * 69621 + 13) % 65536 AS BIGINT) AS y
+  FROM events
+),
+lst AS (
+  SELECT user_id, list(x ORDER BY gi) AS xs, list(y ORDER BY gi) AS ys
+  FROM pts GROUP BY user_id
+),
+vw AS (
+  SELECT user_id, xs, ys, CAST(0 AS BIGINT) AS k,
+         CAST(0 AS BIGINT) AS chk, len(xs) AS n0
+  FROM lst
+  UNION ALL
+  SELECT user_id,
+         list_concat(xs[1:pos - 1], xs[pos + 1:len(xs)]),
+         list_concat(ys[1:pos - 1], ys[pos + 1:len(ys)]),
+         k + 1, chk + (k + 1) * mn, n0
+  FROM (
+    SELECT *, list_aggregate(areas, 'min') AS mn,
+           list_position(areas, list_aggregate(areas, 'min')) + 1 AS pos
+    FROM (
+      SELECT *, list_transform(range(2, len(xs)),
+               p -> ABS((xs[p] - xs[p - 1]) * (ys[p + 1] - ys[p - 1])
+                        - (xs[p + 1] - xs[p - 1]) * (ys[p] - ys[p - 1])))
+             AS areas
+      FROM vw WHERE len(xs) > 8
+    )
+  )
+)
+SELECT user_id, CAST(n0 AS BIGINT) AS n_orig,
+       CAST(len(xs) AS BIGINT) AS n_kept, CAST(chk AS BIGINT) AS rem_chk
+FROM vw WHERE len(xs) <= 8
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14723,6 +14800,7 @@ QUERIES = {
     "image_fast_corners": q_image_fast_corners,
     "events_range_sum": q_events_range_sum,
     "supplier_bin_packing": q_supplier_bin_packing,
+    "shape_visvalingam": q_shape_visvalingam,
 }
 
 
@@ -14991,4 +15069,5 @@ ORACLE_SQL = {
     "image_fast_corners": SQL_IMAGE_FAST_CORNERS,
     "events_range_sum": SQL_EVENTS_RANGE_SUM,
     "supplier_bin_packing": SQL_SUPPLIER_BIN_PACKING,
+    "shape_visvalingam": SQL_SHAPE_VISVALINGAM,
 }

@@ -139,3 +139,43 @@ def test_ffd_perfect_fit_uses_lower_bound():
     bins, asg = _ffd([50, 50, 50, 50])
     assert bins == [100, 100]
     assert asg == 1 * 50 + 1 * 50 + 2 * 50 + 2 * 50
+
+
+def _vw_peel(xs, ys, target=8):
+    xs, ys = list(xs), list(ys)
+    k = chk = 0
+    removed = []
+    while len(xs) > target:
+        best_a, best_p = None, -1
+        for p in range(1, len(xs) - 1):
+            a2 = abs((xs[p] - xs[p - 1]) * (ys[p + 1] - ys[p - 1])
+                     - (xs[p + 1] - xs[p - 1]) * (ys[p] - ys[p - 1]))
+            if best_a is None or a2 < best_a:
+                best_a, best_p = a2, p
+        k += 1
+        chk += k * best_a
+        removed.append((xs[best_p], ys[best_p]))
+        del xs[best_p]
+        del ys[best_p]
+    return xs, ys, chk, removed
+
+
+def test_visvalingam_collinear_points_removed_first():
+    # Collinear interior points have zero area: they peel before any
+    # genuine corner, and the survivors keep the polyline's shape.
+    xs = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    ys = [0, 0, 0, 0, 0, 100, 0, 0, 0, 0, 0]
+    kept_x, kept_y, chk, removed = _vw_peel(xs, ys, target=5)
+    assert (50, 100) in list(zip(kept_x, kept_y))  # the spike survives
+    assert all(y == 0 for _, y in removed)   # only flat points removed
+    assert chk == 0  # all six removals had exactly zero area
+
+
+def test_visvalingam_endpoints_always_survive():
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 100, 20).tolist()
+    ys = rng.integers(0, 100, 20).tolist()
+    kept_x, kept_y, _, _ = _vw_peel(xs, ys, target=8)
+    assert len(kept_x) == 8
+    assert (kept_x[0], kept_y[0]) == (xs[0], ys[0])
+    assert (kept_x[-1], kept_y[-1]) == (xs[-1], ys[-1])
