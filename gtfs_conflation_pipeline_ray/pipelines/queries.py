@@ -14293,6 +14293,153 @@ FROM vw WHERE len(xs) <= 8
 """
 
 
+def q_user_peak_overlap(sf_dir: str):  # exact oracle (±1 sweep window)
+    """PEAK CONCURRENT OVERLAP per user (maximum interval stabbing): the
+    same variable event windows as ``user_max_nonoverlap``, swept as
+    +1-at-start / −1-at-end deltas in (t, delta) order — ends sort before
+    starts at equal t, the [s,e) half-open convention — running-sum max
+    = the peak number of simultaneously open windows, plus the EARLIEST
+    µs instant attaining it. The "peak load / max concurrency" staffing
+    metric, completing the interval trio (union coverage, max
+    non-overlap selection, peak stabbing). Engine: one bucketed group
+    shuffle + a vectorized cummax per user. Emits
+    (user_id, peak, first_peak_t)."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _deltas(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + (eid % 7 + 1) * 60_000_000
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": np.concatenate([uid, uid]),
+            "t": np.concatenate([s, e]),
+            "d": np.concatenate([np.ones(len(s), np.int64),
+                                 -np.ones(len(s), np.int64)])})
+
+    dl = ev.map_batches(_deltas, batch_format="pyarrow", batch_size=8192)
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "t", "d"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        t = d["t"].to_numpy(np.int64)
+        dv = d["d"].to_numpy(np.int64)
+        n = len(d)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        users, peaks, firsts = [], [], []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            run = np.cumsum(dv[a:b])
+            p = int(run.max())
+            fi = int(np.argmax(run == p))
+            users.append(int(uid[a]))
+            peaks.append(p)
+            firsts.append(int(t[a + fi]))
+        return pd.DataFrame({"user_id": np.asarray(users, np.int64),
+                             "peak": np.asarray(peaks, np.int64),
+                             "first_peak_t": np.asarray(firsts, np.int64)})
+
+    return bucketed_groups(dl, ["user_id"], _sweep)
+
+
+SQL_USER_PEAK_OVERLAP = """
+WITH iv AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+),
+dl AS (
+  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT user_id, e, CAST(-1 AS BIGINT) FROM iv
+),
+run AS (
+  SELECT user_id, t, d,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM dl
+),
+pk AS (SELECT user_id, MAX(r) AS peak FROM run GROUP BY user_id)
+SELECT run.user_id, CAST(pk.peak AS BIGINT) AS peak,
+       CAST(MIN(run.t) AS BIGINT) AS first_peak_t
+FROM run JOIN pk ON pk.user_id = run.user_id AND run.r = pk.peak
+GROUP BY run.user_id, pk.peak
+"""
+
+
+def q_customer_edd_lateness(sf_dir: str):  # exact oracle (EDD cumsum)
+    """EARLIEST-DUE-DATE single-machine scheduling per customer
+    (Jackson's rule — EDD provably minimizes maximum lateness): each
+    order is a job with processing time p = (o_orderkey % 7 + 1) days
+    and due date d = o_orderdate + 14 days; jobs run in (due, orderkey)
+    order from the customer's earliest order date; emits the maximum
+    lateness L_max = max(completion − due) in µs and the finishing
+    makespan — the ops-research counterpart of the greedy interval ops.
+    One bucketed group shuffle + vectorized per-group cumsum; oracle is
+    a window cumsum over the same order."""
+    from ..stages.relational import bucketed_groups
+
+    DAY = 86_400_000_000
+    od = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _jobs(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_orderkey": ok, "t0": t,
+            "p": (ok % 7 + 1) * DAY, "due": t + 14 * DAY})
+
+    jobs = od.map_batches(_jobs, batch_format="pyarrow", batch_size=8192)
+
+    def _edd(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["o_custkey", "due", "o_orderkey"],
+                          kind="mergesort")
+        ck = d["o_custkey"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        due = d["due"].to_numpy(np.int64)
+        t0 = d["t0"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            start = int(t0[a:b].min())
+            comp = start + np.cumsum(p[a:b])
+            lmax = int((comp - due[a:b]).max())
+            rows.append({"o_custkey": int(ck[a]), "n_jobs": b - a,
+                         "l_max": lmax, "makespan": int(comp[-1] - start)})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(jobs, ["o_custkey"], _edd)
+
+
+SQL_CUSTOMER_EDD_LATENESS = """
+WITH j AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS t0,
+         (o_orderkey % 7 + 1) * 86400000000 AS p,
+         CAST(epoch_us(o_orderdate) AS BIGINT) + 14 * 86400000000 AS due
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, o_orderkey, p, due,
+         MIN(t0) OVER (PARTITION BY o_custkey) AS start,
+         SUM(p) OVER (PARTITION BY o_custkey ORDER BY due, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+       CAST(MAX(start + cum - due) AS BIGINT) AS l_max,
+       CAST(MAX(cum) AS BIGINT) AS makespan
+FROM s GROUP BY o_custkey
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14801,6 +14948,8 @@ QUERIES = {
     "events_range_sum": q_events_range_sum,
     "supplier_bin_packing": q_supplier_bin_packing,
     "shape_visvalingam": q_shape_visvalingam,
+    "user_peak_overlap": q_user_peak_overlap,
+    "customer_edd_lateness": q_customer_edd_lateness,
 }
 
 
@@ -15070,4 +15219,6 @@ ORACLE_SQL = {
     "events_range_sum": SQL_EVENTS_RANGE_SUM,
     "supplier_bin_packing": SQL_SUPPLIER_BIN_PACKING,
     "shape_visvalingam": SQL_SHAPE_VISVALINGAM,
+    "user_peak_overlap": SQL_USER_PEAK_OVERLAP,
+    "customer_edd_lateness": SQL_CUSTOMER_EDD_LATENESS,
 }

@@ -179,3 +179,47 @@ def test_visvalingam_endpoints_always_survive():
     assert len(kept_x) == 8
     assert (kept_x[0], kept_y[0]) == (xs[0], ys[0])
     assert (kept_x[-1], kept_y[-1]) == (xs[-1], ys[-1])
+
+
+def test_peak_overlap_half_open_touching():
+    # [0,10) and [10,20) never overlap: ends sort before starts at t=10.
+    t = np.array([0, 10, 10, 20], np.int64)
+    d = np.array([1, -1, 1, -1], np.int64)
+    order = np.lexsort((d, t))
+    run = np.cumsum(d[order])
+    assert run.max() == 1
+
+
+def test_peak_overlap_nested_stack():
+    # Three nested intervals peak at 3 at the innermost start.
+    iv = [(0, 100), (10, 90), (20, 80)]
+    t = np.array([s for s, _ in iv] + [e for _, e in iv], np.int64)
+    d = np.array([1] * 3 + [-1] * 3, np.int64)
+    order = np.lexsort((d, t))
+    run = np.cumsum(d[order])
+    peak = int(run.max())
+    first = int(t[order][int(np.argmax(run == peak))])
+    assert peak == 3 and first == 20
+
+
+def test_edd_minimizes_max_lateness():
+    # Jackson's rule: EDD's L_max is <= every permutation's L_max.
+    import itertools
+
+    rng = np.random.default_rng(21)
+    for _ in range(15):
+        n = int(rng.integers(2, 7))
+        p = rng.integers(1, 20, n).astype(int)
+        due = rng.integers(5, 60, n).astype(int)
+
+        def lmax(order):
+            c = 0
+            worst = -10**9
+            for i in order:
+                c += p[i]
+                worst = max(worst, c - due[i])
+            return worst
+
+        edd = sorted(range(n), key=lambda i: (due[i], i))
+        best = min(lmax(perm) for perm in itertools.permutations(range(n)))
+        assert lmax(edd) == best
