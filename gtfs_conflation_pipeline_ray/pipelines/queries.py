@@ -14440,6 +14440,168 @@ FROM s GROUP BY o_custkey
 """
 
 
+def q_image_feather_blend(sf_dir: str):  # exact oracle (1-D mirror join)
+    """PANORAMA FEATHER BLEND checkpoints through the decode path
+    (``media.image_feather_blend``): each image blends against its
+    horizontal mirror under the linear ramp a(j) = ⌊j·1024/(w−1)⌋ in
+    floor fixed point — the seam-feathering kernel every stitcher runs
+    where two frames overlap. Per-channel sums + a column-weighted R sum
+    (only a column weight can pin the ramp's direction). On the fixture
+    R blends f(j) against f(w−1−j) — a 1-D self-join; G and B are mirror-
+    invariant and must pass through EXACTLY (the floor of 1024·g/1024)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_feather_blend(synth, batch_size=512)
+
+
+SQL_IMAGE_FEATHER_BLEND = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rb AS (
+  SELECT a.image_id, a.j,
+         ((a.j * 1024) // (a.w - 1) * a.v
+          + (1024 - (a.j * 1024) // (a.w - 1)) * b.v) // 1024 AS m
+  FROM rq a JOIN rq b ON b.image_id = a.image_id AND b.j = a.w - 1 - a.j
+),
+rs AS (
+  SELECT image_id, SUM(m) AS rowsum, SUM((j + 1) * m) AS wrowsum
+  FROM rb GROUP BY image_id
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+gs AS (SELECT image_id, SUM(v) AS colsum FROM gq GROUP BY image_id)
+SELECT im.image_id,
+       CAST(h * rs.rowsum AS BIGINT) AS sum_r,
+       CAST(w * gs.colsum AS BIGINT) AS sum_g,
+       CAST(w * h * (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+                          ELSE bb END) AS BIGINT) AS sum_b,
+       CAST(h * rs.wrowsum AS BIGINT) AS wsum_r
+FROM im JOIN rs ON rs.image_id = im.image_id
+        JOIN gs ON gs.image_id = im.image_id
+"""
+
+
+def q_image_radial_profile(sf_dir: str):  # exact oracle (ring bucketing)
+    """CHEBYSHEV RADIAL PROFILE through the decode path
+    (``media.image_radial_profile``): per-(image, ring) pixel count and
+    luma sum, rings by max(|i−ci|, |j−cj|) around the center — the
+    vignetting / lens-falloff / border screen of image curation. The
+    oracle buckets the 1-D×1-D fixture grids by GREATEST of the two
+    axis distances; the kernel is a general 2-D bincount."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_radial_profile(synth, batch_size=512)
+
+
+SQL_IMAGE_RADIAL_PROFILE = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS vr
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gq AS (
+  SELECT image_id, r, h,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS vg,
+         CASE WHEN fi = 2 THEN ((bb // 4) * 4 + (bb // 4) // 16)
+              ELSE bb END AS vb
+  FROM im JOIN (SELECT unnest(range(24)) AS r) rs2 ON r < h
+),
+px AS (
+  SELECT q.image_id,
+         GREATEST(ABS(g.r - (g.h - 1) // 2), ABS(q.j - (q.w - 1) // 2))
+           AS ring,
+         q.vr + g.vg + g.vb AS luma
+  FROM rq q JOIN gq g ON g.image_id = q.image_id
+)
+SELECT image_id, CAST(ring AS BIGINT) AS ring,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(luma) AS BIGINT) AS luma_sum
+FROM px GROUP BY image_id, ring
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -14950,6 +15112,8 @@ QUERIES = {
     "shape_visvalingam": q_shape_visvalingam,
     "user_peak_overlap": q_user_peak_overlap,
     "customer_edd_lateness": q_customer_edd_lateness,
+    "image_feather_blend": q_image_feather_blend,
+    "image_radial_profile": q_image_radial_profile,
 }
 
 
@@ -15221,4 +15385,6 @@ ORACLE_SQL = {
     "shape_visvalingam": SQL_SHAPE_VISVALINGAM,
     "user_peak_overlap": SQL_USER_PEAK_OVERLAP,
     "customer_edd_lateness": SQL_CUSTOMER_EDD_LATENESS,
+    "image_feather_blend": SQL_IMAGE_FEATHER_BLEND,
+    "image_radial_profile": SQL_IMAGE_RADIAL_PROFILE,
 }

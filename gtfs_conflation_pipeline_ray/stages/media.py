@@ -2363,3 +2363,136 @@ def image_fast_corners(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def feather_blend_mirror(img: np.ndarray) -> np.ndarray:
+    """PANORAMA FEATHER BLEND of an image with its horizontal mirror:
+    out(i,j) = ⌊(a(j)·v(i,j) + (1024−a(j))·v(i,w−1−j)) / 1024⌋ with the
+    linear ramp a(j) = ⌊j·1024/(w−1)⌋ — the seam-feathering kernel every
+    stitcher runs where two projected frames overlap, in floor-integer
+    fixed point (all operands non-negative, so floor ≡ trunc)."""
+    v = img.astype(np.int64)
+    h, w = v.shape[:2]
+    a = (np.arange(w, dtype=np.int64) * 1024) // (w - 1)
+    shape = (1, w) + (1,) * (v.ndim - 2)
+    a = a.reshape(shape)
+    return (a * v + (1024 - a) * v[:, ::-1]) // 1024
+
+
+class ImageFeatherBlend:
+    """Actor-pool batch fn: per-image checkpoints of the mirror feather
+    blend through the genuine decode path (:func:`feather_blend_mirror`):
+    per-channel sums of the blended output plus a column-weighted R sum
+    (the ramp is horizontal, so only a column weight can pin its
+    direction). On the factorized fixture R blends f(j) against
+    f(w−1−j) — a 1-D grid self-join — while G and B are invariant under
+    the mirror and pass through exactly. Emits
+    (image_id, sum_r, sum_g, sum_b, wsum_r)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 4), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            bl = feather_blend_mirror(img)
+            w = bl.shape[1]
+            jw = np.arange(w, dtype=np.int64) + 1
+            out[i, 0] = bl[:, :, 0].sum()
+            out[i, 1] = bl[:, :, 1].sum()
+            out[i, 2] = bl[:, :, 2].sum()
+            out[i, 3] = (bl[:, :, 0].sum(axis=0) * jw).sum()
+        return pa.table({"image_id": ids,
+                         "sum_r": out[:, 0].copy(),
+                         "sum_g": out[:, 1].copy(),
+                         "sum_b": out[:, 2].copy(),
+                         "wsum_r": out[:, 3].copy()})
+
+
+def image_feather_blend(ds, bytes_col: str = "bytes",
+                        id_col: str = "image_id", fmt_col: str = "fmt",
+                        concurrency: int | None = None,
+                        batch_size: int = 256):
+    return ds.map_batches(
+        ImageFeatherBlend,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )
+
+
+def radial_profile(luma: np.ndarray) -> np.ndarray:
+    """CHEBYSHEV RADIAL PROFILE of one luma grid: pixels bucket by ring
+    dc = max(|i−ci|, |j−cj|) around the center ((h−1)//2, (w−1)//2);
+    returns an (n_rings, 2) int64 array of (n_px, luma_sum) per ring —
+    the vignetting / lens-falloff screen of image curation (a clean
+    photo's profile decays smoothly; a vignetted or bordered one steps)."""
+    v = luma.astype(np.int64)
+    h, w = v.shape
+    ci, cj = (h - 1) // 2, (w - 1) // 2
+    i, j = np.mgrid[0:h, 0:w]
+    dc = np.maximum(np.abs(i - ci), np.abs(j - cj)).ravel()
+    n_rings = int(dc.max()) + 1
+    n_px = np.bincount(dc, minlength=n_rings)
+    s = np.bincount(dc, weights=v.ravel().astype(np.float64),
+                    minlength=n_rings).astype(np.int64)
+    return np.stack([n_px.astype(np.int64), s], axis=1)
+
+
+class ImageRadialProfile:
+    """Actor-pool batch fn: per-(image, ring) rows of the Chebyshev
+    radial profile through the genuine decode path
+    (:func:`radial_profile` on the R+G+B luma sum). The oracle buckets
+    the 1-D×1-D fixture grids by GREATEST(|i−ci|, |j−cj|). Emits
+    (image_id, ring, n_px, luma_sum)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out_id, out_ring, out_n, out_s = [], [], [], []
+        for i in range(len(ids)):
+            img = self.decode(blobs[i], fmts[i])
+            luma = img.astype(np.int64).sum(axis=2)
+            prof = radial_profile(luma)
+            rings = len(prof)
+            out_id.append(np.full(rings, ids[i], np.int64))
+            out_ring.append(np.arange(rings, dtype=np.int64))
+            out_n.append(prof[:, 0])
+            out_s.append(prof[:, 1])
+        return pa.table({"image_id": np.concatenate(out_id),
+                         "ring": np.concatenate(out_ring),
+                         "n_px": np.concatenate(out_n),
+                         "luma_sum": np.concatenate(out_s)})
+
+
+def image_radial_profile(ds, bytes_col: str = "bytes",
+                         id_col: str = "image_id", fmt_col: str = "fmt",
+                         concurrency: int | None = None,
+                         batch_size: int = 256):
+    return ds.map_batches(
+        ImageRadialProfile,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

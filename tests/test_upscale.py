@@ -226,3 +226,48 @@ def test_fast_corners_dot_yes_edge_no():
     edge = np.zeros((9, 9), np.int64)
     edge[:, 5:] = 500
     assert media.fast_corners(edge)[0] == 0
+
+
+def test_feather_blend_random_parity():
+    for _ in range(10):
+        h, w = int(RNG.integers(2, 20)), int(RNG.integers(2, 20))
+        img = RNG.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        got = media.feather_blend_mirror(img)
+        for i in range(h):
+            for j in range(w):
+                a = (j * 1024) // (w - 1)
+                for c in range(3):
+                    want = (a * int(img[i, j, c])
+                            + (1024 - a) * int(img[i, w - 1 - j, c])) // 1024
+                    assert got[i, j, c] == want
+
+
+def test_feather_blend_symmetric_image_fixed_point():
+    # A horizontally symmetric image is a fixed point of the blend.
+    half = RNG.integers(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    img = np.concatenate([half, half[:, ::-1]], axis=1)
+    assert np.array_equal(media.feather_blend_mirror(img), img.astype(np.int64))
+
+
+def test_radial_profile_random_parity():
+    for _ in range(10):
+        h, w = int(RNG.integers(2, 15)), int(RNG.integers(2, 15))
+        luma = RNG.integers(0, 768, size=(h, w)).astype(np.int64)
+        prof = media.radial_profile(luma)
+        ci, cj = (h - 1) // 2, (w - 1) // 2
+        want = {}
+        for i in range(h):
+            for j in range(w):
+                r = max(abs(i - ci), abs(j - cj))
+                n, s = want.get(r, (0, 0))
+                want[r] = (n + 1, s + int(luma[i, j]))
+        assert len(prof) == max(want) + 1
+        for r, (n, s) in want.items():
+            assert prof[r, 0] == n and prof[r, 1] == s
+        assert prof[:, 0].sum() == h * w
+
+
+def test_radial_profile_center_ring_single_pixel():
+    luma = np.arange(35, dtype=np.int64).reshape(5, 7)
+    prof = media.radial_profile(luma)
+    assert prof[0, 0] == 1 and prof[0, 1] == luma[2, 3]
