@@ -14602,6 +14602,99 @@ FROM px GROUP BY image_id, ring
 """
 
 
+def q_supplier_knapsack(sf_dir: str):  # exact oracle (DP-vector CTE)
+    """0/1 KNAPSACK per supplier by exact dynamic programming: items are
+    the supplier's lineitems (weight = quantity 1..50, value = price in
+    whole dollars), capacity 100; the DP vector best[c] = max value at
+    weight ≤ c advances one item per round — THE textbook
+    pseudo-polynomial DP, and the value-optimal counterpart of
+    `supplier_bin_packing`'s count-minimizing FFD. Emits (l_suppkey,
+    n_items, best_value, best_weight) with best_weight = the SMALLEST
+    capacity attaining best_value (pins the DP table, not just the
+    optimum). Engine: one bucketed group shuffle + per-group vectorized
+    DP (numpy maximum over the shifted vector per item); oracle: the
+    101-slot DP vector carried as a LIST through a recursive CTE, one
+    item per round (vector-in-CTE device)."""
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        q = cents(batch["l_quantity"].to_numpy(zero_copy_only=False), 1)
+        v = cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)) \
+            // 100
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "okey": batch["l_orderkey"].cast(pa.int64()),
+            "lnum": batch["l_linenumber"].cast(pa.int64()),
+            "wt": q, "val": v})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    CAP = 100
+
+    def _dp(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["l_suppkey", "okey", "lnum"], kind="mergesort")
+        sk = d["l_suppkey"].to_numpy(np.int64)
+        wt = d["wt"].to_numpy(np.int64)
+        val = d["val"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            best = np.zeros(CAP + 1, np.int64)
+            for i in range(a, b):
+                w, v = int(wt[i]), int(val[i])
+                if w <= CAP:
+                    shifted = np.concatenate([best[:w] * 0, best[:CAP + 1 - w] + v])
+                    # taking item i is only legal where c >= w
+                    shifted[:w] = -1
+                    best = np.maximum(best, shifted)
+            bv = int(best.max())
+            bw = int(np.argmax(best == bv))
+            rows.append({"l_suppkey": int(sk[a]), "n_items": b - a,
+                         "best_value": bv, "best_weight": bw})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["l_suppkey"], _dp)
+
+
+SQL_SUPPLIER_KNAPSACK = """
+WITH RECURSIVE it AS (
+  SELECT l_suppkey, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS wt,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS val,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+lst AS (
+  SELECT l_suppkey,
+         list(wt ORDER BY l_orderkey, l_linenumber) AS ws,
+         list(val ORDER BY l_orderkey, l_linenumber) AS vs
+  FROM it GROUP BY l_suppkey
+),
+dp AS (
+  SELECT l_suppkey, ws, vs, 0 AS k,
+         list_transform(range(0, 101), c -> CAST(0 AS BIGINT)) AS best
+  FROM lst
+  UNION ALL
+  SELECT l_suppkey, ws, vs, k + 1,
+         list_transform(range(1, 102),
+           ci -> CASE WHEN ci - 1 >= ws[k + 1]
+                          AND best[ci - ws[k + 1]] + vs[k + 1] > best[ci]
+                      THEN best[ci - ws[k + 1]] + vs[k + 1]
+                      ELSE best[ci] END)
+  FROM dp WHERE k < len(ws)
+)
+SELECT l_suppkey, CAST(len(ws) AS BIGINT) AS n_items,
+       CAST(list_aggregate(best, 'max') AS BIGINT) AS best_value,
+       CAST(list_position(best, list_aggregate(best, 'max')) - 1 AS BIGINT)
+         AS best_weight
+FROM dp WHERE k = len(ws)
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15114,6 +15207,7 @@ QUERIES = {
     "customer_edd_lateness": q_customer_edd_lateness,
     "image_feather_blend": q_image_feather_blend,
     "image_radial_profile": q_image_radial_profile,
+    "supplier_knapsack": q_supplier_knapsack,
 }
 
 
@@ -15387,4 +15481,5 @@ ORACLE_SQL = {
     "customer_edd_lateness": SQL_CUSTOMER_EDD_LATENESS,
     "image_feather_blend": SQL_IMAGE_FEATHER_BLEND,
     "image_radial_profile": SQL_IMAGE_RADIAL_PROFILE,
+    "supplier_knapsack": SQL_SUPPLIER_KNAPSACK,
 }

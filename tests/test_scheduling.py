@@ -223,3 +223,37 @@ def test_edd_minimizes_max_lateness():
         edd = sorted(range(n), key=lambda i: (due[i], i))
         best = min(lmax(perm) for perm in itertools.permutations(range(n)))
         assert lmax(edd) == best
+
+
+def _knap_dp(ws, vs, cap=100):
+    best = np.zeros(cap + 1, np.int64)
+    for w, v in zip(ws, vs):
+        if w <= cap:
+            shifted = np.concatenate([best[:w] * 0, best[:cap + 1 - w] + v])
+            shifted[:w] = -1
+            best = np.maximum(best, shifted)
+    bv = int(best.max())
+    return bv, int(np.argmax(best == bv))
+
+
+def test_knapsack_dp_vs_bruteforce():
+    rng = np.random.default_rng(31)
+    for _ in range(20):
+        n = int(rng.integers(1, 13))
+        ws = rng.integers(1, 60, n).tolist()
+        vs = rng.integers(1, 500, n).tolist()
+        bv, bw = _knap_dp(ws, vs)
+        best = 0
+        for mask in range(1 << n):
+            tw = sum(w for i, w in enumerate(ws) if mask >> i & 1)
+            tv = sum(v for i, v in enumerate(vs) if mask >> i & 1)
+            if tw <= 100:
+                best = max(best, tv)
+        assert bv == best
+        assert bw <= 100
+
+
+def test_knapsack_takes_dense_pair_over_heavy_single():
+    # One heavy high-value item vs two light ones summing higher.
+    bv, bw = _knap_dp([100, 50, 50], [120, 70, 70])
+    assert bv == 140 and bw == 100
