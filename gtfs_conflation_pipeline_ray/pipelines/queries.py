@@ -14695,6 +14695,119 @@ FROM dp WHERE k = len(ws)
 """
 
 
+def q_image_kuwahara(sf_dir: str):  # exact oracle (1-D window argmin)
+    """EDGE-PRESERVING KUWAHARA FILTER checkpoints through the decode
+    path (``media.image_kuwahara``): 5×5 window, four overlapping 3×3
+    quadrants, per pixel the quadrant with smallest division-free
+    variance 9Σx²−(Σx)² wins (NW,NE,SW,SE tie order) and contributes its
+    floor mean — smoothing that never averages across an edge, which no
+    linear kernel can imitate. On the factorized fixture the quadrant
+    variances collapse per axis (left/right column windows for R, top/
+    bottom row windows for G, flat B → NW tie), so the oracle is 1-D
+    ROWS-window sums + the same ≤ tie rule; the kernel is the general
+    2-D integral-image argmin."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_kuwahara(synth, batch_size=512)
+
+
+SQL_IMAGE_KUWAHARA = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS v
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+rw AS (
+  SELECT image_id, j, w,
+         SUM(v) OVER (PARTITION BY image_id ORDER BY j
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sl,
+         SUM(v * v) OVER (PARTITION BY image_id ORDER BY j
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ql,
+         SUM(v) OVER (PARTITION BY image_id ORDER BY j
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS sr,
+         SUM(v * v) OVER (PARTITION BY image_id ORDER BY j
+                          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS qr
+  FROM rq
+),
+rs AS (
+  SELECT image_id,
+         SUM(CASE WHEN 3 * ql - sl * sl <= 3 * qr - sr * sr
+                  THEN (3 * sl) // 9 ELSE (3 * sr) // 9 END) AS rowsum
+  FROM rw WHERE j >= 2 AND j <= w - 3 GROUP BY image_id
+),
+gq AS (
+  SELECT image_id, r, h,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS v
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+gw AS (
+  SELECT image_id, r, h,
+         SUM(v) OVER (PARTITION BY image_id ORDER BY r
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS st,
+         SUM(v * v) OVER (PARTITION BY image_id ORDER BY r
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qt,
+         SUM(v) OVER (PARTITION BY image_id ORDER BY r
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS sb,
+         SUM(v * v) OVER (PARTITION BY image_id ORDER BY r
+                          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS qb
+  FROM gq
+),
+gs AS (
+  SELECT image_id,
+         SUM(CASE WHEN 3 * qt - st * st <= 3 * qb - sb * sb
+                  THEN (3 * st) // 9 ELSE (3 * sb) // 9 END) AS colsum
+  FROM gw WHERE r >= 2 AND r <= h - 3 GROUP BY image_id
+)
+SELECT im.image_id,
+       CAST(h - 4 AS BIGINT) AS int_h, CAST(w - 4 AS BIGINT) AS int_w,
+       CAST((h - 4) * rs.rowsum AS BIGINT) AS kw_r,
+       CAST((w - 4) * gs.colsum AS BIGINT) AS kw_g,
+       CAST((h - 4) * (w - 4) *
+            (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+                  ELSE bb END) AS BIGINT) AS kw_b
+FROM im JOIN rs ON rs.image_id = im.image_id
+        JOIN gs ON gs.image_id = im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15208,6 +15321,7 @@ QUERIES = {
     "image_feather_blend": q_image_feather_blend,
     "image_radial_profile": q_image_radial_profile,
     "supplier_knapsack": q_supplier_knapsack,
+    "image_kuwahara": q_image_kuwahara,
 }
 
 
@@ -15482,4 +15596,5 @@ ORACLE_SQL = {
     "image_feather_blend": SQL_IMAGE_FEATHER_BLEND,
     "image_radial_profile": SQL_IMAGE_RADIAL_PROFILE,
     "supplier_knapsack": SQL_SUPPLIER_KNAPSACK,
+    "image_kuwahara": SQL_IMAGE_KUWAHARA,
 }

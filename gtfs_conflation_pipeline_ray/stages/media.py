@@ -2496,3 +2496,84 @@ def image_radial_profile(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def kuwahara5(channel: np.ndarray) -> np.ndarray:
+    """EDGE-PRESERVING KUWAHARA FILTER (5×5 window, four overlapping 3×3
+    quadrants) of one channel's interior in exact integers: per pixel,
+    pick the quadrant with the smallest division-free variance metric
+    9·Σx² − (Σx)² (ties in NW, NE, SW, SE order) and output its floor
+    mean Σx // 9 — smoothing that never averages across an edge, the
+    stylization/denoise classic the box blur cannot imitate. Vectorized
+    with two integral images; output is (h−4, w−4)."""
+    v = channel.astype(np.int64)
+    h, w = v.shape
+    if h < 5 or w < 5:
+        return np.zeros((0, 0), np.int64)
+    i1 = np.zeros((h + 1, w + 1), np.int64)
+    i1[1:, 1:] = v.cumsum(0).cumsum(1)
+    i2 = np.zeros((h + 1, w + 1), np.int64)
+    i2[1:, 1:] = (v * v).cumsum(0).cumsum(1)
+
+    def box(ii):
+        return ii[3:, 3:] - ii[:-3, 3:] - ii[3:, :-3] + ii[:-3, :-3]
+
+    b1 = box(i1)  # 3x3 sums by top-left corner, shape (h-2, w-2)
+    b2 = box(i2)
+    s_q = np.stack([b1[0:h - 4, 0:w - 4], b1[0:h - 4, 2:w - 2],
+                    b1[2:h - 2, 0:w - 4], b1[2:h - 2, 2:w - 2]])
+    m_q = np.stack([b2[0:h - 4, 0:w - 4], b2[0:h - 4, 2:w - 2],
+                    b2[2:h - 2, 0:w - 4], b2[2:h - 2, 2:w - 2]])
+    metric = 9 * m_q - s_q * s_q
+    choice = metric.argmin(axis=0)  # first min = NW,NE,SW,SE tie order
+    chosen = np.take_along_axis(s_q, choice[None], axis=0)[0]
+    return chosen // 9
+
+
+class ImageKuwahara:
+    """Actor-pool batch fn: per-image sums of the Kuwahara-filtered
+    interior through the genuine decode path (:func:`kuwahara5`). On the
+    factorized fixture the quadrant variances collapse per axis (left/
+    right column windows for R, top/bottom row windows for G; B is flat
+    so the NW tie wins everywhere), so the oracle is 1-D window sums +
+    the same argmin tie rule. Emits
+    (image_id, int_h, int_w, kw_r, kw_g, kw_b)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        ih = np.empty(n, np.int64)
+        iw = np.empty(n, np.int64)
+        sums = np.empty((n, 3), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            for c in range(3):
+                kw = kuwahara5(img[:, :, c])
+                sums[i, c] = kw.sum()
+            ih[i], iw[i] = kw.shape
+        return pa.table({"image_id": ids, "int_h": ih, "int_w": iw,
+                         "kw_r": sums[:, 0].copy(),
+                         "kw_g": sums[:, 1].copy(),
+                         "kw_b": sums[:, 2].copy()})
+
+
+def image_kuwahara(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                   fmt_col: str = "fmt", concurrency: int | None = None,
+                   batch_size: int = 256):
+    return ds.map_batches(
+        ImageKuwahara,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -271,3 +271,41 @@ def test_radial_profile_center_ring_single_pixel():
     luma = np.arange(35, dtype=np.int64).reshape(5, 7)
     prof = media.radial_profile(luma)
     assert prof[0, 0] == 1 and prof[0, 1] == luma[2, 3]
+
+
+def _kuwahara_naive(v):
+    v = v.astype(np.int64)
+    h, w = v.shape
+    out = np.empty((h - 4, w - 4), np.int64)
+    for i in range(2, h - 2):
+        for j in range(2, w - 2):
+            quads = [v[i - 2:i + 1, j - 2:j + 1], v[i - 2:i + 1, j:j + 3],
+                     v[i:i + 3, j - 2:j + 1], v[i:i + 3, j:j + 3]]
+            best_m, best_s = None, 0
+            for q in quads:
+                s, s2 = int(q.sum()), int((q * q).sum())
+                m = 9 * s2 - s * s
+                if best_m is None or m < best_m:
+                    best_m, best_s = m, s
+            out[i - 2, j - 2] = best_s // 9
+    return out
+
+
+def test_kuwahara_random_parity():
+    for _ in range(12):
+        h, w = int(RNG.integers(5, 16)), int(RNG.integers(5, 16))
+        ch = RNG.integers(0, 256, size=(h, w)).astype(np.uint8)
+        got = media.kuwahara5(ch)
+        assert got.shape == (h - 4, w - 4)
+        assert np.array_equal(got, _kuwahara_naive(ch))
+
+
+def test_kuwahara_preserves_step_edge():
+    # A hard vertical step must survive exactly: each side's flat
+    # quadrant has zero variance, so no pixel averages across the edge —
+    # the property separating Kuwahara from every linear blur.
+    ch = np.zeros((9, 12), np.uint8)
+    ch[:, 6:] = 200
+    out = media.kuwahara5(ch)
+    assert set(np.unique(out)) == {0, 200}
+    assert np.array_equal(out, ch[2:-2, 2:-2].astype(np.int64))
