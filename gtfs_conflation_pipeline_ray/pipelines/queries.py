@@ -14808,6 +14808,171 @@ FROM im JOIN rs ON rs.image_id = im.image_id
 """
 
 
+def q_nation_emd_drift(sf_dir: str):  # exact oracle (cumsum |diff|)
+    """1-D EARTH MOVER'S DISTANCE of each nation's monthly order profile
+    from the GLOBAL profile — the distribution-drift screen of dataset
+    curation (per-source seasonality skew), exact by cross-multiplying
+    away the normalizations: emd12 = Σ_m |cum_n(m)·T − cum_g(m)·T_n|
+    over the 12 month buckets (T = global total, T_n = nation total);
+    the Wasserstein-1 distance on the month line, division-free. One
+    (nation, month) combiner shuffle; the 12-bucket epilogue runs on the
+    nations×12 table. Emits (n_name, t_n, emd12)."""
+    od = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy()
+    nk = cust["c_nationkey"].to_numpy()
+    c2n = dict(zip(ck.tolist(), nk.tolist()))
+    n2name = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                      nat["n_name"].to_pylist()))
+    c2n_ref = ray.put(c2n)
+
+    def _mo(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        lookup = cached_state(c2n_ref, lambda d: d, token="emd.c2n")
+        ckb = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        nk2 = np.array([lookup[int(c)] for c in ckb], np.int64)
+        return pa.table({"nk": nk2, "mo": mo})
+
+    pairs = od.map_batches(_mo, batch_format="pyarrow", batch_size=8192)
+    counts = rel.partial_groupby_sum(pairs, ["nk", "mo"], [], count_as="c",
+                                     est_rows=_nrows(sf_dir, "orders"))
+    df = counts.to_pandas()  # nations×12-bounded
+    piv = df.pivot_table(index="nk", columns="mo", values="c",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(1, 13), fill_value=0).astype(np.int64)
+    g = piv.sum(axis=0).to_numpy(np.int64)
+    t_all = int(g.sum())
+    cum_g = np.cumsum(g)
+    rows = []
+    for nk2, row in piv.iterrows():
+        cn = row.to_numpy(np.int64)
+        t_n = int(cn.sum())
+        cum_n = np.cumsum(cn)
+        emd = int(np.abs(cum_n * t_all - cum_g * t_n).sum())
+        rows.append({"n_name": n2name[int(nk2)], "t_n": t_n, "emd12": emd})
+    return pd.DataFrame(rows)
+
+
+SQL_NATION_EMD_DRIFT = """
+WITH mo AS (
+  SELECT n.n_name,
+         CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+nm AS (
+  SELECT nn.n_name, mm.m, COUNT(mo.m) AS c
+  FROM (SELECT DISTINCT n_name FROM mo) nn
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS m) mm
+  LEFT JOIN mo ON mo.n_name = nn.n_name AND mo.m = mm.m
+  GROUP BY nn.n_name, mm.m
+),
+gm AS (SELECT m, SUM(c) AS g FROM nm GROUP BY m),
+gc AS (SELECT m, SUM(g) OVER (ORDER BY m) AS cum_g FROM gm),
+cums AS (
+  SELECT nm.n_name, nm.m,
+         SUM(nm.c) OVER (PARTITION BY nm.n_name ORDER BY nm.m) AS cum_n,
+         gc.cum_g
+  FROM nm JOIN gc ON gc.m = nm.m
+),
+tot AS (
+  SELECT n_name, SUM(c) AS t_n FROM nm GROUP BY n_name
+),
+tall AS (SELECT SUM(g) AS t FROM gm)
+SELECT c.n_name, CAST(t.t_n AS BIGINT) AS t_n,
+       CAST(SUM(ABS(c.cum_n * a.t - c.cum_g * t.t_n)) AS BIGINT) AS emd12
+FROM cums c JOIN tot t ON t.n_name = c.n_name CROSS JOIN tall a
+GROUP BY c.n_name, t.t_n
+"""
+
+
+def q_tile_nn_tour(sf_dir: str):  # exact oracle (list-CTE greedy walk)
+    """NEAREST-NEIGHBOR TOUR construction over the depot tiles (every
+    50th tile): start at the lowest id, repeatedly hop to the nearest
+    unvisited depot (key dist², tie smallest id) until all are visited —
+    the classic TSP route-construction heuristic every delivery/survey
+    planner starts from. Emits ONE row (n_tiles, tour_len2, ord_chk)
+    with ord_chk = Σ step·tile_id pinning the full visit ORDER. The
+    depot set is dimension-sized, so the engine walk is a vectorized
+    driver epilogue (O(P) numpy argmin per step); the oracle carries
+    alive coordinate/id LISTS through a recursive CTE with a composite
+    (d²·2²⁰ + id) argmin key (ids < 2²⁰ by construction)."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 50 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    order = np.argsort(tid)
+    tid, cx, cy = tid[order], cx[order], cy[order]
+    n = len(tid)
+    alive = np.ones(n, dtype=bool)
+    cur = 0
+    alive[cur] = False
+    tour_len2 = 0
+    chk = int(tid[0])
+    for k in range(2, n + 1):
+        d2 = (cx - cx[cur]) ** 2 + (cy - cy[cur]) ** 2
+        key = d2 * 1048576 + tid
+        key[~alive] = np.iinfo(np.int64).max
+        nxt = int(np.argmin(key))
+        tour_len2 += int(d2[nxt])
+        chk += k * int(tid[nxt])
+        alive[nxt] = False
+        cur = nxt
+    return pd.DataFrame({"n_tiles": [n], "tour_len2": [tour_len2],
+                         "ord_chk": [chk]})
+
+
+SQL_TILE_NN_TOUR = f"""WITH RECURSIVE tiles AS ({td.TILES_SQL}),
+pn AS (
+  SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 50 = 0
+),
+lst AS (
+  SELECT list(tile_id ORDER BY tile_id) AS ids,
+         list(cx ORDER BY tile_id) AS xs,
+         list(cy ORDER BY tile_id) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pn
+),
+walk AS (
+  SELECT ids[2:len(ids)] AS ids, xs[2:len(xs)] AS xs, ys[2:len(ys)] AS ys,
+         n, xs[1] AS curx, ys[1] AS cury, 1 AS k,
+         CAST(0 AS BIGINT) AS tour_len2, CAST(ids[1] AS BIGINT) AS chk
+  FROM lst
+  UNION ALL
+  SELECT list_concat(ids[1:pos - 1], ids[pos + 1:len(ids)]),
+         list_concat(xs[1:pos - 1], xs[pos + 1:len(xs)]),
+         list_concat(ys[1:pos - 1], ys[pos + 1:len(ys)]),
+         n, xs[pos], ys[pos], k + 1,
+         tour_len2 + (xs[pos] - curx) * (xs[pos] - curx)
+                   + (ys[pos] - cury) * (ys[pos] - cury),
+         chk + (k + 1) * ids[pos]
+  FROM (
+    SELECT *, list_position(keys, list_aggregate(keys, 'min')) AS pos
+    FROM (
+      SELECT *, list_transform(range(1, len(ids) + 1),
+               i -> ((xs[i] - curx) * (xs[i] - curx)
+                     + (ys[i] - cury) * (ys[i] - cury)) * 1048576 + ids[i])
+             AS keys
+      FROM walk WHERE len(ids) > 0
+    )
+  )
+)
+SELECT n AS n_tiles, CAST(tour_len2 AS BIGINT) AS tour_len2,
+       CAST(chk AS BIGINT) AS ord_chk
+FROM walk WHERE len(ids) = 0
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15322,6 +15487,8 @@ QUERIES = {
     "image_radial_profile": q_image_radial_profile,
     "supplier_knapsack": q_supplier_knapsack,
     "image_kuwahara": q_image_kuwahara,
+    "nation_emd_drift": q_nation_emd_drift,
+    "tile_nn_tour": q_tile_nn_tour,
 }
 
 
@@ -15597,4 +15764,6 @@ ORACLE_SQL = {
     "image_radial_profile": SQL_IMAGE_RADIAL_PROFILE,
     "supplier_knapsack": SQL_SUPPLIER_KNAPSACK,
     "image_kuwahara": SQL_IMAGE_KUWAHARA,
+    "nation_emd_drift": SQL_NATION_EMD_DRIFT,
+    "tile_nn_tour": SQL_TILE_NN_TOUR,
 }

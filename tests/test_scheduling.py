@@ -257,3 +257,43 @@ def test_knapsack_takes_dense_pair_over_heavy_single():
     # One heavy high-value item vs two light ones summing higher.
     bv, bw = _knap_dp([100, 50, 50], [120, 70, 70])
     assert bv == 140 and bw == 100
+
+
+def _nn_tour(ids, xs, ys):
+    order = np.argsort(ids)
+    ids, xs, ys = (np.asarray(a, np.int64)[order] for a in (ids, xs, ys))
+    n = len(ids)
+    alive = np.ones(n, bool)
+    cur, tour, chk = 0, 0, int(ids[0])
+    alive[0] = False
+    seq = [int(ids[0])]
+    for k in range(2, n + 1):
+        d2 = (xs - xs[cur]) ** 2 + (ys - ys[cur]) ** 2
+        key = d2 * 1048576 + ids
+        key[~alive] = np.iinfo(np.int64).max
+        nxt = int(np.argmin(key))
+        tour += int(d2[nxt])
+        chk += k * int(ids[nxt])
+        seq.append(int(ids[nxt]))
+        alive[nxt] = False
+        cur = nxt
+    return tour, chk, seq
+
+
+def test_nn_tour_collinear_visits_in_order():
+    # Points on a line starting at the left end: NN visits left→right.
+    ids = [10, 20, 30, 40]
+    xs = [0, 5, 12, 30]
+    ys = [0, 0, 0, 0]
+    tour, _, seq = _nn_tour(ids, xs, ys)
+    assert seq == [10, 20, 30, 40]
+    assert tour == 25 + 49 + 324
+
+
+def test_nn_tour_tie_breaks_to_smallest_id():
+    # Two equidistant neighbors: the smaller tile id wins.
+    ids = [1, 5, 3]
+    xs = [0, 10, -10]
+    ys = [0, 0, 0]
+    _, _, seq = _nn_tour(ids, xs, ys)
+    assert seq == [1, 3, 5]
