@@ -15224,8 +15224,8 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "spatial_tile_stats": q_spatial_tile_stats,
     "knn_tiles": q_knn_tiles,
-    "tile_assign_multilevel": q_tile_assign_multilevel,
-    "tile_overlap_pairs": q_tile_overlap_pairs,
+    "segment_raster_cells": q_segment_raster_cells,
+    "grid_viewshed": q_grid_viewshed,
     "order_priority_revenue": q_order_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "order_line_counts": q_order_line_counts,
@@ -15468,9 +15468,9 @@ QUERIES = {
     "events_runs_test": q_events_runs_test,
     "image_upscale_stats": q_image_upscale_stats,
     "image_median_filter": q_image_median_filter,
-    "segment_raster_cells": q_segment_raster_cells,
+    "tile_assign_multilevel": q_tile_assign_multilevel,
+    "tile_overlap_pairs": q_tile_overlap_pairs,
     "image_glcm_texture": q_image_glcm_texture,
-    "grid_viewshed": q_grid_viewshed,
     "user_max_nonoverlap": q_user_max_nonoverlap,
     "image_hough_lines": q_image_hough_lines,
     "image_affine_sample": q_image_affine_sample,
