@@ -14973,6 +14973,78 @@ FROM walk WHERE len(ids) = 0
 """
 
 
+def q_doc_bpe_merges(sf_dir: str):  # exact oracle (unrolled merge rounds)
+    """The full BPE TRAINER LOOP (``textops.bpe_merge_rounds``, 3
+    rounds): count adjacent token pairs corpus-wide, pick the single
+    deterministic argmax merge (count desc, pair asc), RE-TOKENIZE every
+    document by greedy left-to-right application (never overlapping:
+    "a a a" + (a,a) → [a_a, a]), repeat — the iterative half
+    `doc_bpe_pairs` stops short of, and the actual tokenizer-training
+    algorithm. Emits (round, pair, n_merged). Oracle: three unrolled
+    rounds; the greedy re-tokenization replays as hit runs → odd-rank
+    keeps → list_transform rebuild with list_contains."""
+    docs = _rp(sf_dir, "documents", ["text"])
+    return textops.bpe_merge_rounds(docs, rounds=3,
+                                    est_rows=_nrows(sf_dir, "documents"))
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f""",
+cnt{r} AS (
+  SELECT w[j] || ' ' || w[j + 1] AS pair, COUNT(*) AS n
+  FROM ws{r}, (SELECT unnest(range(1, 200)) AS j) js
+  WHERE j < len(w) GROUP BY pair
+),
+top{r} AS (
+  SELECT pair, string_split(pair, ' ')[1] AS a,
+         string_split(pair, ' ')[2] AS b
+  FROM cnt{r} ORDER BY n DESC, pair LIMIT 1
+),
+hit{r} AS (
+  SELECT ws.doc_id, j
+  FROM ws{r} ws, (SELECT unnest(range(1, 200)) AS j) js, top{r} t
+  WHERE j < len(w) AND w[j] = t.a AND w[j + 1] = t.b
+),
+keep{r} AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, j - rn ORDER BY j) AS rr
+    FROM (SELECT doc_id, j,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS rn
+          FROM hit{r})
+  ) WHERE rr % 2 = 1
+),
+kl{r} AS (SELECT doc_id, list(j ORDER BY j) AS ks
+          FROM keep{r} GROUP BY doc_id),
+ws{r + 1} AS (
+  SELECT ws.doc_id,
+         CASE WHEN kl.ks IS NULL THEN ws.w ELSE
+           list_filter(list_transform(range(1, len(ws.w) + 1),
+             j -> CASE WHEN list_contains(kl.ks, j)
+                       THEN t.a || '_' || t.b
+                       WHEN list_contains(kl.ks, j - 1) THEN NULL
+                       ELSE ws.w[j] END), x -> x IS NOT NULL)
+         END AS w
+  FROM ws{r} ws
+  LEFT JOIN kl{r} kl ON kl.doc_id = ws.doc_id
+  CROSS JOIN top{r} t
+),
+nm{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM keep{r})"""
+
+
+SQL_DOC_BPE_MERGES = """
+WITH ws1 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents
+)""" + "".join(_bpe_round_sql(r) for r in (1, 2, 3)) + """
+SELECT 1 AS round, top1.pair, nm1.nm AS n_merged FROM top1, nm1
+UNION ALL
+SELECT 2, top2.pair, nm2.nm FROM top2, nm2
+UNION ALL
+SELECT 3, top3.pair, nm3.nm FROM top3, nm3
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15489,6 +15561,7 @@ QUERIES = {
     "image_kuwahara": q_image_kuwahara,
     "nation_emd_drift": q_nation_emd_drift,
     "tile_nn_tour": q_tile_nn_tour,
+    "doc_bpe_merges": q_doc_bpe_merges,
 }
 
 
@@ -15766,4 +15839,5 @@ ORACLE_SQL = {
     "image_kuwahara": SQL_IMAGE_KUWAHARA,
     "nation_emd_drift": SQL_NATION_EMD_DRIFT,
     "tile_nn_tour": SQL_TILE_NN_TOUR,
+    "doc_bpe_merges": SQL_DOC_BPE_MERGES,
 }

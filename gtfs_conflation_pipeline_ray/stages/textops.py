@@ -711,3 +711,88 @@ def collocation_pmi(ds, min_count: int = 5, text_col: str = "text",
                              "c_xy": cxy, "pmi_q": pmi})
 
     return big.map_batches(_pmi, batch_format="pandas", batch_size=65536)
+
+
+def bpe_merge_rounds(ds, rounds: int = 3, text_col: str = "text",
+                     est_rows: int | None = None):
+    """The full BPE TRAINER LOOP (word granularity): per round, count
+    adjacent token pairs across the corpus, pick the single best merge
+    (count desc, pair asc — the deterministic argmax), then RE-TOKENIZE
+    every document by greedy left-to-right application of the merge
+    ("a a a" + (a,a) → [a_a, a], never overlapping) — the part
+    `bpe_pair_topk` stops short of, and what makes BPE an iterative
+    trainer rather than a one-shot count. Returns one row per round:
+    (round, pair, n_merged).
+
+    Scale shape: text tokenizes ONCE; per round one (pair, n) combiner
+    shuffle + a per-block top-1 (driver sees ≤ #blocks candidate rows),
+    then one map pass applies the broadcast merge and the token corpus
+    re-materializes (the standard iterative-trainer checkpoint). Token
+    lists never shuffle."""
+    from ..functions.text import _WORD_ASCII_RE
+    from .relational import partial_groupby_sum
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        toks = [_WORD_ASCII_RE.findall((t or "").lower())
+                for t in batch[text_col].to_pylist()]
+        return pa.table({"toks": pa.array(toks, type=pa.list_(pa.string()))})
+
+    cur = ds.select_columns([text_col]).map_batches(
+        _tok, batch_format="pyarrow", batch_size=2048).materialize()
+
+    out_round, out_pair, out_n = [], [], []
+    for r in range(1, rounds + 1):
+        def _pairs(batch: pa.Table) -> pa.Table:
+            res: list[str] = []
+            for lst in batch["toks"].to_pylist():
+                res.extend(f"{a} {b}" for a, b in zip(lst, lst[1:]))
+            return pa.table({"pair": pa.array(res, type=pa.string())})
+
+        cnt = partial_groupby_sum(cur.map_batches(
+            _pairs, batch_format="pyarrow", batch_size=2048),
+            ["pair"], [], count_as="n", est_rows=est_rows)
+
+        def _top1(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["n", "pair"], ascending=[False, True],
+                               kind="mergesort")
+            return d.head(1)
+
+        cand = cnt.map_batches(_top1, batch_format="pandas",
+                               batch_size=1 << 20).to_pandas()
+        cand = cand.sort_values(["n", "pair"], ascending=[False, True],
+                                kind="mergesort")
+        if not len(cand):
+            break
+        best = str(cand.iloc[0]["pair"])
+        a, b = best.split(" ")
+        merged_tok = f"{a}_{b}"
+
+        def _merge(batch: pa.Table) -> pa.Table:
+            new: list[list[str]] = []
+            mct = np.zeros(batch.num_rows, np.int64)
+            for row, lst in enumerate(batch["toks"].to_pylist()):
+                res: list[str] = []
+                i, n = 0, len(lst)
+                while i < n:
+                    if i < n - 1 and lst[i] == a and lst[i + 1] == b:
+                        res.append(merged_tok)
+                        mct[row] += 1
+                        i += 2
+                    else:
+                        res.append(lst[i])
+                        i += 1
+                new.append(res)
+            return pa.table({
+                "toks": pa.array(new, type=pa.list_(pa.string())),
+                "m": mct})
+
+        cur = cur.map_batches(_merge, batch_format="pyarrow",
+                              batch_size=2048).materialize()
+        n_merged = int(cur.sum("m"))
+        cur = cur.select_columns(["toks"])
+        out_round.append(r)
+        out_pair.append(best)
+        out_n.append(n_merged)
+    return pa.table({"round": pa.array(out_round, type=pa.int64()),
+                     "pair": pa.array(out_pair, type=pa.string()),
+                     "n_merged": pa.array(out_n, type=pa.int64())})

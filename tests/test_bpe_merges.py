@@ -1,0 +1,41 @@
+"""End-to-end + kernel checks for the BPE trainer loop
+(stages/textops.bpe_merge_rounds): greedy left-to-right merge semantics,
+deterministic argmax ties, and a planted corpus whose three merge rounds
+are known by hand."""
+
+import pyarrow as pa
+
+from gtfs_conflation_pipeline_ray.stages import textops
+
+
+def _merge_seq(lst, a, b):
+    res, i, m = [], 0, 0
+    while i < len(lst):
+        if i < len(lst) - 1 and lst[i] == a and lst[i + 1] == b:
+            res.append(f"{a}_{b}")
+            m += 1
+            i += 2
+        else:
+            res.append(lst[i])
+            i += 1
+    return res, m
+
+
+def test_greedy_merge_never_overlaps():
+    got, m = _merge_seq(["a", "a", "a"], "a", "a")
+    assert got == ["a_a", "a"] and m == 1
+    got, m = _merge_seq(["a", "a", "a", "a"], "a", "a")
+    assert got == ["a_a", "a_a"] and m == 2
+
+
+def test_bpe_merge_rounds_planted_corpus(ray_session):
+    import ray
+
+    # "x y" dominates round 1 (4 occurrences); after merging, "x_y z"
+    # dominates round 2; then "w x_y_z" ties with nothing and wins round 3.
+    texts = ["x y z w", "x y z w", "x y z", "x y", "q r"]
+    docs = ray.data.from_arrow(pa.table({"text": texts}))
+    out = textops.bpe_merge_rounds(docs, rounds=3).to_pandas()
+    assert out["round"].tolist() == [1, 2, 3]
+    assert out["pair"].tolist() == ["x y", "x_y z", "x_y_z w"]
+    assert out["n_merged"].tolist() == [4, 3, 2]
