@@ -15045,6 +15045,139 @@ SELECT 3, top3.pair, nm3.nm FROM top3, nm3
 """
 
 
+def q_nation_queue_replay(sf_dir: str):  # exact oracle (cummax prefix trick)
+    """SINGLE-SERVER FIFO QUEUE REPLAY per nation (the queueing-theory
+    waiting-time recurrence C_i = max(A_i, C_{i−1}) + p_i): orders arrive
+    at o_orderdate and need (o_orderkey % 5 + 1) days of service at the
+    nation's desk, FIFO in (arrival, orderkey) order. The sequential
+    recurrence VECTORIZES exactly via the max-plus prefix trick
+    C_i = P_i + cummax_j≤i(A_j − P_{j−1}) (P = service prefix sums), so
+    the engine needs one cumsum + one cummax per group — no scan loop.
+    Emits per nation (n_jobs, total_wait, max_wait) in exact µs, wait =
+    C − A − p. Oracle: the same identity as window cumsum + running MAX."""
+    from ..stages.relational import bucketed_groups
+
+    DAY = 86_400_000_000
+    od = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c2n = dict(zip(cust["c_custkey"].to_numpy().tolist(),
+                   cust["c_nationkey"].to_numpy().tolist()))
+    c2n_ref = ray.put(c2n)
+
+    def _jobs(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        lookup = cached_state(c2n_ref, lambda d: d, token="queue.c2n")
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nk = np.array([lookup[int(c)] for c in ck], np.int64)
+        return pa.table({"nk": nk, "o_orderkey": ok, "arr": arr,
+                         "p": (ok % 5 + 1) * DAY})
+
+    jobs = od.map_batches(_jobs, batch_format="pyarrow", batch_size=8192)
+
+    def _replay(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["nk", "arr", "o_orderkey"], kind="mergesort")
+        nk = d["nk"].to_numpy(np.int64)
+        arr = d["arr"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = nk[1:] != nk[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            pp = np.cumsum(p[a:b])
+            base = arr[a:b] - np.concatenate([[0], pp[:-1]])
+            comp = pp + np.maximum.accumulate(base)
+            wait = comp - arr[a:b] - p[a:b]
+            rows.append({"nk": int(nk[a]), "n_jobs": b - a,
+                         "total_wait": int(wait.sum()),
+                         "max_wait": int(wait.max())})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(jobs, ["nk"], _replay)
+
+
+SQL_NATION_QUEUE_REPLAY = """
+WITH j AS (
+  SELECT c.c_nationkey AS nk, o.o_orderkey,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) AS arr,
+         (o.o_orderkey % 5 + 1) * 86400000000 AS p
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+s1 AS (
+  SELECT nk, o_orderkey, arr, p,
+         SUM(p) OVER (PARTITION BY nk ORDER BY arr, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS pp
+  FROM j
+),
+s AS (
+  SELECT nk, arr, p, pp,
+         MAX(arr - (pp - p)) OVER (PARTITION BY nk ORDER BY arr, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS base_max
+  FROM s1
+),
+waits AS (
+  SELECT nk, pp + base_max - arr - p AS wait FROM s
+)
+SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+       CAST(SUM(wait) AS BIGINT) AS total_wait,
+       CAST(MAX(wait) AS BIGINT) AS max_wait
+FROM waits GROUP BY nk
+"""
+
+
+def q_part_revenue_gini(sf_dir: str):  # exact oracle (sorted-rank pieces)
+    """REVENUE CONCENTRATION (Lorenz/Gini) across parts as exact integer
+    pieces: per-part revenue cents x sorted ascending (tie p_partkey),
+    gini_num = Σ(2i − n − 1)·x_(i) (so Gini = gini_num / (n·Σx)) — the
+    "does 1 % of parts earn 90 % of revenue" concentration screen, the
+    economist's counterpart of `part_abc_classes`. One combiner-first
+    per-part rollup; the rank pass runs on the parts-bounded table.
+    Emits ONE row (n_parts, total_c, gini_num)."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "rev_c": cents(batch["l_extendedprice"]
+                           .to_numpy(zero_copy_only=False))})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey"], ["rev_c"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()  # parts-bounded
+    d = df.sort_values(["rev_c", "l_partkey"], kind="mergesort")
+    x = d["rev_c"].to_numpy(np.int64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_num = int(((2 * i - n - 1) * x).sum())
+    return pd.DataFrame({"n_parts": [n], "total_c": [int(x.sum())],
+                         "gini_num": [gini_num]})
+
+
+SQL_PART_REVENUE_GINI = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+rk AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c, l_partkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM pr
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS BIGINT) AS total_c,
+       CAST(SUM((2 * i - n - 1) * rev_c) AS BIGINT) AS gini_num
+FROM rk
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15562,6 +15695,8 @@ QUERIES = {
     "nation_emd_drift": q_nation_emd_drift,
     "tile_nn_tour": q_tile_nn_tour,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "nation_queue_replay": q_nation_queue_replay,
+    "part_revenue_gini": q_part_revenue_gini,
 }
 
 
@@ -15840,4 +15975,6 @@ ORACLE_SQL = {
     "nation_emd_drift": SQL_NATION_EMD_DRIFT,
     "tile_nn_tour": SQL_TILE_NN_TOUR,
     "doc_bpe_merges": SQL_DOC_BPE_MERGES,
+    "nation_queue_replay": SQL_NATION_QUEUE_REPLAY,
+    "part_revenue_gini": SQL_PART_REVENUE_GINI,
 }

@@ -297,3 +297,41 @@ def test_nn_tour_tie_breaks_to_smallest_id():
     ys = [0, 0, 0]
     _, _, seq = _nn_tour(ids, xs, ys)
     assert seq == [1, 3, 5]
+
+
+def test_queue_prefix_trick_equals_sequential_replay():
+    # C_i = max(A_i, C_{i-1}) + p_i  ==  P_i + cummax(A_j - P_{j-1})
+    rng = np.random.default_rng(77)
+    for _ in range(25):
+        n = int(rng.integers(1, 30))
+        arr = np.sort(rng.integers(0, 1000, n)).astype(np.int64)
+        p = rng.integers(1, 50, n).astype(np.int64)
+        c = 0
+        want = []
+        for i in range(n):
+            c = max(int(arr[i]), c) + int(p[i])
+            want.append(c)
+        pp = np.cumsum(p)
+        base = arr - np.concatenate([[0], pp[:-1]])
+        comp = pp + np.maximum.accumulate(base)
+        assert comp.tolist() == want
+
+
+def test_queue_idle_server_has_zero_wait():
+    # Arrivals spaced wider than service: nobody waits.
+    arr = np.array([0, 100, 200], np.int64)
+    p = np.array([10, 10, 10], np.int64)
+    pp = np.cumsum(p)
+    base = arr - np.concatenate([[0], pp[:-1]])
+    comp = pp + np.maximum.accumulate(base)
+    assert ((comp - arr - p) == 0).all()
+
+
+def test_gini_pieces_extremes():
+    # All-equal revenues -> gini_num == 0; one part owns everything ->
+    # gini_num == (n-1) * total (the maximal-concentration identity).
+    x = np.array([5, 5, 5, 5], np.int64)
+    i = np.arange(1, 5, dtype=np.int64)
+    assert int(((2 * i - 5) * x).sum()) == 0
+    x = np.array([0, 0, 0, 100], np.int64)
+    assert int(((2 * i - 5) * x).sum()) == 3 * 100
