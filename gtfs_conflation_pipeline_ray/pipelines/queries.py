@@ -15178,6 +15178,80 @@ FROM rk
 """
 
 
+def q_doc_lz78_complexity(sf_dir: str):  # exact oracle (dict-list CTE)
+    """LZ78 COMPLEXITY per document (every 10th doc): parse the word-
+    token stream left-to-right, extending the current phrase while it is
+    already in the dictionary and otherwise adding it (+1 phrase) and
+    resetting; a trailing unfinished phrase counts once — the
+    compression-based NOVELTY metric of corpus curation (template/spam
+    text parses into few long phrases, diverse prose into many), the
+    dictionary-coding face of `image_rle_profile`'s run coding. Engine:
+    one bucketed shuffle, per-doc set-based parse (O(tokens)); oracle:
+    the dictionary carried as a string LIST through a recursive CTE, one
+    token per round. Emits (doc_id, n_tokens, lz78)."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    kept = docs.map_batches(_keep, batch_format="pyarrow", batch_size=8192)
+
+    def _parse(g: pd.DataFrame) -> pd.DataFrame:
+        ids, ntok, lz = [], [], []
+        for did, text in zip(g["doc_id"].to_numpy(np.int64), g["text"]):
+            ws = _WORD_ASCII_RE.findall((text or "").lower())
+            seen: set[str] = set()
+            cur = ""
+            cnt = 0
+            for w in ws:
+                cand = w if not cur else cur + " " + w
+                if cand in seen:
+                    cur = cand
+                else:
+                    seen.add(cand)
+                    cnt += 1
+                    cur = ""
+            ids.append(int(did))
+            ntok.append(len(ws))
+            lz.append(cnt + (1 if cur else 0))
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "n_tokens": np.asarray(ntok, np.int64),
+                             "lz78": np.asarray(lz, np.int64)})
+
+    return bucketed_groups(kept, ["doc_id"], _parse)
+
+
+SQL_DOC_LZ78_COMPLEXITY = """
+WITH RECURSIVE ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents WHERE doc_id % 10 = 0
+),
+parse AS (
+  SELECT doc_id, w, 0 AS k, CAST([] AS VARCHAR[]) AS dict,
+         '' AS cur, CAST(0 AS BIGINT) AS cnt
+  FROM ws
+  UNION ALL
+  SELECT doc_id, w, k + 1,
+         CASE WHEN list_contains(dict, cand) THEN dict
+              ELSE list_append(dict, cand) END,
+         CASE WHEN list_contains(dict, cand) THEN cand ELSE '' END,
+         cnt + CASE WHEN list_contains(dict, cand) THEN 0 ELSE 1 END
+  FROM (
+    SELECT *, CASE WHEN cur = '' THEN w[k + 1]
+                   ELSE cur || ' ' || w[k + 1] END AS cand
+    FROM parse WHERE k < len(w)
+  )
+)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END AS BIGINT) AS lz78
+FROM parse WHERE k = len(w)
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15697,6 +15771,7 @@ QUERIES = {
     "doc_bpe_merges": q_doc_bpe_merges,
     "nation_queue_replay": q_nation_queue_replay,
     "part_revenue_gini": q_part_revenue_gini,
+    "doc_lz78_complexity": q_doc_lz78_complexity,
 }
 
 
@@ -15977,4 +16052,5 @@ ORACLE_SQL = {
     "doc_bpe_merges": SQL_DOC_BPE_MERGES,
     "nation_queue_replay": SQL_NATION_QUEUE_REPLAY,
     "part_revenue_gini": SQL_PART_REVENUE_GINI,
+    "doc_lz78_complexity": SQL_DOC_LZ78_COMPLEXITY,
 }

@@ -39,3 +39,36 @@ def test_bpe_merge_rounds_planted_corpus(ray_session):
     assert out["round"].tolist() == [1, 2, 3]
     assert out["pair"].tolist() == ["x y", "x_y z", "x_y_z w"]
     assert out["n_merged"].tolist() == [4, 3, 2]
+
+
+def _lz78(ws):
+    seen, cur, cnt = set(), "", 0
+    for w in ws:
+        cand = w if not cur else cur + " " + w
+        if cand in seen:
+            cur = cand
+        else:
+            seen.add(cand)
+            cnt += 1
+            cur = ""
+    return cnt + (1 if cur else 0)
+
+
+def test_lz78_known_sequences():
+    # Repetitive stream parses into few phrases; all-distinct into n.
+    assert _lz78(["a"] * 1) == 1
+    # a|a a|a a a -> 3 phrases for 6 tokens
+    assert _lz78(["a"] * 6) == 3
+    assert _lz78(["a", "b", "c", "d"]) == 4
+    assert _lz78([]) == 0
+
+
+def test_lz78_trailing_partial_counts_once():
+    # "a b a" : phrases a, b; trailing "a" matches dict -> +1 partial.
+    assert _lz78(["a", "b", "a"]) == 3
+
+
+def test_lz78_repetitive_below_diverse():
+    rep = ["spam", "ham"] * 30
+    div = [f"w{i}" for i in range(60)]
+    assert _lz78(rep) < _lz78(div) == 60
