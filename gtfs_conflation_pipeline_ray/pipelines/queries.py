@@ -15252,6 +15252,84 @@ FROM parse WHERE k = len(w)
 """
 
 
+def q_tile_kcenter(sf_dir: str):  # exact oracle (mindist-list CTE)
+    """GONZALEZ k-CENTER / FARTHEST-POINT SAMPLING over the depot tiles
+    (every 50th, k = 8): start at the lowest id, repeatedly add the
+    point FARTHEST from the chosen set (max min-dist², tie smallest id)
+    — the 2-approximation for k-center AND the farthest-point-sampling
+    primitive behind coreset selection and diverse data sampling (the
+    spatial twin of kmeans++-style seeding). Emits one row per chosen
+    center (step, tile_id, d2) where d2 is the coverage radius² the
+    step was chosen at (step 1 → 0). Engine: dimension-sized vectorized
+    walk maintaining the running min-dist array; oracle: the min-dist
+    LIST updated through a recursive CTE with a composite argmax key."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 50 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    order = np.argsort(tid)
+    tid, cx, cy = tid[order], cx[order], cy[order]
+    n = len(tid)
+    k = min(8, n)
+    cur = 0
+    mind = (cx - cx[0]) ** 2 + (cy - cy[0]) ** 2
+    steps = [1]
+    centers = [int(tid[0])]
+    dists = [0]
+    for step in range(2, k + 1):
+        # farthest point: max min-dist, tie smallest id -> maximize
+        # (d2, -tid) == argmax of composite key d2*2^20 + (2^20-1-tid)
+        key = mind * 1048576 + (1048575 - tid)
+        nxt = int(np.argmax(key))
+        steps.append(step)
+        centers.append(int(tid[nxt]))
+        dists.append(int(mind[nxt]))
+        d2 = (cx - cx[nxt]) ** 2 + (cy - cy[nxt]) ** 2
+        mind = np.minimum(mind, d2)
+    return pd.DataFrame({"step": np.asarray(steps, np.int64),
+                         "tile_id": np.asarray(centers, np.int64),
+                         "d2": np.asarray(dists, np.int64)})
+
+
+SQL_TILE_KCENTER = f"""WITH RECURSIVE tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 50 = 0),
+lst AS (
+  SELECT list(tile_id ORDER BY tile_id) AS ids,
+         list(cx ORDER BY tile_id) AS xs,
+         list(cy ORDER BY tile_id) AS ys,
+         CAST(LEAST(8, COUNT(*)) AS BIGINT) AS kk
+  FROM pn
+),
+fps AS (
+  SELECT ids, xs, ys, kk, 1 AS step, ids[1] AS center,
+         CAST(0 AS BIGINT) AS d2,
+         list_transform(range(1, len(ids) + 1),
+           i -> (xs[i] - xs[1]) * (xs[i] - xs[1])
+                + (ys[i] - ys[1]) * (ys[i] - ys[1])) AS mind
+  FROM lst
+  UNION ALL
+  SELECT ids, xs, ys, kk, step + 1, ids[pos], mind[pos],
+         list_transform(range(1, len(ids) + 1),
+           i -> LEAST(mind[i],
+                      (xs[i] - xs[pos]) * (xs[i] - xs[pos])
+                      + (ys[i] - ys[pos]) * (ys[i] - ys[pos])))
+  FROM (
+    SELECT *, list_position(keys, list_aggregate(keys, 'max')) AS pos
+    FROM (
+      SELECT *, list_transform(range(1, len(ids) + 1),
+               i -> mind[i] * 1048576 + (1048575 - ids[i])) AS keys
+      FROM fps WHERE step < kk
+    )
+  )
+)
+SELECT CAST(step AS BIGINT) AS step, CAST(center AS BIGINT) AS tile_id,
+       CAST(d2 AS BIGINT) AS d2
+FROM fps
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15772,6 +15850,7 @@ QUERIES = {
     "nation_queue_replay": q_nation_queue_replay,
     "part_revenue_gini": q_part_revenue_gini,
     "doc_lz78_complexity": q_doc_lz78_complexity,
+    "tile_kcenter": q_tile_kcenter,
 }
 
 
@@ -16053,4 +16132,5 @@ ORACLE_SQL = {
     "nation_queue_replay": SQL_NATION_QUEUE_REPLAY,
     "part_revenue_gini": SQL_PART_REVENUE_GINI,
     "doc_lz78_complexity": SQL_DOC_LZ78_COMPLEXITY,
+    "tile_kcenter": SQL_TILE_KCENTER,
 }

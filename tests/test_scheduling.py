@@ -335,3 +335,38 @@ def test_gini_pieces_extremes():
     assert int(((2 * i - 5) * x).sum()) == 0
     x = np.array([0, 0, 0, 100], np.int64)
     assert int(((2 * i - 5) * x).sum()) == 3 * 100
+
+
+def _fps(ids, xs, ys, k):
+    order = np.argsort(ids)
+    ids, xs, ys = (np.asarray(a, np.int64)[order] for a in (ids, xs, ys))
+    mind = (xs - xs[0]) ** 2 + (ys - ys[0]) ** 2
+    centers = [int(ids[0])]
+    radii = [0]
+    for _ in range(2, min(k, len(ids)) + 1):
+        key = mind * 1048576 + (1048575 - ids)
+        nxt = int(np.argmax(key))
+        centers.append(int(ids[nxt]))
+        radii.append(int(mind[nxt]))
+        mind = np.minimum(mind, (xs - xs[nxt]) ** 2 + (ys - ys[nxt]) ** 2)
+    return centers, radii
+
+
+def test_fps_picks_extremes_first():
+    # A tight cluster plus one far outlier: step 2 grabs the outlier.
+    ids = [1, 2, 3, 4, 9]
+    xs = [0, 1, 2, 1, 1000]
+    ys = [0, 1, 0, 2, 1000]
+    centers, radii = _fps(ids, xs, ys, 3)
+    assert centers[0] == 1 and centers[1] == 9
+    assert radii[1] == 1000 ** 2 + 1000 ** 2
+
+
+def test_fps_radii_nonincreasing():
+    rng = np.random.default_rng(55)
+    ids = np.arange(1, 41)
+    xs = rng.integers(0, 1000, 40)
+    ys = rng.integers(0, 1000, 40)
+    _, radii = _fps(ids, xs, ys, 8)
+    # the chosen coverage radius can never grow as centers are added
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
