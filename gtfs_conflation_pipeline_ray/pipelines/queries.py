@@ -15330,6 +15330,89 @@ FROM fps
 """
 
 
+def q_grid_life_rounds(sf_dir: str):  # exact oracle (unrolled 9-way joins)
+    """CONWAY-LIFE cellular-automaton rounds over the probe-point
+    OCCUPANCY raster (64×64, hard walls — no birth outside the world):
+    survive on 2-3 neighbors, birth on exactly 3, three synchronous
+    rounds — the NONLINEAR stencil next to the linear heat diffusion
+    (`grid_heat_diffusion`): a threshold rule no convolution can
+    express, the archetype of threshold cascades / epidemic spread on
+    rasters. Emits (round, n_alive, chk) for rounds 0-3 with the
+    Σ(31cx+17cy) position checksum. Engine: one raster combiner, then
+    the grid-bounded rounds run as 8-shift numpy updates; oracle:
+    per-round 8-neighbor fan-out counts + the rule as one CASE."""
+    pts = conflation.read_points(sf_dir)
+    from ..stages.relational import partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // 1024, "cy": y // 1024})
+
+    raw = pts.map_batches(_cells_of, batch_format="pyarrow", batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=_nrows(sf_dir, "lineitem"))
+    dtab = density.to_pandas()  # grid-bounded
+    alive = np.zeros((64, 64), bool)
+    alive[dtab["cy"].to_numpy(np.int64), dtab["cx"].to_numpy(np.int64)] = True
+    rows = []
+    for r in range(4):
+        cy, cx = np.nonzero(alive)
+        rows.append({"round": r, "n_alive": int(alive.sum()),
+                     "chk": int((31 * cx + 17 * cy).sum())})
+        if r == 3:
+            break
+        nb = np.zeros((64, 64), np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                sh = np.zeros((64, 64), np.int64)
+                ys = slice(max(dy, 0), 64 + min(dy, 0))
+                yd = slice(max(-dy, 0), 64 + min(-dy, 0))
+                xs2 = slice(max(dx, 0), 64 + min(dx, 0))
+                xd = slice(max(-dx, 0), 64 + min(-dx, 0))
+                sh[ys, xs2] = alive[yd, xd]
+                nb += sh
+        alive = (alive & ((nb == 2) | (nb == 3))) | (~alive & (nb == 3))
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _life_round_sql(r: int) -> str:
+    return f""",
+nb{r + 1} AS (
+  SELECT a.cx + d.dx AS cx, a.cy + d.dy AS cy, COUNT(*) AS nb
+  FROM a{r} a CROSS JOIN dirs d
+  GROUP BY 1, 2
+),
+a{r + 1} AS (
+  SELECT n.cx, n.cy
+  FROM nb{r + 1} n
+  LEFT JOIN a{r} o ON o.cx = n.cx AND o.cy = n.cy
+  WHERE n.cx BETWEEN 0 AND 63 AND n.cy BETWEEN 0 AND 63
+    AND CASE WHEN o.cx IS NOT NULL THEN n.nb IN (2, 3)
+             ELSE n.nb = 3 END
+)"""
+
+
+SQL_GRID_LIFE_ROUNDS = _CTES + """,
+a0 AS (SELECT DISTINCT px // 1024 AS cx, py // 1024 AS cy FROM points),
+dirs(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1))
+""" + "".join(_life_round_sql(r) for r in (0, 1, 2)) + """
+SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_alive,
+       CAST(COALESCE(SUM(31 * cx + 17 * cy), 0) AS BIGINT) AS chk FROM a0
+UNION ALL
+SELECT 1, COUNT(*), CAST(COALESCE(SUM(31 * cx + 17 * cy), 0) AS BIGINT)
+FROM a1
+UNION ALL
+SELECT 2, COUNT(*), CAST(COALESCE(SUM(31 * cx + 17 * cy), 0) AS BIGINT)
+FROM a2
+UNION ALL
+SELECT 3, COUNT(*), CAST(COALESCE(SUM(31 * cx + 17 * cy), 0) AS BIGINT)
+FROM a3
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15851,6 +15934,7 @@ QUERIES = {
     "part_revenue_gini": q_part_revenue_gini,
     "doc_lz78_complexity": q_doc_lz78_complexity,
     "tile_kcenter": q_tile_kcenter,
+    "grid_life_rounds": q_grid_life_rounds,
 }
 
 
@@ -16133,4 +16217,5 @@ ORACLE_SQL = {
     "part_revenue_gini": SQL_PART_REVENUE_GINI,
     "doc_lz78_complexity": SQL_DOC_LZ78_COMPLEXITY,
     "tile_kcenter": SQL_TILE_KCENTER,
+    "grid_life_rounds": SQL_GRID_LIFE_ROUNDS,
 }

@@ -122,3 +122,37 @@ def test_viewshed_flat_world_all_visible():
     elev = np.full((7, 7), 5, np.int64)
     _, _, _, _, vis = spatial.viewshed_visible(elev, 3, 3)
     assert vis.all()
+
+
+def _life_step(alive):
+    h, w = alive.shape
+    nb = np.zeros((h, w), np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            sh = np.zeros((h, w), np.int64)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            sh[ys, xs] = alive[yd, xd]
+            nb += sh
+    return (alive & ((nb == 2) | (nb == 3))) | (~alive & (nb == 3))
+
+
+def test_life_blinker_oscillates():
+    g = np.zeros((5, 5), bool)
+    g[2, 1:4] = True  # horizontal blinker
+    g1 = _life_step(g)
+    assert g1[1:4, 2].all() and g1.sum() == 3  # vertical
+    assert np.array_equal(_life_step(g1), g)   # period 2
+
+
+def test_life_block_is_still_and_lonely_cell_dies():
+    g = np.zeros((4, 4), bool)
+    g[1:3, 1:3] = True
+    assert np.array_equal(_life_step(g), g)
+    lone = np.zeros((3, 3), bool)
+    lone[1, 1] = True
+    assert not _life_step(lone).any()
