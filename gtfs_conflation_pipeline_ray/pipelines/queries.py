@@ -15413,6 +15413,146 @@ FROM a3
 """
 
 
+def q_events_max_drawdown(sf_dir: str):  # exact oracle (cummax window)
+    """MAXIMUM DRAWDOWN per event type over the (ts, event_id)-ordered
+    cumulative signed value series (cents, sign by event parity:
+    deposits/withdrawals) — the quant risk classic: the deepest
+    peak-to-trough fall of the running balance, plus the µs instant the
+    trough was FIRST reached. Vectorized: one cumsum + one cummax per
+    group; oracle: stacked ROWS windows. Emits
+    (event_type, max_drawdown, trough_ts)."""
+    from ..stages.relational import bucketed_groups
+    from ..functions.numeric import cents as _cents
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        vc = _cents(df["value"].to_numpy())
+        sign = np.where(eid % 2 == 0, 1, -1)
+        return pd.DataFrame({"event_type": df["event_type"].astype(str),
+                             "event_id": eid,
+                             "e": df["ts"].astype("int64").to_numpy(),
+                             "dv": sign * vc})
+
+    prep = ev.map_batches(_pre, batch_format="pandas", batch_size=8192)
+
+    def _dd(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["event_type", "e", "event_id"], kind="mergesort")
+        et = d["event_type"].to_numpy()
+        e = d["e"].to_numpy(np.int64)
+        dv = d["dv"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            bal = np.cumsum(dv[a:b])
+            peak = np.maximum.accumulate(bal)
+            dd = peak - bal
+            mx = int(dd.max())
+            ti = int(np.argmax(dd == mx))
+            rows.append({"event_type": str(et[a]), "max_drawdown": mx,
+                         "trough_ts": int(e[a + ti])})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["event_type"], _dd)
+
+
+SQL_EVENTS_MAX_DRAWDOWN = """
+WITH b AS (
+  SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS e,
+         (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+           * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dv
+  FROM events
+),
+s1 AS (
+  SELECT event_type, event_id, e,
+         SUM(dv) OVER w AS bal
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY e, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s2 AS (
+  SELECT event_type, e,
+         MAX(bal) OVER (PARTITION BY event_type ORDER BY e, event_id
+                        ROWS UNBOUNDED PRECEDING) - bal AS dd
+  FROM s1
+),
+mx AS (SELECT event_type, MAX(dd) AS max_drawdown FROM s2
+       GROUP BY event_type)
+SELECT s2.event_type, CAST(mx.max_drawdown AS BIGINT) AS max_drawdown,
+       CAST(MIN(s2.e) AS BIGINT) AS trough_ts
+FROM s2 JOIN mx ON mx.event_type = s2.event_type AND s2.dd = mx.max_drawdown
+GROUP BY s2.event_type, mx.max_drawdown
+"""
+
+
+def q_doc_min_period(sf_dir: str):  # exact oracle (shifted-match scan)
+    """SMALLEST PERIOD of each document's token stream (every 10th doc):
+    min p ≥ 1 with w[i] = w[i+p] for every i ≤ n−p (p = n when nothing
+    repeats) — the template/boilerplate detector of corpus curation (a
+    page assembled from a repeating block has p ≪ n), the string-
+    periodicity classic behind KMP borders. Engine: per-doc vectorized
+    shifted-equality scan over candidate periods; oracle: a (doc, p, i)
+    unnest with a NOT-EXISTS-style anti-aggregate, MIN over surviving p.
+    Emits (doc_id, n_tokens, min_period)."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    kept = docs.map_batches(_keep, batch_format="pyarrow", batch_size=8192)
+
+    def _period(g: pd.DataFrame) -> pd.DataFrame:
+        ids, ntok, per = [], [], []
+        for did, text in zip(g["doc_id"].to_numpy(np.int64), g["text"]):
+            ws = _WORD_ASCII_RE.findall((text or "").lower())
+            n = len(ws)
+            arr = np.array(ws, dtype=object)
+            p = n if n else 0
+            for cand in range(1, n):
+                if (arr[:n - cand] == arr[cand:]).all():
+                    p = cand
+                    break
+            ids.append(int(did))
+            ntok.append(n)
+            per.append(p)
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "n_tokens": np.asarray(ntok, np.int64),
+                             "min_period": np.asarray(per, np.int64)})
+
+    return bucketed_groups(kept, ["doc_id"], _period)
+
+
+SQL_DOC_MIN_PERIOD = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+  FROM documents WHERE doc_id % 10 = 0
+),
+cand AS (
+  SELECT ws.doc_id, p.p,
+         SUM(CASE WHEN w[i] <> w[i + p] THEN 1 ELSE 0 END) AS bad
+  FROM ws,
+       (SELECT unnest(range(1, 200)) AS p) p,
+       (SELECT unnest(range(1, 200)) AS i) i
+  WHERE p.p < len(w) AND i.i + p.p <= len(w)
+  GROUP BY ws.doc_id, p.p
+),
+best AS (
+  SELECT doc_id, MIN(p) AS mp FROM cand WHERE bad = 0 GROUP BY doc_id
+)
+SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(best.mp, len(ws.w)) AS BIGINT) AS min_period
+FROM ws LEFT JOIN best ON best.doc_id = ws.doc_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -15935,6 +16075,8 @@ QUERIES = {
     "doc_lz78_complexity": q_doc_lz78_complexity,
     "tile_kcenter": q_tile_kcenter,
     "grid_life_rounds": q_grid_life_rounds,
+    "events_max_drawdown": q_events_max_drawdown,
+    "doc_min_period": q_doc_min_period,
 }
 
 
@@ -16218,4 +16360,6 @@ ORACLE_SQL = {
     "doc_lz78_complexity": SQL_DOC_LZ78_COMPLEXITY,
     "tile_kcenter": SQL_TILE_KCENTER,
     "grid_life_rounds": SQL_GRID_LIFE_ROUNDS,
+    "events_max_drawdown": SQL_EVENTS_MAX_DRAWDOWN,
+    "doc_min_period": SQL_DOC_MIN_PERIOD,
 }

@@ -72,3 +72,33 @@ def test_lz78_repetitive_below_diverse():
     rep = ["spam", "ham"] * 30
     div = [f"w{i}" for i in range(60)]
     assert _lz78(rep) < _lz78(div) == 60
+
+
+def _min_period(ws):
+    import numpy as np
+
+    n = len(ws)
+    arr = np.array(ws, dtype=object)
+    for p in range(1, n):
+        if (arr[:n - p] == arr[p:]).all():
+            return p
+    return n
+
+
+def test_min_period_known_cases():
+    assert _min_period(["a", "b", "a", "b", "a", "b"]) == 2
+    assert _min_period(["a", "b", "a", "b", "a"]) == 2  # non-divisor tail
+    assert _min_period(["x", "y", "z"]) == 3
+    assert _min_period(["a", "a", "a"]) == 1
+    # Fibonacci-word style: period need not divide n.
+    assert _min_period(["a", "b", "a", "a", "b", "a", "b", "a"]) == 5
+
+
+def test_drawdown_identity():
+    import numpy as np
+
+    dv = np.array([5, -2, -4, 3, -7, 10], np.int64)
+    bal = np.cumsum(dv)
+    dd = np.maximum.accumulate(bal) - bal
+    # peak 5 at t0; trough at balance -5 (t4) -> drawdown 10
+    assert int(dd.max()) == 10 and int(np.argmax(dd == dd.max())) == 4
