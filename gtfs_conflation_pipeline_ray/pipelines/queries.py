@@ -15553,6 +15553,106 @@ FROM ws LEFT JOIN best ON best.doc_id = ws.doc_id
 """
 
 
+def q_nation_region_transport(sf_dir: str):  # exact oracle (pointer CTE)
+    """NORTHWEST-CORNER transportation-problem initialization: supplies =
+    per-nation order counts (nation-id order), demands = per-region
+    totals of member nations (region-id order, so the instance is
+    balanced by construction); walk the matrix from the NW corner
+    allocating min(supply left, demand left), advancing the exhausted
+    side (both on a tie → diagonal step) — the classic starting basis
+    every transportation-simplex implementation builds first. Emits one
+    row per allocation (n_nationkey, r_regionkey, alloc). Engine: one
+    combiner rollup + a (nations+regions)-step driver epilogue; oracle:
+    an (i, j, remaining-supply, remaining-demand) pointer walked through
+    a recursive CTE against supply/demand LISTs."""
+    od = _rp(sf_dir, "orders", ["o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    c2n = dict(zip(cust["c_custkey"].to_numpy().tolist(),
+                   cust["c_nationkey"].to_numpy().tolist()))
+    c2n_ref = ray.put(c2n)
+
+    def _nk(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        lookup = cached_state(c2n_ref, lambda d: d, token="transport.c2n")
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"nk": np.array([lookup[int(c)] for c in ck],
+                                        np.int64)})
+
+    counts = rel.partial_groupby_sum(
+        od.map_batches(_nk, batch_format="pyarrow", batch_size=8192),
+        ["nk"], [], count_as="s", est_rows=_nrows(sf_dir, "orders"))
+    sup = counts.to_pandas().sort_values("nk")  # nations-bounded
+    nks = sup["nk"].to_numpy(np.int64)
+    ss = sup["s"].to_numpy(np.int64).copy()
+    n2r = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                   nat["n_regionkey"].to_numpy().tolist()))
+    rk_of = np.array([n2r[int(k)] for k in nks], np.int64)
+    rks = np.unique(rk_of)
+    dd = np.array([ss[rk_of == r].sum() for r in rks], np.int64)
+    i = j = 0
+    out_n, out_r, out_a = [], [], []
+    while i < len(nks) and j < len(rks):
+        a = int(min(ss[i], dd[j]))
+        if a > 0:
+            out_n.append(int(nks[i]))
+            out_r.append(int(rks[j]))
+            out_a.append(a)
+        ss[i] -= a
+        dd[j] -= a
+        if ss[i] == 0:
+            i += 1
+        if dd[j] == 0:
+            j += 1
+    return pd.DataFrame({"n_nationkey": np.asarray(out_n, np.int64),
+                         "r_regionkey": np.asarray(out_r, np.int64),
+                         "alloc": np.asarray(out_a, np.int64)})
+
+
+SQL_NATION_REGION_TRANSPORT = """
+WITH RECURSIVE sup AS (
+  SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+dem AS (
+  SELECT n.n_regionkey AS rk, CAST(SUM(sup.s) AS BIGINT) AS d
+  FROM sup JOIN nation n ON n.n_nationkey = sup.nk
+  GROUP BY 1
+),
+sl AS (
+  SELECT list(nk ORDER BY nk) AS nks, list(s ORDER BY nk) AS ss FROM sup
+),
+dl AS (
+  SELECT list(rk ORDER BY rk) AS rks, list(d ORDER BY rk) AS ds FROM dem
+),
+walk AS (
+  SELECT nks, ss, rks, ds, 1 AS i, 1 AS j,
+         ss[1] AS srem, ds[1] AS drem,
+         CAST(NULL AS BIGINT) AS nk, CAST(NULL AS BIGINT) AS rk,
+         CAST(NULL AS BIGINT) AS alloc
+  FROM sl, dl
+  UNION ALL
+  SELECT nks, ss, rks, ds,
+         CASE WHEN srem - a = 0 THEN i + 1 ELSE i END,
+         CASE WHEN drem - a = 0 THEN j + 1 ELSE j END,
+         CASE WHEN srem - a = 0
+              THEN ss[i + 1] ELSE srem - a END,
+         CASE WHEN drem - a = 0
+              THEN ds[j + 1] ELSE drem - a END,
+         nks[i], rks[j], a
+  FROM (SELECT *, LEAST(srem, drem) AS a FROM walk
+        WHERE i <= len(nks) AND j <= len(rks))
+)
+SELECT CAST(nk AS BIGINT) AS n_nationkey, CAST(rk AS BIGINT) AS r_regionkey,
+       CAST(alloc AS BIGINT) AS alloc
+FROM walk WHERE alloc IS NOT NULL AND alloc > 0
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16077,6 +16177,7 @@ QUERIES = {
     "grid_life_rounds": q_grid_life_rounds,
     "events_max_drawdown": q_events_max_drawdown,
     "doc_min_period": q_doc_min_period,
+    "nation_region_transport": q_nation_region_transport,
 }
 
 
@@ -16362,4 +16463,5 @@ ORACLE_SQL = {
     "grid_life_rounds": SQL_GRID_LIFE_ROUNDS,
     "events_max_drawdown": SQL_EVENTS_MAX_DRAWDOWN,
     "doc_min_period": SQL_DOC_MIN_PERIOD,
+    "nation_region_transport": SQL_NATION_REGION_TRANSPORT,
 }
