@@ -15653,6 +15653,57 @@ FROM walk WHERE alloc IS NOT NULL AND alloc > 0
 """
 
 
+def q_embedding_maxsim(sf_dir: str):  # exact oracle (slice-dot max/sum)
+    """ColBERT-style LATE-INTERACTION retrieval (``ann.maxsim_topk``):
+    every 64-dim vector splits into 8 contiguous sub-vectors ("token
+    embeddings"); maxsim(q,d) = Σ_qt max_dt ⟨q_sub, d_sub⟩ in exact
+    fixed-point integers — the modern multi-vector scorer between a
+    single dot product and full cross-attention, the retrieval
+    counterpart of `ann_topk`. Queries = vec_id < 4, corpus = every 10th
+    vector, global top-3 per query (ties → smaller vec_id). Oracle:
+    list-slice dot products (exact in doubles below 2⁵³) with a
+    MAX-per-(q,d,qt) + SUM + ROW_NUMBER pipeline."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _docs(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    docs = emb.map_batches(_docs, batch_format="pyarrow", batch_size=4096)
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    keep = qtab["vec_id"].to_numpy() < 4
+    queries_ref = ray.put(qtab.filter(pa.array(keep)))
+    return ann.maxsim_topk(docs, queries_ref, k=3, n_sub=8)
+
+
+SQL_EMBEDDING_MAXSIM = f"""
+WITH e AS ({{emb}}),
+d AS (SELECT vec_id, qv FROM e WHERE vec_id % 10 = 0),
+q AS (SELECT vec_id AS query_id, qv AS quv FROM e WHERE vec_id < 4),
+sd AS (
+  SELECT q.query_id, d.vec_id, t.t,
+         MAX(CAST(list_dot_product(
+           list_transform(q.quv[t.t * 8 + 1 : t.t * 8 + 8],
+                          x -> CAST(x AS DOUBLE)),
+           list_transform(d.qv[u.u * 8 + 1 : u.u * 8 + 8],
+                          x -> CAST(x AS DOUBLE))) AS BIGINT)) AS best
+  FROM q CROSS JOIN d
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
+  WHERE d.vec_id <> q.query_id
+  GROUP BY 1, 2, 3
+),
+ms AS (SELECT query_id, vec_id, SUM(best) AS maxsim FROM sd GROUP BY 1, 2)
+SELECT query_id, vec_id, ms_rank, CAST(maxsim AS BIGINT) AS maxsim FROM (
+  SELECT query_id, vec_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, vec_id) AS ms_rank
+  FROM ms
+) WHERE ms_rank <= 3
+""".format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16178,6 +16229,7 @@ QUERIES = {
     "events_max_drawdown": q_events_max_drawdown,
     "doc_min_period": q_doc_min_period,
     "nation_region_transport": q_nation_region_transport,
+    "embedding_maxsim": q_embedding_maxsim,
 }
 
 
@@ -16464,4 +16516,5 @@ ORACLE_SQL = {
     "events_max_drawdown": SQL_EVENTS_MAX_DRAWDOWN,
     "doc_min_period": SQL_DOC_MIN_PERIOD,
     "nation_region_transport": SQL_NATION_REGION_TRANSPORT,
+    "embedding_maxsim": SQL_EMBEDDING_MAXSIM,
 }

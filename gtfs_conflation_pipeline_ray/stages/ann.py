@@ -821,3 +821,61 @@ def power_iteration(ds, vec_col: str = "embedding", dim: int = 64,
         x = (np.sign(y) * ((np.abs(y) * 8192) // m)).astype(np.int64)
     return pa.table({"d": pa.array(np.arange(dim, dtype=np.int64)),
                      "xv": pa.array(x)})
+
+
+def maxsim_topk(vectors, queries_ref, k: int = 3, n_sub: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ColBERT-style LATE-INTERACTION MaxSim top-k, exact in fixed-point
+    integers: each 64-dim vector splits into ``n_sub`` contiguous
+    sub-vectors ("token embeddings");
+    maxsim(q, d) = Σ_{qt} max_{dt} ⟨q_sub[qt], d_sub[dt]⟩ over
+    ``quantize_fixed`` components — the retrieval scorer between a
+    single-vector dot product and full cross-attention, and the modern
+    multi-vector companion of `cosine_topk`. Per-batch: one
+    (Q·n_sub, B·n_sub) integer matmul reshaped to a (Q, B) max/sum
+    reduction; query matrix broadcast once per worker; global k via the
+    same k×B-bounded `group_topk` merge. Returns
+    (query_id, vec_id, ms_rank, maxsim)."""
+    from .util import cached_state
+
+    class _MsState:
+        def __init__(self, q: pa.Table):
+            self.qid = q[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            qm = quantize_fixed(_batch_matrix(q, vec_col))
+            nq, dim = qm.shape
+            self.sub = dim // n_sub
+            self.qsub = qm.reshape(nq, n_sub, self.sub)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        st: _MsState = cached_state(queries_ref, _MsState,
+                                    token="maxsim._MsState")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": np.array([], dtype=np.int64),
+                             "vec_id": np.array([], dtype=np.int64),
+                             "maxsim": np.array([], dtype=np.int64)})
+        x = quantize_fixed(_batch_matrix(batch, vec_col))
+        xsub = x.reshape(len(ids), n_sub, st.sub)
+        # (Q, qt, B, dt) sub-dot tensor -> max over dt -> sum over qt
+        dots = np.einsum("qts,bus->qtbu", st.qsub, xsub, optimize=True)
+        score = dots.max(axis=3).sum(axis=1)  # (Q, B)
+        # sentinel must stay negatable in int64 (|min| overflows on -score)
+        sent = np.iinfo(np.int64).min // 2
+        score = np.where(st.qid[:, None] == ids[None, :], sent, score)
+        kk = min(k, score.shape[1])
+        part = np.argpartition(-score, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(score, part, axis=1)
+        keep = ps.reshape(-1) != sent
+        return pa.table({
+            "query_id": np.repeat(st.qid, kk)[keep],
+            "vec_id": ids[part].reshape(-1)[keep],
+            "maxsim": ps.reshape(-1)[keep],
+        })
+
+    local = vectors.map_batches(_local, batch_format="pyarrow",
+                                batch_size=4096)
+    from .relational import group_topk
+
+    return group_topk(local, ["query_id"],
+                      [("maxsim", False), ("vec_id", True)],
+                      k, rank_col="ms_rank")
