@@ -15704,6 +15704,120 @@ SELECT query_id, vec_id, ms_rank, CAST(maxsim AS BIGINT) AS maxsim FROM (
 """.format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
 
 
+def q_embedding_mmr_rerank(sf_dir: str):  # exact oracle (unrolled rounds)
+    """MAXIMAL MARGINAL RELEVANCE rerank — the retrieve-then-rerank shape
+    of every RAG / search stack: retrieve the top-50 candidates by exact
+    fixed-point dot product against query vector 0 (distributed matmul +
+    k×B-bounded top-k merge), then greedily select 5 balancing relevance
+    against redundancy, score2(d) = 2·rel(d) − max_{s∈S}⟨d, s⟩ (λ = ½ in
+    integers; ties → smaller vec_id) — the diversity-aware selection that
+    plain top-k cannot express (MMR is FPS with a relevance prior; cf.
+    `tile_kcenter`). Emits (step, vec_id, score2), step 1 = 2·rel.
+    Engine: rerank runs on the candidate-bounded set — the operator's
+    real-world contract; oracle: five unrolled argmax rounds over the
+    same top-50 CTE."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qv = ann.quantize_fixed(
+        np.stack(qtab.filter(pa.array(qtab["vec_id"].to_numpy() == 0))
+                 ["embedding"].to_pylist()).astype(np.float64))[0]
+    qv_ref = ray.put(qv)
+
+    def _rel(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        q = cached_state(qv_ref, lambda v: v, token="mmr.query")
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 10 == 0
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table({"vec_id": np.array([], np.int64),
+                             "rel": np.array([], np.int64)})
+        x = ann.quantize_fixed(ann._batch_matrix(
+            batch.filter(pa.array(keep)), "embedding"))
+        return pa.table({"vec_id": ids, "rel": x @ q})
+
+    rels = emb.map_batches(_rel, batch_format="pyarrow", batch_size=4096)
+
+    def _addg(batch: pa.Table) -> pa.Table:
+        return batch.append_column("g", pa.array(np.zeros(batch.num_rows,
+                                                          np.int64)))
+
+    keyed = rels.map_batches(_addg, batch_format="pyarrow", batch_size=8192)
+    top = rel.group_topk(keyed, ["g"], [("rel", False), ("vec_id", True)], 50)
+    cand = top.to_pandas()  # candidate-bounded (<= 50 rows)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    crel = cand["rel"].to_numpy(np.int64)
+    lookup = {int(v): i for i, v in
+              enumerate(qtab["vec_id"].to_numpy().tolist())}
+    mat = ann.quantize_fixed(
+        np.stack(qtab["embedding"].to_pylist()).astype(np.float64))
+    cvec = mat[[lookup[int(v)] for v in cids]]
+    maxsim = np.full(len(cids), np.iinfo(np.int64).min // 2, np.int64)
+    chosen = np.zeros(len(cids), bool)
+    steps, sel_ids, scores = [], [], []
+    for step in range(1, min(5, len(cids)) + 1):
+        if step == 1:
+            sc = 2 * crel
+        else:
+            sc = 2 * crel - maxsim
+        idx = np.flatnonzero(~chosen)
+        order = np.lexsort((cids[idx], -sc[idx]))
+        pick = int(idx[order[0]])
+        steps.append(step)
+        sel_ids.append(int(cids[pick]))
+        scores.append(int(sc[pick]))
+        chosen[pick] = True
+        sims = cvec @ cvec[pick]
+        maxsim = np.maximum(maxsim, sims) if step > 1 else sims
+    return pd.DataFrame({"step": np.asarray(steps, np.int64),
+                         "vec_id": np.asarray(sel_ids, np.int64),
+                         "score2": np.asarray(scores, np.int64)})
+
+
+def _mmr_round_sql(r: int) -> str:
+    prev = ", ".join(f"s{i}" for i in range(1, r))
+    dots = ", ".join(
+        "CAST(list_dot_product("
+        "list_transform(c.qv, x -> CAST(x AS DOUBLE)), "
+        f"list_transform(s{i}.qv, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+        for i in range(1, r))
+    excl = ", ".join(f"s{i}.vec_id" for i in range(1, r))
+    return f""",
+m{r} AS (
+  SELECT c.vec_id, c.rel, c.qv, GREATEST({dots}) AS maxsim
+  FROM cand c, {prev}
+  WHERE c.vec_id NOT IN ({excl})
+),
+s{r} AS (
+  SELECT vec_id, rel, qv, 2 * rel - maxsim AS score2
+  FROM m{r} ORDER BY 2 * rel - maxsim DESC, vec_id LIMIT 1
+)"""
+
+
+SQL_EMBEDDING_MMR_RERANK = ("""
+WITH e AS ({emb}),
+q AS (SELECT qv AS quv FROM e WHERE vec_id = 0),
+rels AS (
+  SELECT e.vec_id, e.qv,
+         CAST(list_dot_product(
+           list_transform(e.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(q.quv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS rel
+  FROM e, q WHERE e.vec_id % 10 = 0
+),
+cand AS (SELECT * FROM rels ORDER BY rel DESC, vec_id LIMIT 50),
+s1 AS (SELECT vec_id, rel, qv, 2 * rel AS score2
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    + "".join(_mmr_round_sql(r) for r in (2, 3, 4, 5)) + """
+SELECT 1 AS step, vec_id, CAST(score2 AS BIGINT) AS score2 FROM s1
+UNION ALL SELECT 2, vec_id, CAST(score2 AS BIGINT) FROM s2
+UNION ALL SELECT 3, vec_id, CAST(score2 AS BIGINT) FROM s3
+UNION ALL SELECT 4, vec_id, CAST(score2 AS BIGINT) FROM s4
+UNION ALL SELECT 5, vec_id, CAST(score2 AS BIGINT) FROM s5
+""").format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16230,6 +16344,7 @@ QUERIES = {
     "doc_min_period": q_doc_min_period,
     "nation_region_transport": q_nation_region_transport,
     "embedding_maxsim": q_embedding_maxsim,
+    "embedding_mmr_rerank": q_embedding_mmr_rerank,
 }
 
 
@@ -16517,4 +16632,5 @@ ORACLE_SQL = {
     "doc_min_period": SQL_DOC_MIN_PERIOD,
     "nation_region_transport": SQL_NATION_REGION_TRANSPORT,
     "embedding_maxsim": SQL_EMBEDDING_MAXSIM,
+    "embedding_mmr_rerank": SQL_EMBEDDING_MMR_RERANK,
 }

@@ -55,3 +55,27 @@ def test_maxsim_exceeds_plain_dot_on_permuted_subvectors():
     perm = np.concatenate([q[8:12], q[12:16], q[0:4], q[4:8]])
     assert _maxsim_naive(q, perm, 4) == _maxsim_naive(q, q, 4)
     assert int((q * perm).sum()) < int((q * q).sum())
+
+
+def test_mmr_prefers_diverse_over_redundant():
+    # Candidates: two near-duplicates of the query direction and one
+    # orthogonal-but-relevant vector. Plain top-2 takes both duplicates;
+    # MMR (lambda=1/2, score2 = 2*rel - maxsim) takes one duplicate then
+    # the diverse one.
+    q = np.array([1000, 0, 0, 0], np.int64)
+    cands = {
+        10: np.array([1000, 1000, 0, 0], np.int64),  # picked first
+        11: np.array([900, 1100, 0, 0], np.int64),   # redundant with 10
+        20: np.array([800, -500, 0, 0], np.int64),   # diverse
+    }
+    rel = {k: int(v @ q) for k, v in cands.items()}
+    # step 1: argmax 2*rel -> 10
+    first = max(cands, key=lambda k: (2 * rel[k], -k))
+    assert first == 10
+    # step 2: score2 = 2*rel - sim(.., 10)
+    s2 = {k: 2 * rel[k] - int(cands[k] @ cands[first])
+          for k in cands if k != first}
+    second = max(s2, key=lambda k: (s2[k], -k))
+    assert second == 20  # the diverse vector beats near-duplicate 11
+    # plain top-2 by relevance would instead pick 11
+    assert sorted(rel, key=lambda k: (-rel[k], k))[:2] == [10, 11]
