@@ -15818,6 +15818,155 @@ UNION ALL SELECT 5, vec_id, CAST(score2 AS BIGINT) FROM s5
 """).format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
 
 
+def q_embedding_rrf_fusion(sf_dir: str):  # exact oracle (dual-rank RRF)
+    """RECIPROCAL RANK FUSION of two exact rankers — the standard hybrid-
+    search combiner (BM25 × dense, here DOT-PRODUCT × L2², which rank
+    genuinely differently because vector norms vary): integer RRF score
+    = 720720//(60+r_dot) + 720720//(60+r_l2) (720720 = lcm(1..16) keeps
+    the floor divides informative; the floor-integer form IS the
+    definition so both sides are exact). Queries vec_id < 4, corpus
+    every 10th vector; emits fused top-5 (ties → smaller vec_id).
+    Engine: one distributed pass computes both scores; the per-query
+    full ranking runs on the (4 × corpus)-bounded epilogue. Oracle: two
+    ROW_NUMBER rankings + the same floor score."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    keep = qtab["vec_id"].to_numpy() < 4
+    qq = qtab.filter(pa.array(keep))
+    q_ref = ray.put(qq)
+
+    def _scores(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        class _St:
+            def __init__(self, q):
+                self.qid = q["vec_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                self.qm = ann.quantize_fixed(
+                    ann._batch_matrix(q, "embedding"))
+
+        st = cached_state(q_ref, _St, token="rrf._St")
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 10 == 0
+        ids = ids[m]
+        if not len(ids):
+            return pa.table({"query_id": np.array([], np.int64),
+                             "vec_id": np.array([], np.int64),
+                             "dot": np.array([], np.int64),
+                             "l2": np.array([], np.int64)})
+        x = ann.quantize_fixed(ann._batch_matrix(batch.filter(pa.array(m)),
+                                                 "embedding"))
+        dots = st.qm @ x.T  # (Q, B)
+        qn = (st.qm * st.qm).sum(axis=1)[:, None]
+        xn = (x * x).sum(axis=1)[None, :]
+        l2 = qn + xn - 2 * dots
+        qi = np.repeat(st.qid, len(ids))
+        di = np.tile(ids, len(st.qid))
+        ok = qi != di
+        return pa.table({"query_id": qi[ok], "vec_id": di[ok],
+                         "dot": dots.reshape(-1)[ok],
+                         "l2": l2.reshape(-1)[ok]})
+
+    sc = emb.map_batches(_scores, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    # per-query full ranking on the (queries x corpus)-bounded table
+    out_rows = []
+    for qid, g in sc.groupby("query_id"):
+        g = g.reset_index(drop=True)
+        vid = g["vec_id"].to_numpy(np.int64)
+        dot = g["dot"].to_numpy(np.int64)
+        l2 = g["l2"].to_numpy(np.int64)
+        n = len(g)
+        r_dot = np.empty(n, np.int64)
+        r_dot[np.lexsort((vid, -dot))] = np.arange(1, n + 1)
+        r_l2 = np.empty(n, np.int64)
+        r_l2[np.lexsort((vid, l2))] = np.arange(1, n + 1)
+        score = 720720 // (60 + r_dot) + 720720 // (60 + r_l2)
+        top = np.lexsort((vid, -score))[:5]
+        for rank, i in enumerate(top, start=1):
+            out_rows.append({"query_id": int(qid), "vec_id": int(vid[i]),
+                             "fused_rank": rank, "score": int(score[i])})
+    return pd.DataFrame(out_rows)
+
+
+SQL_EMBEDDING_RRF_FUSION = """
+WITH e AS ({emb}),
+d AS (SELECT vec_id, qv FROM e WHERE vec_id % 10 = 0),
+q AS (SELECT vec_id AS query_id, qv AS quv FROM e WHERE vec_id < 4),
+sc AS (
+  SELECT q.query_id, d.vec_id,
+         CAST(list_dot_product(
+           list_transform(q.quv, x -> CAST(x AS DOUBLE)),
+           list_transform(d.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS dot,
+         CAST(list_dot_product(
+           list_transform(q.quv, x -> CAST(x AS DOUBLE)),
+           list_transform(q.quv, x -> CAST(x AS DOUBLE)))
+           + list_dot_product(
+           list_transform(d.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(d.qv, x -> CAST(x AS DOUBLE)))
+           - 2 * list_dot_product(
+           list_transform(q.quv, x -> CAST(x AS DOUBLE)),
+           list_transform(d.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS l2
+  FROM q CROSS JOIN d WHERE d.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS r_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2, vec_id) AS r_l2
+  FROM sc
+),
+fused AS (
+  SELECT query_id, vec_id,
+         720720 // (60 + r_dot) + 720720 // (60 + r_l2) AS score
+  FROM rk
+)
+SELECT query_id, vec_id, fused_rank, CAST(score AS BIGINT) AS score FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 5
+""".format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
+def q_grid_boxcount(sf_dir: str):  # exact oracle (multi-level rollup)
+    """FRACTAL BOX-COUNTING pieces of the probe-point set: occupied-box
+    counts at cell sizes 512/1024/2048/4096 — the log-log slope of
+    N(s) vs 1/s is the box-counting dimension, THE spatial-complexity
+    measure separating space-filling point fields from curve-like or
+    clustered ones (emitted as exact counts; the fit is the caller's
+    one-liner). One combiner per level over the same derived cells —
+    four value-domain-bounded shuffles, no materialization of points."""
+    pts = conflation.read_points(sf_dir)
+    from ..stages.relational import partial_groupby_sum
+
+    rows = []
+    for cell in (512, 1024, 2048, 4096):
+        def _cells_of(batch: pa.Table, c=cell) -> pa.Table:
+            x = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"cx": x // c, "cy": y // c})
+
+        raw = pts.map_batches(_cells_of, batch_format="pyarrow",
+                              batch_size=8192)
+        density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                      est_rows=_nrows(sf_dir, "lineitem"))
+        rows.append({"cell": cell, "n_boxes": density.count()})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_GRID_BOXCOUNT = _CTES + """
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_boxes FROM (
+  SELECT s.cell, px // s.cell AS cx, py // s.cell AS cy
+  FROM points CROSS JOIN (SELECT unnest([512, 1024, 2048, 4096]) AS cell) s
+  GROUP BY 1, 2, 3
+) GROUP BY cell
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16345,6 +16494,8 @@ QUERIES = {
     "nation_region_transport": q_nation_region_transport,
     "embedding_maxsim": q_embedding_maxsim,
     "embedding_mmr_rerank": q_embedding_mmr_rerank,
+    "embedding_rrf_fusion": q_embedding_rrf_fusion,
+    "grid_boxcount": q_grid_boxcount,
 }
 
 
@@ -16633,4 +16784,6 @@ ORACLE_SQL = {
     "nation_region_transport": SQL_NATION_REGION_TRANSPORT,
     "embedding_maxsim": SQL_EMBEDDING_MAXSIM,
     "embedding_mmr_rerank": SQL_EMBEDDING_MMR_RERANK,
+    "embedding_rrf_fusion": SQL_EMBEDDING_RRF_FUSION,
+    "grid_boxcount": SQL_GRID_BOXCOUNT,
 }

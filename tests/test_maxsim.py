@@ -79,3 +79,18 @@ def test_mmr_prefers_diverse_over_redundant():
     assert second == 20  # the diverse vector beats near-duplicate 11
     # plain top-2 by relevance would instead pick 11
     assert sorted(rel, key=lambda k: (-rel[k], k))[:2] == [10, 11]
+
+
+def test_rrf_floor_score_properties():
+    # Integer RRF: 720720 = lcm(1..16) keeps the first ranks' floor
+    # divides exact; a doc ranked 1st by one ranker and last by the
+    # other can still beat a doc ranked mid by both — fusion, not min.
+    def rrf(r1, r2):
+        return 720720 // (60 + r1) + 720720 // (60 + r2)
+
+    assert rrf(1, 1) > rrf(1, 2) > rrf(2, 2)
+    # a strong single-ranker hit outranks a doc mediocre in both
+    assert rrf(1, 100) > rrf(40, 40)
+    # monotone: improving either rank never lowers the fused score
+    for r in range(1, 100):
+        assert rrf(r, 50) >= rrf(r + 1, 50)
