@@ -15967,6 +15967,85 @@ SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_boxes FROM (
 """
 
 
+def q_doc_cdc_chunks(sf_dir: str):  # exact oracle (candidate-list CTE)
+    """CONTENT-DEFINED CHUNKING per document (the FastCDC/rsync family —
+    THE dedup-storage primitive, and the shift-robust chunker for RAG
+    pipelines: an insertion only reshuffles nearby cut points, unlike
+    fixed-width chunking): a width-4 polynomial rolling hash over the
+    ASCII bytes marks candidate cuts where H(i) % 64 == 0; walk
+    left-to-right cutting at the first candidate in [cur+16, cur+64],
+    else forcing a cut at cur+64 (end-clamped). Emits (doc_id, n_chunks,
+    len2_sum) with Σ len² pinning the exact cut layout. Engine: hash
+    candidates vectorized, per-doc O(chunks) walk; oracle: the candidate
+    POSITION LIST walked through a recursive CTE with list_filter."""
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _chunk(g: pd.DataFrame) -> pd.DataFrame:
+        ids, nch, l2s = [], [], []
+        for did, text in zip(g["doc_id"].to_numpy(np.int64), g["text"]):
+            b = np.frombuffer((text or "").encode("ascii", "replace"),
+                              dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n >= 4:
+                h = b[3:] + 31 * b[2:-1] + 961 * b[1:-2] + 29791 * b[:-3]
+                cand = np.flatnonzero(h % 64 == 0) + 4  # 1-based hash pos
+            else:
+                cand = np.array([], np.int64)
+            cur, cnt, l2 = 0, 0, 0
+            while cur < n:
+                end = min(cur + 64, n)
+                nxt = cand[(cand >= cur + 16) & (cand <= end)]
+                cut = int(nxt[0]) if len(nxt) else end
+                cnt += 1
+                l2 += (cut - cur) ** 2
+                cur = cut
+            ids.append(int(did))
+            nch.append(cnt)
+            l2s.append(l2)
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "n_chunks": np.asarray(nch, np.int64),
+                             "len2_sum": np.asarray(l2s, np.int64)})
+
+    return bucketed_groups(docs, ["doc_id"], _chunk)
+
+
+SQL_DOC_CDC_CHUNKS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+cand AS (
+  SELECT d.doc_id,
+         list(i ORDER BY i) FILTER (
+           (ord(substr(text, i, 1))
+            + 31 * ord(substr(text, i - 1, 1))
+            + 961 * ord(substr(text, i - 2, 1))
+            + 29791 * ord(substr(text, i - 3, 1))) % 64 = 0) AS pos
+  FROM d, (SELECT unnest(range(4, 600)) AS i) ii
+  WHERE i <= n
+  GROUP BY d.doc_id
+),
+walk AS (
+  SELECT d.doc_id, d.n, COALESCE(c.pos, []) AS pos,
+         CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS cnt,
+         CAST(0 AS BIGINT) AS l2
+  FROM d LEFT JOIN cand c ON c.doc_id = d.doc_id
+  UNION ALL
+  SELECT doc_id, n, pos, cut, cnt + 1, l2 + (cut - cur) * (cut - cur)
+  FROM (
+    SELECT *, COALESCE(
+        list_filter(pos, i -> i >= cur + 16
+                          AND i <= LEAST(cur + 64, n))[1],
+        LEAST(cur + 64, n)) AS cut
+    FROM walk WHERE cur < n
+  )
+)
+SELECT doc_id, CAST(cnt AS BIGINT) AS n_chunks, CAST(l2 AS BIGINT) AS len2_sum
+FROM walk WHERE cur >= n
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16496,6 +16575,7 @@ QUERIES = {
     "embedding_mmr_rerank": q_embedding_mmr_rerank,
     "embedding_rrf_fusion": q_embedding_rrf_fusion,
     "grid_boxcount": q_grid_boxcount,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
 }
 
 
@@ -16786,4 +16866,5 @@ ORACLE_SQL = {
     "embedding_mmr_rerank": SQL_EMBEDDING_MMR_RERANK,
     "embedding_rrf_fusion": SQL_EMBEDDING_RRF_FUSION,
     "grid_boxcount": SQL_GRID_BOXCOUNT,
+    "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
 }

@@ -102,3 +102,55 @@ def test_drawdown_identity():
     dd = np.maximum.accumulate(bal) - bal
     # peak 5 at t0; trough at balance -5 (t4) -> drawdown 10
     assert int(dd.max()) == 10 and int(np.argmax(dd == dd.max())) == 4
+
+
+def _cdc(text, min_len=16, max_len=64):
+    import numpy as np
+
+    b = np.frombuffer(text.encode("ascii", "replace"),
+                      dtype=np.uint8).astype(np.int64)
+    n = len(b)
+    if n >= 4:
+        h = b[3:] + 31 * b[2:-1] + 961 * b[1:-2] + 29791 * b[:-3]
+        cand = np.flatnonzero(h % 64 == 0) + 4
+    else:
+        cand = np.array([], np.int64)
+    cur, cuts = 0, []
+    while cur < n:
+        end = min(cur + max_len, n)
+        nxt = cand[(cand >= cur + min_len) & (cand <= end)]
+        cut = int(nxt[0]) if len(nxt) else end
+        cuts.append(cut)
+        cur = cut
+    return cuts
+
+
+def test_cdc_chunks_respect_bounds_and_cover():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        text = "".join(chr(int(c)) for c in rng.integers(97, 123, 300))
+        cuts = _cdc(text)
+        prev = 0
+        for c in cuts[:-1]:
+            assert 16 <= c - prev <= 64
+            prev = c
+        assert cuts[-1] == len(text)  # full coverage
+
+
+def test_cdc_shift_locality():
+    # Inserting a prefix changes only cuts near the start: content-defined
+    # cut points realign, which fixed-width chunking cannot do.
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    text = "".join(chr(int(c)) for c in rng.integers(97, 123, 400))
+    base = _cdc(text)
+    shifted = _cdc("zzzz" + text)
+    # compare cut positions relative to the original text's coordinates
+    base_set = set(base)
+    shifted_rel = {c - 4 for c in shifted}
+    # the tail half of the cuts realign exactly
+    tail = [c for c in base if c > 200]
+    assert tail and all(c in shifted_rel for c in tail)
