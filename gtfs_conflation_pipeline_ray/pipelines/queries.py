@@ -16046,6 +16046,112 @@ FROM walk WHERE cur >= n
 """
 
 
+def q_tile_dominating_set(sf_dir: str):  # exact oracle (coverage-list CTE)
+    """GREEDY DOMINATING SET over the depot kNN graph (every 50th tile,
+    symmetric 2-NN edges): repeatedly pick the node whose CLOSED
+    neighborhood covers the most still-uncovered nodes (ties → smaller
+    id) until everything is covered — the ln(n)-approximation set-cover
+    greedy, i.e. the facility-placement dual of `tile_kcenter` (cover
+    with neighborhoods instead of radii). Emits (step, tile_id, gain).
+    Engine: dimension-sized vectorized walk over a boolean coverage
+    array; oracle: adjacency LISTS-of-lists + a covered list through a
+    recursive CTE (per-round gains via list_filter/list_contains)."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 50 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    order = np.argsort(tid)
+    tid, cx, cy = tid[order], cx[order], cy[order]
+    n = len(tid)
+    # symmetric 2-NN adjacency (dist², tie smaller id), closed
+    nbr = [set([i]) for i in range(n)]
+    for i in range(n):
+        d2 = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
+        cand = np.lexsort((tid, d2))
+        cnt = 0
+        for j in cand:
+            if j == i:
+                continue
+            nbr[i].add(int(j))
+            nbr[int(j)].add(i)
+            cnt += 1
+            if cnt == 2:
+                break
+    covered = np.zeros(n, bool)
+    steps, picks, gains = [], [], []
+    step = 0
+    while not covered.all():
+        step += 1
+        gain = np.array([np.count_nonzero(~covered[list(s)]) for s in nbr],
+                        np.int64)
+        idx = np.flatnonzero(gain == gain.max())
+        pick = int(idx[np.argmin(tid[idx])])
+        steps.append(step)
+        picks.append(int(tid[pick]))
+        gains.append(int(gain[pick]))
+        covered[list(nbr[pick])] = True
+    return pd.DataFrame({"step": np.asarray(steps, np.int64),
+                         "tile_id": np.asarray(picks, np.int64),
+                         "gain": np.asarray(gains, np.int64)})
+
+
+SQL_TILE_DOMINATING_SET = f"""WITH RECURSIVE tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 50 = 0),
+pk AS (
+  SELECT s, t FROM (
+    SELECT a.tile_id AS s, b.tile_id AS t,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.tile_id
+             ORDER BY (a.cx - b.cx) * (a.cx - b.cx)
+                    + (a.cy - b.cy) * (a.cy - b.cy), b.tile_id) AS rn
+    FROM pn a JOIN pn b ON b.tile_id <> a.tile_id
+  ) WHERE rn <= 2
+),
+ed AS (
+  SELECT s, t FROM pk
+  UNION
+  SELECT t, s FROM pk
+  UNION
+  SELECT tile_id, tile_id FROM pn
+),
+adjl AS (
+  SELECT s, list(t ORDER BY t) AS nbrs FROM ed GROUP BY s
+),
+base AS (
+  SELECT list(s ORDER BY s) AS ids,
+         list(nbrs ORDER BY s) AS adj,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM adjl
+),
+greedy AS (
+  SELECT ids, adj, n, 0 AS step, CAST(NULL AS BIGINT) AS center,
+         CAST(NULL AS BIGINT) AS gain, CAST([] AS BIGINT[]) AS cov
+  FROM base
+  UNION ALL
+  SELECT ids, adj, n, step + 1, ids[pos], gains[pos],
+         list_sort(list_distinct(list_concat(cov, adj[pos])))
+  FROM (
+    SELECT *, list_position(keys, list_aggregate(keys, 'max')) AS pos
+    FROM (
+      SELECT *, list_transform(range(1, len(ids) + 1),
+                 v -> len(list_filter(adj[v],
+                          u -> NOT list_contains(cov, u)))) AS gains,
+             list_transform(range(1, len(ids) + 1),
+                 v -> len(list_filter(adj[v],
+                          u -> NOT list_contains(cov, u))) * 1048576
+                      + (1048575 - ids[v])) AS keys
+      FROM greedy WHERE len(cov) < n
+    )
+  )
+)
+SELECT CAST(step AS BIGINT) AS step, CAST(center AS BIGINT) AS tile_id,
+       CAST(gain AS BIGINT) AS gain
+FROM greedy WHERE step > 0
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16576,6 +16682,7 @@ QUERIES = {
     "embedding_rrf_fusion": q_embedding_rrf_fusion,
     "grid_boxcount": q_grid_boxcount,
     "doc_cdc_chunks": q_doc_cdc_chunks,
+    "tile_dominating_set": q_tile_dominating_set,
 }
 
 
@@ -16867,4 +16974,5 @@ ORACLE_SQL = {
     "embedding_rrf_fusion": SQL_EMBEDDING_RRF_FUSION,
     "grid_boxcount": SQL_GRID_BOXCOUNT,
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
+    "tile_dominating_set": SQL_TILE_DOMINATING_SET,
 }

@@ -370,3 +370,32 @@ def test_fps_radii_nonincreasing():
     _, radii = _fps(ids, xs, ys, 8)
     # the chosen coverage radius can never grow as centers are added
     assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+
+
+def _greedy_domset(adj, ids):
+    n = len(ids)
+    covered = np.zeros(n, bool)
+    picks = []
+    while not covered.all():
+        gain = np.array([np.count_nonzero(~covered[list(s)]) for s in adj])
+        idx = np.flatnonzero(gain == gain.max())
+        pick = int(idx[np.argmin(np.asarray(ids)[idx])])
+        picks.append((ids[pick], int(gain[pick])))
+        covered[list(adj[pick])] = True
+    return picks
+
+
+def test_domset_is_dominating_and_star_takes_one():
+    # A star graph: the hub's closed neighborhood is everything.
+    ids = [5, 1, 2, 3, 4]  # hub has id 5 at index 0
+    adj = [{0, 1, 2, 3, 4}, {0, 1}, {0, 2}, {0, 3}, {0, 4}]
+    picks = _greedy_domset(adj, ids)
+    assert picks == [(5, 5)]
+
+
+def test_domset_two_cliques_take_two():
+    ids = [1, 2, 3, 10, 11, 12]
+    adj = [{0, 1, 2}, {0, 1, 2}, {0, 1, 2}, {3, 4, 5}, {3, 4, 5}, {3, 4, 5}]
+    picks = _greedy_domset(adj, ids)
+    assert [p for p, _ in picks] == [1, 10]
+    assert all(g == 3 for _, g in picks)
