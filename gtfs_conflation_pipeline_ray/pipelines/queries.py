@@ -16152,6 +16152,114 @@ FROM greedy WHERE step > 0
 """
 
 
+def q_embedding_isotonic(sf_dir: str):  # exact oracle (stack-machine CTE)
+    """ISOTONIC REGRESSION by POOL-ADJACENT-VIOLATORS — the calibration
+    classic (monotone fit of label vs retrieval score, the exact
+    algorithm behind isotonic probability calibration): points are every
+    20th vector ordered by (dot-score to query 0 asc, vec_id), y = its
+    integer label; adjacent blocks merge while mean_left ≥ mean_right,
+    tested EXACTLY by cross-multiplication (sum_l·n_r ≥ sum_r·n_l).
+    Emits one row per final block (blk, n_pts, y_sum) — the fitted step
+    function as exact rationals y_sum/n_pts. Engine: one distributed
+    scoring pass + the point-bounded stack epilogue; oracle: the PAV
+    stack simulated one push-or-merge per round in a recursive CTE (the
+    `shape_hull` stack-machine device)."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qv = ann.quantize_fixed(
+        np.stack(qtab.filter(pa.array(qtab["vec_id"].to_numpy() == 0))
+                 ["embedding"].to_pylist()).astype(np.float64))[0]
+    qv_ref = ray.put(qv)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        q = cached_state(qv_ref, lambda v: v, token="iso.query")
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 20 == 0
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table({"vec_id": np.array([], np.int64),
+                             "x": np.array([], np.int64),
+                             "y": np.array([], np.int64)})
+        sub = batch.filter(pa.array(keep))
+        x = ann.quantize_fixed(ann._batch_matrix(sub, "embedding")) @ q
+        y = sub["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": ids, "x": x, "y": y})
+
+    pts = emb.map_batches(_score, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    d = pts.sort_values(["x", "vec_id"], kind="mergesort")
+    ys = d["y"].to_numpy(np.int64)
+    ns: list[int] = []
+    ss: list[int] = []
+    for y in ys:
+        ns.append(1)
+        ss.append(int(y))
+        while len(ns) >= 2 and ss[-2] * ns[-1] >= ss[-1] * ns[-2]:
+            ns[-2] += ns[-1]
+            ss[-2] += ss[-1]
+            ns.pop()
+            ss.pop()
+    return pd.DataFrame({"blk": np.arange(1, len(ns) + 1, dtype=np.int64),
+                         "n_pts": np.asarray(ns, np.int64),
+                         "y_sum": np.asarray(ss, np.int64)})
+
+
+SQL_EMBEDDING_ISOTONIC = """
+WITH RECURSIVE e AS ({emb}),
+q AS (SELECT qv AS quv FROM e WHERE vec_id = 0),
+pts AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(
+           list_transform(e.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(q.quv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS x
+  FROM e, q WHERE e.vec_id % 20 = 0
+),
+lb AS (
+  SELECT p.vec_id, p.x, CAST(emb2.label AS BIGINT) AS y
+  FROM pts p JOIN embeddings emb2 ON emb2.vec_id = p.vec_id
+),
+lst AS (
+  SELECT list(y ORDER BY x, vec_id) AS ysl, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lb
+),
+pav AS (
+  SELECT ysl, n, 0 AS k,
+         CAST([] AS BIGINT[]) AS ns, CAST([] AS BIGINT[]) AS ss
+  FROM lst
+  UNION ALL
+  SELECT ysl, n,
+         CASE WHEN can_merge THEN k ELSE k + 1 END,
+         CASE WHEN can_merge
+              THEN list_append(ns[1:len(ns) - 2],
+                               ns[len(ns) - 1] + ns[len(ns)])
+              ELSE list_append(ns, 1) END,
+         CASE WHEN can_merge
+              THEN list_append(ss[1:len(ss) - 2],
+                               ss[len(ss) - 1] + ss[len(ss)])
+              ELSE list_append(ss, ysl[k + 1]) END
+  FROM (
+    SELECT *, len(ns) >= 2
+              AND ss[len(ss) - 1] * ns[len(ns)]
+                  >= ss[len(ss)] * ns[len(ns) - 1] AS can_merge
+    FROM pav WHERE k < n OR (len(ns) >= 2
+              AND ss[len(ss) - 1] * ns[len(ns)]
+                  >= ss[len(ss)] * ns[len(ns) - 1])
+  )
+)
+SELECT CAST(i AS BIGINT) AS blk, CAST(ns[i] AS BIGINT) AS n_pts,
+       CAST(ss[i] AS BIGINT) AS y_sum
+FROM (
+  SELECT ns, ss FROM pav
+  WHERE k = n AND NOT (len(ns) >= 2
+        AND ss[len(ss) - 1] * ns[len(ns)] >= ss[len(ss)] * ns[len(ns) - 1])
+), (SELECT unnest(range(1, 10000)) AS i) ii
+WHERE i <= len(ns)
+""".format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16683,6 +16791,7 @@ QUERIES = {
     "grid_boxcount": q_grid_boxcount,
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "tile_dominating_set": q_tile_dominating_set,
+    "embedding_isotonic": q_embedding_isotonic,
 }
 
 
@@ -16975,4 +17084,5 @@ ORACLE_SQL = {
     "grid_boxcount": SQL_GRID_BOXCOUNT,
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
     "tile_dominating_set": SQL_TILE_DOMINATING_SET,
+    "embedding_isotonic": SQL_EMBEDDING_ISOTONIC,
 }

@@ -94,3 +94,61 @@ def test_rrf_floor_score_properties():
     # monotone: improving either rank never lowers the fused score
     for r in range(1, 100):
         assert rrf(r, 50) >= rrf(r + 1, 50)
+
+
+def _pav(ys):
+    ns, ss = [], []
+    for y in ys:
+        ns.append(1)
+        ss.append(int(y))
+        while len(ns) >= 2 and ss[-2] * ns[-1] >= ss[-1] * ns[-2]:
+            ns[-2] += ns[-1]
+            ss[-2] += ss[-1]
+            ns.pop()
+            ss.pop()
+    return ns, ss
+
+
+def test_pav_fit_is_monotone_and_mass_preserving():
+    from fractions import Fraction
+
+    rng = np.random.default_rng(41)
+    for _ in range(30):
+        ys = rng.integers(0, 10, int(rng.integers(1, 40))).tolist()
+        ns, ss = _pav(ys)
+        assert sum(ns) == len(ys) and sum(ss) == sum(ys)
+        means = [Fraction(s, n) for s, n in zip(ss, ns)]
+        assert all(means[i] < means[i + 1] for i in range(len(means) - 1))
+
+
+def test_pav_matches_exact_l2_isotonic_on_small_inputs():
+    # PAV provably minimizes L2 to any nondecreasing fit; check against
+    # brute force over all monotone integer-block partitions via DP.
+    from fractions import Fraction
+
+    def sse_of_partition(ys, cuts):
+        tot = Fraction(0)
+        prev = 0
+        means = []
+        for c in cuts + [len(ys)]:
+            blk = ys[prev:c]
+            m = Fraction(sum(blk), len(blk))
+            means.append(m)
+            tot += sum((Fraction(y) - m) ** 2 for y in blk)
+            prev = c
+        if any(means[i] > means[i + 1] for i in range(len(means) - 1)):
+            return None
+        return tot
+
+    import itertools
+
+    rng = np.random.default_rng(43)
+    for _ in range(10):
+        ys = rng.integers(0, 6, 7).tolist()
+        ns, ss = _pav(ys)
+        got = sse_of_partition(ys, list(np.cumsum(ns[:-1])))
+        assert got is not None
+        best = min(v for r in range(len(ys)) for cuts in
+                   itertools.combinations(range(1, len(ys)), r)
+                   if (v := sse_of_partition(ys, list(cuts))) is not None)
+        assert got == best
