@@ -16260,6 +16260,88 @@ WHERE i <= len(ns)
 """.format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
 
 
+def q_traj_alpha_beta(sf_dir: str):  # exact oracle (state-replay CTE)
+    """α-β TRACKING FILTER per user trajectory (the fixed-gain Kalman
+    predecessor every radar/GPS tracker starts from): state (x, v) in
+    ×256 fixed point over the (ts, event_id)-ordered x-coordinates;
+    predict xp = x + v, residual r = 256·z − xp, correct x += r/4,
+    v += r/16 with TRUNCATING division (the SQL ``//`` semantics,
+    deliberately — numpy floors, so the engine truncates explicitly;
+    same device as `embedding_power_iteration`). Emits per user
+    (n, x_fin, v_fin, innov_l1) — the L1 innovation sum is the filter-
+    health metric. Engine: one bucketed shuffle + per-user scan; oracle:
+    the z LIST replayed one step per recursive round."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": uid, "event_id": eid,
+                         "e": batch["ts"].cast(pa.int64()),
+                         "z": (eid * 48271 + uid * 977) % 65536})
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow", batch_size=8192)
+
+    def _tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    def _track(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "e", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy(np.int64)
+        z = d["z"].to_numpy(np.int64)
+        n = len(d)
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            x = int(z[a]) * 256
+            v = 0
+            innov = 0
+            for i in range(a + 1, b):
+                xp = x + v
+                r = int(z[i]) * 256 - xp
+                x = xp + _tdiv(r, 4)
+                v = v + _tdiv(r, 16)
+                innov += abs(r)
+            rows.append({"user_id": int(uid[a]), "n": b - a,
+                         "x_fin": x, "v_fin": v, "innov_l1": innov})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(pts, ["user_id"], _track)
+
+
+SQL_TRAJ_ALPHA_BETA = """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gi,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS z
+  FROM events
+),
+lst AS (
+  SELECT user_id, list(z ORDER BY gi) AS zs, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY user_id
+),
+track AS (
+  SELECT user_id, zs, n, 1 AS k,
+         zs[1] * 256 AS x, CAST(0 AS BIGINT) AS v,
+         CAST(0 AS BIGINT) AS innov
+  FROM lst
+  UNION ALL
+  SELECT user_id, zs, n, k + 1,
+         (x + v) + (zs[k + 1] * 256 - (x + v)) // 4,
+         v + (zs[k + 1] * 256 - (x + v)) // 16,
+         innov + ABS(zs[k + 1] * 256 - (x + v))
+  FROM track WHERE k < n
+)
+SELECT user_id, n, CAST(x AS BIGINT) AS x_fin, CAST(v AS BIGINT) AS v_fin,
+       CAST(innov AS BIGINT) AS innov_l1
+FROM track WHERE k = n
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16792,6 +16874,7 @@ QUERIES = {
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "tile_dominating_set": q_tile_dominating_set,
     "embedding_isotonic": q_embedding_isotonic,
+    "traj_alpha_beta": q_traj_alpha_beta,
 }
 
 
@@ -17085,4 +17168,5 @@ ORACLE_SQL = {
     "doc_cdc_chunks": SQL_DOC_CDC_CHUNKS,
     "tile_dominating_set": SQL_TILE_DOMINATING_SET,
     "embedding_isotonic": SQL_EMBEDDING_ISOTONIC,
+    "traj_alpha_beta": SQL_TRAJ_ALPHA_BETA,
 }

@@ -399,3 +399,40 @@ def test_domset_two_cliques_take_two():
     picks = _greedy_domset(adj, ids)
     assert [p for p, _ in picks] == [1, 10]
     assert all(g == 3 for _, g in picks)
+
+
+def _tdiv(a, b):
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _alpha_beta(zs):
+    x, v, innov = int(zs[0]) * 256, 0, 0
+    for z in zs[1:]:
+        xp = x + v
+        r = int(z) * 256 - xp
+        x = xp + _tdiv(r, 4)
+        v = v + _tdiv(r, 16)
+        innov += abs(r)
+    return x, v, innov
+
+
+def test_alpha_beta_locks_onto_constant_velocity():
+    # On a perfect ramp the filter converges: late innovations shrink
+    # and the velocity estimate approaches 256 * slope.
+    zs = [100 + 7 * k for k in range(60)]
+    x, v, _ = _alpha_beta(zs)
+    assert abs(v - 7 * 256) <= 96  # within 3/8 unit/step of truth
+    assert abs(x - zs[-1] * 256) <= 1024  # position locked within 4 units
+
+
+def test_alpha_beta_static_target_exact():
+    zs = [500] * 20
+    x, v, innov = _alpha_beta(zs)
+    assert x == 500 * 256 and v == 0 and innov == 0
+
+
+def test_alpha_beta_trunc_division_on_negative_residual():
+    # One downward step: r = -256; trunc(-256/4) = -64, trunc(-256/16) = -16
+    x, v, innov = _alpha_beta([10, 9])
+    assert innov == 256
+    assert x == 10 * 256 - 64 and v == -16
