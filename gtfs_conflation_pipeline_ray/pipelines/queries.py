@@ -16342,6 +16342,95 @@ FROM track WHERE k = n
 """
 
 
+def q_part_ss_policy(sf_dir: str):  # exact oracle (inventory-replay CTE)
+    """(s, S) INVENTORY POLICY REPLAY per part — the inventory-control
+    classic: demands are the part's lineitem quantities in (shipdate,
+    orderkey, linenumber) order; stock starts at S = 150; each demand
+    consumes stock with LOST SALES when short (lost += q − I, I = 0),
+    then reorders up to S whenever I < s = 50. Emits (l_partkey,
+    n_demands, n_reorders, lost_units, i_final) — the
+    service-level-vs-holding trade every replenishment planner
+    simulates. Engine: one bucketed shuffle + per-part scan; oracle: the
+    demand LIST replayed one step per recursive round."""
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber",
+                                  "l_shipdate", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "sd": batch["l_shipdate"].cast(pa.int64()),
+            "okey": batch["l_orderkey"].cast(pa.int64()),
+            "lnum": batch["l_linenumber"].cast(pa.int64()),
+            "q": cents(batch["l_quantity"].to_numpy(zero_copy_only=False),
+                       1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    BIG_S, LIT_S = 150, 50
+
+    def _replay(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["l_partkey", "sd", "okey", "lnum"],
+                          kind="mergesort")
+        pk = d["l_partkey"].to_numpy(np.int64)
+        q = d["q"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            inv, reorders, lost = BIG_S, 0, 0
+            for i in range(a, b):
+                qq = int(q[i])
+                if qq > inv:
+                    lost += qq - inv
+                    inv = 0
+                else:
+                    inv -= qq
+                if inv < LIT_S:
+                    inv = BIG_S
+                    reorders += 1
+            rows.append({"l_partkey": int(pk[a]), "n_demands": b - a,
+                         "n_reorders": reorders, "lost_units": lost,
+                         "i_final": inv})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["l_partkey"], _replay)
+
+
+SQL_PART_SS_POLICY = """
+WITH RECURSIVE dm AS (
+  SELECT l_partkey, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+lst AS (
+  SELECT l_partkey,
+         list(q ORDER BY l_shipdate, l_orderkey, l_linenumber) AS qs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dm GROUP BY l_partkey
+),
+rp AS (
+  SELECT l_partkey, qs, n, 0 AS k, CAST(150 AS BIGINT) AS inv,
+         CAST(0 AS BIGINT) AS reorders, CAST(0 AS BIGINT) AS lost
+  FROM lst
+  UNION ALL
+  SELECT l_partkey, qs, n, k + 1,
+         CASE WHEN after_sale < 50 THEN 150 ELSE after_sale END,
+         reorders + CASE WHEN after_sale < 50 THEN 1 ELSE 0 END,
+         lost + GREATEST(qs[k + 1] - inv, 0)
+  FROM (
+    SELECT *, GREATEST(inv - qs[k + 1], 0) AS after_sale
+    FROM rp WHERE k < n
+  )
+)
+SELECT l_partkey, n AS n_demands, CAST(reorders AS BIGINT) AS n_reorders,
+       CAST(lost AS BIGINT) AS lost_units, CAST(inv AS BIGINT) AS i_final
+FROM rp WHERE k = n
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16875,6 +16964,7 @@ QUERIES = {
     "tile_dominating_set": q_tile_dominating_set,
     "embedding_isotonic": q_embedding_isotonic,
     "traj_alpha_beta": q_traj_alpha_beta,
+    "part_ss_policy": q_part_ss_policy,
 }
 
 
@@ -17169,4 +17259,5 @@ ORACLE_SQL = {
     "tile_dominating_set": SQL_TILE_DOMINATING_SET,
     "embedding_isotonic": SQL_EMBEDDING_ISOTONIC,
     "traj_alpha_beta": SQL_TRAJ_ALPHA_BETA,
+    "part_ss_policy": SQL_PART_SS_POLICY,
 }

@@ -436,3 +436,34 @@ def test_alpha_beta_trunc_division_on_negative_residual():
     x, v, innov = _alpha_beta([10, 9])
     assert innov == 256
     assert x == 10 * 256 - 64 and v == -16
+
+
+def _ss_replay(qs, s=50, S=150):
+    inv, reorders, lost = S, 0, 0
+    for q in qs:
+        if q > inv:
+            lost += q - inv
+            inv = 0
+        else:
+            inv -= q
+        if inv < s:
+            inv = S
+            reorders += 1
+    return inv, reorders, lost
+
+
+def test_ss_policy_hand_replay():
+    # 150 -> -60=90 -> -50=40 <50 -> reorder 150 -> -200: lost 50, inv 0,
+    # reorder -> 150
+    inv, reorders, lost = _ss_replay([60, 50, 200])
+    assert (inv, reorders, lost) == (150, 2, 50)
+
+
+def test_ss_policy_never_negative_and_no_demand_no_reorder():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        qs = rng.integers(1, 120, int(rng.integers(0, 30))).tolist()
+        inv, reorders, lost = _ss_replay(qs)
+        assert inv >= 50 or (not qs and inv == 150)
+        assert lost >= 0
+    assert _ss_replay([]) == (150, 0, 0)
