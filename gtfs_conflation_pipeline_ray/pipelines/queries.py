@@ -16431,6 +16431,92 @@ FROM rp WHERE k = n
 """
 
 
+def q_events_peak_prominence(sf_dir: str):  # exact oracle (day² joins)
+    """PEAK DETECTION WITH TOPOGRAPHIC PROMINENCE per event type over
+    the daily cents-value series — the find_peaks classic: an interior
+    day is a peak iff strictly above both neighbors; its prominence is
+    v − max(left_base, right_base), each base the MINIMUM between the
+    peak and the nearest strictly-higher day on that side (whole-series
+    window when none exists — the global max keys off the series
+    minimum). Emits every peak (event_type, day, v_c, prom). One
+    (type, day) combiner shuffle; the peak pass runs on the day-bounded
+    table; the oracle mirrors with day² window joins."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vc": cents(df["value"].to_numpy())})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()  # (types × days)-bounded
+    rows = []
+    for et, g in df.groupby("event_type"):
+        d = g.sort_values("day")
+        days = d["day"].to_numpy(np.int64)
+        v = d["vc"].to_numpy(np.int64)
+        n = len(d)
+        for i in range(1, n - 1):
+            if not (v[i] > v[i - 1] and v[i] > v[i + 1]):
+                continue
+            higher_l = [j for j in range(i) if v[j] > v[i]]
+            lo = max(higher_l) + 1 if higher_l else 0
+            left_base = int(v[lo:i].min())
+            higher_r = [j for j in range(i + 1, n) if v[j] > v[i]]
+            hi = min(higher_r) if higher_r else n
+            right_base = int(v[i + 1:hi].min())
+            prom = int(v[i]) - max(left_base, right_base)
+            rows.append({"event_type": str(et), "day": int(days[i]),
+                         "v_c": int(v[i]), "prom": prom})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_PEAK_PROMINENCE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, day, vc,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         LAG(vc) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+         LEAD(vc) OVER (PARTITION BY event_type ORDER BY day) AS nv
+  FROM daily
+),
+pk AS (
+  SELECT * FROM rk WHERE i > 1 AND i < n AND vc > pv AND vc > nv
+),
+lb AS (
+  SELECT p.event_type, p.i, MIN(o.vc) AS left_base
+  FROM pk p JOIN rk o ON o.event_type = p.event_type AND o.i < p.i
+  WHERE o.i > COALESCE((SELECT MAX(h.i) FROM rk h
+                        WHERE h.event_type = p.event_type
+                          AND h.i < p.i AND h.vc > p.vc), 0)
+  GROUP BY p.event_type, p.i
+),
+rb AS (
+  SELECT p.event_type, p.i, MIN(o.vc) AS right_base
+  FROM pk p JOIN rk o ON o.event_type = p.event_type AND o.i > p.i
+  WHERE o.i < COALESCE((SELECT MIN(h.i) FROM rk h
+                        WHERE h.event_type = p.event_type
+                          AND h.i > p.i AND h.vc > p.vc), p.n + 1)
+  GROUP BY p.event_type, p.i
+)
+SELECT pk.event_type, CAST(pk.day AS BIGINT) AS day,
+       CAST(pk.vc AS BIGINT) AS v_c,
+       CAST(pk.vc - GREATEST(lb.left_base, rb.right_base) AS BIGINT) AS prom
+FROM pk
+JOIN lb ON lb.event_type = pk.event_type AND lb.i = pk.i
+JOIN rb ON rb.event_type = pk.event_type AND rb.i = pk.i
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -16965,6 +17051,7 @@ QUERIES = {
     "embedding_isotonic": q_embedding_isotonic,
     "traj_alpha_beta": q_traj_alpha_beta,
     "part_ss_policy": q_part_ss_policy,
+    "events_peak_prominence": q_events_peak_prominence,
 }
 
 
@@ -17260,4 +17347,5 @@ ORACLE_SQL = {
     "embedding_isotonic": SQL_EMBEDDING_ISOTONIC,
     "traj_alpha_beta": SQL_TRAJ_ALPHA_BETA,
     "part_ss_policy": SQL_PART_SS_POLICY,
+    "events_peak_prominence": SQL_EVENTS_PEAK_PROMINENCE,
 }

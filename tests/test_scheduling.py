@@ -467,3 +467,37 @@ def test_ss_policy_never_negative_and_no_demand_no_reorder():
         assert inv >= 50 or (not qs and inv == 150)
         assert lost >= 0
     assert _ss_replay([]) == (150, 0, 0)
+
+
+def _peaks(v):
+    n = len(v)
+    out = []
+    for i in range(1, n - 1):
+        if not (v[i] > v[i - 1] and v[i] > v[i + 1]):
+            continue
+        hl = [j for j in range(i) if v[j] > v[i]]
+        lo = max(hl) + 1 if hl else 0
+        lb = min(v[lo:i])
+        hr = [j for j in range(i + 1, n) if v[j] > v[i]]
+        hi = min(hr) if hr else n
+        rb = min(v[i + 1:hi])
+        out.append((i, v[i] - max(lb, rb)))
+    return out
+
+
+def test_prominence_matches_scipy_semantics_hand_case():
+    # series: two peaks; the smaller one's prominence is limited by the
+    # saddle to its higher neighbor, the global one keys off the minima.
+    v = [0, 5, 2, 8, 1]
+    got = dict(_peaks(v))
+    assert got[3] == 8 - 1   # global peak: bases are series minima sides
+    assert got[1] == 5 - 2   # small peak: saddle at 2 before higher 8
+
+
+def test_prominence_monotone_ramp_has_no_peaks():
+    assert _peaks([1, 2, 3, 4, 5]) == []
+    assert _peaks([5, 4, 3, 2, 1]) == []
+
+
+def test_prominence_plateau_not_a_strict_peak():
+    assert _peaks([0, 4, 4, 0]) == []
