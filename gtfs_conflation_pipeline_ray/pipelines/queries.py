@@ -16517,6 +16517,96 @@ JOIN rb ON rb.event_type = pk.event_type AND rb.i = pk.i
 """
 
 
+def q_grid_pit_fill(sf_dir: str):  # exact oracle (unrolled min-relax)
+    """DEPRESSION FILLING over the density DEM (Planchon–Darboux, the
+    hydrology pre-pass that makes D8 routing sound — closed pits would
+    otherwise trap flow; completes the suite next to `grid_flow_d8` /
+    `grid_flow_basins`): water level W starts at the elevation on the
+    raster border and +∞ inside, then 6 synchronous rounds of
+    W(c) = max(e(c), min₈ W(n)) drain every cell whose spill path is ≤ 6
+    steps (the fixed-round convention of the raster suite). Emits only
+    the FILLED cells (cx, cy, v, w) with w > v — the lakes. One raster
+    combiner; rounds are grid-bounded 8-shift numpy min-relaxations;
+    oracle unrolls the same rounds as 9-way joins over the full grid."""
+    pts = conflation.read_points(sf_dir)
+    from ..stages.relational import partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // 1024, "cy": y // 1024})
+
+    raw = pts.map_batches(_cells_of, batch_format="pyarrow", batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=_nrows(sf_dir, "lineitem"))
+    dtab = density.to_pandas()
+    elev = np.zeros((64, 64), np.int64)
+    elev[dtab["cy"].to_numpy(np.int64), dtab["cx"].to_numpy(np.int64)] = \
+        dtab["v"].to_numpy(np.int64)
+    big = int(elev.max()) + 1
+    w = np.full((64, 64), big, np.int64)
+    border = np.zeros((64, 64), bool)
+    border[0, :] = border[-1, :] = border[:, 0] = border[:, -1] = True
+    w[border] = elev[border]
+    for _ in range(6):
+        nmin = np.full((64, 64), big, np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                sh = np.full((64, 64), big, np.int64)
+                ys = slice(max(dy, 0), 64 + min(dy, 0))
+                yd = slice(max(-dy, 0), 64 + min(-dy, 0))
+                xs2 = slice(max(dx, 0), 64 + min(dx, 0))
+                xd = slice(max(-dx, 0), 64 + min(-dx, 0))
+                sh[ys, xs2] = w[yd, xd]
+                nmin = np.minimum(nmin, sh)
+        new_w = np.maximum(elev, nmin)
+        new_w[border] = elev[border]
+        w = new_w
+    cy, cx = np.nonzero(w > elev)
+    return pd.DataFrame({"cx": cx.astype(np.int64),
+                         "cy": cy.astype(np.int64),
+                         "v": elev[cy, cx], "w": w[cy, cx]})
+
+
+def _pit_round_sql(r: int) -> str:
+    return f""",
+w{r + 1} AS (
+  SELECT g.cx, g.cy, g.v, g.brd,
+         CASE WHEN g.brd THEN g.v
+              ELSE GREATEST(g.v, MIN(o.w)) END AS w
+  FROM grid g
+  JOIN w{r} o
+    ON ABS(o.cx - g.cx) <= 1 AND ABS(o.cy - g.cy) <= 1
+   AND NOT (o.cx = g.cx AND o.cy = g.cy)
+  GROUP BY g.cx, g.cy, g.v, g.brd
+)"""
+
+
+SQL_GRID_PIT_FILL = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS v
+  FROM points GROUP BY 1, 2
+),
+grid AS (
+  SELECT gx.cx, gy.cy, COALESCE(c.v, 0) AS v,
+         gx.cx IN (0, 63) OR gy.cy IN (0, 63) AS brd
+  FROM (SELECT unnest(range(64)) AS cx) gx
+  CROSS JOIN (SELECT unnest(range(64)) AS cy) gy
+  LEFT JOIN cells c ON c.cx = gx.cx AND c.cy = gy.cy
+),
+big AS (SELECT MAX(v) + 1 AS b FROM grid),
+w0 AS (
+  SELECT cx, cy, v, brd, CASE WHEN brd THEN v ELSE (SELECT b FROM big) END AS w
+  FROM grid
+)""" + "".join(_pit_round_sql(r) for r in range(6)) + """
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+FROM w6 WHERE w > v
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17052,6 +17142,7 @@ QUERIES = {
     "traj_alpha_beta": q_traj_alpha_beta,
     "part_ss_policy": q_part_ss_policy,
     "events_peak_prominence": q_events_peak_prominence,
+    "grid_pit_fill": q_grid_pit_fill,
 }
 
 
@@ -17348,4 +17439,5 @@ ORACLE_SQL = {
     "traj_alpha_beta": SQL_TRAJ_ALPHA_BETA,
     "part_ss_policy": SQL_PART_SS_POLICY,
     "events_peak_prominence": SQL_EVENTS_PEAK_PROMINENCE,
+    "grid_pit_fill": SQL_GRID_PIT_FILL,
 }

@@ -156,3 +156,61 @@ def test_life_block_is_still_and_lonely_cell_dies():
     lone = np.zeros((3, 3), bool)
     lone[1, 1] = True
     assert not _life_step(lone).any()
+
+
+def _pit_fill(elev, rounds=6):
+    h, w = elev.shape
+    big = int(elev.max()) + 1
+    wl = np.full((h, w), big, np.int64)
+    border = np.zeros((h, w), bool)
+    border[0, :] = border[-1, :] = border[:, 0] = border[:, -1] = True
+    wl[border] = elev[border]
+    for _ in range(rounds):
+        nmin = np.full((h, w), big, np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                sh = np.full((h, w), big, np.int64)
+                ys = slice(max(dy, 0), h + min(dy, 0))
+                yd = slice(max(-dy, 0), h + min(-dy, 0))
+                xs = slice(max(dx, 0), w + min(dx, 0))
+                xd = slice(max(-dx, 0), w + min(-dx, 0))
+                sh[ys, xs] = wl[yd, xd]
+                nmin = np.minimum(nmin, sh)
+        nw = np.maximum(elev, nmin)
+        nw[border] = elev[border]
+        wl = nw
+    return wl
+
+
+def test_pit_fill_bowl_fills_to_rim():
+    # A closed bowl: interior floor 0, rim 10 — water rises to the rim's
+    # lowest spill (10), except the rim itself and outside stay dry.
+    elev = np.zeros((7, 7), np.int64)
+    elev[1:6, 1:6] = 10
+    elev[2:5, 2:5] = 0
+    w = _pit_fill(elev)
+    assert (w[2:5, 2:5] == 10).all()   # the lake
+    assert (w[elev == 10] == 10).all()  # rim dry
+    assert (w[0, :] == 0).all()        # border stays at elevation
+
+
+def test_pit_fill_never_below_elev_and_monotone():
+    rng = np.random.default_rng(29)
+    elev = rng.integers(0, 20, size=(10, 10)).astype(np.int64)
+    w = _pit_fill(elev)
+    assert (w >= elev).all()
+    # running two more rounds can only lower (drain) water, never raise
+    w8 = _pit_fill(elev, rounds=8)
+    assert (w8 <= w).all()
+
+
+def test_pit_fill_spillway_drains_bowl():
+    # Same bowl but with a breach in the rim: the lake drains through it.
+    elev = np.zeros((7, 7), np.int64)
+    elev[1:6, 1:6] = 10
+    elev[2:5, 2:5] = 0
+    elev[1, 3] = 0  # breach
+    w = _pit_fill(elev)
+    assert (w[2:5, 2:5] == 0).all()
