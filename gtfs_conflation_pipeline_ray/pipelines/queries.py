@@ -16607,6 +16607,102 @@ FROM w6 WHERE w > v
 """
 
 
+def q_part_wagner_whitin(sf_dir: str):  # exact oracle (bitmask brute)
+    """WAGNER–WHITIN dynamic lot sizing per part (every 4th part) — the
+    OR inventory-planning classic: monthly demands d_1..d_12 (quantity
+    sums), fixed order cost K = 500, holding cost 1 per unit-month; the
+    optimal plan orders at a subset of months including month 1 (each order covering demand up
+    to the next order), minimized exactly by the O(T²) DP
+    C(t) = min_j C(j−1) + K + Σ_{i=j..t}(i−j)·d_i. Emits (l_partkey,
+    total_cost, n_orders) with n_orders from the lexicographically-
+    earliest argmin backtrack. The oracle takes the sledgehammer dual:
+    enumerate ALL 2¹¹ order-point bitmasks in SQL and take the same
+    (cost, n_orders)-min — DP vs exhaustive search agreeing IS the
+    optimality proof, run at every scale. One (part, month) combiner;
+    the DP is a parts-bounded epilogue."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pk % 4 == 0
+        sub = batch.filter(pa.array(keep))
+        ts = sub["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        return pa.table({"l_partkey": pk[keep], "mo": mo,
+                         "d": cents(sub["l_quantity"]
+                                    .to_numpy(zero_copy_only=False), 1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "mo"], ["d"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()  # parts×12-bounded
+    piv = df.pivot_table(index="l_partkey", columns="mo", values="d",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(1, 13), fill_value=0).astype(np.int64)
+    K = 500
+    rows = []
+    for pk2, row in piv.iterrows():
+        d = row.to_numpy(np.int64)
+        T = 12
+        # C[t] = best cost covering months 1..t; ORD[t] = orders used,
+        # ties -> fewer orders, then earliest last-order month j
+        best = [(0, 0)] + [None] * T
+        for t in range(1, T + 1):
+            cands = []
+            for j in range(1, t + 1):
+                hold = sum((i - j) * int(d[i - 1]) for i in range(j, t + 1))
+                cands.append((best[j - 1][0] + K + hold,
+                              best[j - 1][1] + 1, j))
+            best[t] = min(cands)[:2]
+        rows.append({"l_partkey": int(pk2), "total_cost": best[T][0],
+                     "n_orders": best[T][1]})
+    return pd.DataFrame(rows)
+
+
+SQL_PART_WAGNER_WHITIN = """
+WITH dm AS (
+  SELECT l_partkey, CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS d
+  FROM lineitem WHERE l_partkey % 4 = 0
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.l_partkey, mm.mo, COALESCE(dm.d, 0) AS d
+  FROM (SELECT DISTINCT l_partkey FROM dm) p
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS mo) mm
+  LEFT JOIN dm ON dm.l_partkey = p.l_partkey AND dm.mo = mm.mo
+),
+masks AS (
+  SELECT 1 + 2 * m.m AS mask  -- month 1 always orders (bit 0 set)
+  FROM (SELECT unnest(range(0, 2048)) AS m) m
+),
+plan AS (
+  SELECT g.l_partkey, k.mask, g.mo, g.d,
+         -- the order month covering g.mo: highest set bit <= mo
+         (SELECT MAX(b.b + 1) FROM (SELECT unnest(range(0, 12)) AS b) b
+          WHERE b.b + 1 <= g.mo AND (k.mask >> b.b) & 1 = 1) AS ord_mo
+  FROM grid g CROSS JOIN masks k
+),
+cost AS (
+  SELECT l_partkey, mask,
+         CAST(500 * bit_count(mask) AS BIGINT)
+           + SUM((mo - ord_mo) * d) AS total_cost,
+         CAST(bit_count(mask) AS BIGINT) AS n_orders
+  FROM plan GROUP BY l_partkey, mask
+),
+best AS (
+  SELECT l_partkey, total_cost, n_orders,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY total_cost, n_orders, mask) AS rn
+  FROM cost
+)
+SELECT l_partkey, CAST(total_cost AS BIGINT) AS total_cost,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM best WHERE rn = 1
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17143,6 +17239,7 @@ QUERIES = {
     "part_ss_policy": q_part_ss_policy,
     "events_peak_prominence": q_events_peak_prominence,
     "grid_pit_fill": q_grid_pit_fill,
+    "part_wagner_whitin": q_part_wagner_whitin,
 }
 
 
@@ -17440,4 +17537,5 @@ ORACLE_SQL = {
     "part_ss_policy": SQL_PART_SS_POLICY,
     "events_peak_prominence": SQL_EVENTS_PEAK_PROMINENCE,
     "grid_pit_fill": SQL_GRID_PIT_FILL,
+    "part_wagner_whitin": SQL_PART_WAGNER_WHITIN,
 }

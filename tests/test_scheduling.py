@@ -501,3 +501,38 @@ def test_prominence_monotone_ramp_has_no_peaks():
 
 def test_prominence_plateau_not_a_strict_peak():
     assert _peaks([0, 4, 4, 0]) == []
+
+
+def _ww_dp(d, K=500):
+    T = len(d)
+    best = [(0, 0)] + [None] * T
+    for t in range(1, T + 1):
+        cands = []
+        for j in range(1, t + 1):
+            hold = sum((i - j) * int(d[i - 1]) for i in range(j, t + 1))
+            cands.append((best[j - 1][0] + K + hold, best[j - 1][1] + 1, j))
+        best[t] = min(cands)[:2]
+    return best[T]
+
+
+def test_wagner_whitin_vs_bitmask_bruteforce():
+    rng = np.random.default_rng(61)
+    for _ in range(15):
+        d = rng.integers(0, 80, 8).tolist()
+        cost_dp, orders_dp = _ww_dp(d, K=100)
+        best = None
+        for mask in range(1, 1 << 8, 2):  # bit0 (month 1) always set
+            orders = [j for j in range(8) if mask >> j & 1]
+            tot = 100 * len(orders)
+            for i in range(8):
+                j = max(o for o in orders if o <= i)
+                tot += (i - j) * d[i]
+            cand = (tot, len(orders))
+            best = cand if best is None or cand < best else best
+        assert (cost_dp, orders_dp) == best
+
+
+def test_wagner_whitin_extremes():
+    # Huge K -> one order; zero K -> order every month.
+    assert _ww_dp([10] * 12, K=10**9)[1] == 1
+    assert _ww_dp([10] * 12, K=0)[1] == 12
