@@ -16703,6 +16703,132 @@ FROM best WHERE rn = 1
 """
 
 
+def q_grid_semivariogram(sf_dir: str):  # exact oracle (shifted joins)
+    """EMPIRICAL SEMIVARIOGRAM pieces of the density raster — the
+    geostatistics / kriging entry point: for lag offsets (1,0) (0,1)
+    (1,1) (2,0) (0,2), the pair count and Σ(v(c) − v(c+h))² over all
+    cell pairs of the FULL 64×64 grid (empties are 0-elevation, as in
+    the rest of the raster suite); γ(h) = sq_sum / 2n is the caller's
+    one-liner, and the (1,0)-vs-(0,1) asymmetry is the ANISOTROPY
+    screen. One raster combiner + five vectorized shifted-difference
+    passes on the grid-bounded table. Emits (dx, dy, n_pairs, sq_sum)."""
+    pts = conflation.read_points(sf_dir)
+    from ..stages.relational import partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // 1024, "cy": y // 1024})
+
+    raw = pts.map_batches(_cells_of, batch_format="pyarrow", batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=_nrows(sf_dir, "lineitem"))
+    dtab = density.to_pandas()
+    elev = np.zeros((64, 64), np.int64)
+    elev[dtab["cy"].to_numpy(np.int64), dtab["cx"].to_numpy(np.int64)] = \
+        dtab["v"].to_numpy(np.int64)
+    rows = []
+    for dx, dy in ((1, 0), (0, 1), (1, 1), (2, 0), (0, 2)):
+        a = elev[0:64 - dy, 0:64 - dx]
+        b = elev[dy:64, dx:64]
+        diff = a - b
+        rows.append({"dx": dx, "dy": dy, "n_pairs": diff.size,
+                     "sq_sum": int((diff * diff).sum())})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_GRID_SEMIVARIOGRAM = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy, CAST(COUNT(*) AS BIGINT) AS v
+  FROM points GROUP BY 1, 2
+),
+grid AS (
+  SELECT gx.cx, gy.cy, COALESCE(c.v, 0) AS v
+  FROM (SELECT unnest(range(64)) AS cx) gx
+  CROSS JOIN (SELECT unnest(range(64)) AS cy) gy
+  LEFT JOIN cells c ON c.cx = gx.cx AND c.cy = gy.cy
+),
+lags(dx, dy) AS (VALUES (1, 0), (0, 1), (1, 1), (2, 0), (0, 2))
+SELECT l.dx, l.dy, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS sq_sum
+FROM lags l
+JOIN grid a ON a.cx < 64 - l.dx AND a.cy < 64 - l.dy
+JOIN grid b ON b.cx = a.cx + l.dx AND b.cy = a.cy + l.dy
+GROUP BY l.dx, l.dy
+"""
+
+
+def q_nation_cvar_pieces(sf_dir: str):  # exact oracle (tail rank sum)
+    """EXPECTED SHORTFALL (CVaR) pieces per nation — the coherent tail-
+    risk metric beyond quantiles: over the nation's DAILY revenue-cents
+    series, the worst ⌊n/10⌋ days' count and sum (ties by day asc so
+    the tail set is deterministic); CVaR₉₀ = tail_sum / tail_n. Emits
+    (n_name, n_days, tail_n, tail_sum); nations with < 10 days emit
+    tail_n = 0 and tail_sum = 0. One (nation, day) combiner; the tail
+    rank runs on the nations×days-bounded table."""
+    od = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"].to_numpy().tolist(),
+                   cust["c_nationkey"].to_numpy().tolist()))
+    n2name = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                      nat["n_name"].to_pylist()))
+    c2n_ref = ray.put(c2n)
+
+    def _day(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        lookup = cached_state(c2n_ref, lambda d: d, token="cvar.c2n")
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nk": np.array([lookup[int(c)] for c in ck], np.int64),
+            "day": ts // 86_400_000_000,
+            "rev": cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))})
+
+    daily = rel.partial_groupby_sum(
+        od.map_batches(_day, batch_format="pyarrow", batch_size=8192),
+        ["nk", "day"], ["rev"], est_rows=_nrows(sf_dir, "orders"))
+    df = daily.to_pandas()  # nations×days-bounded
+    rows = []
+    for nk2, g in df.groupby("nk"):
+        d = g.sort_values(["rev", "day"], kind="mergesort")
+        n = len(d)
+        tail_n = n // 10
+        tail = d.head(tail_n)
+        rows.append({"n_name": n2name[int(nk2)], "n_days": n,
+                     "tail_n": tail_n,
+                     "tail_sum": int(tail["rev"].sum()) if tail_n else 0})
+    return pd.DataFrame(rows)
+
+
+SQL_NATION_CVAR_PIECES = """
+WITH daily AS (
+  SELECT n.n_name,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT n_name, rev,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev, day) AS i,
+         COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM daily
+)
+SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(n) // 10 AS BIGINT) AS tail_n,
+       CAST(COALESCE(SUM(rev) FILTER (i <= n // 10), 0) AS BIGINT)
+         AS tail_sum
+FROM rk GROUP BY n_name
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17240,6 +17366,8 @@ QUERIES = {
     "events_peak_prominence": q_events_peak_prominence,
     "grid_pit_fill": q_grid_pit_fill,
     "part_wagner_whitin": q_part_wagner_whitin,
+    "grid_semivariogram": q_grid_semivariogram,
+    "nation_cvar_pieces": q_nation_cvar_pieces,
 }
 
 
@@ -17538,4 +17666,6 @@ ORACLE_SQL = {
     "events_peak_prominence": SQL_EVENTS_PEAK_PROMINENCE,
     "grid_pit_fill": SQL_GRID_PIT_FILL,
     "part_wagner_whitin": SQL_PART_WAGNER_WHITIN,
+    "grid_semivariogram": SQL_GRID_SEMIVARIOGRAM,
+    "nation_cvar_pieces": SQL_NATION_CVAR_PIECES,
 }

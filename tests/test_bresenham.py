@@ -214,3 +214,27 @@ def test_pit_fill_spillway_drains_bowl():
     elev[1, 3] = 0  # breach
     w = _pit_fill(elev)
     assert (w[2:5, 2:5] == 0).all()
+
+
+def test_semivariogram_pieces_random_parity():
+    rng = np.random.default_rng(31)
+    elev = rng.integers(0, 50, size=(10, 12)).astype(np.int64)
+    for dx, dy in ((1, 0), (0, 1), (1, 1), (2, 0)):
+        a = elev[0:10 - dy, 0:12 - dx]
+        b = elev[dy:10, dx:12]
+        want_n, want_s = 0, 0
+        for y in range(10 - dy):
+            for x in range(12 - dx):
+                want_n += 1
+                want_s += (int(elev[y, x]) - int(elev[y + dy, x + dx])) ** 2
+        assert a.size == want_n
+        assert int(((a - b) ** 2).sum()) == want_s
+
+
+def test_semivariogram_smooth_vs_checker_anisotropy():
+    # A vertical-stripe raster: zero variance along columns ((0,1) lag),
+    # full contrast across them ((1,0) lag) — the anisotropy screen.
+    elev = np.tile(np.array([0, 9] * 6, np.int64), (8, 1))
+    gx = ((elev[:, :-1] - elev[:, 1:]) ** 2).sum()
+    gy = ((elev[:-1, :] - elev[1:, :]) ** 2).sum()
+    assert gy == 0 and gx == 8 * 11 * 81
