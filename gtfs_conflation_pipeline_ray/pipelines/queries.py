@@ -16829,6 +16829,85 @@ FROM rk GROUP BY n_name
 """
 
 
+def q_image_thinning_step(sf_dir: str):  # exact oracle (stripe closed form)
+    """One ZHANG–SUEN THINNING sub-iteration through the decode path
+    (``media.image_thinning_step``) — the skeletonization building block
+    (2 ≤ B ≤ 6, A = 1, directional products zero) that erodes strokes
+    toward 1-px centerlines while preserving connectivity. On the
+    full-height R-parity stripe fixture the rule COLLAPSES per column to
+    del_interior = m∧l∧¬r (the left-erosion face of step 1),
+    del_top = m∧(l⊕r), del_bot = m∧(l∨r) — derived by evaluating
+    B/A/c1/c2 on the three row classes; the Σ(31j+17i) checksum gets
+    closed-form row weights. The kernel is the general 2-D rule (pytest
+    fuzzes it against a per-pixel brute force)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_thinning_step(synth, batch_size=512)
+
+
+SQL_IMAGE_THINNING_STEP = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w, h,
+         (CASE WHEN fi = 2
+               THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                    + ((br + (j * 55) // (w - 1)) // 4) // 16
+               ELSE br + (j * 55) // (w - 1) END) % 2 AS m
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+nb AS (
+  SELECT image_id, j, w, h, m,
+         COALESCE(LAG(m)  OVER (PARTITION BY image_id ORDER BY j), 0) AS l,
+         COALESCE(LEAD(m) OVER (PARTITION BY image_id ORDER BY j), 0) AS r
+  FROM rq
+),
+cols AS (
+  SELECT image_id, j, w, h, m,
+         CASE WHEN m = 1 AND l = 1 AND r = 0 THEN 1 ELSE 0 END AS d_int,
+         CASE WHEN m = 1 AND l + r = 1 THEN 1 ELSE 0 END AS d_top,
+         CASE WHEN m = 1 AND l + r >= 1 THEN 1 ELSE 0 END AS d_bot
+  FROM nb
+)
+SELECT image_id,
+       CAST(h * SUM(m) AS BIGINT) AS n_mask,
+       CAST(SUM((h - 2) * d_int + d_top + d_bot) AS BIGINT) AS n_del,
+       CAST(SUM(d_int * (31 * j * (h - 2) + 17 * (h - 2) * (h - 1) // 2)
+                + d_top * 31 * j
+                + d_bot * (31 * j + 17 * (h - 1))) AS BIGINT) AS del_chk
+FROM cols GROUP BY image_id, h
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17368,6 +17447,7 @@ QUERIES = {
     "part_wagner_whitin": q_part_wagner_whitin,
     "grid_semivariogram": q_grid_semivariogram,
     "nation_cvar_pieces": q_nation_cvar_pieces,
+    "image_thinning_step": q_image_thinning_step,
 }
 
 
@@ -17668,4 +17748,5 @@ ORACLE_SQL = {
     "part_wagner_whitin": SQL_PART_WAGNER_WHITIN,
     "grid_semivariogram": SQL_GRID_SEMIVARIOGRAM,
     "nation_cvar_pieces": SQL_NATION_CVAR_PIECES,
+    "image_thinning_step": SQL_IMAGE_THINNING_STEP,
 }

@@ -309,3 +309,54 @@ def test_kuwahara_preserves_step_edge():
     out = media.kuwahara5(ch)
     assert set(np.unique(out)) == {0, 200}
     assert np.array_equal(out, ch[2:-2, 2:-2].astype(np.int64))
+
+
+def _zs_naive(mask, step=1):
+    h, w = mask.shape
+    out = np.zeros((h, w), bool)
+    for i in range(h):
+        for j in range(w):
+            if not mask[i, j]:
+                continue
+
+            def g(y, x):
+                return bool(mask[y, x]) if 0 <= y < h and 0 <= x < w else False
+
+            ring = [g(i - 1, j), g(i - 1, j + 1), g(i, j + 1),
+                    g(i + 1, j + 1), g(i + 1, j), g(i + 1, j - 1),
+                    g(i, j - 1), g(i - 1, j - 1)]
+            b = sum(ring)
+            a = sum((not ring[k]) and ring[(k + 1) % 8] for k in range(8))
+            p2, p4, p6, p8 = ring[0], ring[2], ring[4], ring[6]
+            if step == 1:
+                cond = not (p2 and p4 and p6) and not (p4 and p6 and p8)
+            else:
+                cond = not (p2 and p4 and p8) and not (p2 and p6 and p8)
+            out[i, j] = 2 <= b <= 6 and a == 1 and cond
+    return out
+
+
+def test_zhang_suen_step_random_parity():
+    for step in (1, 2):
+        for _ in range(10):
+            h, w = int(RNG.integers(2, 12)), int(RNG.integers(2, 12))
+            mask = RNG.random((h, w)) < 0.5
+            got = media.zhang_suen_step(mask, step)
+            assert np.array_equal(got, _zs_naive(mask, step))
+
+
+def test_zhang_suen_full_iteration_thins_block_keeps_line():
+    # A 6x6 solid block loses its border ring over a full iteration
+    # (step1 deletes S/E-facing, step2 the N/W-facing); a 1-px line
+    # (already a skeleton) survives both steps untouched.
+    mask = np.zeros((10, 10), bool)
+    mask[2:8, 2:8] = True
+    d1 = media.zhang_suen_step(mask, 1)
+    after1 = mask & ~d1
+    d2 = media.zhang_suen_step(after1, 2)
+    after2 = after1 & ~d2
+    assert after2.sum() < mask.sum()
+    assert after2[4:6, 4:6].all()  # the core remains
+    line = np.zeros((8, 8), bool)
+    line[4, 1:7] = True
+    assert not media.zhang_suen_step(line, 1)[4, 2:6].any()
