@@ -16908,6 +16908,120 @@ FROM cols GROUP BY image_id, h
 """
 
 
+def q_customer_er_blocking(sf_dir: str):  # exact oracle (block self-join)
+    """ENTITY-RESOLUTION BLOCKING + verify — the canonical two-phase ER
+    shape (blocking keeps the pair space near-linear; the quadratic
+    verify runs only inside blocks): block key = $1000 balance bucket
+    (offset before the divide so floor and trunc agree on negative
+    balances); inside each block, candidate pairs lie within $20 of
+    balance (key-asc pairs), and a candidate "matches" when nation AND
+    market segment agree. Cross-block near-pairs are missed BY DESIGN —
+    that recall loss is the blocking trade-off the operator measures.
+    Emits per block (blk, n_candidates, n_matches). One bucketed group
+    shuffle; the verify is a vectorized sort + two-pointer window."""
+    from ..stages.relational import bucketed_groups
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                    "c_acctbal", "c_mktsegment"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        bal = cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "nk": batch["c_nationkey"].cast(pa.int64()),
+            "bal": bal, "blk": (bal + 100000) // 100000,
+            "seg": batch["c_mktsegment"].cast(pa.string())})
+
+    prep = cust.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["blk", "bal", "c_custkey"], kind="mergesort")
+        nk = d["nk"].to_numpy(np.int64)
+        blk = d["blk"].to_numpy(np.int64)
+        bal = d["bal"].to_numpy(np.int64)
+        seg = d["seg"].to_numpy()
+        n = len(d)
+        new_b = np.ones(n, dtype=bool)
+        new_b[1:] = blk[1:] != blk[:-1]
+        starts = np.flatnonzero(new_b)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            cnt = mt = 0
+            for i in range(a, b):
+                j = i + 1
+                while j < b and bal[j] - bal[i] <= 2000:
+                    cnt += 1
+                    if nk[j] == nk[i] and seg[j] == seg[i]:
+                        mt += 1
+                    j += 1
+            if cnt:
+                rows.append({"blk": int(blk[a]), "n_candidates": cnt,
+                             "n_matches": mt})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["blk"], _verify)
+
+
+SQL_CUSTOMER_ER_BLOCKING = """
+WITH b AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+         (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+           // 100000 AS blk,
+         c_mktsegment AS seg
+  FROM customer
+),
+cand AS (
+  SELECT a.blk,
+         CASE WHEN a.seg = c.seg AND a.nk = c.nk THEN 1 ELSE 0 END
+           AS is_match
+  FROM b a JOIN b c
+    ON c.blk = a.blk
+   AND (c.bal > a.bal OR (c.bal = a.bal AND c.c_custkey > a.c_custkey))
+   AND c.bal - a.bal <= 2000
+)
+SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_match) AS BIGINT) AS n_matches
+FROM cand GROUP BY blk
+"""
+
+
+def q_orders_did_pieces(sf_dir: str):  # exact oracle (2x2 cell sums)
+    """DIFFERENCE-IN-DIFFERENCES pieces — the causal-inference workhorse
+    as exact rationals: treatment = odd customer key, post-period =
+    order year ≥ 1996, outcome = order total in cents. Emits the 2×2
+    cell table (grp, post, vc, n); DiD = (ȳ11−ȳ10) − (ȳ01−ȳ00) is the
+    caller's exact-rational fold over the four rows. One combiner-first
+    shuffle; nothing materializes."""
+    od = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _cell(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({"grp": ck % 2, "post": (yr >= 1996).astype(np.int64),
+                         "vc": cents(batch["o_totalprice"]
+                                     .to_numpy(zero_copy_only=False))})
+
+    cells = od.map_batches(_cell, batch_format="pyarrow", batch_size=8192)
+    return rel.partial_groupby_sum(cells, ["grp", "post"], ["vc"],
+                                   count_as="n",
+                                   est_rows=_nrows(sf_dir, "orders"))
+
+
+SQL_ORDERS_DID_PIECES = """
+SELECT o_custkey % 2 AS grp,
+       CASE WHEN EXTRACT(year FROM o_orderdate) >= 1996
+            THEN 1 ELSE 0 END AS post,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS vc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17448,6 +17562,8 @@ QUERIES = {
     "grid_semivariogram": q_grid_semivariogram,
     "nation_cvar_pieces": q_nation_cvar_pieces,
     "image_thinning_step": q_image_thinning_step,
+    "customer_er_blocking": q_customer_er_blocking,
+    "orders_did_pieces": q_orders_did_pieces,
 }
 
 
@@ -17749,4 +17865,6 @@ ORACLE_SQL = {
     "grid_semivariogram": SQL_GRID_SEMIVARIOGRAM,
     "nation_cvar_pieces": SQL_NATION_CVAR_PIECES,
     "image_thinning_step": SQL_IMAGE_THINNING_STEP,
+    "customer_er_blocking": SQL_CUSTOMER_ER_BLOCKING,
+    "orders_did_pieces": SQL_ORDERS_DID_PIECES,
 }

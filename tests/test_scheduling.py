@@ -536,3 +536,39 @@ def test_wagner_whitin_extremes():
     # Huge K -> one order; zero K -> order every month.
     assert _ww_dp([10] * 12, K=10**9)[1] == 1
     assert _ww_dp([10] * 12, K=0)[1] == 12
+
+
+def test_er_blocking_two_pointer_counts():
+    # Sorted balances in one block: window 2000 cents, candidates are
+    # the two-pointer pairs; matches need nation+segment agreement.
+    bal = np.array([0, 500, 1500, 4000], np.int64)
+    nk = np.array([1, 1, 2, 1], np.int64)
+    seg = np.array(["A", "A", "A", "A"], object)
+    cnt = mt = 0
+    for i in range(len(bal)):
+        j = i + 1
+        while j < len(bal) and bal[j] - bal[i] <= 2000:
+            cnt += 1
+            if nk[j] == nk[i] and seg[j] == seg[i]:
+                mt += 1
+            j += 1
+    # pairs: (0,500) (0,1500) (500,1500) (1500,4000 is 2500 -> out)
+    assert cnt == 3
+    assert mt == 1  # only (0,500) shares the nation
+
+
+def test_did_fold_recovers_planted_effect():
+    from fractions import Fraction
+
+    # cells (grp, post) -> (sum, n); planted treatment effect +7 on top
+    # of a +3 time trend and a +2 group offset
+    base = 10
+    cells = {
+        (0, 0): (base * 4, 4),
+        (0, 1): ((base + 3) * 5, 5),
+        (1, 0): ((base + 2) * 3, 3),
+        (1, 1): ((base + 2 + 3 + 7) * 6, 6),
+    }
+    m = {k: Fraction(s, n) for k, (s, n) in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert did == 7
