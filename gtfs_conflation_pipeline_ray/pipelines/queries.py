@@ -17022,6 +17022,105 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_image_nms_edges(sf_dir: str):  # exact oracle (local-max product)
+    """CANNY NON-MAXIMUM SUPPRESSION through the decode path
+    (``media.image_nms_edges``): central-difference luma gradient,
+    magnitude |dx|+|dy| ≥ 8, survive only as a strict local max along
+    the dominant gradient axis — the thinning stage between
+    `image_grad_orientation` and hysteresis that turns smeared ridges
+    into 1-px edge chains. On the factorized fixture m = A(j) + B(i),
+    so along-axis comparisons cancel the other axis and the oracle is a
+    1-D×1-D cross join of local-max flags + the axis-dominance CASE."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_nms_edges(synth, batch_size=512)
+
+
+SQL_IMAGE_NMS_EDGES = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg
+  FROM documents
+),
+fq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS f
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+aq AS (
+  SELECT image_id, j,
+         ABS(LEAD(f) OVER wj - LAG(f) OVER wj) AS a
+  FROM fq WINDOW wj AS (PARTITION BY image_id ORDER BY j)
+),
+a2 AS (
+  SELECT image_id, j, a,
+         a > LAG(a)  OVER wj AND a > LEAD(a) OVER wj AS amax
+  FROM aq WINDOW wj AS (PARTITION BY image_id ORDER BY j)
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS g
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+bq AS (
+  SELECT image_id, r,
+         ABS(LEAD(g) OVER wr - LAG(g) OVER wr) AS b
+  FROM gq WINDOW wr AS (PARTITION BY image_id ORDER BY r)
+),
+b2 AS (
+  SELECT image_id, r, b,
+         b > LAG(b)  OVER wr AND b > LEAD(b) OVER wr AS bmax
+  FROM bq WINDOW wr AS (PARTITION BY image_id ORDER BY r)
+),
+px AS (
+  SELECT a2.image_id, a2.j, b2.r
+  FROM a2
+  JOIN im ON im.image_id = a2.image_id
+  JOIN b2 ON b2.image_id = a2.image_id
+  WHERE a2.j BETWEEN 2 AND im.w - 3 AND b2.r BETWEEN 2 AND im.h - 3
+    AND a2.a + b2.b >= 8
+    AND CASE WHEN a2.a >= b2.b THEN a2.amax ELSE b2.bmax END
+)
+SELECT im.image_id,
+       CAST(COALESCE(COUNT(px.j), 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(31 * px.j + 17 * px.r), 0) AS BIGINT) AS edge_chk
+FROM im LEFT JOIN px ON px.image_id = im.image_id
+GROUP BY im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17564,6 +17663,7 @@ QUERIES = {
     "image_thinning_step": q_image_thinning_step,
     "customer_er_blocking": q_customer_er_blocking,
     "orders_did_pieces": q_orders_did_pieces,
+    "image_nms_edges": q_image_nms_edges,
 }
 
 
@@ -17867,4 +17967,5 @@ ORACLE_SQL = {
     "image_thinning_step": SQL_IMAGE_THINNING_STEP,
     "customer_er_blocking": SQL_CUSTOMER_ER_BLOCKING,
     "orders_did_pieces": SQL_ORDERS_DID_PIECES,
+    "image_nms_edges": SQL_IMAGE_NMS_EDGES,
 }

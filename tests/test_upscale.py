@@ -360,3 +360,50 @@ def test_zhang_suen_full_iteration_thins_block_keeps_line():
     line = np.zeros((8, 8), bool)
     line[4, 1:7] = True
     assert not media.zhang_suen_step(line, 1)[4, 2:6].any()
+
+
+def _nms_naive(v, thresh=8):
+    v = v.astype(np.int64)
+    h, w = v.shape
+    cnt = chk = 0
+
+    def m(i, j):
+        return (abs(int(v[i, j + 1]) - int(v[i, j - 1]))
+                + abs(int(v[i + 1, j]) - int(v[i - 1, j])))
+
+    for i in range(2, h - 2):
+        for j in range(2, w - 2):
+            dx = abs(int(v[i, j + 1]) - int(v[i, j - 1]))
+            dy = abs(int(v[i + 1, j]) - int(v[i - 1, j]))
+            c = dx + dy
+            if c < thresh:
+                continue
+            if dx >= dy:
+                ok = c > m(i, j - 1) and c > m(i, j + 1)
+            else:
+                ok = c > m(i - 1, j) and c > m(i + 1, j)
+            if ok:
+                cnt += 1
+                chk += 31 * j + 17 * i
+    return cnt, chk
+
+
+def test_nms_edges_random_parity():
+    for _ in range(12):
+        h, w = int(RNG.integers(5, 16)), int(RNG.integers(5, 16))
+        luma = RNG.integers(0, 768, size=(h, w)).astype(np.int64)
+        assert media.nms_edges(luma) == _nms_naive(luma)
+
+
+def test_nms_thins_wide_ramp_to_single_line():
+    # A blurred step whose central-difference magnitude has a UNIQUE
+    # peak column: NMS keeps exactly that 1-px line — the defining
+    # thinning property (strict-both ties on hard steps are suppressed,
+    # which is why the profile must be asymmetric).
+    luma = np.zeros((9, 12), np.int64)
+    luma[:, 4] = 40
+    luma[:, 5] = 160
+    luma[:, 6:] = 300
+    n, chk = media.nms_edges(luma)
+    assert n == 5  # rows 2..6 of the single surviving column j=5
+    assert chk == 5 * 31 * 5 + 17 * sum(range(2, 7))
