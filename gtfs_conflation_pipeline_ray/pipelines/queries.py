@@ -17121,6 +17121,152 @@ GROUP BY im.image_id
 """
 
 
+def q_events_control_chart(sf_dir: str):  # exact oracle (cross-mult 3σ)
+    """SHEWHART CONTROL CHART per event type — the SPC classic: the
+    first 15 days of the daily dollar-value series are the baseline
+    (sum S, square-sum Q, n); every later day signals out-of-control iff
+    (x·n − S)² > 9·(n·Q − S²) — the ±3σ rule cross-multiplied to exact
+    integers (dollar scale keeps squares inside int64). Emits per type
+    (n_base, n_monitored, n_signals, first_signal_day; −1 when quiet).
+    One (type, day) combiner; baseline + scan on the day-bounded
+    table."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vd": cents(df["value"].to_numpy()) // 100})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vd"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()
+    rows = []
+    for et, g in df.groupby("event_type"):
+        d = g.sort_values("day")
+        days = d["day"].to_numpy(np.int64)
+        x = d["vd"].to_numpy(np.int64)
+        nb = min(15, len(d))
+        base = x[:nb]
+        s = int(base.sum())
+        q = int((base * base).sum())
+        mon = x[nb:]
+        lhs = (mon * nb - s) ** 2
+        rhs = 9 * (nb * q - s * s)
+        sig = lhs > rhs
+        first = int(days[nb:][np.argmax(sig)]) if sig.any() else -1
+        rows.append({"event_type": str(et), "n_base": nb,
+                     "n_monitored": len(mon),
+                     "n_signals": int(sig.sum()),
+                     "first_signal_day": first})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_CONTROL_CHART = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS vd
+  FROM events GROUP BY 1, 2
+),
+ordd AS (
+  SELECT event_type, day, vd,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+base AS (
+  SELECT event_type, LEAST(MAX(n), 15) AS nb,
+         SUM(vd) FILTER (i <= 15) AS s,
+         SUM(vd * vd) FILTER (i <= 15) AS q
+  FROM ordd GROUP BY event_type
+),
+mon AS (
+  SELECT o.event_type, o.day, o.vd, b.nb, b.s, b.q,
+         (o.vd * b.nb - b.s) * (o.vd * b.nb - b.s)
+           > 9 * (b.nb * b.q - b.s * b.s) AS sig
+  FROM ordd o JOIN base b ON b.event_type = o.event_type
+  WHERE o.i > 15
+)
+SELECT b.event_type, CAST(b.nb AS BIGINT) AS n_base,
+       CAST(COALESCE(COUNT(m.day), 0) AS BIGINT) AS n_monitored,
+       CAST(COALESCE(SUM(CASE WHEN m.sig THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_signals,
+       CAST(COALESCE(MIN(m.day) FILTER (m.sig), -1) AS BIGINT)
+         AS first_signal_day
+FROM base b LEFT JOIN mon m ON m.event_type = b.event_type
+GROUP BY b.event_type, b.nb
+"""
+
+
+def q_orders_price_index(sf_dir: str):  # exact oracle (basket sums)
+    """LASPEYRES vs PAASCHE PRICE-INDEX pieces — index-number economics
+    as exact integers: base period 1995 vs every later year over the
+    parts present in both; with per-part period totals rev (cents) and
+    qty, the value-weighted (unit-value) index pieces are
+    lasp = Σ rev_y·qty_0 / Σ rev_0·qty_0 and
+    paas = Σ rev_y·qty_y / Σ rev_0·qty_y — division-free numerator/
+    denominator pairs (the index is the caller's rational fold), the
+    inflation-measurement classic whose two weightings bracket the true
+    index. One (part, year) combiner; the basket join runs on the
+    parts×years-bounded table. Emits
+    (yr, n_parts, lasp_num, lasp_den, paas_num, paas_den)."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                  "l_quantity", "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()), "yr": yr,
+            "qty": cents(batch["l_quantity"].to_numpy(zero_copy_only=False),
+                         1),
+            "rev": cents(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False))})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "yr"],
+                                   ["qty", "rev"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()  # parts×years-bounded
+    base = df[df["yr"] == 1995].set_index("l_partkey")
+    rows = []
+    for yr, g in df[df["yr"] > 1995].groupby("yr"):
+        g = g.set_index("l_partkey")
+        common = g.index.intersection(base.index)
+        gy = g.loc[common]
+        b0 = base.loc[common]
+        rows.append({
+            "yr": int(yr), "n_parts": len(common),
+            "lasp_num": int((gy["rev"] * b0["qty"]).sum()),
+            "lasp_den": int((b0["rev"] * b0["qty"]).sum()),
+            "paas_num": int((gy["rev"] * gy["qty"]).sum()),
+            "paas_den": int((b0["rev"] * gy["qty"]).sum())})
+    return pd.DataFrame(rows)
+
+
+SQL_ORDERS_PRICE_INDEX = """
+WITH py AS (
+  SELECT l_partkey, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (SELECT l_partkey, qty AS q0, rev AS r0 FROM py WHERE yr = 1995),
+c AS (SELECT * FROM py WHERE yr > 1995)
+SELECT c.yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c.rev * b.q0) AS BIGINT) AS lasp_num,
+       CAST(SUM(b.r0 * b.q0) AS BIGINT) AS lasp_den,
+       CAST(SUM(c.rev * c.qty) AS BIGINT) AS paas_num,
+       CAST(SUM(b.r0 * c.qty) AS BIGINT) AS paas_den
+FROM c JOIN b ON b.l_partkey = c.l_partkey
+GROUP BY c.yr
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17664,6 +17810,8 @@ QUERIES = {
     "customer_er_blocking": q_customer_er_blocking,
     "orders_did_pieces": q_orders_did_pieces,
     "image_nms_edges": q_image_nms_edges,
+    "events_control_chart": q_events_control_chart,
+    "orders_price_index": q_orders_price_index,
 }
 
 
@@ -17968,4 +18116,6 @@ ORACLE_SQL = {
     "customer_er_blocking": SQL_CUSTOMER_ER_BLOCKING,
     "orders_did_pieces": SQL_ORDERS_DID_PIECES,
     "image_nms_edges": SQL_IMAGE_NMS_EDGES,
+    "events_control_chart": SQL_EVENTS_CONTROL_CHART,
+    "orders_price_index": SQL_ORDERS_PRICE_INDEX,
 }

@@ -572,3 +572,35 @@ def test_did_fold_recovers_planted_effect():
     m = {k: Fraction(s, n) for k, (s, n) in cells.items()}
     did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
     assert did == 7
+
+
+def test_control_chart_cross_multiplied_3sigma():
+    # Baseline mean 10, variance pieces; a monitored value at exactly
+    # mean + 3*sigma must NOT signal (strict >) while mean + 4*sigma must.
+    base = np.array([8, 10, 12, 10, 10], np.int64)  # n=5, S=50, Q=508
+    n, s, q = 5, int(base.sum()), int((base * base).sum())
+    var_n2 = n * q - s * s  # n^2 * sigma^2 = 40 -> sigma^2 = 1.6
+    def sig(x):
+        return (x * n - s) ** 2 > 9 * var_n2
+    import math
+
+    sigma = math.sqrt(var_n2) / n
+    at3 = 10 + 3 * sigma
+    assert not sig(int(at3))           # just under/at the limit
+    assert sig(int(math.ceil(10 + 4 * sigma)))
+
+
+def test_price_index_bracket_on_planted_inflation():
+    from fractions import Fraction
+
+    # Two parts, uniform 20% price rise, unchanged quantities: both
+    # Laspeyres and Paasche equal exactly 6/5.
+    r0 = {1: 100, 2: 300}
+    q0 = {1: 4, 2: 2}
+    r1 = {k: v * 6 // 5 for k, v in r0.items()}
+    q1 = dict(q0)
+    lasp = Fraction(sum(r1[k] * q0[k] for k in r0),
+                    sum(r0[k] * q0[k] for k in r0))
+    paas = Fraction(sum(r1[k] * q1[k] for k in r0),
+                    sum(r0[k] * q1[k] for k in r0))
+    assert lasp == paas == Fraction(6, 5)
