@@ -17267,6 +17267,95 @@ GROUP BY c.yr
 """
 
 
+def q_traj_hampel_outliers(sf_dir: str):  # exact oracle (window quantiles)
+    """HAMPEL FILTER per user trajectory — the robust outlier detector
+    every GPS cleaning pass runs before smoothing: over the ordered
+    x-coordinate series, each interior point (window ±2) is an outlier
+    iff |x − median₅| > 3·MAD₅ (median and MAD are exact order
+    statistics of 5 values; a zero MAD flags any deviation — the
+    documented degenerate case). Emits per user (n_pts, n_outliers,
+    out_chk = Σ window-position of outliers). Engine: one bucketed
+    shuffle + per-user sliding-window partition; oracle: window self-
+    join + two QUANTILE_DISC levels."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": uid, "event_id": eid,
+                         "e": batch["ts"].cast(pa.int64()),
+                         "x": (eid * 48271 + uid * 977) % 65536})
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow", batch_size=8192)
+
+    def _hampel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "e", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy(np.int64)
+        x = d["x"].to_numpy(np.int64)
+        n = len(d)
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            xs = x[a:b]
+            m = len(xs)
+            cnt = chk = 0
+            for i in range(2, m - 2):
+                w5 = np.sort(xs[i - 2:i + 3])
+                med = int(w5[2])
+                mad = int(np.sort(np.abs(xs[i - 2:i + 3] - med))[2])
+                if abs(int(xs[i]) - med) > 3 * mad:
+                    cnt += 1
+                    chk += i + 1  # 1-based position
+            rows.append({"user_id": int(uid[a]), "n_pts": m,
+                         "n_outliers": cnt, "out_chk": chk})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(pts, ["user_id"], _hampel)
+
+
+SQL_TRAJ_HAMPEL_OUTLIERS = """
+WITH pts AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST((event_id * 48271 + user_id * 977) % 65536 AS BIGINT) AS x
+  FROM events
+),
+w1 AS (
+  SELECT c.user_id, c.i, c.x AS xc, o.x AS xo
+  FROM pts c JOIN pts o
+    ON o.user_id = c.user_id AND ABS(o.i - c.i) <= 2
+  WHERE c.i >= 3 AND c.i <= c.n - 2
+),
+med AS (
+  SELECT user_id, i, MAX(xc) AS xc,
+         QUANTILE_DISC(xo, 0.5) AS med
+  FROM w1 GROUP BY user_id, i
+),
+mad AS (
+  SELECT w1.user_id, w1.i, MAX(med.med) AS med, MAX(med.xc) AS xc,
+         QUANTILE_DISC(ABS(w1.xo - med.med), 0.5) AS mad
+  FROM w1 JOIN med ON med.user_id = w1.user_id AND med.i = w1.i
+  GROUP BY w1.user_id, w1.i
+),
+fl AS (
+  SELECT user_id, i,
+         CASE WHEN ABS(xc - med) > 3 * mad THEN 1 ELSE 0 END AS o
+  FROM mad
+)
+SELECT p.user_id, CAST(MAX(p.n) AS BIGINT) AS n_pts,
+       CAST(COALESCE(SUM(fl.o), 0) AS BIGINT) AS n_outliers,
+       CAST(COALESCE(SUM(fl.o * fl.i), 0) AS BIGINT) AS out_chk
+FROM (SELECT DISTINCT user_id, n FROM pts) p
+LEFT JOIN fl ON fl.user_id = p.user_id
+GROUP BY p.user_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17812,6 +17901,7 @@ QUERIES = {
     "image_nms_edges": q_image_nms_edges,
     "events_control_chart": q_events_control_chart,
     "orders_price_index": q_orders_price_index,
+    "traj_hampel_outliers": q_traj_hampel_outliers,
 }
 
 
@@ -18118,4 +18208,5 @@ ORACLE_SQL = {
     "image_nms_edges": SQL_IMAGE_NMS_EDGES,
     "events_control_chart": SQL_EVENTS_CONTROL_CHART,
     "orders_price_index": SQL_ORDERS_PRICE_INDEX,
+    "traj_hampel_outliers": SQL_TRAJ_HAMPEL_OUTLIERS,
 }

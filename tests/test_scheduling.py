@@ -604,3 +604,31 @@ def test_price_index_bracket_on_planted_inflation():
     paas = Fraction(sum(r1[k] * q1[k] for k in r0),
                     sum(r0[k] * q1[k] for k in r0))
     assert lasp == paas == Fraction(6, 5)
+
+
+def _hampel_flags(xs):
+    xs = np.asarray(xs, np.int64)
+    out = []
+    for i in range(2, len(xs) - 2):
+        w5 = np.sort(xs[i - 2:i + 3])
+        med = int(w5[2])
+        mad = int(np.sort(np.abs(xs[i - 2:i + 3] - med))[2])
+        if abs(int(xs[i]) - med) > 3 * mad:
+            out.append(i)
+    return out
+
+
+def test_hampel_flags_spike_not_ramp():
+    # A single spike in a gently noisy series is flagged; a clean linear
+    # ramp never is (its MAD absorbs the slope).
+    xs = [10, 12, 11, 13, 500, 12, 11, 13, 12]
+    assert _hampel_flags(xs) == [4]
+    ramp = list(range(0, 100, 7))
+    assert _hampel_flags(ramp) == []
+
+
+def test_hampel_zero_mad_degenerate_case():
+    # >= 3 equal window values give MAD 0: any center deviation flags.
+    xs = [5, 5, 6, 5, 5]
+    assert _hampel_flags(xs) == [2]
+    assert _hampel_flags([5, 5, 5, 5, 5]) == []
