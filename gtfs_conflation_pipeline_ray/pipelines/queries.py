@@ -17356,6 +17356,169 @@ GROUP BY p.user_id
 """
 
 
+def q_supplier_kendall_tau(sf_dir: str):  # exact oracle (pair self-join)
+    """KENDALL RANK CORRELATION pieces between quantity and price per
+    supplier — the cross-variable sibling of `supplier_mann_kendall`'s
+    trend test: over all lineitem pairs, concordant / discordant /
+    x-tied / y-tied counts (τ-b = (nc − nd)/√((n₀−tx)(n₀−ty)) is the
+    caller's fold; the pieces are the exact part). One bucketed group
+    shuffle; the O(n²) pair scan runs vectorized per supplier. Emits
+    (l_suppkey, n_pairs, nc, nd, tx, ty)."""
+    from ..stages.relational import bucketed_groups
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "q": cents(batch["l_quantity"].to_numpy(zero_copy_only=False),
+                       1),
+            "p": cents(batch["l_extendedprice"]
+                       .to_numpy(zero_copy_only=False))})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+
+    def _tau(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["l_suppkey"], kind="mergesort")
+        sk = d["l_suppkey"].to_numpy(np.int64)
+        q = d["q"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        n = len(d)
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new_g)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            if b - a < 2:
+                continue
+            qq, pp = q[a:b], p[a:b]
+            sq = np.sign(qq[:, None] - qq[None, :])
+            sp = np.sign(pp[:, None] - pp[None, :])
+            iu = np.triu_indices(b - a, k=1)
+            prod = sq[iu] * sp[iu]
+            rows.append({"l_suppkey": int(sk[a]),
+                         "n_pairs": (b - a) * (b - a - 1) // 2,
+                         "nc": int((prod > 0).sum()),
+                         "nd": int((prod < 0).sum()),
+                         "tx": int((sq[iu] == 0).sum()),
+                         "ty": int((sp[iu] == 0).sum())})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["l_suppkey"], _tau)
+
+
+SQL_SUPPLIER_KENDALL_TAU = """
+WITH b AS (
+  SELECT l_suppkey, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         -- (l_orderkey, l_linenumber) pairs DUPLICATE in the synthetic
+         -- fixture, and this CTE is evaluated once per join side: the
+         -- ORDER BY must be a TOTAL order (q, p appended) or the two
+         -- evaluations can number duplicates differently and the self-
+         -- join emits a row paired with itself (a phantom double tie
+         -- the gate caught)
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_orderkey, l_linenumber, q, p) AS i
+  FROM lineitem
+),
+pr AS (
+  SELECT a.l_suppkey,
+         SIGN(a.q - c.q) * SIGN(a.p - c.p) AS prod,
+         CASE WHEN a.q = c.q THEN 1 ELSE 0 END AS xt,
+         CASE WHEN a.p = c.p THEN 1 ELSE 0 END AS yt
+  FROM b a JOIN b c ON c.l_suppkey = a.l_suppkey AND c.i > a.i
+)
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       CAST(SUM(xt) AS BIGINT) AS tx, CAST(SUM(yt) AS BIGINT) AS ty
+FROM pr GROUP BY l_suppkey
+"""
+
+
+def q_points_diameter(sf_dir: str):  # exact oracle (exhaustive pairs)
+    """DIAMETER OF A POINT SET by convex hull + ROTATING CALIPERS over
+    the depot tiles (every 10th): farthest pair = an antipodal hull-
+    vertex pair, found in O(h) caliper steps after the O(n log n) hull —
+    the computational-geometry classic for spatial extent. Emits ONE row
+    (n_pts, diam2, a_id, b_id) with the pair ordered (a < b) and
+    ties broken by smallest (a, b). The oracle takes the exhaustive
+    dual: max dist² over ALL point pairs — calipers agreeing with brute
+    force at every scale IS the algorithm's certificate (the
+    `part_wagner_whitin` device)."""
+    from ..functions.geom import convex_hull_int
+
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 10 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    xy = np.stack([cx, cy], axis=1)
+    hull = convex_hull_int(xy)
+    h = len(hull)
+    # map hull vertices back to ids (coords can repeat: smallest id wins)
+    best = None
+    if h == 1:
+        i0 = int(np.lexsort((tid,))[0])
+        best = (0, int(tid[i0]), int(tid[i0]))
+    else:
+        # rotating calipers over the CCW hull
+        def d2(i, j):
+            dx = int(hull[i][0] - hull[j][0])
+            dy = int(hull[i][1] - hull[j][1])
+            return dx * dx + dy * dy
+
+        def ids_at(i):
+            m = (cx == hull[i][0]) & (cy == hull[i][1])
+            return int(tid[m].min())
+
+        j = 1
+        for i in range(h):
+            nxt = (i + 1) % h
+            while True:
+                jn = (j + 1) % h
+                ex = int(hull[nxt][0] - hull[i][0])
+                ey = int(hull[nxt][1] - hull[i][1])
+                vx = int(hull[jn][0] - hull[j][0])
+                vy = int(hull[jn][1] - hull[j][1])
+                if ex * vy - ey * vx > 0:
+                    j = jn
+                else:
+                    break
+            for cand_j in (j, (j + 1) % h):
+                dd = d2(i, cand_j)
+                ia, ib = ids_at(i), ids_at(cand_j)
+                a2, b2 = min(ia, ib), max(ia, ib)
+                key = (-dd, a2, b2)
+                if best is None or key < (-best[0], best[1], best[2]):
+                    best = (dd, a2, b2)
+    return pd.DataFrame({"n_pts": [len(tid)],
+                         "diam2": [best[0]], "a_id": [best[1]],
+                         "b_id": [best[2]]})
+
+
+SQL_POINTS_DIAMETER = f"""WITH tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 10 = 0),
+pairs AS (
+  SELECT a.tile_id AS ai, b.tile_id AS bi,
+         (a.cx - b.cx) * (a.cx - b.cx)
+         + (a.cy - b.cy) * (a.cy - b.cy) AS dd
+  FROM pn a JOIN pn b ON b.tile_id > a.tile_id
+),
+best AS (
+  SELECT ai, bi, dd,
+         ROW_NUMBER() OVER (ORDER BY dd DESC, ai, bi) AS rn
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pn) AS n_pts,
+       CAST(dd AS BIGINT) AS diam2, CAST(ai AS BIGINT) AS a_id,
+       CAST(bi AS BIGINT) AS b_id
+FROM best WHERE rn = 1
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -17902,6 +18065,8 @@ QUERIES = {
     "events_control_chart": q_events_control_chart,
     "orders_price_index": q_orders_price_index,
     "traj_hampel_outliers": q_traj_hampel_outliers,
+    "supplier_kendall_tau": q_supplier_kendall_tau,
+    "points_diameter": q_points_diameter,
 }
 
 
@@ -18209,4 +18374,6 @@ ORACLE_SQL = {
     "events_control_chart": SQL_EVENTS_CONTROL_CHART,
     "orders_price_index": SQL_ORDERS_PRICE_INDEX,
     "traj_hampel_outliers": SQL_TRAJ_HAMPEL_OUTLIERS,
+    "supplier_kendall_tau": SQL_SUPPLIER_KENDALL_TAU,
+    "points_diameter": SQL_POINTS_DIAMETER,
 }

@@ -632,3 +632,61 @@ def test_hampel_zero_mad_degenerate_case():
     xs = [5, 5, 6, 5, 5]
     assert _hampel_flags(xs) == [2]
     assert _hampel_flags([5, 5, 5, 5, 5]) == []
+
+
+def test_kendall_tau_pieces_known_case():
+    # perfect concordance, perfect discordance, and an all-tied axis
+    q = np.array([1, 2, 3, 4], np.int64)
+    p_up = np.array([10, 20, 30, 40], np.int64)
+    p_dn = p_up[::-1].copy()
+
+    def pieces(q, p):
+        sq = np.sign(q[:, None] - q[None, :])
+        sp = np.sign(p[:, None] - p[None, :])
+        iu = np.triu_indices(len(q), 1)
+        prod = sq[iu] * sp[iu]
+        return (int((prod > 0).sum()), int((prod < 0).sum()),
+                int((sq[iu] == 0).sum()), int((sp[iu] == 0).sum()))
+
+    assert pieces(q, p_up) == (6, 0, 0, 0)
+    assert pieces(q, p_dn) == (0, 6, 0, 0)
+    assert pieces(np.array([5, 5, 5], np.int64), np.array([1, 2, 3],
+                                                          np.int64)) \
+        == (0, 0, 3, 0)
+
+
+def test_calipers_diameter_vs_bruteforce():
+    from gtfs_conflation_pipeline_ray.functions.geom import convex_hull_int
+
+    rng = np.random.default_rng(71)
+    for _ in range(20):
+        n = int(rng.integers(3, 40))
+        xy = rng.integers(0, 1000, size=(n, 2)).astype(np.int64)
+        hull = convex_hull_int(xy)
+        h = len(hull)
+        best = 0
+        if h >= 2:
+            j = 1
+            for i in range(h):
+                nxt = (i + 1) % h
+                while True:
+                    jn = (j + 1) % h
+                    ex = int(hull[nxt][0] - hull[i][0])
+                    ey = int(hull[nxt][1] - hull[i][1])
+                    vx = int(hull[jn][0] - hull[j][0])
+                    vy = int(hull[jn][1] - hull[j][1])
+                    if ex * vy - ey * vx > 0:
+                        j = jn
+                    else:
+                        break
+                for cj in (j, (j + 1) % h):
+                    dx = int(hull[i][0] - hull[cj][0])
+                    dy = int(hull[i][1] - hull[cj][1])
+                    best = max(best, dx * dx + dy * dy)
+        brute = 0
+        for i in range(n):
+            for j2 in range(i + 1, n):
+                dx = int(xy[i, 0] - xy[j2, 0])
+                dy = int(xy[i, 1] - xy[j2, 1])
+                brute = max(brute, dx * dx + dy * dy)
+        assert best == brute
