@@ -17519,6 +17519,154 @@ FROM best WHERE rn = 1
 """
 
 
+def q_user_burstiness(sf_dir: str):  # exact oracle (gap moments)
+    """INTER-EVENT BURSTINESS pieces per user (Goh–Barabási B =
+    (σ−μ)/(σ+μ) over the inter-event gap distribution — the metric
+    separating bursty human/attack traffic from Poisson-like machine
+    traffic): exact integer moments of the ordered µs gaps (n_gaps, Σg,
+    Σg²); B is the caller's fold. One bucketed shuffle + vectorized
+    per-user diff."""
+    from ..stages.relational import bucketed_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "e": df["ts"].astype("int64").to_numpy()})
+
+    prep = ev.map_batches(_pre, batch_format="pandas", batch_size=8192)
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "e", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy(np.int64)
+        e = d["e"].to_numpy(np.int64)
+        n = len(d)
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        rows = []
+        for a, b in zip(starts, np.append(starts[1:], n)):
+            gp = np.diff(e[a:b]) // 1000  # ms keeps squares in int64
+            rows.append({"user_id": int(uid[a]), "n_gaps": len(gp),
+                         "g_sum": int(gp.sum()),
+                         "g_sq": int((gp * gp).sum())})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(prep, ["user_id"], _gaps)
+
+
+SQL_USER_BURSTINESS = """
+WITH o AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS e,
+         LAG(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pe
+  FROM events
+),
+g AS (SELECT user_id, (e - pe) // 1000 AS gp FROM o WHERE pe IS NOT NULL)
+SELECT o.user_id,
+       CAST(COALESCE(COUNT(g.gp), 0) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(g.gp), 0) AS BIGINT) AS g_sum,
+       CAST(COALESCE(SUM(g.gp * g.gp), 0) AS BIGINT) AS g_sq
+FROM (SELECT DISTINCT user_id FROM o) o
+LEFT JOIN g ON g.user_id = o.user_id
+GROUP BY o.user_id
+"""
+
+
+def q_image_colorfulness(sf_dir: str):  # exact oracle (opponent moments)
+    """IMAGE COLORFULNESS pieces (Hasler–Süsstrunk) through the decode
+    path: opponent axes rg = R − G and yb2 = R + G − 2B (×2-scaled to
+    stay integer); the metric folds from the exact first/second moments
+    (n, Σrg, Σrg², Σyb2, Σyb2²) — the no-reference quality screen that
+    separates vivid photographs from washed-out or grayscale scans. On
+    the fixture rg mixes a column and a row grid so the oracle is the
+    product-sum identity Σ(a+b)² = hΣa² + wΣb² + 2ΣaΣb over 1-D
+    grids."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_colorfulness(synth, batch_size=512)
+
+
+SQL_IMAGE_COLORFULNESS = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS vr
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS vg
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+rs AS (SELECT image_id, SUM(vr) AS sr, SUM(vr * vr) AS qr,
+              COUNT(*) AS w2 FROM rq GROUP BY image_id),
+gs AS (SELECT image_id, SUM(vg) AS sg, SUM(vg * vg) AS qg,
+              COUNT(*) AS h2 FROM gq GROUP BY image_id)
+SELECT im.image_id,
+       CAST(w * h AS BIGINT) AS n_px,
+       -- rg = vr - vg: Σ over grid = h·Σvr − w·Σvg
+       CAST(h * rs.sr - w * gs.sg AS BIGINT) AS rg_sum,
+       -- Σ(vr − vg)² = h·Σvr² + w·Σvg² − 2·Σvr·Σvg
+       CAST(h * rs.qr + w * gs.qg - 2 * rs.sr * gs.sg AS BIGINT) AS rg_sq,
+       -- yb2 = vr + vg − 2b
+       CAST(h * rs.sr + w * gs.sg
+            - 2 * w * h * (CASE WHEN fi = 2
+                                THEN (bb // 4) * 4 + (bb // 4) // 16
+                                ELSE bb END) AS BIGINT) AS yb_sum,
+       CAST(h * rs.qr + w * gs.qg + 2 * rs.sr * gs.sg
+            - 4 * (CASE WHEN fi = 2 THEN (bb // 4) * 4 + (bb // 4) // 16
+                        ELSE bb END) * (h * rs.sr + w * gs.sg)
+            + 4 * w * h * (CASE WHEN fi = 2
+                                THEN (bb // 4) * 4 + (bb // 4) // 16
+                                ELSE bb END)
+                        * (CASE WHEN fi = 2
+                                THEN (bb // 4) * 4 + (bb // 4) // 16
+                                ELSE bb END) AS BIGINT) AS yb_sq
+FROM im JOIN rs ON rs.image_id = im.image_id
+        JOIN gs ON gs.image_id = im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18067,6 +18215,8 @@ QUERIES = {
     "traj_hampel_outliers": q_traj_hampel_outliers,
     "supplier_kendall_tau": q_supplier_kendall_tau,
     "points_diameter": q_points_diameter,
+    "user_burstiness": q_user_burstiness,
+    "image_colorfulness": q_image_colorfulness,
 }
 
 
@@ -18376,4 +18526,6 @@ ORACLE_SQL = {
     "traj_hampel_outliers": SQL_TRAJ_HAMPEL_OUTLIERS,
     "supplier_kendall_tau": SQL_SUPPLIER_KENDALL_TAU,
     "points_diameter": SQL_POINTS_DIAMETER,
+    "user_burstiness": SQL_USER_BURSTINESS,
+    "image_colorfulness": SQL_IMAGE_COLORFULNESS,
 }

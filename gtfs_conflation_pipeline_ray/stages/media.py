@@ -2730,3 +2730,52 @@ def image_nms_edges(ds, bytes_col: str = "bytes", id_col: str = "image_id",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+class ImageColorfulness:
+    """Actor-pool batch fn: Hasler–Süsstrunk COLORFULNESS moment pieces
+    per image through the genuine decode path: opponent axes rg = R − G
+    and yb2 = R + G − 2B (×2-scaled yellow-blue so everything stays
+    integer); emits (image_id, n_px, rg_sum, rg_sq, yb_sum, yb_sq) — the
+    metric C = sqrt(σ_rg²+σ_yb²) + 0.3·sqrt(μ_rg²+μ_yb²) is the
+    caller's fold over the exact pieces."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 5), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i]).astype(np.int64)
+            rg = img[:, :, 0] - img[:, :, 1]
+            yb = img[:, :, 0] + img[:, :, 1] - 2 * img[:, :, 2]
+            out[i] = (rg.size, rg.sum(), (rg * rg).sum(),
+                      yb.sum(), (yb * yb).sum())
+        return pa.table({"image_id": ids,
+                         "n_px": out[:, 0].copy(),
+                         "rg_sum": out[:, 1].copy(),
+                         "rg_sq": out[:, 2].copy(),
+                         "yb_sum": out[:, 3].copy(),
+                         "yb_sq": out[:, 4].copy()})
+
+
+def image_colorfulness(ds, bytes_col: str = "bytes",
+                       id_col: str = "image_id", fmt_col: str = "fmt",
+                       concurrency: int | None = None,
+                       batch_size: int = 256):
+    return ds.map_batches(
+        ImageColorfulness,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

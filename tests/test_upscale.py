@@ -407,3 +407,30 @@ def test_nms_thins_wide_ramp_to_single_line():
     n, chk = media.nms_edges(luma)
     assert n == 5  # rows 2..6 of the single surviving column j=5
     assert chk == 5 * 31 * 5 + 17 * sum(range(2, 7))
+
+
+def test_colorfulness_pieces_gray_vs_vivid():
+    # A pure gray image has zero opponent energy; a saturated red one
+    # has large rg/yb moments — the metric's defining separation.
+    gray = np.full((6, 6, 3), 128, np.uint8).astype(np.int64)
+    rg = gray[:, :, 0] - gray[:, :, 1]
+    yb = gray[:, :, 0] + gray[:, :, 1] - 2 * gray[:, :, 2]
+    assert rg.sum() == 0 and (rg * rg).sum() == 0
+    assert yb.sum() == 0 and (yb * yb).sum() == 0
+    red = np.zeros((6, 6, 3), np.int64)
+    red[:, :, 0] = 255
+    rg2 = red[:, :, 0] - red[:, :, 1]
+    yb2 = red[:, :, 0] + red[:, :, 1] - 2 * red[:, :, 2]
+    assert (rg2 * rg2).sum() == 36 * 255 ** 2
+    assert (yb2 * yb2).sum() == 36 * 255 ** 2
+
+
+def test_product_sum_identity_for_separable_grids():
+    # The oracle device: for v(i,j) = a(j) + b(i),
+    # sum v^2 = h*sum a^2 + w*sum b^2 + 2*sum a*sum b.
+    rng = np.random.default_rng(83)
+    a = rng.integers(-50, 50, 7)
+    b = rng.integers(-50, 50, 5)
+    v = a[None, :] + b[:, None]
+    assert (v * v).sum() == 5 * (a * a).sum() + 7 * (b * b).sum() \
+        + 2 * a.sum() * b.sum()
