@@ -17667,6 +17667,87 @@ FROM im JOIN rs ON rs.image_id = im.image_id
 """
 
 
+def q_grid_ripley_k(sf_dir: str):  # exact oracle (bbox-prefiltered pairs)
+    """RIPLEY'S K pieces for the probe point pattern — THE spatial
+    point-pattern statistic (complete-spatial-randomness test:
+    clustering inflates K(r), inhibition deflates it): exact pair
+    counts within r ∈ {512, 1024, 2048} over every 16th order's points
+    (K̂(r) = area·n_pairs·2/n² is the caller's fold). Engine: the
+    subsampled point set broadcasts once (`ray.put`) and every batch
+    counts its pairs against it with a bbox prefilter + exact dist² —
+    the `spatial_join_pairs` broadcast shape, so the count distributes
+    over the probe side; oracle: the same bbox-prefiltered self-join
+    (cell logic exact because box ≥ r). Emits (r, n_pairs) + n_points
+    on each row."""
+    pts = conflation.read_points(sf_dir)
+
+    def _sub(batch: pa.Table) -> pa.Table:
+        pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pid % 16 == 0
+        return pa.table({
+            "pid": pid[keep],
+            "px": batch["px"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep],
+            "py": batch["py"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]})
+
+    sub = pts.map_batches(_sub, batch_format="pyarrow", batch_size=8192)
+    ref = sub.to_pandas()  # subsample-bounded broadcast side
+    n_pts = len(ref)
+    ref_ref = ray.put((ref["pid"].to_numpy(np.int64),
+                       ref["px"].to_numpy(np.int64),
+                       ref["py"].to_numpy(np.int64)))
+    radii = (512, 1024, 2048)
+
+    def _count(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        rid, rx, ry = cached_state(ref_ref, lambda t: t, token="ripley.ref")
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        px = batch["px"].to_numpy(zero_copy_only=False)
+        py = batch["py"].to_numpy(zero_copy_only=False)
+        order = np.argsort(rx, kind="mergesort")
+        rxs, rys, rids = rx[order], ry[order], rid[order]
+        counts = np.zeros(len(radii), np.int64)
+        for i in range(len(pid)):
+            lo = np.searchsorted(rxs, px[i] - 2048)
+            hi = np.searchsorted(rxs, px[i] + 2048, side="right")
+            dx = rxs[lo:hi] - px[i]
+            dy = rys[lo:hi] - py[i]
+            m = (np.abs(dy) <= 2048) & (rids[lo:hi] > pid[i])
+            d2 = dx[m] * dx[m] + dy[m] * dy[m]
+            for k, r in enumerate(radii):
+                counts[k] += int((d2 <= r * r).sum())
+        return pa.table({"r": np.array(radii, np.int64), "c": counts})
+
+    parts = sub.map_batches(_count, batch_format="pyarrow",
+                            batch_size=8192).to_pandas()
+    agg = parts.groupby("r", as_index=False)["c"].sum()
+    return pd.DataFrame({"r": agg["r"].to_numpy(np.int64),
+                         "n_pairs": agg["c"].to_numpy(np.int64),
+                         "n_points": np.int64(n_pts)})
+
+
+SQL_GRID_RIPLEY_K = _CTES + """,
+sub AS (
+  SELECT point_id AS pid, px, py FROM points WHERE point_id % 16 = 0
+),
+rr(r) AS (VALUES (512), (1024), (2048)),
+pc AS (
+  SELECT rr.r, COUNT(*) AS n_pairs
+  FROM sub a
+  JOIN sub b ON b.pid > a.pid
+            AND ABS(b.px - a.px) <= 2048 AND ABS(b.py - a.py) <= 2048
+  JOIN rr ON (b.px - a.px) * (b.px - a.px)
+             + (b.py - a.py) * (b.py - a.py) <= rr.r * rr.r
+  GROUP BY rr.r
+)
+SELECT rr.r, CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sub) AS n_points
+FROM rr LEFT JOIN pc ON pc.r = rr.r
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18217,6 +18298,7 @@ QUERIES = {
     "points_diameter": q_points_diameter,
     "user_burstiness": q_user_burstiness,
     "image_colorfulness": q_image_colorfulness,
+    "grid_ripley_k": q_grid_ripley_k,
 }
 
 
@@ -18528,4 +18610,5 @@ ORACLE_SQL = {
     "points_diameter": SQL_POINTS_DIAMETER,
     "user_burstiness": SQL_USER_BURSTINESS,
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
+    "grid_ripley_k": SQL_GRID_RIPLEY_K,
 }

@@ -238,3 +238,23 @@ def test_semivariogram_smooth_vs_checker_anisotropy():
     gx = ((elev[:, :-1] - elev[:, 1:]) ** 2).sum()
     gy = ((elev[:-1, :] - elev[1:, :]) ** 2).sum()
     assert gy == 0 and gx == 8 * 11 * 81
+
+
+def test_ripley_pair_counts_csr_vs_clustered():
+    # A clustered pattern has more small-r pairs than a regular grid of
+    # the same size — the statistic's defining separation.
+    def pairs_within(xy, r):
+        n = len(xy)
+        c = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = int(xy[i][0] - xy[j][0])
+                dy = int(xy[i][1] - xy[j][1])
+                if dx * dx + dy * dy <= r * r:
+                    c += 1
+        return c
+
+    grid = [(100 * i, 100 * j) for i in range(5) for j in range(5)]
+    clust = [(i, j) for i in range(5) for j in range(5)]
+    assert pairs_within(clust, 50) > pairs_within(grid, 50)
+    assert pairs_within(grid, 100) == 2 * 5 * 4  # rook neighbors only
