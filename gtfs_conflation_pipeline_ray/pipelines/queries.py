@@ -17748,6 +17748,42 @@ FROM rr LEFT JOIN pc ON pc.r = rr.r
 """
 
 
+def q_supplier_chao1(sf_dir: str):  # exact oracle (abundance classes)
+    """CHAO1 RICHNESS pieces per supplier — the unseen-species estimator
+    of ecology, reused everywhere from vocabulary-size to dedup-coverage
+    estimation ("how many part numbers does this supplier REALLY carry
+    given what we sampled"): S_obs = distinct parts observed, f1 =
+    singletons, f2 = doubletons; Chao1 = S_obs + f1²/(2f2) is the
+    caller's rational fold. Two-level combiner: (supplier, part) counts
+    then abundance-class rollup — nothing but group shuffles."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    pairs = rel.partial_groupby_sum(li, ["l_suppkey", "l_partkey"], [],
+                                    count_as="c",
+                                    est_rows=_nrows(sf_dir, "lineitem"))
+
+    def _classes(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        g = df.assign(one=(c == 1).astype(np.int64),
+                      two=(c == 2).astype(np.int64)).groupby(
+            "l_suppkey", as_index=False).agg(
+            s_obs=("c", "size"), f1=("one", "sum"), f2=("two", "sum"))
+        return g.astype(np.int64)
+
+    return rel.bucketed_groups(pairs, ["l_suppkey"], _classes)
+
+
+SQL_SUPPLIER_CHAO1 = """
+WITH pc AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS s_obs,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+FROM pc GROUP BY l_suppkey
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18299,6 +18335,7 @@ QUERIES = {
     "user_burstiness": q_user_burstiness,
     "image_colorfulness": q_image_colorfulness,
     "grid_ripley_k": q_grid_ripley_k,
+    "supplier_chao1": q_supplier_chao1,
 }
 
 
@@ -18611,4 +18648,5 @@ ORACLE_SQL = {
     "user_burstiness": SQL_USER_BURSTINESS,
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
     "grid_ripley_k": SQL_GRID_RIPLEY_K,
+    "supplier_chao1": SQL_SUPPLIER_CHAO1,
 }

@@ -690,3 +690,18 @@ def test_calipers_diameter_vs_bruteforce():
                 dy = int(xy[i, 1] - xy[j2, 1])
                 brute = max(brute, dx * dx + dy * dy)
         assert best == brute
+
+
+def test_chao1_pieces_and_estimator_sanity():
+    from fractions import Fraction
+
+    # abundances: 3 singletons, 2 doubletons, 1 triple -> S_obs=6
+    counts = [1, 1, 1, 2, 2, 3]
+    s_obs = len(counts)
+    f1 = sum(1 for c in counts if c == 1)
+    f2 = sum(1 for c in counts if c == 2)
+    assert (s_obs, f1, f2) == (6, 3, 2)
+    chao1 = Fraction(s_obs) + Fraction(f1 * f1, 2 * f2)
+    assert chao1 == Fraction(33, 4)  # 6 + 9/4 — estimates unseen species
+    # fully-sampled community (no singletons) estimates no unseen mass
+    assert sum(1 for c in [5, 4, 3] if c == 1) == 0
