@@ -1,0 +1,130 @@
+"""End-to-end LLM TRAINING-DATA CURATION pipeline — the composed,
+checkpointed face of the text/dedup operator suite (each piece is
+oracle-backed individually in the registry; this wires them the way a
+production corpus build does):
+
+  A. FILTER    quality screen (alpha_ratio ≥ 0.5, n_chars ≥ 64) +
+               language id == 'en', partitioned by doc bucket
+  B. DEDUP     exact content-hash dedup (keep min doc_id), then
+               MinHash-LSH near-dup removal (verified pairs; the larger
+               id of each pair drops)
+  C. PACK      token-sequence packing (``textops.pack_sequences``) into
+               fixed-length training sequences
+
+Every stage commits through :class:`state.checkpoint.StageCheckpoint`
+(atomic tmp-dir rename + manifest), so a killed run resumes without
+recomputing finished partitions — the same contract as
+``gtfs_pipeline.run_pipeline`` and ``image_conflation.run_pipeline``.
+
+Scale shape: text shuffles only where the semantics need it (the hash
+and band shuffles of stage B); the filter is embarrassingly parallel
+over doc buckets; packing's global token axis uses pack_sequences'
+chunked prefix-sum broadcast. At 100 TB each stage's partition count
+rises with the input; nothing here materializes the corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..state.checkpoint import StageCheckpoint
+from ..stages import dedup, textops
+
+
+def _read_docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def run_curation(sf_dir: str, out_dir: str, *, seq_len: int = 128,
+                 n_partitions: int = 4) -> dict:
+    """Run the three curation stages under ``out_dir``; returns metrics
+    (per-stage row counts + skipped flags, deterministic given inputs)."""
+    lineage = {"sf_dir": sf_dir, "seq_len": seq_len,
+               "n_partitions": n_partitions}
+    metrics: dict = {}
+
+    # --- stage A: quality + language filter, doc-bucket partitioned ----
+    ck_a = StageCheckpoint(f"{out_dir}/filtered", "filter", lineage)
+    kept_total = 0
+    skipped_a = 0
+    for part in range(n_partitions):
+        def _write(tmp_dir: str, part=part) -> int:
+            docs = _read_docs(sf_dir)
+
+            def _keep(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                sub = batch.filter(pa.array(ids % n_partitions == part))
+                if sub.num_rows == 0:
+                    return sub
+                from ..functions import text as tx
+
+                texts = sub["text"].to_pylist()
+                c = tx.quality_counts(texts)
+                langs = np.array(list(tx.lang_id(texts)), dtype=object)
+                nc = np.maximum(c["n_chars"], 1)
+                ok = ((c["n_alpha"] * 2 >= nc) & (c["n_chars"] >= 64)
+                      & (langs == "en"))
+                return sub.filter(pa.array(ok))
+
+            kept = docs.map_batches(_keep, batch_format="pyarrow",
+                                    batch_size=4096).materialize()
+            kept.write_parquet(tmp_dir)
+            return kept.count()
+
+        res = ck_a.run_partition(str(part), _write)
+        kept_total += res.rows
+        skipped_a += int(res.skipped)
+    metrics["filtered_rows"] = kept_total
+    metrics["filter_parts_skipped"] = skipped_a
+
+    # --- stage B: exact + near dedup (global) --------------------------
+    ck_b = StageCheckpoint(f"{out_dir}/deduped", "dedup", lineage)
+
+    def _write_dedup(tmp_dir: str) -> int:
+        kept = ray.data.read_parquet(f"{out_dir}/filtered")
+        hashed = textops.content_hash(kept)
+        groups = dedup.exact_dedup_groups(hashed, "text_hash", "doc_id")
+        keep_ids = set(groups.to_pandas()["keep_doc_id"].astype(np.int64))
+
+        def _only_keepers(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return batch.filter(pa.array([int(i) in keep_ids for i in ids]))
+
+        uniq = kept.map_batches(_only_keepers, batch_format="pyarrow",
+                                batch_size=4096).materialize()
+        sigs = dedup.minhash_signatures(uniq)
+        pairs = dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
+        drop = set(pairs.to_pandas()["doc_b"].astype(np.int64))
+
+        def _drop_neardups(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return batch.filter(pa.array([int(i) not in drop for i in ids]))
+
+        final = uniq.map_batches(_drop_neardups, batch_format="pyarrow",
+                                 batch_size=4096).materialize()
+        final.write_parquet(tmp_dir)
+        return final.count()
+
+    res_b = ck_b.run_partition("all", _write_dedup)
+    metrics["deduped_rows"] = res_b.rows
+    metrics["dedup_skipped"] = res_b.skipped
+
+    # --- stage C: sequence packing -------------------------------------
+    ck_c = StageCheckpoint(f"{out_dir}/sequences", "pack", lineage)
+
+    def _write_pack(tmp_dir: str) -> int:
+        docs = ray.data.read_parquet(f"{out_dir}/deduped")
+        seqs = textops.pack_sequences(docs, seq_len=seq_len,
+                                      chunk=256).materialize()
+        seqs.write_parquet(tmp_dir)
+        return seqs.count()
+
+    res_c = ck_c.run_partition("all", _write_pack)
+    metrics["sequence_rows"] = res_c.rows
+    metrics["pack_skipped"] = res_c.skipped
+    return metrics
