@@ -17784,6 +17784,146 @@ FROM pc GROUP BY l_suppkey
 """
 
 
+_RAKE_STOP = ("the", "a", "an", "of", "and", "to", "in", "is", "on",
+              "for", "with", "as", "by", "at", "or")
+
+
+def q_doc_rake_keyphrases(sf_dir: str):  # exact oracle (runs + word join)
+    """RAKE-lite KEYPHRASE EXTRACTION over the corpus — the classic
+    unsupervised keyword miner: candidate phrases are maximal
+    stopword-free word runs (runs longer than 3 drop), word degree =
+    Σ length of the runs it appears in, word frequency = its run
+    occurrences, and a phrase ranks by the integer quotient
+    score_q = (Σ deg)·10⁶ // (Σ freq) (the ratio-of-sums variant keeps
+    the whole pipeline division-free and the ordering deterministic;
+    ties → phrase asc). Emits the global top 20
+    (phrase, n_occur, score_q). Engine: per-doc run extraction, one
+    (word) combiner, broadcast word table, phrase scoring + k×B-bounded
+    top-k; oracle: gaps-and-islands run ids + string_agg + word joins."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stop = set(_RAKE_STOP)
+
+    def _runs(batch: pa.Table) -> pa.Table:
+        ids_out, phrases, words_flat, plens = [], [], [], []
+        for did, text in zip(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                batch["text"].to_pylist()):
+            ws = _WORD_ASCII_RE.findall((text or "").lower())
+            run: list[str] = []
+            for w in ws + [None]:
+                if w is not None and w not in stop:
+                    run.append(w)
+                    continue
+                if run and len(run) <= 3:
+                    ids_out.append(int(did))
+                    phrases.append(" ".join(run))
+                    words_flat.append(list(run))
+                    plens.append(len(run))
+                run = []
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "phrase": pa.array(phrases, type=pa.string()),
+            "words": pa.array(words_flat, type=pa.list_(pa.string())),
+            "plen": pa.array(plens, type=pa.int64())})
+
+    runs = docs.map_batches(_runs, batch_format="pyarrow",
+                            batch_size=2048).materialize()
+
+    def _words(batch: pa.Table) -> pa.Table:
+        ws, degs = [], []
+        for lst, pl in zip(batch["words"].to_pylist(),
+                           batch["plen"].to_numpy(zero_copy_only=False)):
+            ws.extend(lst)
+            degs.extend([int(pl)] * len(lst))
+        return pa.table({"word": pa.array(ws, type=pa.string()),
+                         "deg": pa.array(degs, type=pa.int64())})
+
+    wstats = rel.partial_groupby_sum(
+        runs.map_batches(_words, batch_format="pyarrow", batch_size=2048),
+        ["word"], ["deg"], count_as="freq",
+        est_rows=_nrows(sf_dir, "documents"))
+    wdf = wstats.to_pandas()  # vocab-bounded
+    deg_of = dict(zip(wdf["word"], wdf["deg"].astype(np.int64)))
+    freq_of = dict(zip(wdf["word"], wdf["freq"].astype(np.int64)))
+    ref = ray.put((deg_of, freq_of))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        deg_map, freq_map = cached_state(ref, lambda t: t, token="rake.ws")
+        sd, sf2 = [], []
+        for lst in batch["words"].to_pylist():
+            sd.append(sum(int(deg_map[w]) for w in lst))
+            sf2.append(sum(int(freq_map[w]) for w in lst))
+        return pa.table({"phrase": batch["phrase"],
+                         "sumdeg": pa.array(sd, type=pa.int64()),
+                         "sumfreq": pa.array(sf2, type=pa.int64())})
+
+    scored = runs.map_batches(_score, batch_format="pyarrow",
+                              batch_size=2048)
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("phrase", as_index=False).agg(
+            n_occur=("sumdeg", "size"), sumdeg=("sumdeg", "max"),
+            sumfreq=("sumfreq", "max"))
+        g["score_q"] = (g["sumdeg"].astype(np.int64) * 1000000
+                        // g["sumfreq"].astype(np.int64))
+        return g[["phrase", "n_occur", "score_q"]]
+
+    allp = bucketed_groups(scored, ["phrase"], _agg).to_pandas()
+    allp = allp.sort_values(["score_q", "phrase"],
+                            ascending=[False, True],
+                            kind="mergesort").head(20)
+    allp["n_occur"] = allp["n_occur"].astype(np.int64)
+    return allp.reset_index(drop=True)
+
+
+SQL_DOC_RAKE_KEYPHRASES = """
+WITH toks AS (
+  SELECT doc_id, j, w[j] AS word,
+         w[j] IN ('{stops}') AS is_stop
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+        FROM documents),
+       (SELECT unnest(range(1, 200)) AS j) js
+  WHERE j <= len(w)
+),
+nr AS (
+  SELECT doc_id, j, word,
+         j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+  FROM toks WHERE NOT is_stop
+),
+ph AS (
+  SELECT doc_id, grp, string_agg(word, ' ' ORDER BY j) AS phrase,
+         COUNT(*) AS plen
+  FROM nr GROUP BY doc_id, grp HAVING COUNT(*) <= 3
+),
+pw AS (
+  SELECT nr.doc_id, nr.grp, nr.word, ph.phrase, ph.plen
+  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.grp = nr.grp
+),
+ws AS (
+  SELECT word, COUNT(*) AS freq, SUM(plen) AS deg FROM pw GROUP BY word
+),
+phw AS (
+  SELECT pw.doc_id, pw.grp, pw.phrase,
+         SUM(ws.deg) AS sumdeg, SUM(ws.freq) AS sumfreq
+  FROM pw JOIN ws ON ws.word = pw.word
+  GROUP BY pw.doc_id, pw.grp, pw.phrase
+),
+sc AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur,
+         MAX(sumdeg) * 1000000 // MAX(sumfreq) AS score_q
+  FROM phw GROUP BY phrase
+)
+SELECT phrase, n_occur, CAST(score_q AS BIGINT) AS score_q
+FROM sc ORDER BY score_q DESC, phrase LIMIT 20
+""".format(stops="', '".join(_RAKE_STOP))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18336,6 +18476,7 @@ QUERIES = {
     "image_colorfulness": q_image_colorfulness,
     "grid_ripley_k": q_grid_ripley_k,
     "supplier_chao1": q_supplier_chao1,
+    "doc_rake_keyphrases": q_doc_rake_keyphrases,
 }
 
 
@@ -18649,4 +18790,5 @@ ORACLE_SQL = {
     "image_colorfulness": SQL_IMAGE_COLORFULNESS,
     "grid_ripley_k": SQL_GRID_RIPLEY_K,
     "supplier_chao1": SQL_SUPPLIER_CHAO1,
+    "doc_rake_keyphrases": SQL_DOC_RAKE_KEYPHRASES,
 }

@@ -154,3 +154,23 @@ def test_cdc_shift_locality():
     # the tail half of the cuts realign exactly
     tail = [c for c in base if c > 200]
     assert tail and all(c in shifted_rel for c in tail)
+
+
+def test_rake_scoring_prefers_cohesive_multiword_phrase():
+    # Classic RAKE behavior: words that always co-occur in one phrase
+    # carry degree == phrase length * freq, so the multiword phrase
+    # outranks a frequent lone word under the ratio-of-sums score.
+    runs = [["deep", "learning"], ["deep", "learning"], ["data"],
+            ["data"], ["data"]]
+    deg, freq = {}, {}
+    for r in runs:
+        for w in r:
+            deg[w] = deg.get(w, 0) + len(r)
+            freq[w] = freq.get(w, 0) + 1
+    def score(phrase):
+        sd = sum(deg[w] for w in phrase)
+        sf = sum(freq[w] for w in phrase)
+        return sd * 1000000 // sf
+    assert score(["deep", "learning"]) == 2 * 1000000  # deg/freq = 2
+    assert score(["data"]) == 1 * 1000000
+    assert score(["deep", "learning"]) > score(["data"])
