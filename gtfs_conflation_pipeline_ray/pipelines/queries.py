@@ -18195,7 +18195,7 @@ QUERIES = {
     "value_distribution": q_value_distribution,
     "customer_order_rank": q_customer_order_rank,
     "traffic_rollup": q_traffic_rollup,
-    "redundant_candidates": q_redundant_candidates,
+    "embedding_maxsim": q_embedding_maxsim,
     "order_dow_counts": q_order_dow_counts,
     "shape_stats": q_shape_stats,
     "choose_path_edges": q_choose_path_edges,
@@ -18205,7 +18205,7 @@ QUERIES = {
     "season_pivot_json": q_season_pivot_json,
     "doc_containment": q_doc_containment,
     "doc_langid": q_doc_langid,
-    "events_hopping": q_events_hopping,
+    "doc_bpe_merges": q_doc_bpe_merges,
     "doc_phash_neardup": q_doc_phash_neardup,
     "events_approx_users": q_events_approx_users,
     "audio_decode_features": q_audio_decode_features,
@@ -18440,7 +18440,7 @@ QUERIES = {
     "image_kuwahara": q_image_kuwahara,
     "nation_emd_drift": q_nation_emd_drift,
     "tile_nn_tour": q_tile_nn_tour,
-    "doc_bpe_merges": q_doc_bpe_merges,
+    "events_hopping": q_events_hopping,
     "nation_queue_replay": q_nation_queue_replay,
     "part_revenue_gini": q_part_revenue_gini,
     "doc_lz78_complexity": q_doc_lz78_complexity,
@@ -18449,7 +18449,7 @@ QUERIES = {
     "events_max_drawdown": q_events_max_drawdown,
     "doc_min_period": q_doc_min_period,
     "nation_region_transport": q_nation_region_transport,
-    "embedding_maxsim": q_embedding_maxsim,
+    "redundant_candidates": q_redundant_candidates,
     "embedding_mmr_rerank": q_embedding_mmr_rerank,
     "embedding_rrf_fusion": q_embedding_rrf_fusion,
     "grid_boxcount": q_grid_boxcount,
