@@ -17136,12 +17136,13 @@ def q_events_control_chart(sf_dir: str):  # exact oracle (cross-mult 3σ)
         return pd.DataFrame({
             "event_type": df["event_type"].astype(str),
             "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
-            "vd": cents(df["value"].to_numpy()) // 100})
+            "vc": cents(df["value"].to_numpy())})
 
     daily = rel.partial_groupby_sum(
         ev.map_batches(_day, batch_format="pandas", batch_size=8192),
-        ["event_type", "day"], ["vd"], est_rows=_nrows(sf_dir, "events"))
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
     df = daily.to_pandas()
+    df["vd"] = df["vc"].astype(np.int64) // 100  # divide AFTER the day sum
     rows = []
     for et, g in df.groupby("event_type"):
         d = g.sort_values("day")
@@ -17924,6 +17925,171 @@ FROM sc ORDER BY score_q DESC, phrase LIMIT 20
 """.format(stops="', '".join(_RAKE_STOP))
 
 
+def q_image_template_match(sf_dir: str):  # exact oracle (separable SSD)
+    """SSD TEMPLATE MATCHING through the decode path
+    (``media.image_template_match``): best 8×8 window position ×
+    template over a 4-template separable integer bank (ties by
+    (ssd, k, y, x)) — the registration/detection primitive behind
+    alignment and logo/watermark search. On the factorized fixture both
+    image and templates are separable, so SSD(y,x,k) = 8ΣA² + 8ΣB² +
+    2ΣA·ΣB with 1-D window residuals A (columns vs ta_k) and B (rows vs
+    tb_k); the oracle enumerates the small (x,k) × (y,k) grids and
+    picks the ROW_NUMBER argmin."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_template_match(synth, batch_size=512)
+
+
+SQL_IMAGE_TEMPLATE_MATCH = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         CASE WHEN doc_id % 3 = 2
+              THEN (((doc_id * 3) % 200) // 4) * 4
+                   + (((doc_id * 3) % 200) // 4) // 16
+              ELSE (doc_id * 3) % 200 END AS vb
+  FROM documents
+),
+tk(k, alpha, beta) AS (VALUES (0, 5, 3), (1, 11, 7), (2, 17, 13),
+                              (3, 23, 19)),
+rq AS (
+  SELECT image_id, j, vb,
+         CASE WHEN fi = 2
+              THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                   + ((br + (j * 55) // (w - 1)) // 4) // 16
+              ELSE br + (j * 55) // (w - 1) END AS vr
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+acs AS (
+  SELECT rq.image_id, rq.j - o.o + 1 AS x, tk.k,
+         SUM(rq.vr + rq.vb - (o.o * tk.alpha) % 64) AS sa,
+         SUM((rq.vr + rq.vb - (o.o * tk.alpha) % 64)
+             * (rq.vr + rq.vb - (o.o * tk.alpha) % 64)) AS qa
+  FROM rq
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS o) o
+  CROSS JOIN tk
+  WHERE rq.j - o.o + 1 >= 0
+  GROUP BY 1, 2, 3 HAVING COUNT(*) = 8
+),
+gq AS (
+  SELECT image_id, r,
+         CASE WHEN fi = 2
+              THEN ((bg + (r * 41) // (h - 1)) // 4) * 4
+                   + ((bg + (r * 41) // (h - 1)) // 4) // 16
+              ELSE bg + (r * 41) // (h - 1) END AS vg
+  FROM im, (SELECT unnest(range(24)) AS r) rs2 WHERE r < h
+),
+bcs AS (
+  SELECT gq.image_id, gq.r - o.o + 1 AS y, tk.k,
+         SUM(gq.vg - (o.o * tk.beta) % 64) AS sb,
+         SUM((gq.vg - (o.o * tk.beta) % 64)
+             * (gq.vg - (o.o * tk.beta) % 64)) AS qb
+  FROM gq
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS o) o
+  CROSS JOIN tk
+  WHERE gq.r - o.o + 1 >= 0
+  GROUP BY 1, 2, 3 HAVING COUNT(*) = 8
+),
+ssd AS (
+  SELECT a.image_id, a.k, b.y, a.x,
+         8 * a.qa + 8 * b.qb + 2 * a.sa * b.sb AS v,
+         ROW_NUMBER() OVER (PARTITION BY a.image_id
+                            ORDER BY 8 * a.qa + 8 * b.qb + 2 * a.sa * b.sb,
+                                     a.k, b.y, a.x) AS rn
+  FROM acs a JOIN bcs b ON b.image_id = a.image_id AND b.k = a.k
+)
+SELECT image_id, CAST(k AS BIGINT) AS best_k, CAST(y AS BIGINT) AS best_y,
+       CAST(x AS BIGINT) AS best_x, CAST(v AS BIGINT) AS best_ssd
+FROM ssd WHERE rn = 1
+"""
+
+
+def q_events_ccf_pieces(sf_dir: str):  # exact oracle (lagged day join)
+    """CROSS-CORRELATION FUNCTION pieces between the 'click' and 'view'
+    daily cents series at lags −3..3 — the lead/lag discovery tool of
+    time-series analysis ("do clicks lead views?"): per lag, the exact
+    overlap moments (n, Σx, Σy, Σxy, Σx², Σy²) over days where BOTH
+    series exist at offset; Pearson r per lag is the caller's fold. One
+    (type, day) combiner; the lag joins run on the day-bounded table."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vc": cents(df["value"].to_numpy())})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()
+    df["vd"] = df["vc"].astype(np.int64) // 100  # divide AFTER the day sum
+    a = df[df["event_type"] == "click"].set_index("day")["vd"]
+    b = df[df["event_type"] == "view"].set_index("day")["vd"]
+    rows = []
+    for lag in range(-3, 4):
+        bb = b.copy()
+        bb.index = bb.index + lag
+        j = pd.concat([a, bb], axis=1, join="inner", keys=["x", "y"])
+        x = j["x"].to_numpy(np.int64)
+        y = j["y"].to_numpy(np.int64)
+        rows.append({"lag": lag, "n": len(j),
+                     "sx": int(x.sum()), "sy": int(y.sum()),
+                     "sxy": int((x * y).sum()),
+                     "sxx": int((x * x).sum()),
+                     "syy": int((y * y).sum())})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_EVENTS_CCF_PIECES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS vd
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2
+),
+a AS (SELECT day, vd AS x FROM daily WHERE event_type = 'click'),
+b AS (SELECT day, vd AS y FROM daily WHERE event_type = 'view'),
+lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.y) AS BIGINT) AS sy,
+       CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+       CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+FROM lags l
+JOIN a ON TRUE
+JOIN b ON b.day + l.lag = a.day
+GROUP BY l.lag
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18477,6 +18643,8 @@ QUERIES = {
     "grid_ripley_k": q_grid_ripley_k,
     "supplier_chao1": q_supplier_chao1,
     "doc_rake_keyphrases": q_doc_rake_keyphrases,
+    "image_template_match": q_image_template_match,
+    "events_ccf_pieces": q_events_ccf_pieces,
 }
 
 
@@ -18791,4 +18959,6 @@ ORACLE_SQL = {
     "grid_ripley_k": SQL_GRID_RIPLEY_K,
     "supplier_chao1": SQL_SUPPLIER_CHAO1,
     "doc_rake_keyphrases": SQL_DOC_RAKE_KEYPHRASES,
+    "image_template_match": SQL_IMAGE_TEMPLATE_MATCH,
+    "events_ccf_pieces": SQL_EVENTS_CCF_PIECES,
 }

@@ -2779,3 +2779,82 @@ def image_colorfulness(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+# 4 separable 8×8 integer templates — the deterministic bank for
+# template matching: t_k(i,j) = ((j+1)·α_k) % 64 + ((i+1)·β_k) % 64.
+TM_ALPHA = (5, 11, 17, 23)
+TM_BETA = (3, 7, 13, 19)
+
+
+def template_match(luma: np.ndarray) -> tuple[int, int, int, int]:
+    """SSD TEMPLATE MATCHING of one luma grid against the 4-template
+    bank: the minimum sum of squared differences over every 8×8 window
+    position × template, ties by (k, y, x) — the classic
+    registration/detection primitive (the integer-exact core of
+    normalized cross-correlation matching). Returns
+    (best_k, best_y, best_x, best_ssd); (-1, -1, -1, -1) when the image
+    is smaller than the window."""
+    v = luma.astype(np.int64)
+    h, w = v.shape
+    if h < 8 or w < 8:
+        return -1, -1, -1, -1
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(v, (8, 8)).astype(np.int64)
+    jj = np.arange(1, 9, dtype=np.int64)
+    best = None
+    for k in range(4):
+        t = (jj * TM_ALPHA[k]) % 64 + ((jj * TM_BETA[k]) % 64)[:, None]
+        ssd = ((win - t) ** 2).sum(axis=(2, 3))
+        y, x = np.unravel_index(np.argmin(ssd), ssd.shape)
+        cand = (int(ssd[y, x]), k, int(y), int(x))
+        if best is None or cand < best:
+            best = cand
+    return best[1], best[2], best[3], best[0]
+
+
+class ImageTemplateMatch:
+    """Actor-pool batch fn: best template-bank SSD match per image
+    through the genuine decode path (:func:`template_match` on the luma
+    sum). On the factorized fixture both image and templates are
+    separable, so SSD(y,x,k) = 8ΣA² + 8ΣB² + 2ΣAΣB with A/B 1-D window
+    residuals — the oracle enumerates the small (x,k)×(y,k) grids.
+    Emits (image_id, best_k, best_y, best_x, best_ssd)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 4), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            luma = img.astype(np.int64).sum(axis=2)
+            out[i] = template_match(luma)
+        return pa.table({"image_id": ids,
+                         "best_k": out[:, 0].copy(),
+                         "best_y": out[:, 1].copy(),
+                         "best_x": out[:, 2].copy(),
+                         "best_ssd": out[:, 3].copy()})
+
+
+def image_template_match(ds, bytes_col: str = "bytes",
+                         id_col: str = "image_id", fmt_col: str = "fmt",
+                         concurrency: int | None = None,
+                         batch_size: int = 256):
+    return ds.map_batches(
+        ImageTemplateMatch,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -434,3 +434,35 @@ def test_product_sum_identity_for_separable_grids():
     v = a[None, :] + b[:, None]
     assert (v * v).sum() == 5 * (a * a).sum() + 7 * (b * b).sum() \
         + 2 * a.sum() * b.sum()
+
+
+def test_template_match_plants_exact_template():
+    # Plant template k=2 at (y=3, x=5): SSD there is 0 and the match
+    # reports exactly that (template, position).
+    jj = np.arange(1, 9, dtype=np.int64)
+    t = (jj * media.TM_ALPHA[2]) % 64 + ((jj * media.TM_BETA[2]) % 64)[:, None]
+    luma = np.full((16, 20), 500, np.int64)
+    luma[3:11, 5:13] = t
+    k, y, x, ssd = media.template_match(luma)
+    assert (k, y, x, ssd) == (2, 3, 5, 0)
+
+
+def test_template_match_too_small_sentinel():
+    assert media.template_match(np.zeros((5, 5), np.int64)) \
+        == (-1, -1, -1, -1)
+
+
+def test_template_match_tie_prefers_smaller_k():
+    # A flat image: all positions give per-template constants; the min
+    # must break ties by (ssd, k, y, x) — verify winner has the globally
+    # minimal SSD and position (0, 0) for its template.
+    luma = np.full((12, 12), 32, np.int64)
+    k, y, x, ssd = media.template_match(luma)
+    jj = np.arange(1, 9, dtype=np.int64)
+    best = None
+    for kk in range(4):
+        t = (jj * media.TM_ALPHA[kk]) % 64 \
+            + ((jj * media.TM_BETA[kk]) % 64)[:, None]
+        cand = (int(((32 - t) ** 2).sum()), kk)
+        best = cand if best is None or cand < best else best
+    assert (ssd, k) == best and (y, x) == (0, 0)
