@@ -18090,6 +18090,100 @@ GROUP BY l.lag
 """
 
 
+def q_part_holt_winters(sf_dir: str):  # exact oracle (state-replay CTE)
+    """ADDITIVE HOLT–WINTERS per part (every 8th) over the 12 monthly
+    quantity sums, season length 4 — the seasonality-aware upgrade of
+    `part_demand_holt`'s double smoothing, in exact truncating
+    fixed-point (the SQL ``//`` semantics): forecast f = l + t + s[m%4];
+    error e = x − f; then l += (l+t) update with e//4, t += e//16,
+    s[m%4] += e//8 (gains ¼, 1/16, ⅛). Seasonals initialize from the
+    first season's deviations about the first value. Emits per part
+    (l_fin, t_fin, sse) with sse = Σe² the one-step-ahead fit. Engine:
+    one (part, month) combiner + per-part replay; oracle: the monthly
+    LIST + the 4-slot seasonal LIST replayed one month per recursive
+    round."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pk % 8 == 0
+        sub = batch.filter(pa.array(keep))
+        ts = sub["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        return pa.table({"l_partkey": pk[keep], "mo": mo,
+                         "d": cents(sub["l_quantity"]
+                                    .to_numpy(zero_copy_only=False), 1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "mo"], ["d"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()
+    piv = df.pivot_table(index="l_partkey", columns="mo", values="d",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(1, 13), fill_value=0).astype(np.int64)
+
+    def _tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    rows = []
+    for pk2, row in piv.iterrows():
+        x = [int(v) for v in row.to_numpy(np.int64)]
+        lev, tr = x[0], 0
+        s = [x[m] - x[0] for m in range(4)]
+        sse = 0
+        for m in range(12):
+            f = lev + tr + s[m % 4]
+            e = x[m] - f
+            sse += e * e
+            new_lev = lev + tr + _tdiv(e, 4)
+            tr = tr + _tdiv(e, 16)
+            s[m % 4] = s[m % 4] + _tdiv(e, 8)
+            lev = new_lev
+        rows.append({"l_partkey": int(pk2), "l_fin": lev, "t_fin": tr,
+                     "sse": sse})
+    return pd.DataFrame(rows)
+
+
+SQL_PART_HOLT_WINTERS = """
+WITH RECURSIVE dm AS (
+  SELECT l_partkey, CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS d
+  FROM lineitem WHERE l_partkey % 8 = 0
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.l_partkey, mm.mo, COALESCE(dm.d, 0) AS d
+  FROM (SELECT DISTINCT l_partkey FROM dm) p
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS mo) mm
+  LEFT JOIN dm ON dm.l_partkey = p.l_partkey AND dm.mo = mm.mo
+),
+lst AS (
+  SELECT l_partkey, list(d ORDER BY mo) AS xs FROM grid GROUP BY l_partkey
+),
+hw AS (
+  SELECT l_partkey, xs, 0 AS m, xs[1] AS lev, CAST(0 AS BIGINT) AS tr,
+         [xs[1] - xs[1], xs[2] - xs[1], xs[3] - xs[1], xs[4] - xs[1]] AS s,
+         CAST(0 AS BIGINT) AS sse
+  FROM lst
+  UNION ALL
+  SELECT l_partkey, xs, m + 1,
+         lev + tr + e // 4,
+         tr + e // 16,
+         list_transform(range(1, 5),
+           i -> CASE WHEN i = m % 4 + 1 THEN s[i] + e // 8 ELSE s[i] END),
+         sse + e * e
+  FROM (
+    SELECT *, xs[m + 1] - (lev + tr + s[m % 4 + 1]) AS e
+    FROM hw WHERE m < 12
+  )
+)
+SELECT l_partkey, CAST(lev AS BIGINT) AS l_fin, CAST(tr AS BIGINT) AS t_fin,
+       CAST(sse AS BIGINT) AS sse
+FROM hw WHERE m = 12
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18645,6 +18739,7 @@ QUERIES = {
     "doc_rake_keyphrases": q_doc_rake_keyphrases,
     "image_template_match": q_image_template_match,
     "events_ccf_pieces": q_events_ccf_pieces,
+    "part_holt_winters": q_part_holt_winters,
 }
 
 
@@ -18961,4 +19056,5 @@ ORACLE_SQL = {
     "doc_rake_keyphrases": SQL_DOC_RAKE_KEYPHRASES,
     "image_template_match": SQL_IMAGE_TEMPLATE_MATCH,
     "events_ccf_pieces": SQL_EVENTS_CCF_PIECES,
+    "part_holt_winters": SQL_PART_HOLT_WINTERS,
 }

@@ -705,3 +705,33 @@ def test_chao1_pieces_and_estimator_sanity():
     assert chao1 == Fraction(33, 4)  # 6 + 9/4 — estimates unseen species
     # fully-sampled community (no singletons) estimates no unseen mass
     assert sum(1 for c in [5, 4, 3] if c == 1) == 0
+
+
+def _hw_replay(x, div=lambda a, b: -((-a) // b) if a < 0 else a // b):
+    lev, tr = x[0], 0
+    s = [x[m] - x[0] for m in range(4)]
+    sse = 0
+    for m in range(12):
+        f = lev + tr + s[m % 4]
+        e = x[m] - f
+        sse += e * e
+        lev, tr, s[m % 4] = (lev + tr + div(e, 4), tr + div(e, 16),
+                             s[m % 4] + div(e, 8))
+    return lev, tr, sse
+
+
+def test_holt_winters_locks_onto_pure_seasonal():
+    # A perfectly periodic series: the initial seasonals already fit, so
+    # every one-step error is zero and the state never moves.
+    x = [10, 40, 20, 30] * 3
+    lev, tr, sse = _hw_replay(x)
+    assert sse == 0 and lev == 10 and tr == 0
+
+
+def test_holt_winters_tracks_seasonal_plus_trend():
+    # Season + linear growth: after 12 steps the trend estimate is
+    # positive and the fit error is far below the no-model energy.
+    x = [10 + 5 * m + [0, 30, 10, 20][m % 4] for m in range(12)]
+    lev, tr, sse = _hw_replay(x)
+    assert tr > 0
+    assert sse < sum(v * v for v in x) // 10
