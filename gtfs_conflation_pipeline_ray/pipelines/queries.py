@@ -18184,6 +18184,85 @@ FROM hw WHERE m = 12
 """
 
 
+def q_part_abc_migration(sf_dir: str):  # exact oracle (dual-year ranks)
+    """ABC CLASS MIGRATION matrix 1995 → 1996 — the inventory-management
+    churn report on top of `part_abc_classes`' static cut: per year,
+    parts rank by revenue cents (desc, tie partkey) and class by exact
+    cumulative share (A: cum·100 ≤ 80·total, B: ≤ 95, else C, evaluated
+    AFTER adding the part); the matrix counts parts per (class_1995,
+    class_1996) over parts present in both years — "which A-movers
+    slipped to C" is the planner's question. One (part, year) combiner;
+    ranks on the parts-bounded table. Emits (c95, c96, n_parts)."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                  "l_extendedprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        yr = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        keep = (yr == 1995) | (yr == 1996)
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64())
+            .filter(pa.array(keep)),
+            "yr": yr[keep],
+            "rev": cents(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False))[keep]})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "yr"], ["rev"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()
+
+    def classes(g: pd.DataFrame) -> pd.Series:
+        d = g.sort_values(["rev", "l_partkey"], ascending=[False, True],
+                          kind="mergesort")
+        rev = d["rev"].to_numpy(np.int64)
+        tot = int(rev.sum())
+        cum = np.cumsum(rev)
+        cls = np.where(cum * 100 <= 80 * tot, "A",
+                       np.where(cum * 100 <= 95 * tot, "B", "C"))
+        return pd.Series(cls, index=d["l_partkey"].to_numpy(np.int64))
+
+    c95 = classes(df[df["yr"] == 1995])
+    c96 = classes(df[df["yr"] == 1996])
+    both = c95.index.intersection(c96.index)
+    m = pd.DataFrame({"c95": c95.loc[both], "c96": c96.loc[both]})
+    out = m.groupby(["c95", "c96"], as_index=False).size()
+    out.columns = ["c95", "c96", "n_parts"]
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    return out
+
+
+SQL_PART_ABC_MIGRATION = """
+WITH py AS (
+  SELECT l_partkey, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT l_partkey, yr, rev,
+         SUM(rev) OVER (PARTITION BY yr ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER (PARTITION BY yr) AS tot
+  FROM py
+),
+cl AS (
+  SELECT l_partkey, yr,
+         CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+              WHEN cum * 100 <= 95 * tot THEN 'B'
+              ELSE 'C' END AS cls
+  FROM rk
+)
+SELECT a.cls AS c95, b.cls AS c96, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM cl a JOIN cl b ON b.l_partkey = a.l_partkey
+WHERE a.yr = 1995 AND b.yr = 1996
+GROUP BY 1, 2
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18740,6 +18819,7 @@ QUERIES = {
     "image_template_match": q_image_template_match,
     "events_ccf_pieces": q_events_ccf_pieces,
     "part_holt_winters": q_part_holt_winters,
+    "part_abc_migration": q_part_abc_migration,
 }
 
 
@@ -19057,4 +19137,5 @@ ORACLE_SQL = {
     "image_template_match": SQL_IMAGE_TEMPLATE_MATCH,
     "events_ccf_pieces": SQL_EVENTS_CCF_PIECES,
     "part_holt_winters": SQL_PART_HOLT_WINTERS,
+    "part_abc_migration": SQL_PART_ABC_MIGRATION,
 }

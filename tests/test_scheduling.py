@@ -735,3 +735,14 @@ def test_holt_winters_tracks_seasonal_plus_trend():
     lev, tr, sse = _hw_replay(x)
     assert tr > 0
     assert sse < sum(v * v for v in x) // 10
+
+
+def test_abc_classing_cut_rule():
+    # revenues 50, 30, 15, 5 (total 100): cum shares 50, 80, 95, 100 ->
+    # classes A A B C under "after adding the part" cut points.
+    rev = np.array([50, 30, 15, 5], np.int64)
+    cum = np.cumsum(rev)
+    tot = rev.sum()
+    cls = np.where(cum * 100 <= 80 * tot, "A",
+                   np.where(cum * 100 <= 95 * tot, "B", "C"))
+    assert cls.tolist() == ["A", "A", "B", "C"]
