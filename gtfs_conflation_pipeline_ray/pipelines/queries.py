@@ -18263,6 +18263,74 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sax_symbols(sf_dir: str):  # exact oracle (rank breakpoints)
+    """SAX SYMBOLIZATION per event type — the time-series indexing
+    classic (PAA + alphabet quantization, here in exact integers): daily
+    cents sums aggregate into 4-day PAA windows (wsum over present
+    days); per type the three breakpoints are the order statistics at
+    ranks ⌈k·n/4⌉ of the (wsum, win)-sorted window list, and a window's
+    symbol counts breakpoints STRICTLY below its wsum (alphabet 0-3).
+    Emits (event_type, win, wsum, sym) — the discretized series that
+    SAX-based motif/novelty search indexes. One (type, window) combiner;
+    breakpoints + symbols on the window-bounded table."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _win(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "win": (df["ts"].astype("int64").to_numpy()
+                    // 86_400_000_000) // 4,
+            "vc": cents(df["value"].to_numpy())})
+
+    wins = rel.partial_groupby_sum(
+        ev.map_batches(_win, batch_format="pandas", batch_size=8192),
+        ["event_type", "win"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = wins.to_pandas()
+    rows = []
+    for et, g in df.groupby("event_type"):
+        w = g["win"].to_numpy(np.int64)
+        s = g["vc"].to_numpy(np.int64)
+        n = len(g)
+        order = np.lexsort((w, s))
+        bks = [int(s[order[int(-(-(k * n) // 4)) - 1]]) for k in (1, 2, 3)]
+        sym = np.zeros(n, np.int64)
+        for b in bks:
+            sym += (s > b).astype(np.int64)
+        for i in range(n):
+            rows.append({"event_type": str(et), "win": int(w[i]),
+                         "wsum": int(s[i]), "sym": int(sym[i])})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_SAX_SYMBOLS = """
+WITH wins AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 4 AS win,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS wsum
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, win, wsum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY wsum, win) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM wins
+),
+bks AS (
+  SELECT r.event_type, k.k, MAX(r.wsum) AS b
+  FROM rk r JOIN (SELECT unnest([1, 2, 3]) AS k) k
+    ON r.i = (k.k * r.n + 3) // 4
+  GROUP BY r.event_type, k.k
+)
+SELECT w.event_type, CAST(w.win AS BIGINT) AS win,
+       CAST(w.wsum AS BIGINT) AS wsum,
+       CAST(SUM(CASE WHEN w.wsum > bks.b THEN 1 ELSE 0 END) AS BIGINT)
+         AS sym
+FROM wins w JOIN bks ON bks.event_type = w.event_type
+GROUP BY w.event_type, w.win, w.wsum
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18820,6 +18888,7 @@ QUERIES = {
     "events_ccf_pieces": q_events_ccf_pieces,
     "part_holt_winters": q_part_holt_winters,
     "part_abc_migration": q_part_abc_migration,
+    "events_sax_symbols": q_events_sax_symbols,
 }
 
 
@@ -19138,4 +19207,5 @@ ORACLE_SQL = {
     "events_ccf_pieces": SQL_EVENTS_CCF_PIECES,
     "part_holt_winters": SQL_PART_HOLT_WINTERS,
     "part_abc_migration": SQL_PART_ABC_MIGRATION,
+    "events_sax_symbols": SQL_EVENTS_SAX_SYMBOLS,
 }

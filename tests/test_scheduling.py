@@ -746,3 +746,15 @@ def test_abc_classing_cut_rule():
     cls = np.where(cum * 100 <= 80 * tot, "A",
                    np.where(cum * 100 <= 95 * tot, "B", "C"))
     assert cls.tolist() == ["A", "A", "B", "C"]
+
+
+def test_sax_symbols_quartile_alphabet():
+    # 8 window sums: breakpoints at ranks ceil(k*8/4) = 2, 4, 6 of the
+    # sorted list; symbols count breakpoints strictly below.
+    s = np.array([10, 20, 30, 40, 50, 60, 70, 80], np.int64)
+    n = len(s)
+    order = np.argsort(s, kind="mergesort")
+    bks = [int(s[order[-(-(k * n) // 4) - 1]]) for k in (1, 2, 3)]
+    assert bks == [20, 40, 60]
+    sym = sum((s > b).astype(np.int64) for b in bks)
+    assert sym.tolist() == [0, 0, 1, 1, 2, 2, 3, 3]
