@@ -18331,6 +18331,75 @@ GROUP BY w.event_type, w.win, w.wsum
 """
 
 
+def q_supplier_friedman_pieces(sf_dir: str):  # exact oracle (block ranks)
+    """FRIEDMAN TEST pieces — the blocked nonparametric ANOVA that
+    completes the suite (Mann-Whitney, KS, runs, Mann-Kendall, χ²):
+    blocks = suppliers, treatments = the 4 ship-quarters, observations =
+    quarterly quantity sums; within each block the quarters take DOUBLED
+    midranks (ties exact in integers: rank2 = 2·#{less} + #{equal} + 1),
+    and the output is the per-quarter rank2 sum plus the block count —
+    the Friedman χ²_F statistic is the caller's rational fold. One
+    (supplier, quarter) combiner; ranks on the suppliers×4-bounded
+    table. Emits (qtr, r2_sum, n_blocks)."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12)
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "qtr": mo // 3 + 1,
+            "d": cents(batch["l_quantity"].to_numpy(zero_copy_only=False),
+                       1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_suppkey", "qtr"], ["d"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()
+    piv = df.pivot_table(index="l_suppkey", columns="qtr", values="d",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(1, 5), fill_value=0).astype(np.int64)
+    vals = piv.to_numpy(np.int64)
+    # doubled midranks within each block, exact under ties
+    less = (vals[:, :, None] > vals[:, None, :]).sum(axis=2)
+    equal = (vals[:, :, None] == vals[:, None, :]).sum(axis=2)
+    rank2 = 2 * less + equal + 1
+    return pd.DataFrame({"qtr": np.arange(1, 5, dtype=np.int64),
+                         "r2_sum": rank2.sum(axis=0).astype(np.int64),
+                         "n_blocks": np.int64(len(piv))})
+
+
+SQL_SUPPLIER_FRIEDMAN_PIECES = """
+WITH qm AS (
+  SELECT l_suppkey,
+         (CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) - 1) // 3 + 1
+           AS qtr,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.l_suppkey, q.qtr, COALESCE(qm.d, 0) AS d
+  FROM (SELECT DISTINCT l_suppkey FROM qm) s
+  CROSS JOIN (SELECT unnest(range(1, 5)) AS qtr) q
+  LEFT JOIN qm ON qm.l_suppkey = s.l_suppkey AND qm.qtr = q.qtr
+),
+rk AS (
+  SELECT a.l_suppkey, a.qtr,
+         2 * SUM(CASE WHEN b.d < a.d THEN 1 ELSE 0 END)
+         + SUM(CASE WHEN b.d = a.d THEN 1 ELSE 0 END) + 2 AS rank2
+  FROM grid a JOIN grid b
+    ON b.l_suppkey = a.l_suppkey AND b.qtr <> a.qtr
+  GROUP BY a.l_suppkey, a.qtr
+)
+SELECT qtr, CAST(SUM(rank2) AS BIGINT) AS r2_sum,
+       (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM qm)
+         AS n_blocks
+FROM rk GROUP BY qtr
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18889,6 +18958,7 @@ QUERIES = {
     "part_holt_winters": q_part_holt_winters,
     "part_abc_migration": q_part_abc_migration,
     "events_sax_symbols": q_events_sax_symbols,
+    "supplier_friedman_pieces": q_supplier_friedman_pieces,
 }
 
 
@@ -19208,4 +19278,5 @@ ORACLE_SQL = {
     "part_holt_winters": SQL_PART_HOLT_WINTERS,
     "part_abc_migration": SQL_PART_ABC_MIGRATION,
     "events_sax_symbols": SQL_EVENTS_SAX_SYMBOLS,
+    "supplier_friedman_pieces": SQL_SUPPLIER_FRIEDMAN_PIECES,
 }

@@ -758,3 +758,14 @@ def test_sax_symbols_quartile_alphabet():
     assert bks == [20, 40, 60]
     sym = sum((s > b).astype(np.int64) for b in bks)
     assert sym.tolist() == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_friedman_doubled_midranks():
+    # one block with values (5, 5, 9, 1): midranks 2.5, 2.5, 4, 1 ->
+    # doubled 5, 5, 8, 2; the doubled ranks always sum to k(k+1).
+    vals = np.array([[5, 5, 9, 1]], np.int64)
+    less = (vals[:, :, None] > vals[:, None, :]).sum(axis=2)
+    equal = (vals[:, :, None] == vals[:, None, :]).sum(axis=2)
+    rank2 = 2 * less + equal + 1
+    assert rank2.tolist() == [[5, 5, 8, 2]]
+    assert rank2.sum() == 4 * 5
