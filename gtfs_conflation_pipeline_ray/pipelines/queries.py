@@ -18400,6 +18400,199 @@ FROM rk GROUP BY qtr
 """
 
 
+def q_grid_sandpile_rounds(sf_dir: str):  # exact oracle (5-way fan-out)
+    """ABELIAN SANDPILE toppling over the density raster (the
+    self-organized-criticality CA, the QUANTITY-transport sibling of
+    `grid_life_rounds`' boolean rule): grains = point counts per cell
+    scaled down (v // 8 keeps round counts interesting); each synchronous
+    round every cell with ≥ 4 grains topples, losing 4 and sending 1 to
+    each von-Neumann neighbor (off-raster grains are LOST — the open
+    boundary of the classic model); 3 rounds. Emits per round
+    (round, n_unstable, total_grains, chk) with the Σ(31cx+17cy·grains)
+    checksum pinning the distribution. Grid-bounded shift rounds; oracle
+    unrolls each as a 5-way neighbor fan-out."""
+    pts = conflation.read_points(sf_dir)
+    from ..stages.relational import partial_groupby_sum
+
+    def _cells_of(batch: pa.Table) -> pa.Table:
+        x = batch["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cx": x // 1024, "cy": y // 1024})
+
+    raw = pts.map_batches(_cells_of, batch_format="pyarrow", batch_size=8192)
+    density = partial_groupby_sum(raw, ["cx", "cy"], [], count_as="v",
+                                  est_rows=_nrows(sf_dir, "lineitem"))
+    dtab = density.to_pandas()
+    g = np.zeros((64, 64), np.int64)
+    g[dtab["cy"].to_numpy(np.int64), dtab["cx"].to_numpy(np.int64)] = \
+        dtab["v"].to_numpy(np.int64) // 8
+    rows = []
+    for r in range(4):
+        cy, cx = np.nonzero(g)
+        rows.append({"round": r, "n_unstable": int((g >= 4).sum()),
+                     "total_grains": int(g.sum()),
+                     "chk": int((g[cy, cx] * (31 * cx + 17 * cy)).sum())})
+        if r == 3:
+            break
+        t = (g >= 4).astype(np.int64)
+        new_g = g - 4 * t
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            sh = np.zeros((64, 64), np.int64)
+            ys = slice(max(dy, 0), 64 + min(dy, 0))
+            yd = slice(max(-dy, 0), 64 + min(-dy, 0))
+            xs2 = slice(max(dx, 0), 64 + min(dx, 0))
+            xd = slice(max(-dx, 0), 64 + min(-dx, 0))
+            sh[ys, xs2] = t[yd, xd]
+            new_g += sh
+        g = new_g
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sand_round_sql(r: int) -> str:
+    return f""",
+g{r + 1} AS (
+  SELECT g.cx, g.cy,
+         g.v - 4 * (CASE WHEN g.v >= 4 THEN 1 ELSE 0 END)
+         + COALESCE(t.inc, 0) AS v
+  FROM g{r} g
+  LEFT JOIN (
+    SELECT n.cx + d.dx AS cx, n.cy + d.dy AS cy, COUNT(*) AS inc
+    FROM g{r} n CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1))
+      AS d(dx, dy)
+    WHERE n.v >= 4
+    GROUP BY 1, 2
+  ) t ON t.cx = g.cx AND t.cy = g.cy
+)"""
+
+
+SQL_GRID_SANDPILE_ROUNDS = _CTES + """,
+cells AS (
+  SELECT px // 1024 AS cx, py // 1024 AS cy,
+         CAST(COUNT(*) AS BIGINT) // 8 AS v
+  FROM points GROUP BY px // 1024, py // 1024
+),
+g0 AS (
+  SELECT gx.cx, gy.cy, COALESCE(c.v, 0) AS v
+  FROM (SELECT unnest(range(64)) AS cx) gx
+  CROSS JOIN (SELECT unnest(range(64)) AS cy) gy
+  LEFT JOIN cells c ON c.cx = gx.cx AND c.cy = gy.cy
+)""" + "".join(_sand_round_sql(r) for r in (0, 1, 2)) + """
+SELECT r.round, s.n_unstable, s.total_grains, s.chk FROM (
+  SELECT 0 AS round UNION ALL SELECT 1 UNION ALL SELECT 2
+  UNION ALL SELECT 3) r
+JOIN (
+  SELECT 0 AS round,
+         CAST(SUM(CASE WHEN v >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unstable,
+         CAST(SUM(v) AS BIGINT) AS total_grains,
+         CAST(SUM(v * (31 * cx + 17 * cy)) AS BIGINT) AS chk FROM g0
+  UNION ALL
+  SELECT 1, CAST(SUM(CASE WHEN v >= 4 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(v) AS BIGINT),
+         CAST(SUM(v * (31 * cx + 17 * cy)) AS BIGINT) FROM g1
+  UNION ALL
+  SELECT 2, CAST(SUM(CASE WHEN v >= 4 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(v) AS BIGINT),
+         CAST(SUM(v * (31 * cx + 17 * cy)) AS BIGINT) FROM g2
+  UNION ALL
+  SELECT 3, CAST(SUM(CASE WHEN v >= 4 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(v) AS BIGINT),
+         CAST(SUM(v * (31 * cx + 17 * cy)) AS BIGINT) FROM g3
+) s ON s.round = r.round
+"""
+
+
+def q_nation_rca_index(sf_dir: str):  # exact oracle (cross-mult shares)
+    """REVEALED COMPARATIVE ADVANTAGE (Balassa index) pieces per
+    (nation, part brand) — the trade-economics specialization screen:
+    RCA = (x_nb/x_n)/(x_b/x_tot) > 1 iff the nation over-indexes on the
+    brand; cross-multiplied exact as num = x_nb·x_tot, den = x_n·x_b.
+    Emits one row per (n_name, p_brand) with (rev_c, num, den,
+    rca_gt1). Combiner-first (nation, brand) rollup; margins join on
+    the bounded rollup table; broadcast customer→nation and part→brand
+    lookups on the fact scan."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
+                                  "l_extendedprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    otab = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    o2c = dict(zip(otab["o_orderkey"].to_numpy().tolist(),
+                   otab["o_custkey"].to_numpy().tolist()))
+    c2n = dict(zip(cust["c_custkey"].to_numpy().tolist(),
+                   cust["c_nationkey"].to_numpy().tolist()))
+    p2b = dict(zip(part["p_partkey"].to_numpy().tolist(),
+                   part["p_brand"].to_pylist()))
+    n2name = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                      nat["n_name"].to_pylist()))
+    refs = ray.put((o2c, c2n, p2b))
+
+    def _nb(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        o2c_m, c2n_m, p2b_m = cached_state(refs, lambda t: t,
+                                           token="rca.maps")
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = np.array([c2n_m[o2c_m[int(o)]] for o in ok], np.int64)
+        brands = np.array([p2b_m[int(p)] for p in pk], dtype=object)
+        return pa.table({
+            "nk": nk, "p_brand": pa.array(list(brands), type=pa.string()),
+            "rev": cents(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False))})
+
+    rolled = rel.partial_groupby_sum(
+        li.map_batches(_nb, batch_format="pyarrow", batch_size=8192),
+        ["nk", "p_brand"], ["rev"], est_rows=_nrows(sf_dir, "lineitem"))
+    df = rolled.to_pandas()  # nations×brands-bounded
+    # $10k units AFTER the rollup keep the cross-multiplications in
+    # int64 at every scale (cents overflowed at sf0.01 — gate-caught)
+    df["rev_u"] = df["rev"].astype(np.int64) // 1000000
+    x_n = df.groupby("nk")["rev_u"].sum()
+    x_b = df.groupby("p_brand")["rev_u"].sum()
+    x_tot = int(df["rev_u"].sum())
+    num = df["rev_u"].astype(np.int64) * x_tot
+    den = (df["nk"].map(x_n).astype(np.int64)
+           * df["p_brand"].map(x_b).astype(np.int64))
+    return pd.DataFrame({
+        "n_name": df["nk"].map(n2name),
+        "p_brand": df["p_brand"],
+        "rev_u": df["rev_u"].astype(np.int64),
+        "num": num.astype(np.int64), "den": den.astype(np.int64),
+        "rca_gt1": (num > den).astype(np.int64)})
+
+
+SQL_NATION_RCA_INDEX = """
+WITH nb AS (
+  SELECT n.n_name, p.p_brand,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT n_name, p_brand, rev // 1000000 AS rev_u,
+         SUM(rev // 1000000) OVER (PARTITION BY n_name) AS x_n,
+         SUM(rev // 1000000) OVER (PARTITION BY p_brand) AS x_b,
+         SUM(rev // 1000000) OVER () AS x_tot
+  FROM nb
+)
+SELECT n_name, p_brand, CAST(rev_u AS BIGINT) AS rev_u,
+       CAST(rev_u * x_tot AS BIGINT) AS num,
+       CAST(x_n * x_b AS BIGINT) AS den,
+       CAST(CASE WHEN rev_u * x_tot > x_n * x_b THEN 1 ELSE 0 END
+            AS BIGINT) AS rca_gt1
+FROM m
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -18959,6 +19152,8 @@ QUERIES = {
     "part_abc_migration": q_part_abc_migration,
     "events_sax_symbols": q_events_sax_symbols,
     "supplier_friedman_pieces": q_supplier_friedman_pieces,
+    "grid_sandpile_rounds": q_grid_sandpile_rounds,
+    "nation_rca_index": q_nation_rca_index,
 }
 
 
@@ -19279,4 +19474,6 @@ ORACLE_SQL = {
     "part_abc_migration": SQL_PART_ABC_MIGRATION,
     "events_sax_symbols": SQL_EVENTS_SAX_SYMBOLS,
     "supplier_friedman_pieces": SQL_SUPPLIER_FRIEDMAN_PIECES,
+    "grid_sandpile_rounds": SQL_GRID_SANDPILE_ROUNDS,
+    "nation_rca_index": SQL_NATION_RCA_INDEX,
 }

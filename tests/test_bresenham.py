@@ -258,3 +258,38 @@ def test_ripley_pair_counts_csr_vs_clustered():
     clust = [(i, j) for i in range(5) for j in range(5)]
     assert pairs_within(clust, 50) > pairs_within(grid, 50)
     assert pairs_within(grid, 100) == 2 * 5 * 4  # rook neighbors only
+
+
+def test_sandpile_topple_conserves_interior_grains():
+    # One interior tower of 9: round 1 topples (9-4=5, four 1s); total
+    # grains conserved away from the boundary.
+    g = np.zeros((7, 7), np.int64)
+    g[3, 3] = 9
+    t = (g >= 4).astype(np.int64)
+    new = g - 4 * t
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        sh = np.zeros_like(g)
+        ys = slice(max(dy, 0), 7 + min(dy, 0))
+        yd = slice(max(-dy, 0), 7 + min(-dy, 0))
+        xs = slice(max(dx, 0), 7 + min(dx, 0))
+        xd = slice(max(-dx, 0), 7 + min(-dx, 0))
+        sh[ys, xs] = t[yd, xd]
+        new += sh
+    assert new.sum() == 9
+    assert new[3, 3] == 5 and new[2, 3] == new[4, 3] == 1
+
+
+def test_sandpile_boundary_loses_grains():
+    g = np.zeros((3, 3), np.int64)
+    g[0, 0] = 4  # corner tower: two of its four grains fall off-world
+    t = (g >= 4).astype(np.int64)
+    new = g - 4 * t
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        sh = np.zeros_like(g)
+        ys = slice(max(dy, 0), 3 + min(dy, 0))
+        yd = slice(max(-dy, 0), 3 + min(-dy, 0))
+        xs = slice(max(dx, 0), 3 + min(dx, 0))
+        xd = slice(max(-dx, 0), 3 + min(-dx, 0))
+        sh[ys, xs] = t[yd, xd]
+        new += sh
+    assert new.sum() == 2
