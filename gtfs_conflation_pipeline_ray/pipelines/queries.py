@@ -18593,6 +18593,125 @@ FROM m
 """
 
 
+def q_doc_porter_stems(sf_dir: str):  # exact oracle (suffix CASE ladder)
+    """PORTER STEP-1a STEMMING + corpus top stems — the plural-collapse
+    pass of the classic stemmer (sses→ss, ies→i, ss stays, trailing
+    s drops) applied corpus-wide, then the top-20 stems by (count desc,
+    stem asc) — the vocabulary-normalization primitive search indexes
+    run before counting ("tables", "table" and "tabless-isms" aside
+    collapse together where raw `doc_vocab` keeps them apart). Text
+    never shuffles — (stem, n) partials ride the bucketed combine."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    def _stem(w: str) -> str:
+        if w.endswith("sses"):
+            return w[:-2]
+        if w.endswith("ies"):
+            return w[:-2]
+        if w.endswith("ss"):
+            return w
+        if w.endswith("s") and len(w) > 1:
+            return w[:-1]
+        return w
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        stems: list[str] = []
+        for t in df["text"]:
+            stems.extend(_stem(w)
+                         for w in _WORD_ASCII_RE.findall((t or "").lower()))
+        vc = pd.Series(stems, dtype=object).value_counts()
+        return pd.DataFrame({"stem": vc.index.astype(object),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("stem", as_index=False, sort=False)["n"].sum()
+        return tot.sort_values(["n", "stem"], ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    parts = bucketed_groups(docs, ["stem"], _final, pre_fn=_pre,
+                            est_rows=_nrows(sf_dir, "documents"))
+    out = parts.to_pandas().sort_values(["n", "stem"],
+                                        ascending=[False, True],
+                                        kind="mergesort").head(20)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_DOC_PORTER_STEMS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+st AS (
+  SELECT CASE
+           WHEN w LIKE '%sses' THEN substr(w, 1, length(w) - 2)
+           WHEN w LIKE '%ies' THEN substr(w, 1, length(w) - 2)
+           WHEN w LIKE '%ss' THEN w
+           WHEN w LIKE '%s' AND length(w) > 1
+             THEN substr(w, 1, length(w) - 1)
+           ELSE w END AS stem
+  FROM toks
+)
+SELECT stem, CAST(COUNT(*) AS BIGINT) AS n
+FROM st GROUP BY stem ORDER BY n DESC, stem LIMIT 20
+"""
+
+
+def q_part_eoq_discrete(sf_dir: str):  # exact oracle (adjacent-Q test)
+    """DISCRETE ECONOMIC ORDER QUANTITY per part — THE inventory formula
+    (EOQ = √(2KD/h)) solved exactly over integers without any square
+    root: total cost f(Q) = (2KD + hQ²)/(2Q) is unimodal in Q, so the
+    discrete optimum is the SMALLEST Q whose adjacent cross-multiplied
+    test (2KD + h(Q+1)²)·Q ≥ (2KD + hQ²)·(Q+1) holds — order cost
+    K = 500, holding h = 2, demand D = the part's annual quantity.
+    Emits (l_partkey, d_total, q_star). One per-part combiner + a
+    vectorized closed-loop epilogue; oracle: a Q-range cross join with
+    the same adjacent test + MIN."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "d": cents(batch["l_quantity"].to_numpy(zero_copy_only=False),
+                       1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey"], ["d"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()
+    d = df["d"].to_numpy(np.int64)
+    big_k, h = 500, 2
+    # smallest Q in [1, 4000] passing the adjacent unimodality test
+    q = np.arange(1, 4001, dtype=np.int64)
+    lhs = (2 * big_k * d[:, None] + h * (q + 1) ** 2) * q
+    rhs = (2 * big_k * d[:, None] + h * q * q) * (q + 1)
+    ok = lhs >= rhs
+    q_star = np.where(ok.any(axis=1), q[np.argmax(ok, axis=1)], 4000)
+    return pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                         "d_total": d, "q_star": q_star.astype(np.int64)})
+
+
+SQL_PART_EOQ_DISCRETE = """
+WITH dm AS (
+  SELECT l_partkey, SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS d
+  FROM lineitem GROUP BY 1
+),
+qq AS (SELECT unnest(range(1, 4001)) AS q),
+ok AS (
+  SELECT dm.l_partkey, dm.d, qq.q
+  FROM dm CROSS JOIN qq
+  WHERE (2 * 500 * dm.d + 2 * (qq.q + 1) * (qq.q + 1)) * qq.q
+        >= (2 * 500 * dm.d + 2 * qq.q * qq.q) * (qq.q + 1)
+)
+SELECT l_partkey, CAST(MAX(d) AS BIGINT) AS d_total,
+       CAST(COALESCE(MIN(q), 4000) AS BIGINT) AS q_star
+FROM ok GROUP BY l_partkey
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19154,6 +19273,8 @@ QUERIES = {
     "supplier_friedman_pieces": q_supplier_friedman_pieces,
     "grid_sandpile_rounds": q_grid_sandpile_rounds,
     "nation_rca_index": q_nation_rca_index,
+    "doc_porter_stems": q_doc_porter_stems,
+    "part_eoq_discrete": q_part_eoq_discrete,
 }
 
 
@@ -19476,4 +19597,6 @@ ORACLE_SQL = {
     "supplier_friedman_pieces": SQL_SUPPLIER_FRIEDMAN_PIECES,
     "grid_sandpile_rounds": SQL_GRID_SANDPILE_ROUNDS,
     "nation_rca_index": SQL_NATION_RCA_INDEX,
+    "doc_porter_stems": SQL_DOC_PORTER_STEMS,
+    "part_eoq_discrete": SQL_PART_EOQ_DISCRETE,
 }

@@ -174,3 +174,53 @@ def test_rake_scoring_prefers_cohesive_multiword_phrase():
     assert score(["deep", "learning"]) == 2 * 1000000  # deg/freq = 2
     assert score(["data"]) == 1 * 1000000
     assert score(["deep", "learning"]) > score(["data"])
+
+
+def test_porter_step1a_rules():
+    def stem(w):
+        if w.endswith("sses"):
+            return w[:-2]
+        if w.endswith("ies"):
+            return w[:-2]
+        if w.endswith("ss"):
+            return w
+        if w.endswith("s") and len(w) > 1:
+            return w[:-1]
+        return w
+
+    assert stem("caresses") == "caress"
+    assert stem("ponies") == "poni"
+    assert stem("caress") == "caress"
+    assert stem("cats") == "cat"
+    assert stem("s") == "s"  # single letter untouched
+
+
+def test_eoq_adjacent_test_matches_continuous_optimum():
+    import math
+
+    import numpy as np
+
+    K, h = 500, 2
+    for d in (10, 100, 1000, 12345):
+        q = np.arange(1, 4001, dtype=np.int64)
+        lhs = (2 * K * d + h * (q + 1) ** 2) * q
+        rhs = (2 * K * d + h * q * q) * (q + 1)
+        ok = lhs >= rhs
+        q_star = int(q[np.argmax(ok)]) if ok.any() else 4000
+        # the discrete argmin brackets the continuous EOQ = sqrt(2KD/h)
+        cont = math.sqrt(2 * K * d / h)
+        assert math.floor(cont) <= q_star <= math.ceil(cont)
+        # and truly minimizes the exact rational cost among neighbors
+        from fractions import Fraction
+
+        def f(qv):
+            return Fraction(2 * K * d + h * qv * qv, 2 * qv)
+
+        assert f(q_star) <= f(q_star + 1)
+        if q_star > 1:
+            assert f(q_star) < f(q_star - 1)
+    # out-of-range demand clamps to the documented 4000 cap
+    d = 400000
+    q = np.arange(1, 4001, dtype=np.int64)
+    ok = (2 * K * d + h * (q + 1) ** 2) * q         >= (2 * K * d + h * q * q) * (q + 1)
+    assert not ok.any()
