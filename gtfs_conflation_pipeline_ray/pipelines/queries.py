@@ -18712,6 +18712,176 @@ FROM ok GROUP BY l_partkey
 """
 
 
+def q_events_bollinger_signals(sf_dir: str):  # exact oracle (ROWS window)
+    """BOLLINGER-BAND SIGNALS per event type — the rolling sibling of
+    `events_control_chart`'s static baseline: over the daily dollar
+    series, a day signals iff it breaks ±2σ of the TRAILING 15-day
+    window (exclusive of itself), cross-multiplied exact:
+    (x − μ)² > 4σ² ⟺ (x·n − S)² > 4·(n·Q − S²) with (S, Q, n) the
+    trailing window sums (windows shorter than 5 days stay quiet).
+    Emits per type (n_days, n_signals, first_signal_day; −1 quiet).
+    One (type, day) combiner + vectorized prefix-sum windows; oracle:
+    ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vc": cents(df["value"].to_numpy())})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()
+    df["vd"] = df["vc"].astype(np.int64) // 100
+    rows = []
+    W = 15
+    for et, g in df.groupby("event_type"):
+        d = g.sort_values("day")
+        days = d["day"].to_numpy(np.int64)
+        x = d["vd"].to_numpy(np.int64)
+        n = len(d)
+        cs = np.concatenate([[0], np.cumsum(x)])
+        cq = np.concatenate([[0], np.cumsum(x * x)])
+        sigs = []
+        for i in range(n):
+            lo = max(0, i - W)
+            nw = i - lo
+            if nw < 5:
+                continue
+            s = int(cs[i] - cs[lo])
+            qq = int(cq[i] - cq[lo])
+            if (int(x[i]) * nw - s) ** 2 > 4 * (nw * qq - s * s):
+                sigs.append(int(days[i]))
+        rows.append({"event_type": str(et), "n_days": n,
+                     "n_signals": len(sigs),
+                     "first_signal_day": sigs[0] if sigs else -1})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_BOLLINGER_SIGNALS = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS vd
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, vd,
+         COUNT(*) OVER tw AS nw,
+         SUM(vd) OVER tw AS s,
+         SUM(vd * vd) OVER tw AS q
+  FROM daily
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)
+),
+sig AS (
+  SELECT event_type, day,
+         CASE WHEN nw >= 5
+                   AND (vd * nw - s) * (vd * nw - s)
+                       > 4 * (nw * q - s * s)
+              THEN 1 ELSE 0 END AS o
+  FROM w
+)
+SELECT s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(s.o) AS BIGINT) AS n_signals,
+       CAST(COALESCE(MIN(s.day) FILTER (s.o = 1), -1) AS BIGINT)
+         AS first_signal_day
+FROM sig s GROUP BY s.event_type
+"""
+
+
+def q_embedding_triplet_check(sf_dir: str):  # exact oracle (pair joins)
+    """TRIPLET-LOSS VIOLATION audit — the metric-learning evaluation
+    primitive ("is same-label closer than different-label by the
+    margin?") in exact fixed-point integers: anchors = vec_id < 32;
+    positive = the lowest-id SAME-label vector above the anchor,
+    negative = the lowest-id DIFFERENT-label vector above the anchor;
+    violation iff d²(a,p) + margin > d²(a,n) with margin = 10¹⁰
+    (fixed-point² scale). Emits per anchor (anchor_id, pos_id, neg_id,
+    d2_pos, d2_neg, violated) — the audit every embedding-quality
+    report runs. Anchors bounded; corpus joins are id-rule lookups."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    lab = emb["label"].to_numpy().astype(np.int64)
+    mat = ann.quantize_fixed(np.stack(emb["embedding"].to_pylist())
+                             .astype(np.float64))
+    order = np.argsort(ids)
+    ids, lab, mat = ids[order], lab[order], mat[order]
+    rows = []
+    margin = 10_000_000_000
+    for ai in np.flatnonzero(ids < 32):
+        a = int(ids[ai])
+        same = np.flatnonzero((lab == lab[ai]) & (ids > a))
+        diff = np.flatnonzero((lab != lab[ai]) & (ids > a))
+        if not len(same) or not len(diff):
+            continue
+        pi, ni = int(same[0]), int(diff[0])
+        dp = int(((mat[ai] - mat[pi]) ** 2).sum())
+        dn = int(((mat[ai] - mat[ni]) ** 2).sum())
+        rows.append({"anchor_id": a, "pos_id": int(ids[pi]),
+                     "neg_id": int(ids[ni]), "d2_pos": dp, "d2_neg": dn,
+                     "violated": int(dp + margin > dn)})
+    return pd.DataFrame(rows)
+
+
+SQL_EMBEDDING_TRIPLET_CHECK = """
+WITH e AS ({emb}),
+el AS (
+  SELECT e.vec_id, e.qv, CAST(emb2.label AS BIGINT) AS label
+  FROM e JOIN embeddings emb2 ON emb2.vec_id = e.vec_id
+),
+anchors AS (SELECT * FROM el WHERE vec_id < 32),
+pos AS (
+  SELECT a.vec_id AS anchor_id, MIN(o.vec_id) AS pos_id
+  FROM anchors a JOIN el o
+    ON o.label = a.label AND o.vec_id > a.vec_id
+  GROUP BY a.vec_id
+),
+neg AS (
+  SELECT a.vec_id AS anchor_id, MIN(o.vec_id) AS neg_id
+  FROM anchors a JOIN el o
+    ON o.label <> a.label AND o.vec_id > a.vec_id
+  GROUP BY a.vec_id
+),
+d AS (
+  SELECT a.vec_id AS anchor_id, p.pos_id, n.neg_id,
+         CAST(list_dot_product(
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)))
+           + list_dot_product(
+           list_transform(ep.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(ep.qv, x -> CAST(x AS DOUBLE)))
+           - 2 * list_dot_product(
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(ep.qv, x -> CAST(x AS DOUBLE))) AS BIGINT)
+           AS d2_pos,
+         CAST(list_dot_product(
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)))
+           + list_dot_product(
+           list_transform(en.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(en.qv, x -> CAST(x AS DOUBLE)))
+           - 2 * list_dot_product(
+           list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(en.qv, x -> CAST(x AS DOUBLE))) AS BIGINT)
+           AS d2_neg
+  FROM anchors a
+  JOIN pos p ON p.anchor_id = a.vec_id
+  JOIN neg n ON n.anchor_id = a.vec_id
+  JOIN el ep ON ep.vec_id = p.pos_id
+  JOIN el en ON en.vec_id = n.neg_id
+)
+SELECT anchor_id, pos_id, neg_id, d2_pos, d2_neg,
+       CAST(CASE WHEN d2_pos + 10000000000 > d2_neg THEN 1 ELSE 0 END
+            AS BIGINT) AS violated
+FROM d
+""".format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19275,6 +19445,8 @@ QUERIES = {
     "nation_rca_index": q_nation_rca_index,
     "doc_porter_stems": q_doc_porter_stems,
     "part_eoq_discrete": q_part_eoq_discrete,
+    "events_bollinger_signals": q_events_bollinger_signals,
+    "embedding_triplet_check": q_embedding_triplet_check,
 }
 
 
@@ -19599,4 +19771,6 @@ ORACLE_SQL = {
     "nation_rca_index": SQL_NATION_RCA_INDEX,
     "doc_porter_stems": SQL_DOC_PORTER_STEMS,
     "part_eoq_discrete": SQL_PART_EOQ_DISCRETE,
+    "events_bollinger_signals": SQL_EVENTS_BOLLINGER_SIGNALS,
+    "embedding_triplet_check": SQL_EMBEDDING_TRIPLET_CHECK,
 }

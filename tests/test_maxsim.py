@@ -152,3 +152,20 @@ def test_pav_matches_exact_l2_isotonic_on_small_inputs():
                    itertools.combinations(range(1, len(ys)), r)
                    if (v := sse_of_partition(ys, list(cuts))) is not None)
         assert got == best
+
+
+def test_triplet_violation_rule():
+    # d2_pos + margin > d2_neg flags; a clearly-separated triple passes.
+    margin = 10_000_000_000
+    assert int(5_000_000_000 + margin > 20_000_000_000) == 0
+    assert int(5_000_000_000 + margin > 12_000_000_000) == 1
+
+
+def test_bollinger_trailing_window_excludes_self():
+    # A huge spike: the trailing stats come from BEFORE it, so it
+    # signals; include-self windows would dilute sigma and can miss it.
+    x = np.array([10, 11, 10, 9, 10, 11, 500], np.int64)
+    i = 6
+    w = x[max(0, i - 15):i]
+    n, s, q = len(w), int(w.sum()), int((w * w).sum())
+    assert (int(x[i]) * n - s) ** 2 > 4 * (n * q - s * s)
