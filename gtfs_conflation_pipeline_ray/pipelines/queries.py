@@ -18882,6 +18882,93 @@ FROM d
 """.format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
 
 
+def q_image_rlsa_smear(sf_dir: str):  # exact oracle (1-D gap test)
+    """HORIZONTAL RLSA (run-length smearing) through the decode path
+    (``media.image_rlsa_smear``): background runs ≤ 4 between foreground
+    pixels fill — the document-layout-analysis classic merging
+    characters into words/lines before segmentation; edge gaps never
+    fill. On the full-height R-parity stripe fixture every row is
+    identical, so the oracle is a 1-D nearest-one gap test (next1 −
+    prev1 ≤ 5) × h with closed-form row weights for the fill checksum."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_rlsa_smear(synth, batch_size=512)
+
+
+SQL_IMAGE_RLSA_SMEAR = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, w, h,
+         (CASE WHEN fi = 2
+               THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                    + ((br + (j * 55) // (w - 1)) // 4) // 16
+               ELSE br + (j * 55) // (w - 1) END) % 2 AS m
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+nb AS (
+  SELECT image_id, j, h, m,
+         MAX(CASE WHEN m = 1 THEN j END) OVER
+           (PARTITION BY image_id ORDER BY j
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev1,
+         MIN(CASE WHEN m = 1 THEN j END) OVER
+           (PARTITION BY image_id ORDER BY j
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next1
+  FROM rq
+),
+fgap AS (
+  -- a zero fills iff ones exist on both sides and the whole gap between
+  -- the nearest ones spans <= 4 zeros (next1 - prev1 <= 5)
+  SELECT image_id, j, h FROM nb
+  WHERE m = 0 AND prev1 IS NOT NULL AND next1 IS NOT NULL
+    AND next1 - prev1 <= 5
+),
+agg AS (
+  SELECT rq.image_id, MAX(rq.h) AS h, SUM(rq.m) AS ones
+  FROM rq GROUP BY rq.image_id
+)
+SELECT a.image_id,
+       CAST(a.h * a.ones AS BIGINT) AS n_mask,
+       CAST(a.h * (a.ones + COALESCE(fc.nf, 0)) AS BIGINT) AS n_after,
+       CAST(COALESCE(fc.wsum, 0) AS BIGINT) AS fill_chk
+FROM agg a
+LEFT JOIN (
+  SELECT image_id, COUNT(*) AS nf,
+         SUM(31 * j * h + 17 * h * (h - 1) // 2) AS wsum
+  FROM fgap GROUP BY image_id
+) fc ON fc.image_id = a.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19447,6 +19534,7 @@ QUERIES = {
     "part_eoq_discrete": q_part_eoq_discrete,
     "events_bollinger_signals": q_events_bollinger_signals,
     "embedding_triplet_check": q_embedding_triplet_check,
+    "image_rlsa_smear": q_image_rlsa_smear,
 }
 
 
@@ -19773,4 +19861,5 @@ ORACLE_SQL = {
     "part_eoq_discrete": SQL_PART_EOQ_DISCRETE,
     "events_bollinger_signals": SQL_EVENTS_BOLLINGER_SIGNALS,
     "embedding_triplet_check": SQL_EMBEDDING_TRIPLET_CHECK,
+    "image_rlsa_smear": SQL_IMAGE_RLSA_SMEAR,
 }

@@ -2858,3 +2858,71 @@ def image_template_match(ds, bytes_col: str = "bytes",
         batch_size=batch_size,
         concurrency=(1, pool_size(concurrency)),
     )
+
+
+def rlsa_horizontal(mask: np.ndarray, gap: int = 4) -> np.ndarray:
+    """RUN-LENGTH SMEARING (RLSA, horizontal pass) on a boolean mask:
+    background runs of length ≤ gap BETWEEN two foreground pixels on the
+    same row are filled — the document-layout-analysis classic that
+    merges characters into words/lines before segmentation. Edge gaps
+    (no foreground on one side) never fill."""
+    h, w = mask.shape
+    out = mask.copy()
+    for y in range(h):
+        row = mask[y]
+        idx = np.flatnonzero(row)
+        if len(idx) < 2:
+            continue
+        gaps = idx[1:] - idx[:-1] - 1
+        for k in np.flatnonzero((gaps > 0) & (gaps <= gap)):
+            out[y, idx[k] + 1:idx[k + 1]] = True
+    return out
+
+
+class ImageRlsaSmear:
+    """Actor-pool batch fn: horizontal RLSA checkpoints on the R-parity
+    stripe mask through the genuine decode path
+    (:func:`rlsa_horizontal`): mask size, post-smear size, and the
+    Σ(31j+17i) checksum of the FILLED pixels. On the full-height stripe
+    fixture every row is identical, so the oracle collapses to a 1-D
+    prev-one/next-one gap test × h. Emits
+    (image_id, n_mask, n_after, fill_chk)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 fmt_col: str = "fmt"):
+        from ..functions import codecs
+
+        self.bytes_col, self.id_col, self.fmt_col = bytes_col, id_col, fmt_col
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(ids)
+        out = np.empty((n, 3), np.int64)
+        for i in range(n):
+            img = self.decode(blobs[i], fmts[i])
+            mask = (img[:, :, 0].astype(np.int64) % 2) == 1
+            sm = rlsa_horizontal(mask)
+            filled = sm & ~mask
+            iy, ix = np.nonzero(filled)
+            out[i] = (int(mask.sum()), int(sm.sum()),
+                      int((31 * ix + 17 * iy).sum()))
+        return pa.table({"image_id": ids,
+                         "n_mask": out[:, 0].copy(),
+                         "n_after": out[:, 1].copy(),
+                         "fill_chk": out[:, 2].copy()})
+
+
+def image_rlsa_smear(ds, bytes_col: str = "bytes", id_col: str = "image_id",
+                     fmt_col: str = "fmt", concurrency: int | None = None,
+                     batch_size: int = 256):
+    return ds.map_batches(
+        ImageRlsaSmear,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, pool_size(concurrency)),
+    )

@@ -466,3 +466,22 @@ def test_template_match_tie_prefers_smaller_k():
         cand = (int(((32 - t) ** 2).sum()), kk)
         best = cand if best is None or cand < best else best
     assert (ssd, k) == best and (y, x) == (0, 0)
+
+
+def test_rlsa_fills_small_gaps_only():
+    mask = np.zeros((2, 12), bool)
+    mask[:, 0] = mask[:, 3] = mask[:, 9] = True  # gaps of 2 and 5
+    sm = media.rlsa_horizontal(mask, gap=4)
+    assert sm[0, 1] and sm[0, 2]          # 2-gap filled
+    assert not sm[0, 4:9].any()           # 5-gap stays open
+    # edge gaps (before the first one / after the last) never fill
+    assert not sm[:, 10:].any()
+
+
+def test_rlsa_row_independence():
+    rng = np.random.default_rng(91)
+    mask = rng.random((6, 20)) < 0.3
+    sm = media.rlsa_horizontal(mask)
+    for y in range(6):
+        row = media.rlsa_horizontal(mask[y:y + 1])
+        assert np.array_equal(sm[y], row[0])
