@@ -18969,6 +18969,164 @@ LEFT JOIN (
 """
 
 
+def q_tile_hits_rounds(sf_dir: str):  # exact oracle (unrolled mutual joins)
+    """HITS HUBS-AND-AUTHORITIES over the directed probe 2-NN graph
+    (each depot points at its 2 nearest peers) — Kleinberg's mutual-
+    reinforcement algorithm, the directed counterpart of
+    `part_supplier_pagerank`: two synchronous rounds of a ← Σ_in h,
+    h ← Σ_out a, renormalized after each round by x ← (x·1024)//max
+    (truncating division, the `embedding_power_iteration` device, so
+    six orders of growth stay in int64). Emits (tile_id, h2, a2).
+    Dimension-sized graph build; rounds are bounded-table joins; oracle
+    unrolls the two rounds with windowed maxima."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 10 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    order = np.argsort(tid)
+    tid, cx, cy = tid[order], cx[order], cy[order]
+    n = len(tid)
+    src_l, dst_l = [], []
+    for i in range(n):  # dimension-sized
+        d2 = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
+        cand = np.lexsort((tid, d2))
+        cnt = 0
+        for j in cand:
+            if j == i:
+                continue
+            src_l.append(i)
+            dst_l.append(int(j))
+            cnt += 1
+            if cnt == 2:
+                break
+    src = np.asarray(src_l, np.int64)
+    dst = np.asarray(dst_l, np.int64)
+
+    def _norm(x: np.ndarray) -> np.ndarray:
+        m = max(int(x.max()), 1)
+        return (x * 1024) // m  # non-negative -> floor == trunc
+
+    h = np.ones(n, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(2):
+        a = _norm(np.bincount(dst, weights=h[src].astype(np.float64),
+                              minlength=n).astype(np.int64))
+        h = _norm(np.bincount(src, weights=a[dst].astype(np.float64),
+                              minlength=n).astype(np.int64))
+    return pd.DataFrame({"tile_id": tid, "h2": h, "a2": a})
+
+
+SQL_TILE_HITS_ROUNDS = f"""WITH tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy FROM tiles WHERE tile_id % 10 = 0),
+ed AS (
+  SELECT s, t FROM (
+    SELECT a.tile_id AS s, b.tile_id AS t,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.tile_id
+             ORDER BY (a.cx - b.cx) * (a.cx - b.cx)
+                    + (a.cy - b.cy) * (a.cy - b.cy), b.tile_id) AS rn
+    FROM pn a JOIN pn b ON b.tile_id <> a.tile_id
+  ) WHERE rn <= 2
+),
+h0 AS (SELECT tile_id, CAST(1 AS BIGINT) AS h FROM pn),
+a1r AS (
+  SELECT p.tile_id, COALESCE(SUM(h0.h), 0) AS v
+  FROM pn p LEFT JOIN ed ON ed.t = p.tile_id
+  LEFT JOIN h0 ON h0.tile_id = ed.s
+  GROUP BY p.tile_id
+),
+a1 AS (SELECT tile_id, v * 1024 // GREATEST((SELECT MAX(v) FROM a1r), 1)
+         AS a FROM a1r),
+h1r AS (
+  SELECT p.tile_id, COALESCE(SUM(a1.a), 0) AS v
+  FROM pn p LEFT JOIN ed ON ed.s = p.tile_id
+  LEFT JOIN a1 ON a1.tile_id = ed.t
+  GROUP BY p.tile_id
+),
+h1 AS (SELECT tile_id, v * 1024 // GREATEST((SELECT MAX(v) FROM h1r), 1)
+         AS h FROM h1r),
+a2r AS (
+  SELECT p.tile_id, COALESCE(SUM(h1.h), 0) AS v
+  FROM pn p LEFT JOIN ed ON ed.t = p.tile_id
+  LEFT JOIN h1 ON h1.tile_id = ed.s
+  GROUP BY p.tile_id
+),
+a2 AS (SELECT tile_id, v * 1024 // GREATEST((SELECT MAX(v) FROM a2r), 1)
+         AS a FROM a2r),
+h2r AS (
+  SELECT p.tile_id, COALESCE(SUM(a2.a), 0) AS v
+  FROM pn p LEFT JOIN ed ON ed.s = p.tile_id
+  LEFT JOIN a2 ON a2.tile_id = ed.t
+  GROUP BY p.tile_id
+),
+h2 AS (SELECT tile_id, v * 1024 // GREATEST((SELECT MAX(v) FROM h2r), 1)
+         AS h FROM h2r)
+SELECT h2.tile_id, CAST(h2.h AS BIGINT) AS h2, CAST(a2.a AS BIGINT) AS a2
+FROM h2 JOIN a2 ON a2.tile_id = h2.tile_id
+"""
+
+
+def q_events_df_pieces(sf_dir: str):  # exact oracle (lagged OLS pieces)
+    """DICKEY–FULLER unit-root pieces per event type — the stationarity
+    screen of time-series modeling: regress the daily difference Δx on
+    the lagged level x (Δx_t = ρ·x_{t−1} + ε); the exact pieces are
+    rho_num = n·ΣxΔ − Σx·ΣΔ and rho_den = n·Σx² − (Σx)² (ρ = num/den;
+    ρ ≈ 0 → unit root / random walk, ρ < 0 → mean reversion). Dollar
+    scale keeps the cross products in int64. One (type, day) combiner;
+    the lagged join runs on the day-bounded table."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vc": cents(df["value"].to_numpy())})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()
+    df["vd"] = df["vc"].astype(np.int64) // 100
+    rows = []
+    for et, g in df.groupby("event_type"):
+        d = g.sort_values("day")
+        days = d["day"].to_numpy(np.int64)
+        x = d["vd"].to_numpy(np.int64)
+        # pairs of CONSECUTIVE days only (gaps break the lag relation)
+        m = days[1:] == days[:-1] + 1
+        lagged = x[:-1][m]
+        delta = (x[1:] - x[:-1])[m]
+        nn = len(lagged)
+        sx, sd = int(lagged.sum()), int(delta.sum())
+        rows.append({"event_type": str(et), "n": nn,
+                     "rho_num": nn * int((lagged * delta).sum()) - sx * sd,
+                     "rho_den": nn * int((lagged * lagged).sum()) - sx * sx})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_DF_PIECES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+  FROM events GROUP BY 1, 2
+),
+dd AS (SELECT event_type, day, vc // 100 AS vd FROM daily),
+pairs AS (
+  SELECT a.event_type, a.vd AS x, b.vd - a.vd AS dlt
+  FROM dd a JOIN dd b
+    ON b.event_type = a.event_type AND b.day = a.day + 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * SUM(x * dlt) - SUM(x) * SUM(dlt) AS BIGINT)
+         AS rho_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS rho_den
+FROM pairs GROUP BY event_type
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19535,6 +19693,8 @@ QUERIES = {
     "events_bollinger_signals": q_events_bollinger_signals,
     "embedding_triplet_check": q_embedding_triplet_check,
     "image_rlsa_smear": q_image_rlsa_smear,
+    "tile_hits_rounds": q_tile_hits_rounds,
+    "events_df_pieces": q_events_df_pieces,
 }
 
 
@@ -19862,4 +20022,6 @@ ORACLE_SQL = {
     "events_bollinger_signals": SQL_EVENTS_BOLLINGER_SIGNALS,
     "embedding_triplet_check": SQL_EMBEDDING_TRIPLET_CHECK,
     "image_rlsa_smear": SQL_IMAGE_RLSA_SMEAR,
+    "tile_hits_rounds": SQL_TILE_HITS_ROUNDS,
+    "events_df_pieces": SQL_EVENTS_DF_PIECES,
 }

@@ -119,3 +119,38 @@ def test_corridor_band_on_diamond(ray_session):
     corridor = set(both["node"].to_numpy()[tot <= best + best // 4])
     assert best == 20
     assert corridor == {A, P, Q, B}  # 22 ≤ 25, the R spur (80) is out
+
+
+def test_hits_star_graph_separates_hubs_from_authorities():
+    # Directed star: spokes all point at the hub -> the center is the
+    # unique max AUTHORITY, spokes the max HUBS (mutual reinforcement).
+    n = 5
+    src = np.array([1, 2, 3, 4], np.int64)
+    dst = np.array([0, 0, 0, 0], np.int64)
+
+    def norm(x):
+        m = max(int(x.max()), 1)
+        return (x * 1024) // m
+
+    h = np.ones(n, np.int64)
+    for _ in range(2):
+        a = norm(np.bincount(dst, weights=h[src].astype(np.float64),
+                             minlength=n).astype(np.int64))
+        h = norm(np.bincount(src, weights=a[dst].astype(np.float64),
+                             minlength=n).astype(np.int64))
+    assert a[0] == 1024 and (a[1:] == 0).all()
+    assert (h[1:] == 1024).all() and h[0] == 0
+
+
+def test_dickey_fuller_sign_separates_walk_from_reversion():
+    rng = np.random.default_rng(101)
+    # mean-reverting series: x_{t+1} = x_t - x_t//2 + noise -> rho_num < 0
+    x = [100]
+    for _ in range(60):
+        x.append(x[-1] - x[-1] // 2 + int(rng.integers(0, 20)))
+    x = np.array(x, np.int64)
+    lag, dlt = x[:-1], np.diff(x)
+    n = len(lag)
+    num = n * int((lag * dlt).sum()) - int(lag.sum()) * int(dlt.sum())
+    den = n * int((lag * lag).sum()) - int(lag.sum()) ** 2
+    assert den > 0 and num < 0  # strong mean reversion
