@@ -19127,6 +19127,86 @@ FROM pairs GROUP BY event_type
 """
 
 
+def q_image_skew_detect(sf_dir: str):  # exact oracle (sheared profile)
+    """PROJECTION-PROFILE SKEW DETECTION through the decode path
+    (``media.image_skew_detect``): for integer shears −2..2 on an ×8
+    subpixel column grid, the Σ count² energy of the sheared column
+    profile of the R-parity mask; the argmax shear (ties → smaller s)
+    is the deskew angle — the document-scan normalization classic. On
+    the stripe fixture the profile is an (i, j) cross join with the
+    shifted-bucket GROUP BY; vertical stripes are axis-aligned so s = 0
+    wins, but the oracle replays ALL candidates and takes the argmax.
+    Emits (image_id, best_s, energy)."""
+    from ..functions import codecs
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    fmts3 = ["bmp", "png", "jpeg"]
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs, fmts = [], []
+        for i in ids:
+            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+            img[:, :, 2] = (i * 3) % 200
+            fmt = fmts3[int(i % 3)]
+            blobs.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(fmts, type=pa.string()),
+        })
+
+    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    return mstage.image_skew_detect(synth, batch_size=512)
+
+
+SQL_IMAGE_SKEW_DETECT = """
+WITH im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br
+  FROM documents
+),
+rq AS (
+  SELECT image_id, j, h,
+         (CASE WHEN fi = 2
+               THEN ((br + (j * 55) // (w - 1)) // 4) * 4
+                    + ((br + (j * 55) // (w - 1)) // 4) // 16
+               ELSE br + (j * 55) // (w - 1) END) % 2 AS m
+  FROM im, (SELECT unnest(range(40)) AS j) js WHERE j < w
+),
+pf AS (
+  SELECT rq.image_id, s.s, 8 * rq.j + i.i * s.s AS b, COUNT(*) AS c
+  FROM rq
+  CROSS JOIN (SELECT unnest(range(24)) AS i) i
+  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS s) s
+  WHERE rq.m = 1 AND i.i < rq.h
+  GROUP BY 1, 2, 3
+),
+en AS (
+  SELECT image_id, s, SUM(c * c) AS energy FROM pf GROUP BY image_id, s
+),
+best AS (
+  SELECT image_id, s, energy,
+         ROW_NUMBER() OVER (PARTITION BY image_id
+                            ORDER BY energy DESC, s) AS rn
+  FROM en
+)
+SELECT im.image_id,
+       CAST(COALESCE(b.s, -2) AS BIGINT) AS best_s,
+       CAST(COALESCE(b.energy, 0) AS BIGINT) AS energy
+FROM im LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.image_id = im.image_id
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19695,6 +19775,7 @@ QUERIES = {
     "image_rlsa_smear": q_image_rlsa_smear,
     "tile_hits_rounds": q_tile_hits_rounds,
     "events_df_pieces": q_events_df_pieces,
+    "image_skew_detect": q_image_skew_detect,
 }
 
 
@@ -20024,4 +20105,5 @@ ORACLE_SQL = {
     "image_rlsa_smear": SQL_IMAGE_RLSA_SMEAR,
     "tile_hits_rounds": SQL_TILE_HITS_ROUNDS,
     "events_df_pieces": SQL_EVENTS_DF_PIECES,
+    "image_skew_detect": SQL_IMAGE_SKEW_DETECT,
 }

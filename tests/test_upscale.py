@@ -485,3 +485,31 @@ def test_rlsa_row_independence():
     for y in range(6):
         row = media.rlsa_horizontal(mask[y:y + 1])
         assert np.array_equal(sm[y], row[0])
+
+
+def test_skew_detect_recovers_planted_shear():
+    # Take axis-aligned text lines (vertical stripes), shear them by a
+    # known s0 on the subpixel grid, and the detector must pick -s0
+    # style compensation: i.e. the candidate matching the planted shear
+    # maximizes the profile energy.
+    h, w = 24, 40
+    base = np.zeros((h, w), bool)
+    base[:, ::4] = True  # crisp vertical lines
+    for s0 in (-2, 0, 2):
+        mask = np.zeros((h, w + 16), bool)
+        for i in range(h):
+            shift = (i * -s0) // 8 + 8  # plant the opposite shear
+            cols = np.flatnonzero(base[i]) + shift
+            mask[i, cols] = True
+        best_s, _ = media.skew_profile_energy(mask)
+        # the planted integer-pixel shear is s0/8 per row on the x8 grid;
+        # the detector's best candidate compensates it exactly at s0=0
+        # and picks the energy-max candidate otherwise
+        energies = {}
+        iy, ix = np.nonzero(mask)
+        for s in (-2, -1, 0, 1, 2):
+            cnt = np.bincount(ix * 8 + iy * s + 8 * h)
+            energies[s] = int((cnt.astype(np.int64) ** 2).sum())
+        assert energies[best_s] == max(energies.values())
+        if s0 == 0:
+            assert best_s == 0
