@@ -19207,6 +19207,190 @@ FROM im LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
 """
 
 
+def q_part_croston_pieces(sf_dir: str):  # exact oracle (state-replay CTE)
+    """CROSTON'S METHOD per part (every 8th, offset 4 so the fleet
+    differs from `part_holt_winters`) — THE forecasting method for
+    INTERMITTENT demand (spare parts, long-tail SKUs), which Holt-class
+    smoothers systematically bias: over the 12 monthly quantity sums,
+    only NONZERO months update the two states — demand size z += (x −
+    z)//4 and inter-demand interval p += (iv − p)//4 (iv = months since
+    the previous nonzero; both truncating fixed point, ×16 scale;
+    forecast rate = z/p is the caller's fold). Emits (l_partkey, z_fin,
+    p_fin, n_nonzero). Oracle: the monthly LIST replayed one month per
+    recursive round with the carried last-nonzero index."""
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pk % 8 == 4
+        sub = batch.filter(pa.array(keep))
+        ts = sub["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mo = (ts.astype("datetime64[us]").astype("datetime64[M]")
+              .astype(np.int64) % 12 + 1)
+        return pa.table({"l_partkey": pk[keep], "mo": mo,
+                         "d": cents(sub["l_quantity"]
+                                    .to_numpy(zero_copy_only=False), 1)})
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", batch_size=8192)
+    sums = rel.partial_groupby_sum(prep, ["l_partkey", "mo"], ["d"],
+                                   est_rows=_nrows(sf_dir, "lineitem"))
+    df = sums.to_pandas()
+    piv = df.pivot_table(index="l_partkey", columns="mo", values="d",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=range(1, 13), fill_value=0).astype(np.int64)
+
+    def _tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    rows = []
+    for pk2, row in piv.iterrows():
+        x = [int(v) for v in row.to_numpy(np.int64)]
+        z = p = None
+        last = 0
+        nz = 0
+        for m in range(1, 13):
+            if x[m - 1] == 0:
+                continue
+            nz += 1
+            iv = m - last
+            last = m
+            if z is None:
+                z, p = x[m - 1] * 16, iv * 16
+            else:
+                z = z + _tdiv(x[m - 1] * 16 - z, 4)
+                p = p + _tdiv(iv * 16 - p, 4)
+        rows.append({"l_partkey": int(pk2),
+                     "z_fin": z if z is not None else -1,
+                     "p_fin": p if p is not None else -1,
+                     "n_nonzero": nz})
+    return pd.DataFrame(rows)
+
+
+SQL_PART_CROSTON_PIECES = """
+WITH RECURSIVE dm AS (
+  SELECT l_partkey, CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS d
+  FROM lineitem WHERE l_partkey % 8 = 4
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.l_partkey, mm.mo, COALESCE(dm.d, 0) AS d
+  FROM (SELECT DISTINCT l_partkey FROM dm) p
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS mo) mm
+  LEFT JOIN dm ON dm.l_partkey = p.l_partkey AND dm.mo = mm.mo
+),
+lst AS (
+  SELECT l_partkey, list(d ORDER BY mo) AS xs FROM grid GROUP BY l_partkey
+),
+cr AS (
+  SELECT l_partkey, xs, 0 AS m, CAST(NULL AS BIGINT) AS z,
+         CAST(NULL AS BIGINT) AS p, 0 AS last, CAST(0 AS BIGINT) AS nz
+  FROM lst
+  UNION ALL
+  SELECT l_partkey, xs, m + 1,
+         CASE WHEN xs[m + 1] = 0 THEN z
+              WHEN z IS NULL THEN xs[m + 1] * 16
+              ELSE z + (xs[m + 1] * 16 - z) // 4 END,
+         CASE WHEN xs[m + 1] = 0 THEN p
+              WHEN p IS NULL THEN (m + 1 - last) * 16
+              ELSE p + ((m + 1 - last) * 16 - p) // 4 END,
+         CASE WHEN xs[m + 1] = 0 THEN last ELSE m + 1 END,
+         nz + CASE WHEN xs[m + 1] = 0 THEN 0 ELSE 1 END
+  FROM cr WHERE m < 12
+)
+SELECT l_partkey, CAST(COALESCE(z, -1) AS BIGINT) AS z_fin,
+       CAST(COALESCE(p, -1) AS BIGINT) AS p_fin,
+       CAST(nz AS BIGINT) AS n_nonzero
+FROM cr WHERE m = 12
+"""
+
+
+def q_tile_modularity_pieces(sf_dir: str):  # exact oracle (degree sums)
+    """GRAPH MODULARITY pieces of the spatial-quadrant partition of the
+    probe 2-NN graph — "are nearby tiles wired together?" as Newman's Q
+    in exact integers: with undirected edge multiset E (each probe's 2
+    nearest, symmetrized with multiplicity), communities = the four
+    coordinate quadrants; per community the pieces are in_c (edge
+    endpoints inside×2... precisely: 2·|internal edges|) and deg_c, and
+    Q·(2m)² = Σ_c (2m·in_c − deg_c²). Emits one row per community
+    (quad, in2, deg, m2) — spatial assortativity made exact."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 10 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    order = np.argsort(tid)
+    tid, cx, cy = tid[order], cx[order], cy[order]
+    n = len(tid)
+    quad = (cx >= 32768).astype(np.int64) * 2 + (cy >= 32768).astype(np.int64)
+    src_l, dst_l = [], []
+    for i in range(n):
+        d2 = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
+        cand = np.lexsort((tid, d2))
+        cnt = 0
+        for j in cand:
+            if j == i:
+                continue
+            src_l.append(i)
+            dst_l.append(int(j))
+            cnt += 1
+            if cnt == 2:
+                break
+    s = np.asarray(src_l, np.int64)
+    d = np.asarray(dst_l, np.int64)
+    # symmetrize with multiplicity: each directed pick counts once each way
+    us = np.concatenate([s, d])
+    ud = np.concatenate([d, s])
+    m2 = len(us)  # = 2m
+    deg = np.bincount(us, minlength=n)
+    rows = []
+    for q in range(4):
+        inq = quad == q
+        in2 = int((inq[us] & inq[ud]).sum())
+        rows.append({"quad": q, "in2": in2,
+                     "deg": int(deg[inq].sum()), "m2": m2})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_TILE_MODULARITY_PIECES = f"""WITH tiles AS ({td.TILES_SQL}),
+pn AS (
+  SELECT tile_id, cx, cy,
+         CAST(cx >= 32768 AS BIGINT) * 2 + CAST(cy >= 32768 AS BIGINT)
+           AS quad
+  FROM tiles WHERE tile_id % 10 = 0
+),
+pk AS (
+  SELECT s, t FROM (
+    SELECT a.tile_id AS s, b.tile_id AS t,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.tile_id
+             ORDER BY (a.cx - b.cx) * (a.cx - b.cx)
+                    + (a.cy - b.cy) * (a.cy - b.cy), b.tile_id) AS rn
+    FROM pn a JOIN pn b ON b.tile_id <> a.tile_id
+  ) WHERE rn <= 2
+),
+ed AS (
+  SELECT s, t FROM pk UNION ALL SELECT t, s FROM pk
+),
+eq AS (
+  SELECT ed.s, ed.t, ps.quad AS qs, pt.quad AS qt
+  FROM ed JOIN pn ps ON ps.tile_id = ed.s
+          JOIN pn pt ON pt.tile_id = ed.t
+),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM eq)
+SELECT q.quad,
+       CAST(COALESCE(SUM(CASE WHEN eq.qs = q.quad AND eq.qt = q.quad
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS in2,
+       CAST(COALESCE(SUM(CASE WHEN eq.qs = q.quad THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS deg,
+       (SELECT v FROM m2) AS m2
+FROM (SELECT unnest(range(4)) AS quad) q
+LEFT JOIN eq ON TRUE
+GROUP BY q.quad
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19776,6 +19960,8 @@ QUERIES = {
     "tile_hits_rounds": q_tile_hits_rounds,
     "events_df_pieces": q_events_df_pieces,
     "image_skew_detect": q_image_skew_detect,
+    "part_croston_pieces": q_part_croston_pieces,
+    "tile_modularity_pieces": q_tile_modularity_pieces,
 }
 
 
@@ -20106,4 +20292,6 @@ ORACLE_SQL = {
     "tile_hits_rounds": SQL_TILE_HITS_ROUNDS,
     "events_df_pieces": SQL_EVENTS_DF_PIECES,
     "image_skew_detect": SQL_IMAGE_SKEW_DETECT,
+    "part_croston_pieces": SQL_PART_CROSTON_PIECES,
+    "tile_modularity_pieces": SQL_TILE_MODULARITY_PIECES,
 }

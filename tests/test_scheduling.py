@@ -769,3 +769,50 @@ def test_friedman_doubled_midranks():
     rank2 = 2 * less + equal + 1
     assert rank2.tolist() == [[5, 5, 8, 2]]
     assert rank2.sum() == 4 * 5
+
+
+def test_croston_ignores_zero_months():
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    def croston(x):
+        z = p = None
+        last, nz = 0, 0
+        for m in range(1, len(x) + 1):
+            if x[m - 1] == 0:
+                continue
+            nz += 1
+            iv = m - last
+            last = m
+            if z is None:
+                z, p = x[m - 1] * 16, iv * 16
+            else:
+                z = z + tdiv(x[m - 1] * 16 - z, 4)
+                p = p + tdiv(iv * 16 - p, 4)
+        return z, p, nz
+
+    # steady every-3-months demand of 12 -> z stays 12*16, p -> 3*16
+    z, p, nz = croston([0, 0, 12, 0, 0, 12, 0, 0, 12, 0, 0, 12])
+    assert z == 12 * 16 and p == 3 * 16 and nz == 4
+    # all-zero part -> sentinel states
+    assert croston([0] * 12) == (None, None, 0)
+
+
+def test_modularity_identity_on_two_cliques():
+    # Two 3-cliques, no cross edges, communities = the cliques:
+    # Q*(2m)^2 = sum_c (2m*in2_c - deg_c^2) is maximal (Q = 1/2).
+    # edges (undirected multiset, both directions): clique edges x2
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    us = [a for a, b in edges] + [b for a, b in edges]
+    ud = [b for a, b in edges] + [a for a, b in edges]
+    m2 = len(us)
+    com = {v: v // 3 for v in range(6)}
+    total = 0
+    for c in (0, 1):
+        in2 = sum(1 for a, b in zip(us, ud)
+                  if com[a] == c and com[b] == c)
+        deg = sum(1 for a in us if com[a] == c)
+        total += m2 * in2 - deg * deg
+    from fractions import Fraction
+
+    assert Fraction(total, m2 * m2) == Fraction(1, 2)
