@@ -19391,6 +19391,126 @@ GROUP BY q.quad
 """
 
 
+def q_doc_word_burstiness(sf_dir: str):  # exact oracle (cf/df quotient)
+    """WORD BURSTINESS (Church–Gale) over the corpus: collection
+    frequency vs document frequency; burst_q = cf·10⁶ // df ranks words
+    by how much they CLUMP when they appear (topical words are bursty,
+    function words are not) — the term-weighting insight behind df-based
+    IDF; top-20 by (burst_q desc, word asc) among words with df ≥ 3.
+    (word, cf, df) partials ride one bucketed combine (df via per-doc
+    dedup in the batch partial)."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        cf: dict[str, int] = {}
+        dfc: dict[str, int] = {}
+        for t in df["text"]:
+            ws = _WORD_ASCII_RE.findall((t or "").lower())
+            for w in ws:
+                cf[w] = cf.get(w, 0) + 1
+            for w in set(ws):
+                dfc[w] = dfc.get(w, 0) + 1
+        words = sorted(cf)
+        return pd.DataFrame({
+            "word": np.asarray(words, object),
+            "cf": np.asarray([cf[w] for w in words], np.int64),
+            "df": np.asarray([dfc[w] for w in words], np.int64)})
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("word", as_index=False).agg(cf=("cf", "sum"),
+                                                    df=("df", "sum"))
+        tot = tot[tot["df"] >= 3]
+        tot["burst_q"] = (tot["cf"].astype(np.int64) * 1000000
+                          // tot["df"].astype(np.int64))
+        return tot.sort_values(["burst_q", "word"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    parts = bucketed_groups(docs, ["word"], _final, pre_fn=_pre,
+                            est_rows=_nrows(sf_dir, "documents"))
+    out = parts.to_pandas().sort_values(["burst_q", "word"],
+                                        ascending=[False, True],
+                                        kind="mergesort").head(20)
+    return out[["word", "cf", "df", "burst_q"]].astype(
+        {"cf": np.int64, "df": np.int64, "burst_q": np.int64}
+    ).reset_index(drop=True)
+
+
+SQL_DOC_WORD_BURSTINESS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+stats AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY w
+)
+SELECT word, cf, df, CAST(cf * 1000000 // df AS BIGINT) AS burst_q
+FROM stats WHERE df >= 3
+ORDER BY burst_q DESC, word LIMIT 20
+"""
+
+
+def q_customer_km_table(sf_dir: str):  # exact oracle (reverse cumsum)
+    """KAPLAN–MEIER LIFETABLE of customer activity — survival analysis'
+    core artifact: lifespan = whole months between a customer's first
+    and last order (single-order customers die at month 0); per month m
+    the table rows are n_at_risk = #customers with lifespan ≥ m and
+    d_events = #customers with lifespan = m (no censoring in the fixed
+    window, so Ŝ(m) = Π(1 − d/n) is the caller's exact-rational fold).
+    One per-customer combiner (min/max order ts) + a month-bounded
+    reverse cumsum."""
+    od = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _mm(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        mo = ts // 86_400_000_000 // 30
+        return pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                             "mn": mo, "mx": mo})
+
+    from ..stages.relational import bucketed_groups
+
+    def _span(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("o_custkey", as_index=False).agg(mn=("mn", "min"),
+                                                       mx=("mx", "max"))
+        a["life"] = (a["mx"] - a["mn"]).astype(np.int64)
+        return a[["o_custkey", "life"]]
+
+    spans = bucketed_groups(
+        od.map_batches(_mm, batch_format="pandas", batch_size=8192),
+        ["o_custkey"], _span).to_pandas()
+    life = spans["life"].to_numpy(np.int64)
+    mmax = int(life.max()) if len(life) else 0
+    rows = []
+    for m in range(mmax + 1):
+        rows.append({"m": m, "n_at_risk": int((life >= m).sum()),
+                     "d_events": int((life == m).sum())})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_CUSTOMER_KM_TABLE = """
+WITH spans AS (
+  SELECT o_custkey,
+         MAX(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 // 30)
+         - MIN(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 // 30)
+           AS life
+  FROM orders GROUP BY o_custkey
+),
+mm AS (SELECT unnest(range(0, (SELECT MAX(life) + 1 FROM spans))) AS m)
+SELECT CAST(mm.m AS BIGINT) AS m,
+       CAST(SUM(CASE WHEN s.life >= mm.m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       CAST(SUM(CASE WHEN s.life = mm.m THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_events
+FROM mm CROSS JOIN spans s
+GROUP BY mm.m
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -19962,6 +20082,8 @@ QUERIES = {
     "image_skew_detect": q_image_skew_detect,
     "part_croston_pieces": q_part_croston_pieces,
     "tile_modularity_pieces": q_tile_modularity_pieces,
+    "doc_word_burstiness": q_doc_word_burstiness,
+    "customer_km_table": q_customer_km_table,
 }
 
 
@@ -20294,4 +20416,6 @@ ORACLE_SQL = {
     "image_skew_detect": SQL_IMAGE_SKEW_DETECT,
     "part_croston_pieces": SQL_PART_CROSTON_PIECES,
     "tile_modularity_pieces": SQL_TILE_MODULARITY_PIECES,
+    "doc_word_burstiness": SQL_DOC_WORD_BURSTINESS,
+    "customer_km_table": SQL_CUSTOMER_KM_TABLE,
 }

@@ -224,3 +224,27 @@ def test_eoq_adjacent_test_matches_continuous_optimum():
     q = np.arange(1, 4001, dtype=np.int64)
     ok = (2 * K * d + h * (q + 1) ** 2) * q         >= (2 * K * d + h * q * q) * (q + 1)
     assert not ok.any()
+
+
+def test_burstiness_topical_beats_function_word():
+    # "zebra" appears 9 times in 3 docs (bursty), "the" 12 times in 12
+    # docs (flat): cf/df separates them exactly.
+    assert 9 * 1000000 // 3 > 12 * 1000000 // 12
+
+
+def test_km_table_identities():
+    import numpy as np
+
+    life = np.array([0, 0, 2, 3, 3, 5], np.int64)
+    rows = [(m, int((life >= m).sum()), int((life == m).sum()))
+            for m in range(6)]
+    # at-risk is non-increasing and equals the reverse-cumsum of events
+    for (m1, n1, d1), (m2, n2, _) in zip(rows, rows[1:]):
+        assert n2 == n1 - d1
+    # survival fold: S(m) = prod(1 - d/n) hits 0 exactly at the max life
+    from fractions import Fraction
+
+    s = Fraction(1)
+    for _, n, d in rows:
+        s *= 1 - Fraction(d, n)
+    assert s == 0
