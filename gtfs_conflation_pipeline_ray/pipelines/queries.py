@@ -19511,6 +19511,96 @@ GROUP BY mm.m
 """
 
 
+def q_doc_texttiling(sf_dir: str):  # exact oracle (block-overlap valleys)
+    """TEXTTILING-lite TOPIC SEGMENTATION per document (every 10th):
+    tokens split into consecutive FULL blocks of 15; the cohesion score
+    between adjacent blocks is their DISTINCT-token overlap, and a block
+    gap is a topic BOUNDARY iff its score is a strict local valley —
+    Hearst's discourse-segmentation classic in exact integers, the
+    structural chunker RAG pipelines use when fixed windows cut
+    mid-topic. Emits (doc_id, n_blocks, n_gaps, n_boundaries, sim_sum).
+    Engine: per-doc set overlaps; oracle: (doc, block, word) DISTINCT
+    rows, adjacent-block join counts, LAG/LEAD valley test."""
+    from ..functions.text import _WORD_ASCII_RE
+    from ..stages.relational import bucketed_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    kept = docs.map_batches(_keep, batch_format="pyarrow", batch_size=8192)
+    B = 15
+
+    def _tile(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(g["doc_id"].to_numpy(np.int64), g["text"]):
+            ws = _WORD_ASCII_RE.findall((text or "").lower())
+            nb = len(ws) // B
+            blocks = [set(ws[k * B:(k + 1) * B]) for k in range(nb)]
+            sims = [len(blocks[k] & blocks[k + 1]) for k in range(nb - 1)]
+            nbd = sum(1 for k in range(1, len(sims) - 1)
+                      if sims[k] < sims[k - 1] and sims[k] < sims[k + 1])
+            rows.append({"doc_id": int(did), "n_blocks": nb,
+                         "n_gaps": max(nb - 1, 0),
+                         "n_boundaries": nbd, "sim_sum": sum(sims)})
+        return pd.DataFrame(rows)
+
+    return bucketed_groups(kept, ["doc_id"], _tile)
+
+
+SQL_DOC_TEXTTILING = """
+WITH toks AS (
+  SELECT doc_id, j, w[j] AS word, len(w) AS n
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+        FROM documents WHERE doc_id % 10 = 0),
+       (SELECT unnest(range(1, 200)) AS j) js
+  WHERE j <= len(w) AND (j - 1) // 15 < len(w) // 15
+),
+bw AS (
+  SELECT DISTINCT doc_id, (j - 1) // 15 AS blk, word FROM toks
+),
+sims AS (
+  SELECT a.doc_id, a.blk AS k, COUNT(*) AS sim
+  FROM bw a JOIN bw b
+    ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.word = a.word
+  GROUP BY a.doc_id, a.blk
+),
+base AS (
+  SELECT d.doc_id, len(d.w) // 15 AS nb,
+         GREATEST(len(d.w) // 15 - 1, 0) AS n_gaps
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[0-9a-z_]+') AS w
+        FROM documents WHERE doc_id % 10 = 0) d
+),
+grid AS (
+  -- every adjacent-block gap, zero-sim gaps included
+  SELECT b.doc_id, gk.k, COALESCE(s.sim, 0) AS sim
+  FROM base b
+  JOIN (SELECT unnest(range(0, 20)) AS k) gk ON gk.k < b.n_gaps
+  LEFT JOIN sims s ON s.doc_id = b.doc_id AND s.k = gk.k
+),
+vl AS (
+  SELECT doc_id, k, sim,
+         LAG(sim)  OVER (PARTITION BY doc_id ORDER BY k) AS ps,
+         LEAD(sim) OVER (PARTITION BY doc_id ORDER BY k) AS ns
+  FROM grid
+)
+SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+       CAST(b.n_gaps AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(CASE WHEN vl.ps IS NOT NULL
+                               AND vl.ns IS NOT NULL
+                               AND vl.sim < vl.ps AND vl.sim < vl.ns
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_boundaries,
+       CAST(COALESCE(SUM(vl.sim), 0) AS BIGINT) AS sim_sum
+FROM base b LEFT JOIN vl ON vl.doc_id = b.doc_id
+GROUP BY b.doc_id, b.nb, b.n_gaps
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -20084,6 +20174,7 @@ QUERIES = {
     "tile_modularity_pieces": q_tile_modularity_pieces,
     "doc_word_burstiness": q_doc_word_burstiness,
     "customer_km_table": q_customer_km_table,
+    "doc_texttiling": q_doc_texttiling,
 }
 
 
@@ -20418,4 +20509,5 @@ ORACLE_SQL = {
     "tile_modularity_pieces": SQL_TILE_MODULARITY_PIECES,
     "doc_word_burstiness": SQL_DOC_WORD_BURSTINESS,
     "customer_km_table": SQL_CUSTOMER_KM_TABLE,
+    "doc_texttiling": SQL_DOC_TEXTTILING,
 }

@@ -248,3 +248,20 @@ def test_km_table_identities():
     for _, n, d in rows:
         s *= 1 - Fraction(d, n)
     assert s == 0
+
+
+def test_texttiling_valley_marks_topic_shift():
+    # Two topics with distinct vocabularies: the gap between them has
+    # zero overlap while within-topic gaps overlap heavily -> exactly
+    # one valley at the topic boundary.
+    B = 15
+    topic_a = ["alpha", "beta", "gamma", "delta", "eps"] * 3  # 15 tokens
+    topic_b = ["zeta", "eta", "theta", "iota", "kappa"] * 3
+    ws = topic_a + topic_a + topic_b + topic_b
+    nb = len(ws) // B
+    blocks = [set(ws[k * B:(k + 1) * B]) for k in range(nb)]
+    sims = [len(blocks[k] & blocks[k + 1]) for k in range(nb - 1)]
+    assert sims == [5, 0, 5]
+    valleys = [k for k in range(1, len(sims) - 1)
+               if sims[k] < sims[k - 1] and sims[k] < sims[k + 1]]
+    assert valleys == [1]  # exactly the topic boundary
