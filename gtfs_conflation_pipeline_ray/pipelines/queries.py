@@ -19601,6 +19601,112 @@ GROUP BY b.doc_id, b.nb, b.n_gaps
 """
 
 
+def q_tile_clarke_wright(sf_dir: str):  # exact oracle (pair savings rank)
+    """CLARKE–WRIGHT SAVINGS ranking over the depot tiles (every 50th;
+    central depot at (32768, 32768), MANHATTAN distances so everything
+    stays integer): s(i,j) = d(0,i) + d(0,j) − d(i,j) measures how much
+    route length merging customers i and j saves — the opening move of
+    the classic vehicle-routing heuristic; emits the top-20 pairs by
+    (savings desc, i, j). Depot set is dimension-sized; the pair table
+    is P²-bounded."""
+    t = td.tiles_table(sf_dir)
+    tid = t["tile_id"].to_numpy().astype(np.int64)
+    cx = t["cx"].to_numpy().astype(np.int64)
+    cy = t["cy"].to_numpy().astype(np.int64)
+    pm = tid % 50 == 0
+    tid, cx, cy = tid[pm], cx[pm], cy[pm]
+    d0 = np.abs(cx - 32768) + np.abs(cy - 32768)
+    rows = []
+    n = len(tid)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dij = abs(int(cx[i] - cx[j])) + abs(int(cy[i] - cy[j]))
+            rows.append((int(d0[i]) + int(d0[j]) - dij,
+                         int(tid[i]), int(tid[j])))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    top = rows[:20]
+    return pd.DataFrame({"a_id": [r[1] for r in top],
+                         "b_id": [r[2] for r in top],
+                         "savings": [r[0] for r in top]}).astype(np.int64)
+
+
+SQL_TILE_CLARKE_WRIGHT = f"""WITH tiles AS ({td.TILES_SQL}),
+pn AS (SELECT tile_id, cx, cy,
+              ABS(cx - 32768) + ABS(cy - 32768) AS d0
+       FROM tiles WHERE tile_id % 50 = 0)
+SELECT a.tile_id AS a_id, b.tile_id AS b_id,
+       CAST(a.d0 + b.d0 - (ABS(a.cx - b.cx) + ABS(a.cy - b.cy))
+            AS BIGINT) AS savings
+FROM pn a JOIN pn b ON b.tile_id > a.tile_id
+ORDER BY savings DESC, a_id, b_id LIMIT 20
+"""
+
+
+def q_nation_supplier_hhi(sf_dir: str):  # exact oracle (share pieces)
+    """HERFINDAHL–HIRSCHMAN CONCENTRATION pieces per nation — the
+    antitrust market-concentration index over supplier revenue shares:
+    HHI = Σ(s_i/S)² folds from the exact pieces sum_sq = Σ s_i² and
+    total = Σ s_i (×10⁴ gives the familiar 0–10000 scale); also emits
+    n_suppliers and the leader's share pieces (top1_c). Supplier→nation
+    via the supplier table broadcast; one (nation, supplier) combiner +
+    a nations-bounded rollup."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(sup["s_suppkey"].to_numpy().tolist(),
+                   sup["s_nationkey"].to_numpy().tolist()))
+    n2name = dict(zip(nat["n_nationkey"].to_numpy().tolist(),
+                      nat["n_name"].to_pylist()))
+    ref = ray.put(s2n)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        from ..stages.util import cached_state
+
+        lookup = cached_state(ref, lambda d: d, token="hhi.s2n")
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "nk": np.array([lookup[int(s)] for s in sk], np.int64),
+            "l_suppkey": sk,
+            "rev": cents(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False))})
+
+    rolled = rel.partial_groupby_sum(
+        li.map_batches(_prep, batch_format="pyarrow", batch_size=8192),
+        ["nk", "l_suppkey"], ["rev"], est_rows=_nrows(sf_dir, "lineitem"))
+    df = rolled.to_pandas()  # suppliers-bounded
+    df["rev"] = df["rev"].astype(np.int64) // 100  # divide AFTER the sum
+    g = df.groupby("nk")
+    out = pd.DataFrame({
+        "n_name": [n2name[int(k)] for k in g.groups],
+        "n_suppliers": g.size().to_numpy(np.int64),
+        "total_d": g["rev"].sum().to_numpy(np.int64),
+        "sum_sq": g["rev"].apply(
+            lambda s: int((s.astype(np.int64) ** 2).sum()))
+        .to_numpy(np.int64),
+        "top1_d": g["rev"].max().to_numpy(np.int64)})
+    return out.reset_index(drop=True)
+
+
+SQL_NATION_SUPPLIER_HHI = """
+WITH sr AS (
+  SELECT n.n_name, l.l_suppkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) // 100
+           AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS total_d,
+       CAST(SUM(rev * rev) AS BIGINT) AS sum_sq,
+       CAST(MAX(rev) AS BIGINT) AS top1_d
+FROM sr GROUP BY n_name
+"""
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -20175,6 +20281,8 @@ QUERIES = {
     "doc_word_burstiness": q_doc_word_burstiness,
     "customer_km_table": q_customer_km_table,
     "doc_texttiling": q_doc_texttiling,
+    "tile_clarke_wright": q_tile_clarke_wright,
+    "nation_supplier_hhi": q_nation_supplier_hhi,
 }
 
 
@@ -20510,4 +20618,6 @@ ORACLE_SQL = {
     "doc_word_burstiness": SQL_DOC_WORD_BURSTINESS,
     "customer_km_table": SQL_CUSTOMER_KM_TABLE,
     "doc_texttiling": SQL_DOC_TEXTTILING,
+    "tile_clarke_wright": SQL_TILE_CLARKE_WRIGHT,
+    "nation_supplier_hhi": SQL_NATION_SUPPLIER_HHI,
 }

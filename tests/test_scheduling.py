@@ -816,3 +816,27 @@ def test_modularity_identity_on_two_cliques():
     from fractions import Fraction
 
     assert Fraction(total, m2 * m2) == Fraction(1, 2)
+
+
+def test_clarke_wright_savings_geometry():
+    # Two customers adjacent to each other but far from the depot save
+    # almost a full round trip; opposite-side customers save nothing.
+    def s(a, b, depot=(0, 0)):
+        d0a = abs(a[0] - depot[0]) + abs(a[1] - depot[1])
+        d0b = abs(b[0] - depot[0]) + abs(b[1] - depot[1])
+        dab = abs(a[0] - b[0]) + abs(a[1] - b[1])
+        return d0a + d0b - dab
+
+    assert s((100, 0), (101, 0)) == 200      # near-full trip saved
+    assert s((100, 0), (-100, 0)) == 0       # opposite sides: nothing
+    assert s((50, 50), (50, 50)) == 200      # identical: the whole trip
+
+
+def test_hhi_fold_extremes():
+    from fractions import Fraction
+
+    # monopoly -> HHI = 1; n equal suppliers -> 1/n
+    assert Fraction(100 ** 2, 100 ** 2) == 1
+    revs = [25, 25, 25, 25]
+    hhi = sum(Fraction(r, 100) ** 2 for r in revs)
+    assert hhi == Fraction(1, 4)
