@@ -19707,6 +19707,197 @@ FROM sr GROUP BY n_name
 """
 
 
+def q_events_regime_viterbi(sf_dir: str):  # exact oracle (DP-pair CTE)
+    """2-STATE REGIME SWITCHING by exact-integer Viterbi per event type —
+    the econometric regime-detection classic (calm vs volatile), the
+    time-series sibling of `trajectory_match_hmm`: state centers are the
+    day-value order statistics at ranks ⌈n/4⌉ and ⌈3n/4⌉ (the quartile
+    device of `events_sax_symbols`), emission cost = |x − center|,
+    switch penalty = 500; the DP carries (cost_lo, cost_hi) per day and
+    the final answer is the cheaper terminal with its switch count
+    recovered by an argmin-consistent backward convention (counted
+    forward: switches where the chosen predecessor differs). Emits per
+    type (n_days, best_cost, end_state, n_switches)."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            "vc": cents(df["value"].to_numpy())})
+
+    daily = rel.partial_groupby_sum(
+        ev.map_batches(_day, batch_format="pandas", batch_size=8192),
+        ["event_type", "day"], ["vc"], est_rows=_nrows(sf_dir, "events"))
+    df = daily.to_pandas()
+    df["vd"] = df["vc"].astype(np.int64) // 100
+    T = 500
+    rows = []
+    for et, g in df.groupby("event_type"):
+        d = g.sort_values("day")
+        x = d["vd"].to_numpy(np.int64)
+        n = len(d)
+        srt = np.sort(x)
+        c_lo = int(srt[-(-n // 4) - 1])
+        c_hi = int(srt[-(-(3 * n) // 4) - 1])
+        INF = 1 << 60
+        cost = [abs(int(x[0]) - c_lo), abs(int(x[0]) - c_hi)]
+        sw = [0, 0]
+        for i in range(1, n):
+            e_lo = abs(int(x[i]) - c_lo)
+            e_hi = abs(int(x[i]) - c_hi)
+            stay_lo, jump_lo = cost[0], cost[1] + T
+            new0 = (e_lo + stay_lo, sw[0]) if stay_lo <= jump_lo \
+                else (e_lo + jump_lo, sw[1] + 1)
+            stay_hi, jump_hi = cost[1], cost[0] + T
+            new1 = (e_hi + stay_hi, sw[1]) if stay_hi <= jump_hi \
+                else (e_hi + jump_hi, sw[0] + 1)
+            cost = [new0[0], new1[0]]
+            sw = [new0[1], new1[1]]
+        end = 0 if cost[0] <= cost[1] else 1
+        rows.append({"event_type": str(et), "n_days": n,
+                     "best_cost": int(cost[end]), "end_state": end,
+                     "n_switches": int(sw[end])})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_REGIME_VITERBI = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS vd
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, day, vd,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vd, day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+cen AS (
+  SELECT event_type,
+         MAX(CASE WHEN i = (n + 3) // 4 THEN vd END) AS c_lo,
+         MAX(CASE WHEN i = (3 * n + 3) // 4 THEN vd END) AS c_hi
+  FROM rk GROUP BY event_type
+),
+lst AS (
+  SELECT d.event_type, list(d.vd ORDER BY d.day) AS xs,
+         MAX(c.c_lo) AS c_lo, MAX(c.c_hi) AS c_hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily d JOIN cen c ON c.event_type = d.event_type
+  GROUP BY d.event_type
+),
+vit AS (
+  SELECT event_type, xs, c_lo, c_hi, n, 1 AS k,
+         ABS(xs[1] - c_lo) AS cost0, ABS(xs[1] - c_hi) AS cost1,
+         CAST(0 AS BIGINT) AS sw0, CAST(0 AS BIGINT) AS sw1
+  FROM lst
+  UNION ALL
+  SELECT event_type, xs, c_lo, c_hi, n, k + 1,
+         ABS(xs[k + 1] - c_lo)
+           + CASE WHEN cost0 <= cost1 + 500 THEN cost0
+                  ELSE cost1 + 500 END,
+         ABS(xs[k + 1] - c_hi)
+           + CASE WHEN cost1 <= cost0 + 500 THEN cost1
+                  ELSE cost0 + 500 END,
+         CASE WHEN cost0 <= cost1 + 500 THEN sw0 ELSE sw1 + 1 END,
+         CASE WHEN cost1 <= cost0 + 500 THEN sw1 ELSE sw0 + 1 END
+  FROM vit WHERE k < n
+)
+SELECT event_type, n AS n_days,
+       CAST(CASE WHEN cost0 <= cost1 THEN cost0 ELSE cost1 END AS BIGINT)
+         AS best_cost,
+       CAST(CASE WHEN cost0 <= cost1 THEN 0 ELSE 1 END AS BIGINT)
+         AS end_state,
+       CAST(CASE WHEN cost0 <= cost1 THEN sw0 ELSE sw1 END AS BIGINT)
+         AS n_switches
+FROM vit WHERE k = n
+"""
+
+
+def q_embedding_ndcg5(sf_dir: str):  # exact oracle (lcm-weight DCG)
+    """NDCG@5 in EXACT integers — the ranking-quality metric of every
+    retrieval eval, made division-free with lcm weights: top-5 by
+    fixed-point dot product against each query (vec_id < 8, corpus =
+    every 10th vector, ties → smaller id); relevance = label match;
+    DCG60 = Σ rel_r · (60/(1+r)) uses the 1/(1+rank) discount whose
+    weights 30/20/15/12/10 are exact after ×60; IDCG60 = the best
+    achievable given how many relevant exist (min(m, 5) top weights).
+    NDCG = dcg60/idcg60 is the caller's rational fold. Emits
+    (query_id, n_rel, dcg60, idcg60)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    lab = emb["label"].to_numpy().astype(np.int64)
+    mat = ann.quantize_fixed(np.stack(emb["embedding"].to_pylist())
+                             .astype(np.float64))
+    corpus = ids % 10 == 0
+    cid, clab, cmat = ids[corpus], lab[corpus], mat[corpus]
+    weights = [30, 20, 15, 12, 10]
+    rows = []
+    for qi in np.flatnonzero(ids < 8):
+        q = mat[qi]
+        qid = int(ids[qi])
+        dots = cmat @ q
+        keep = cid != qid
+        dd, ii, ll = dots[keep], cid[keep], clab[keep]
+        order = np.lexsort((ii, -dd))[:5]
+        rel = (ll[order] == lab[qi]).astype(np.int64)
+        dcg = int(sum(int(r) * w for r, w in zip(rel, weights)))
+        m = int((ll == lab[qi]).sum())
+        idcg = int(sum(weights[:min(m, 5)]))
+        rows.append({"query_id": qid, "n_rel": m, "dcg60": dcg,
+                     "idcg60": idcg})
+    return pd.DataFrame(rows)
+
+
+SQL_EMBEDDING_NDCG5 = """
+WITH e AS ({emb}),
+el AS (
+  SELECT e.vec_id, e.qv, CAST(emb2.label AS BIGINT) AS label
+  FROM e JOIN embeddings emb2 ON emb2.vec_id = e.vec_id
+),
+q AS (SELECT vec_id AS query_id, qv AS quv, label AS qlab
+      FROM el WHERE vec_id < 8),
+d AS (SELECT vec_id, qv, label FROM el WHERE vec_id % 10 = 0),
+sims AS (
+  SELECT q.query_id, q.qlab, d.vec_id, d.label,
+         CAST(list_dot_product(
+           list_transform(q.quv, x -> CAST(x AS DOUBLE)),
+           list_transform(d.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS dot
+  FROM q CROSS JOIN d WHERE d.vec_id <> q.query_id
+),
+top5 AS (
+  SELECT query_id, qlab, vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS r
+  FROM sims
+),
+dcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN label = qlab THEN
+             CASE r WHEN 1 THEN 30 WHEN 2 THEN 20 WHEN 3 THEN 15
+                    WHEN 4 THEN 12 ELSE 10 END ELSE 0 END) AS dcg60
+  FROM top5 WHERE r <= 5 GROUP BY query_id
+),
+nrel AS (
+  SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS m
+  FROM q JOIN d ON d.label = q.qlab
+  GROUP BY q.query_id
+),
+ideal AS (
+  SELECT query_id, m,
+         CASE WHEN m >= 5 THEN 87 WHEN m = 4 THEN 77 WHEN m = 3 THEN 65
+              WHEN m = 2 THEN 50 WHEN m = 1 THEN 30 ELSE 0 END AS idcg60
+  FROM nrel
+)
+SELECT i.query_id, CAST(i.m AS BIGINT) AS n_rel,
+       CAST(COALESCE(g.dcg60, 0) AS BIGINT) AS dcg60,
+       CAST(i.idcg60 AS BIGINT) AS idcg60
+FROM ideal i LEFT JOIN dcg g ON g.query_id = i.query_id
+""".format(emb=_SQL_EMB_FIXED.format(src="embeddings"))
+
+
 def q_supplier_mann_kendall(sf_dir: str):  # exact oracle (pair self-join)
     """MANN-KENDALL trend test per supplier over the 12 monthly quantity
     sums — the nonparametric significance COMPANION of the Theil-Sen
@@ -20283,6 +20474,8 @@ QUERIES = {
     "doc_texttiling": q_doc_texttiling,
     "tile_clarke_wright": q_tile_clarke_wright,
     "nation_supplier_hhi": q_nation_supplier_hhi,
+    "events_regime_viterbi": q_events_regime_viterbi,
+    "embedding_ndcg5": q_embedding_ndcg5,
 }
 
 
@@ -20620,4 +20813,6 @@ ORACLE_SQL = {
     "doc_texttiling": SQL_DOC_TEXTTILING,
     "tile_clarke_wright": SQL_TILE_CLARKE_WRIGHT,
     "nation_supplier_hhi": SQL_NATION_SUPPLIER_HHI,
+    "events_regime_viterbi": SQL_EVENTS_REGIME_VITERBI,
+    "embedding_ndcg5": SQL_EMBEDDING_NDCG5,
 }
