@@ -20136,41 +20136,34 @@ ORDER BY ABS(cuma * n_b - cumb * n_a) DESC, v LIMIT 1
 
 QUERIES = {
     # The driver evaluates only the FIRST 50 registry entries, so the window
-    # below is the round's driver-verified set. All 96 queries carry exact
-    # DuckDB oracles; the ROTATION SCHEDULE (OPERATORS.md) moves tail
+    # below is the round's driver-verified set. All registry queries carry
+    # exact DuckDB oracles; the ROTATION SCHEDULE (OPERATORS.md) moves tail
     # entries into the window each round so every oracle eventually gets
-    # driver verification. Round 4 swaps: in = the five new round-4
-    # operators (trajectory_match_hmm, path_dijkstra, shape_rotfrechet,
-    # shape_hull, shape_line_chunk, segment_buffer_pip) + four never-
-    # driver-checked tail queries (choose_path_topk, doc_minhash_verified,
-    # value_quantiles, doc_cap_per_source); out = ten entries driver-green in
-    # rounds 2 AND 3 whose operator class stays represented in-window.
+    # driver verification. Round 5 swaps (per VERDICT.md r4 item 1): in =
+    # ten never-driver-checked LLM/graph/spatial flagships (events_asof,
+    # doc_dedup_clusters, part_supplier_pagerank, ann_pq_adc, ann_ivfpq,
+    # embedding_semantic_dedup, point_dbscan, doc_pack_sequences,
+    # doc_decontaminate, image_roundtrip_psnr); out = ten entries
+    # driver-green in rounds 2+3+4 whose operator class stays represented
+    # in-window (knn_tiles, order_priority_revenue, customers_no_orders,
+    # supplier_top_line, doc_token_stats, doc_exact_dedup, embedding_norms,
+    # customer_order_rank, traffic_rollup, order_dow_counts).
     "spatial_join_pairs": q_spatial_join_pairs,
     "point_in_polygon": q_point_in_polygon,
     "spatial_tile_stats": q_spatial_tile_stats,
-    "knn_tiles": q_knn_tiles,
     "segment_raster_cells": q_segment_raster_cells,
     "grid_viewshed": q_grid_viewshed,
-    "order_priority_revenue": q_order_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "order_line_counts": q_order_line_counts,
-    "customers_no_orders": q_customers_no_orders,
     "event_window_join": q_event_window_join,
-    "supplier_top_line": q_supplier_top_line,
     "segment_union_except": q_segment_union_except,
     "path_linestrings": q_path_linestrings,
     "event_props_parse": q_event_props_parse,
-    "doc_token_stats": q_doc_token_stats,
     "doc_tfidf": q_doc_tfidf,
-    "doc_exact_dedup": q_doc_exact_dedup,
     "ann_topk": q_ann_topk,
-    "embedding_norms": q_embedding_norms,
     "iterative_match": q_iterative_match,
     "value_distribution": q_value_distribution,
-    "customer_order_rank": q_customer_order_rank,
-    "traffic_rollup": q_traffic_rollup,
     "embedding_maxsim": q_embedding_maxsim,
-    "order_dow_counts": q_order_dow_counts,
     "shape_stats": q_shape_stats,
     "choose_path_edges": q_choose_path_edges,
     "path_sequentiality": q_path_sequentiality,
@@ -20195,8 +20188,27 @@ QUERIES = {
     "doc_minhash_verified": q_doc_minhash_verified,
     "value_quantiles": q_value_quantiles,
     "doc_cap_per_source": q_doc_cap_per_source,
-    # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
     "events_asof": q_events_asof,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "part_supplier_pagerank": q_part_supplier_pagerank,
+    "ann_pq_adc": q_ann_pq_adc,
+    "ann_ivfpq": q_ann_ivfpq,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "point_dbscan": q_point_dbscan,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_decontaminate": q_doc_decontaminate,
+    "image_roundtrip_psnr": q_image_roundtrip_psnr,
+    # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "knn_tiles": q_knn_tiles,
+    "order_priority_revenue": q_order_priority_revenue,
+    "customers_no_orders": q_customers_no_orders,
+    "supplier_top_line": q_supplier_top_line,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "embedding_norms": q_embedding_norms,
+    "customer_order_rank": q_customer_order_rank,
+    "traffic_rollup": q_traffic_rollup,
+    "order_dow_counts": q_order_dow_counts,
     "spatial_join_pairs_sharded": q_spatial_join_pairs_sharded,
     "cell_point_counts": q_cell_point_counts,
     "pricing_summary": q_pricing_summary,
@@ -20243,12 +20255,10 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "spatial_join_pairs_strtree": q_spatial_join_pairs_strtree,
     "knn_tiles_strtree": q_knn_tiles_strtree,
-    "doc_dedup_clusters": q_doc_dedup_clusters,
     "segment_intersections": q_segment_intersections,
     "doc_span_dedup": q_doc_span_dedup,
     "orders_bloom_semi": q_orders_bloom_semi,
     "embedding_kmeans": q_embedding_kmeans,
-    "part_supplier_pagerank": q_part_supplier_pagerank,
     "events_funnel": q_events_funnel,
     "events_rolling_sum": q_events_rolling_sum,
     "event_transitions": q_event_transitions,
@@ -20259,8 +20269,6 @@ QUERIES = {
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "nation_priority_mode": q_nation_priority_mode,
     "embedding_pq_codes": q_embedding_pq_codes,
-    "ann_pq_adc": q_ann_pq_adc,
-    "ann_ivfpq": q_ann_ivfpq,
     "snapshot_upsert": q_snapshot_upsert,
     "user_interval_coverage": q_user_interval_coverage,
     "purchase_attribution": q_purchase_attribution,
@@ -20271,7 +20279,6 @@ QUERIES = {
     "doc_pii_scan": q_doc_pii_scan,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_lm_score": q_doc_lm_score,
-    "embedding_semantic_dedup": q_embedding_semantic_dedup,
     "user_retention_cohorts": q_user_retention_cohorts,
     "events_window_topk": q_events_window_topk,
     "supplier_cooccurrence": q_supplier_cooccurrence,
@@ -20282,7 +20289,6 @@ QUERIES = {
     "tile_knn_graph": q_tile_knn_graph,
     "orders_skyline": q_orders_skyline,
     "lineitem_profile": q_lineitem_profile,
-    "point_dbscan": q_point_dbscan,
     "orders_ntile": q_orders_ntile,
     "events_cms": q_events_cms,
     "grid_idw": q_grid_idw,
@@ -20290,15 +20296,12 @@ QUERIES = {
     "supplier_kcore": q_supplier_kcore,
     "image_block_stats": q_image_block_stats,
     "stay_points": q_stay_points,
-    "doc_pack_sequences": q_doc_pack_sequences,
     "image_histogram": q_image_histogram,
     "traj_step_stats": q_traj_step_stats,
     "audio_vad_segments": q_audio_vad_segments,
     "video_shot_segments": q_video_shot_segments,
-    "doc_decontaminate": q_doc_decontaminate,
     "ann_recall": q_ann_recall,
     "grid_moran": q_grid_moran,
-    "image_roundtrip_psnr": q_image_roundtrip_psnr,
     "embedding_knn_classify": q_embedding_knn_classify,
     "quadkey_rollup": q_quadkey_rollup,
     "events_anomaly": q_events_anomaly,
