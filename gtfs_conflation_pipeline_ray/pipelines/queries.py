@@ -19882,7 +19882,7 @@ dcg AS (
 ),
 nrel AS (
   SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS m
-  FROM q JOIN d ON d.label = q.qlab
+  FROM q JOIN d ON d.label = q.qlab AND d.vec_id <> q.query_id
   GROUP BY q.query_id
 ),
 ideal AS (
