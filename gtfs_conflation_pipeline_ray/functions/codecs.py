@@ -5,14 +5,17 @@
 - ``bmp``  — real 24-bit uncompressed BMP (BGR, bottom-up, 4-byte row pad).
 - ``png``  — real PNG, 8-bit RGB, filter type 0, zlib; decoder handles filter
   types 0-4 so foreign PNGs also decode.
-- ``jpeg`` — **STUB**: a real libjpeg is unavailable here, so "jpeg" bytes are
-  produced by a deterministic stand-in lossy codec (6-bit uniform
-  quantization per channel + zlib, magic ``QJPG``). It is honest about
-  lossiness (decode != original) while keeping PSNR comfortably >= 40 dB, so
-  the per-row invariant of BASELINE.json (decoded-pixel allclose, PSNR>=40
-  for lossy formats) is exercised for real. Swap `encode_jpeg`/`decode_jpeg`
-  for a libjpeg binding in production; every call site goes through
-  :func:`encode` / :func:`decode` so the swap is one function.
+- ``jfif`` — REAL baseline JPEG (ITU-T T.81): huffman + fixed-point IDCT
+  decoder and Annex-K encoder in :mod:`.jpeg`, no libjpeg needed. This is
+  the production path for real image corpora.
+- ``jpeg`` — dual-dispatch: real JFIF streams (FFD8 magic) decode through
+  the T.81 decoder; the legacy deterministic ``QJPG`` stand-in (6-bit
+  uniform quantization + zlib) is kept ONLY because its dequantization is
+  closed-form replayable inside the DuckDB oracles of the image registry
+  queries — a property a full DCT codec cannot offer for arbitrary images
+  (the ``image_jfif_*`` queries get exact oracles via DC-only constructions
+  instead). ``encode_jpeg`` still emits QJPG for those fixtures; real
+  encoding is ``encode_jfif``.
 
 All functions take/return ``numpy uint8 (h, w, 3)`` RGB arrays.
 """
@@ -158,8 +161,14 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Lossy-format decode: REAL baseline JFIF (sniffed on the FFD8 SOI
+    magic, full ITU-T T.81 huffman+IDCT path in :mod:`.jpeg`) or the legacy
+    QJPG stand-in. Every fmt='jpeg'/'jfif' row goes through here, so real
+    JPEG corpora decode without call-site changes."""
+    if buf[:2] == b"\xff\xd8":
+        return decode_jfif(buf)
     if buf[:4] != _QJPG_MAGIC:
-        raise ValueError("not a QJPG (stub jpeg) payload")
+        raise ValueError("neither a JFIF stream nor a QJPG payload")
     w, h, qbits = struct.unpack_from("<IIB", buf, 4)
     q = np.frombuffer(zlib.decompress(buf[13:]), dtype=np.uint8).reshape(h, w, 3)
     # dequantize to bin centers
@@ -168,11 +177,34 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# real baseline JFIF (ITU-T T.81) — see functions/jpeg.py
+# ---------------------------------------------------------------------------
+
+def encode_jfif(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode(img, quality=quality, subsampling=subsampling,
+                        restart_interval=restart_interval)
+
+
+def decode_jfif(buf: bytes) -> np.ndarray:
+    from . import jpeg as _jpeg
+
+    out = _jpeg.decode(buf)
+    if out.ndim == 2:  # grayscale stream -> 3-channel for the image contract
+        out = np.repeat(out[:, :, None], 3, axis=2)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # dispatch + metrics
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg,
+             "jfif": encode_jfif}
+_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg,
+             "jfif": decode_jfif}
 LOSSLESS = {"bmp", "png"}
 
 

@@ -247,3 +247,463 @@ class _HuffDecoder:
                     idx = (c << shift) | suffix
                     self.lut_sym[idx] = sym
                     self.lut_len[idx] = ln
+
+
+# ---------------------------------------------------------------------------
+# bit-level I/O over the entropy-coded segment
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF00 byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        """Pad the current byte with 1-bits (spec: fill bits are 1s)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment: removes 0xFF00
+    stuffing, stops AT (does not consume past) any real marker, and pads
+    with 1-bits at segment end so trailing huffman peeks stay in-bounds."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None  # marker code seen (e.g. 0xD0..0xD7)
+
+    def _fill(self) -> None:
+        data, i = self.data, self.i
+        if self.marker is None and i < len(data):
+            b = data[i]
+            if b != 0xFF:
+                self.i = i + 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                return
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                self.i = i + 2
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+            self.marker = nxt  # real marker: record, consume, stop here
+            self.i = i + 2
+        self.acc = (self.acc << 8) | 0xFF  # pad past segment end
+        self.n += 8
+
+    def receive(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        while self.n < nbits:
+            self._fill()
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def peek(self, nbits: int) -> int:
+        while self.n < nbits:
+            self._fill()
+        return (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+
+    def drop(self, nbits: int) -> None:
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+
+    def restart(self) -> int:
+        """Byte-align, consume an expected RSTn marker, reset bit state.
+        Returns n (0-7)."""
+        self.acc = 0
+        self.n = 0
+        if self.marker is None:
+            # marker not yet hit: it must be next in the raw stream
+            while self.i < len(self.data) and self.data[self.i] == 0xFF \
+                    and self.data[self.i + 1] == 0xFF:
+                self.i += 1  # fill bytes
+            if self.i + 1 < len(self.data) and self.data[self.i] == 0xFF:
+                self.marker = self.data[self.i + 1]
+                self.i += 2
+        m = self.marker
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn marker, got {m!r}")
+        self.marker = None
+        return m - 0xD0
+
+    def decode_huff(self, tbl: "_HuffDecoder") -> int:
+        idx = self.peek(tbl.LUT_BITS)
+        sym = tbl.lut_sym[idx]
+        if sym >= 0:
+            self.drop(tbl.lut_len[idx])
+            return sym
+        code = self.peek(16)
+        for length in range(tbl.LUT_BITS + 1, 17):
+            c = code >> (16 - length)
+            if tbl.maxcode[length] >= 0 and c <= tbl.maxcode[length]:
+                self.drop(length)
+                return tbl.vals[tbl.valptr[length] + c - tbl.mincode[length]]
+        raise ValueError("invalid huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the `size` received bits to a signed value."""
+    if size and v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _pad_edge(plane: np.ndarray, mult_h: int, mult_w: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W % 8 == 0 -> (H//8 * W//8, 8, 8) in raster block order."""
+    hh, ww = plane.shape
+    return (plane.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _blocks_to_plane(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return (blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8))
+
+
+def _quantize(coefs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Round half away from zero: sign(F) * (2|F| + q) // (2q)."""
+    q2 = 2 * qtab
+    mag = (2 * np.abs(coefs) + qtab) // q2
+    return np.where(coefs >= 0, mag, -mag).astype(np.int64)
+
+
+def _encode_block_coefs(wr: _BitWriter, zz: np.ndarray, pred: int,
+                        dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one zigzag-ordered quantized block; returns new DC."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = int(abs(diff)).bit_length()
+    code, ln = dc_codes[size]
+    wr.put(code, ln)
+    if size:
+        wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.flatnonzero(zz[1:])  # AC indices (0-based within 1..63)
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        wr.put(code, ln)
+        wr.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wr.put(code, ln)
+    return dc
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
+           restart_interval: int = 0) -> bytes:
+    """Encode uint8 RGB (h, w, 3) or grayscale (h, w) to baseline JFIF."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("bad dimensions")
+    ql, qc = quality_tables(quality)
+    if gray:
+        comps = [(1, 1, 1, 0)]  # (id, hsamp, vsamp, qtab)
+        planes = [img.astype(np.int64)]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        y = ycc[..., 0].astype(np.int64)
+        cb = ycc[..., 1].astype(np.int64)
+        cr = ycc[..., 2].astype(np.int64)
+        if subsampling == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            planes = [y, cb, cr]
+        elif subsampling == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            y2 = _pad_edge(y, 2, 2)
+            cb2 = _pad_edge(cb, 2, 2)
+            cr2 = _pad_edge(cr, 2, 2)
+            cb_s = (cb2[0::2, 0::2] + cb2[0::2, 1::2]
+                    + cb2[1::2, 0::2] + cb2[1::2, 1::2] + 2) >> 2
+            cr_s = (cr2[0::2, 0::2] + cr2[0::2, 1::2]
+                    + cr2[1::2, 0::2] + cr2[1::2, 1::2] + 2) >> 2
+            planes = [y, cb_s, cr_s]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # per-component padded planes and quantized zigzag coefficients
+    qtabs = [ql, qc]
+    comp_zz = []
+    comp_bdims = []
+    for (cid, hs, vs, qt), plane in zip(comps, planes):
+        # pad so the component's block grid covers the full MCU grid
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        target_w = mcus_x * 8 * hs
+        target_h = mcus_y * 8 * vs
+        pl = plane[:target_h, :target_w]
+        pl = np.pad(pl, ((0, target_h - pl.shape[0]),
+                         (0, target_w - pl.shape[1])), mode="edge")
+        blocks = _plane_to_blocks(pl) - 128
+        coefs = fdct_blocks(blocks)
+        qz = _quantize(coefs, qtabs[qt].reshape(8, 8))
+        zz = qz.reshape(-1, 64)[:, ZIGZAG]
+        comp_zz.append(zz)
+        comp_bdims.append((target_h // 8, target_w // 8))
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _marker(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, qt in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, qt)
+    out += _marker(0xC0, sof)
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                       + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _hs, _vs, qt in comps:
+        sos += bytes([cid, (qt << 4) | qt])  # DC/AC table id == qtab id here
+    sos += b"\x00\x3f\x00"
+    out += _marker(0xDA, sos)
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    wr = _BitWriter()
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    preds = [0] * len(comps)
+    rst = 0
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and \
+                    mcu_index % restart_interval == 0:
+                wr.align()
+                wr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, qt) in enumerate(comps):
+                bw_ = comp_bdims[ci][1]
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bw_ + (mx * hs + bx)
+                        preds[ci] = _encode_block_coefs(
+                            wr, comp_zz[ci][bi], preds[ci],
+                            dc_codes[qt], ac_codes[qt])
+            mcu_index += 1
+    wr.align()
+    out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode a baseline JFIF stream to uint8 RGB (h, w, 3), or (h, w) for
+    single-component (grayscale) streams."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hs, vs, qtab_id)])
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = buf[pos + 1]
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        payload = buf[pos + 4: pos + 2 + seglen]
+        if tag == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq_, tid = payload[p] >> 4, payload[p] & 15
+                if pq_ != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                tab = np.frombuffer(payload, np.uint8, 64, p + 1)
+                raster = np.zeros(64, np.int64)
+                raster[ZIGZAG] = tab
+                qtabs[tid] = raster
+                p += 65
+        elif tag == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1: p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17: p + 17 + n])
+                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                p += 17 + n
+        elif tag == 0xC0:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, qt = struct.unpack_from(">BBB", payload, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 15, qt))
+            frame = (fh, fw, comps)
+        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0xFF{tag:02X}")
+        elif tag == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif tag == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = payload[0]
+            scan_tabs = {}
+            for si in range(ns):
+                cid, tt = payload[1 + 2 * si], payload[2 + 2 * si]
+                scan_tabs[cid] = (tt >> 4, tt & 15)
+            return _decode_scan(buf, pos + 2 + seglen, frame, scan_tabs,
+                                qtabs, huff, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(buf: bytes, pos: int, frame, scan_tabs, qtabs, huff,
+                 restart_interval: int) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    comp_zz = []
+    comp_bdims = []
+    for cid, hs, vs, qt in comps:
+        bh, bw_ = mcus_y * vs, mcus_x * hs
+        comp_zz.append(np.zeros((bh * bw_, 64), dtype=np.int32))
+        comp_bdims.append((bh, bw_))
+
+    rd = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for mcu_index in range(n_mcus):
+        if restart_interval and mcu_index and \
+                mcu_index % restart_interval == 0:
+            rd.restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu_index, mcus_x)
+        for ci, (cid, hs, vs, qt) in enumerate(comps):
+            dc_tbl = huff[(0, scan_tabs[cid][0])]
+            ac_tbl = huff[(1, scan_tabs[cid][1])]
+            bw_ = comp_bdims[ci][1]
+            zz_arr = comp_zz[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    bi = (my * vs + by) * bw_ + (mx * hs + bx)
+                    row = zz_arr[bi]
+                    size = rd.decode_huff(dc_tbl)
+                    diff = _extend(rd.receive(size), size)
+                    preds[ci] += diff
+                    row[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = rd.decode_huff(ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 15
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        row[k] = _extend(rd.receive(size), size)
+                        k += 1
+
+    # dequantize + IDCT per component (vectorized), assemble planes
+    planes = []
+    for ci, (cid, hs, vs, qt) in enumerate(comps):
+        bh, bw_ = comp_bdims[ci]
+        zz = comp_zz[ci].astype(np.int64)
+        raster = np.zeros_like(zz)
+        raster[:, ZIGZAG] = zz
+        deq = raster * qtabs[qt][None, :]
+        pix = idct_blocks(deq.reshape(-1, 8, 8))
+        plane = _blocks_to_plane(pix, bh, bw_)
+        # upsample to full resolution by replication, then crop
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
