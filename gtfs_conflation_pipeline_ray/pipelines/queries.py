@@ -20130,6 +20130,207 @@ ORDER BY ABS(cuma * n_b - cumb * n_a) DESC, v LIMIT 1
 """
 
 
+def _jfif_synth_batch(batch: pa.Table, with_ref: bool) -> pa.Table:
+    """REAL baseline-JPEG fixture (ITU-T T.81 via ``functions/jpeg``):
+    block-constant images whose full marker/huffman/IDCT decode path has a
+    closed-form integer result — every 8x8 block is constant, so the DCT
+    keeps only the DC coefficient and the fixed-point pipeline collapses to
+    the documented ``F00 -> dcq -> pixel`` identities the SQL oracle
+    replays. Three classes by doc_id%3: 4:4:4 colour (restart markers on),
+    4:2:0 neutral-gray (subsampling + replication upsample path), and
+    single-component grayscale."""
+    from ..functions import codecs
+    from ..functions import jpeg as jcodec
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs, refs, caps = [], [], []
+    for i in ids:
+        i = int(i)
+        cls = i % 3
+        if cls == 0:
+            bw, bh = 2 + (i // 3) % 3, 2 + (i // 9) % 2
+        elif cls == 1:
+            bw, bh = 2 * (1 + (i // 3) % 2), 2 * (1 + (i // 6) % 2)
+        else:
+            bw, bh = 2 + (i // 3) % 3, 1 + (i // 9) % 3
+        by, bx = np.mgrid[0:bh, 0:bw]
+        if cls == 0:
+            r = (i * 37 + bx * 11 + by * 23) % 256
+            g = (i * 59 + bx * 17 + by * 13) % 256
+            b = (i * 29 + bx * 7 + by * 31) % 256
+        elif cls == 1:
+            r = g = b = (i * 41 + bx * 19 + by * 29) % 256
+        else:
+            r = g = b = (i * 43 + bx * 13 + by * 37) % 256
+        img = np.repeat(np.repeat(
+            np.stack([r, g, b], axis=-1).astype(np.uint8), 8, 0), 8, 1)
+        if cls == 0:
+            blob = jcodec.encode(img, quality=88, subsampling="444",
+                                 restart_interval=3)
+        elif cls == 1:
+            blob = jcodec.encode(img, quality=88, subsampling="420")
+        else:
+            blob = jcodec.encode(img[:, :, 0], quality=88)
+        blobs.append(blob)
+        if with_ref:
+            refs.append(codecs.encode_png(img))
+            caps.append(f"cap-{i}")
+    cols = {"image_id": ids,
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "fmt": pa.array(["jfif"] * len(ids), type=pa.string())}
+    if with_ref:
+        cols["ref_bytes"] = pa.array(refs, type=pa.binary())
+        cols["caption"] = pa.array(caps, type=pa.string())
+    return pa.table(cols)
+
+
+def q_image_jfif_decode(sf_dir: str):
+    """REAL JPEG decode through the actor-pool ``ImageFeaturizer``: fixture
+    images are encoded as genuine baseline JFIF streams (markers, Annex-K
+    huffman, byte stuffing, restart markers, 4:4:4 + 4:2:0 + grayscale) and
+    decoded by the full T.81 huffman + fixed-point-IDCT decoder; the oracle
+    replays the closed-form integer arithmetic of the DC-only path. Any
+    defect in marker parsing, huffman tables, DC prediction, quantizer,
+    IDCT scaling, subsampling or YCbCr conversion breaks the value hash."""
+    from ..functions import jpeg as jcodec
+
+    assert int(jcodec.quality_tables(88)[0][0]) == 4  # oracle hard-codes q00
+    assert int(jcodec.quality_tables(88)[1][0]) == 4
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    synth = docs.map_batches(lambda b: _jfif_synth_batch(b, False),
+                             batch_format="pyarrow", batch_size=256)
+    feats = mstage.image_features(synth, with_ahash=False, batch_size=256)
+    return feats.select_columns(["image_id", "w", "h",
+                                 "sum_r", "sum_g", "sum_b"])
+
+
+def q_image_jfif_roundtrip(sf_dir: str):
+    """Per-row image invariant of BASELINE.json over REAL JPEG bytes:
+    ``ImageRoundtripChecker`` decodes the JFIF payload and a lossless PNG
+    reference, emits the exact integer SSE / max abs error, the pure-integer
+    PSNR>=40dB predicate, and caption equality. The oracle replays the
+    decode closed form and re-derives SSE per block."""
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    synth = docs.map_batches(lambda b: _jfif_synth_batch(b, True),
+                             batch_format="pyarrow", batch_size=256)
+    checked = mstage.image_roundtrip_check(synth, cap_col="caption",
+                                           batch_size=256)
+    return checked.select_columns(["image_id", "sse", "max_err",
+                                   "ok_40db", "cap_ok"])
+
+
+# floor-semantics shifts for DuckDB (whose // truncates toward zero): add a
+# power-of-two bias so the operand is non-negative, divide, subtract back.
+def _fs24(x: str) -> str:  # floor(x / 2^24), |x| < 2^44
+    return f"(({x}) + 17592186044416) // 16777216 - 1048576"
+
+
+def _fs16(x: str) -> str:  # floor(x / 2^16), |x| < 2^36
+    return f"(({x}) + 68719476736) // 65536 - 1048576"
+
+
+def _jfif_f00(c: str) -> str:  # forward DC: F00 = floor-round((c-128)*S0^2/2^24)
+    return _fs24(f"(({c}) - 128) * 134189056 + 8388608")
+
+
+def _jfif_pix(f: str) -> str:  # quantize(q=4) -> dequant -> IDCT DC -> +128
+    d = (f"(CASE WHEN {f} >= 0 THEN (2*({f}) + 4) // 8 "
+         f"ELSE -((-2*({f}) + 4) // 8) END) * 4")
+    return (f"LEAST(255, GREATEST(0, "
+            f"{_fs24(f'({d}) * 2096704 + 8388608')} + 128))")
+
+
+_SQL_JFIF_CORE = """
+im AS (
+  SELECT doc_id AS image_id, doc_id % 3 AS cls,
+         CASE doc_id % 3 WHEN 0 THEN 2 + (doc_id // 3) % 3
+                         WHEN 1 THEN 2 * (1 + (doc_id // 3) % 2)
+                         ELSE 2 + (doc_id // 3) % 3 END AS bw,
+         CASE doc_id % 3 WHEN 0 THEN 2 + (doc_id // 9) % 2
+                         WHEN 1 THEN 2 * (1 + (doc_id // 6) % 2)
+                         ELSE 1 + (doc_id // 9) % 3 END AS bh
+  FROM documents
+),
+blk AS (
+  SELECT image_id, cls, bw, bh, jx.j AS bx, jy.j AS by
+  FROM im, (SELECT unnest(range(6)) AS j) jx,
+           (SELECT unnest(range(6)) AS j) jy
+  WHERE jx.j < bw AND jy.j < bh
+),
+src AS (
+  SELECT *,
+    CASE cls WHEN 0 THEN (image_id*37 + bx*11 + by*23) % 256
+             WHEN 1 THEN (image_id*41 + bx*19 + by*29) % 256
+             ELSE (image_id*43 + bx*13 + by*37) % 256 END AS sr,
+    CASE cls WHEN 0 THEN (image_id*59 + bx*17 + by*13) % 256
+             WHEN 1 THEN (image_id*41 + bx*19 + by*29) % 256
+             ELSE (image_id*43 + bx*13 + by*37) % 256 END AS sg,
+    CASE cls WHEN 0 THEN (image_id*29 + bx*7 + by*31) % 256
+             WHEN 1 THEN (image_id*41 + bx*19 + by*29) % 256
+             ELSE (image_id*43 + bx*13 + by*37) % 256 END AS sb
+  FROM blk
+),
+ycc AS (
+  SELECT *,
+    CASE WHEN cls = 0
+         THEN (19595*sr + 38470*sg + 7471*sb + 32768) // 65536
+         ELSE sr END AS cy,
+    CASE WHEN cls = 0 THEN ({cb_off}) + 128 ELSE 128 END AS ccb,
+    CASE WHEN cls = 0 THEN ({cr_off}) + 128 ELSE 128 END AS ccr
+  FROM src
+),
+f0 AS (
+  SELECT *, {f_y} AS fy, {f_cb} AS fcb, {f_cr} AS fcr FROM ycc
+),
+dpx AS (
+  SELECT *, {p_y} AS dy, {p_cb} AS dcb, {p_cr} AS dcr FROM f0
+),
+rgb AS (
+  SELECT image_id, cls, bw, bh, bx, by, sr, sg, sb,
+    CASE WHEN cls = 0
+         THEN LEAST(255, GREATEST(0, dy + ({r_off}))) ELSE dy END AS rr,
+    CASE WHEN cls = 0
+         THEN LEAST(255, GREATEST(0, dy - ({g_off}))) ELSE dy END AS gg,
+    CASE WHEN cls = 0
+         THEN LEAST(255, GREATEST(0, dy + ({b_off}))) ELSE dy END AS bb
+  FROM dpx
+)
+""".format(
+    cb_off=_fs16("-11059*sr - 21709*sg + 32768*sb + 32768"),
+    cr_off=_fs16("32768*sr - 27439*sg - 5329*sb + 32768"),
+    f_y=_jfif_f00("cy"), f_cb=_jfif_f00("ccb"), f_cr=_jfif_f00("ccr"),
+    p_y=_jfif_pix("fy"), p_cb=_jfif_pix("fcb"), p_cr=_jfif_pix("fcr"),
+    r_off=_fs16("91881*(dcr - 128) + 32768"),
+    g_off=_fs16("22554*(dcb - 128) + 46802*(dcr - 128) + 32768"),
+    b_off=_fs16("116130*(dcb - 128) + 32768"),
+)
+
+SQL_IMAGE_JFIF_DECODE = f"""
+WITH {_SQL_JFIF_CORE}
+SELECT image_id, CAST(bw*8 AS BIGINT) AS w, CAST(bh*8 AS BIGINT) AS h,
+       CAST(SUM(64*rr) AS BIGINT) AS sum_r,
+       CAST(SUM(64*gg) AS BIGINT) AS sum_g,
+       CAST(SUM(64*bb) AS BIGINT) AS sum_b
+FROM rgb GROUP BY image_id, bw, bh
+"""
+
+SQL_IMAGE_JFIF_ROUNDTRIP = f"""
+WITH {_SQL_JFIF_CORE},
+agg AS (
+  SELECT image_id, bw, bh,
+         SUM(64*((rr-sr)*(rr-sr) + (gg-sg)*(gg-sg)
+                 + (bb-sb)*(bb-sb))) AS sse,
+         MAX(GREATEST(abs(rr-sr), abs(gg-sg), abs(bb-sb))) AS max_err
+  FROM rgb GROUP BY image_id, bw, bh
+)
+SELECT image_id, CAST(sse AS BIGINT) AS sse,
+       CAST(max_err AS BIGINT) AS max_err,
+       sse * 10000 <= 65025 * (bw*8) * (bh*8) * 3 AS ok_40db,
+       TRUE AS cap_ok
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -20164,9 +20365,7 @@ QUERIES = {
     "iterative_match": q_iterative_match,
     "value_distribution": q_value_distribution,
     "embedding_maxsim": q_embedding_maxsim,
-    "shape_stats": q_shape_stats,
     "choose_path_edges": q_choose_path_edges,
-    "path_sequentiality": q_path_sequentiality,
     "trip_traversals": q_trip_traversals,
     "trip_seg_traffic": q_trip_seg_traffic,
     "season_pivot_json": q_season_pivot_json,
@@ -20198,7 +20397,11 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_decontaminate": q_doc_decontaminate,
     "image_roundtrip_psnr": q_image_roundtrip_psnr,
+    "image_jfif_decode": q_image_jfif_decode,
+    "image_jfif_roundtrip": q_image_jfif_roundtrip,
     # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "shape_stats": q_shape_stats,
+    "path_sequentiality": q_path_sequentiality,
     "knn_tiles": q_knn_tiles,
     "order_priority_revenue": q_order_priority_revenue,
     "customers_no_orders": q_customers_no_orders,
@@ -20483,6 +20686,8 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "image_jfif_decode": SQL_IMAGE_JFIF_DECODE,
+    "image_jfif_roundtrip": SQL_IMAGE_JFIF_ROUNDTRIP,
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_tile_stats": SQL_SPATIAL_TILE_STATS,
     "knn_tiles": SQL_KNN_TILES,
