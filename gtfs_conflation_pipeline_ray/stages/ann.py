@@ -80,7 +80,11 @@ def cosine_topk(vectors, queries_ref, k: int, id_col: str = "vec_id",
     """Exact global cosine top-k per query: per-batch local top-k (the big
     compute, matmul per Arrow batch; query matrix broadcast once and cached
     per worker) then a tiny grouped global top-k with a deterministic
-    (sim desc, vec_id asc) order. Returns (query_id, vec_id, sim_rank, sim)."""
+    (sim desc, vec_id asc) order. Returns (query_id, vec_id, sim_rank, sim).
+
+    The query side is a broadcast ``ray.put`` handle — right for bounded
+    query sets; for corpus-vs-corpus joins where BOTH sides are unbounded
+    use :func:`sharded_cosine_join` (no broadcast, one keyed exchange)."""
     from .util import cached_state
 
     def _local(batch: pa.Table) -> pa.Table:
@@ -879,3 +883,125 @@ def maxsim_topk(vectors, queries_ref, k: int = 3, n_sub: int = 8,
     return group_topk(local, ["query_id"],
                       [("maxsim", False), ("vec_id", True)],
                       k, rank_col="ms_rank")
+
+
+# ---------------------------------------------------------------------------
+# two-sided distributed vector join (no broadcast side)
+# ---------------------------------------------------------------------------
+
+def sharded_cosine_join(queries, corpus, k: int = 5, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_centroids: int = 64,
+                        nprobe: int = 8, list_shards: int = 1,
+                        exclude_self: bool = True):
+    """TWO-SIDED distributed cosine top-k join — query-sharded x
+    IVF-list-sharded, NEITHER side broadcast (the shape ``cosine_topk`` and
+    friends cannot take: their query side rides a ``ray.put`` handle, fine
+    for bounded query sets, wrong for corpus-vs-corpus joins at 10^12 rows).
+
+    Routing is the deterministic ±1 codebook of ``ivf_topk`` (equal-norm
+    rows, argmax integer dot == nearest by cosine, SQL-replicable): corpus
+    rows go to their ONE assigned list, query rows replicate to their
+    ``nprobe`` best lists. ONE all-to-all exchange keyed by
+    ``list * list_shards + shard`` then a per-group vectorized matmul;
+    global per-query top-k merges through the bucketed combiner
+    (``_merge_topk``), never a driver collect.
+
+    Scale notes (the partitioning contract the 100 TB plan relies on):
+
+    - shuffle volume: each corpus vector moves ONCE; each query vector moves
+      ``nprobe * list_shards`` times. With both sides unbounded that is the
+      optimal exchange up to the probe factor — no N x Q pair ever
+      materializes, and group size is |list| + |probing queries|.
+    - skew: hot lists are salted into ``list_shards`` sub-shards (corpus row
+      -> one sub-shard by a Knuth id hash, query row -> ALL sub-shards), so
+      a single reducer holds at most ~|list|/list_shards corpus rows. The
+      result is invariant to ``list_shards`` because scoring is per
+      (query, corpus-row) pair.
+    - exactness: corpus lists PARTITION the candidate set, so per-list
+      top-k with the global (sim desc, id asc) tie rule composes into the
+      exact top-k over all probed lists; with ``nprobe == n_centroids`` the
+      join is exhaustive and equals brute-force cosine top-k.
+    - to shuffle CODES instead of raw vectors (LAION-scale bytes), compose
+      with ``pq_encode`` and score groups via ADC as in ``ivfpq_topk`` —
+      the routing/salting skeleton here is unchanged.
+    """
+    import pandas as pd
+
+    def _tag_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col)
+        if len(ids) == 0:
+            return pa.table({"list_key": np.array([], dtype=np.int64),
+                             "rid": np.array([], dtype=np.int64),
+                             "side": np.array([], dtype=np.int64),
+                             vec_col: batch[vec_col]})
+        cents = sign_planes(n_centroids, x.shape[1])
+        assign = np.argmax(quantize_fixed(x) @ cents.T, axis=1)
+        if list_shards > 1:
+            shard = (ids * 2654435761 % 4294967296) % list_shards
+        else:
+            shard = np.zeros_like(ids)
+        return pa.table({"list_key": assign * list_shards + shard,
+                         "rid": ids,
+                         "side": np.zeros(len(ids), dtype=np.int64),
+                         vec_col: batch[vec_col]})
+
+    def _tag_queries(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col)
+        if len(ids) == 0:
+            return pa.table({"list_key": np.array([], dtype=np.int64),
+                             "rid": np.array([], dtype=np.int64),
+                             "side": np.array([], dtype=np.int64),
+                             vec_col: batch[vec_col]})
+        cents = sign_planes(n_centroids, x.shape[1])
+        qdots = quantize_fixed(x) @ cents.T
+        probe = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+        # every probed list x every sub-shard
+        keys = (probe[:, :, None] * list_shards
+                + np.arange(list_shards)[None, None, :]).reshape(len(ids), -1)
+        rep = keys.shape[1]
+        take = np.repeat(np.arange(len(ids)), rep)
+        return pa.table({"list_key": keys.reshape(-1).astype(np.int64),
+                         "rid": np.repeat(ids, rep),
+                         "side": np.ones(len(ids) * rep, dtype=np.int64),
+                         vec_col: batch[vec_col].combine_chunks().take(
+                             pa.array(take))})
+
+    tagged = (corpus.map_batches(_tag_corpus, batch_format="pyarrow",
+                                 batch_size=4096)
+              .union(queries.map_batches(_tag_queries,
+                                         batch_format="pyarrow",
+                                         batch_size=4096)))
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        qs, cs = g[side == 1], g[side == 0]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                                 "vec_id": np.array([], dtype=np.int64),
+                                 "sim": np.array([], dtype=np.float64)})
+        qm = np.stack(qs[vec_col].to_numpy()).astype(np.float64)
+        cm = np.stack(cs[vec_col].to_numpy()).astype(np.float64)
+        qid = qs["rid"].to_numpy().astype(np.int64)
+        cid = cs["rid"].to_numpy().astype(np.int64)
+        qnorm = np.linalg.norm(qm, axis=1)
+        cnorm = np.maximum(np.linalg.norm(cm, axis=1), 1e-300)
+        # same expression order as _QueryState.sims_against (oracle parity)
+        sims = (qm @ cm.T) / (qnorm[:, None] * cnorm[None, :])
+        if exclude_self:
+            sims = np.where(qid[:, None] == cid[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        rows_q = np.repeat(qid, kk)
+        rows_v = cid[part.reshape(-1)]
+        rows_s = ps.reshape(-1)
+        keep = rows_s > -np.inf
+        return pd.DataFrame({"query_id": rows_q[keep],
+                             "vec_id": rows_v[keep],
+                             "sim": rows_s[keep]})
+
+    local = tagged.groupby("list_key").map_groups(_score,
+                                                  batch_format="pandas")
+    return _merge_topk(local, k)
