@@ -76,7 +76,7 @@ def _ensure_flagship_fixture(n: int, base_sf: str | None = None) -> str:
 
     base_sf = base_sf or "/root/testdata/sf0.1"
     out = f"/tmp/graft_flagship_bench_{n}"
-    marker = f"{out}/.complete-v1-{n}"
+    marker = f"{out}/.complete-v2-{n}"
     if os.path.exists(marker):
         return out
     li_dir = f"{out}/lineitem.parquet"
@@ -294,8 +294,175 @@ def run_scaling() -> dict:
     }
 
 
+def _ensure_curation_fixture(n: int) -> str:
+    """Deterministic n-doc corpus for the curation-pipeline scaling leg:
+    stopword-heavy English-profile synthetic text (so the langid filter
+    keeps most rows), planted exact duplicates (every 97th doc copies its
+    predecessor) and planted near-duplicates (every 131st doc copies doc
+    i-3 with one word swapped), so stages A/B/C all do real work. Generated
+    in parallel by Ray tasks, cached under /tmp."""
+    out = f"/tmp/graft_curation_bench_v2_{n}"
+    marker = f"{out}/.complete-v2-{n}"
+    if os.path.exists(marker):
+        return out
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPUS, include_dashboard=False)
+    stop = ("the of and to in is was for with that on as by at from it an "
+            "be are this which or had not but his her they have has were "
+            "she him all one their there when who will more").split()
+    content = [f"w{k:03d}x" for k in range(960)]
+    vocab = np.array(stop * 24 + content, dtype=object)
+    nv = len(vocab)
+
+    def _words(src: int) -> np.ndarray:
+        ln = 60 + (src * 7) % 80
+        j = np.arange(ln, dtype=np.uint64)
+        # splitmix-style 64-bit mix: xor-shifts break the modular
+        # periodicity a polynomial index rule would have (period <= |vocab|
+        # in src, which would collapse the corpus to |vocab| distinct texts)
+        h = (np.uint64(src % (1 << 32)) * np.uint64(0x9E3779B97F4A7C15)
+             + j * np.uint64(0xBF58476D1CE4E5B9))
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(32)
+        return vocab[(h % np.uint64(nv)).astype(np.int64)]
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        texts = []
+        for i in ids:
+            i = int(i)
+            if i % 97 == 0 and i >= 97:          # exact dup of predecessor
+                w = _words(i - 1)
+            elif i % 131 == 0 and i >= 131:      # near-dup of doc i-3
+                w = _words(i - 3).copy()
+                w[-1] = "zzqq"
+            else:
+                w = _words(i)
+            texts.append(" ".join(w))
+        return pa.table({"doc_id": ids.astype(np.int64),
+                         "text": pa.array(texts, type=pa.string())})
+
+    (ray.data.range(n)
+     .map_batches(_gen, batch_format="pyarrow", batch_size=8192)
+     .write_parquet(f"{out}/documents.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
+def run_curation_child() -> None:
+    """Fresh-process leg: run the composed curation pipeline once, timed."""
+    import ray
+
+    ncpu = int(os.environ["RAY_GRAFT_CPUS"])
+    fixture = os.environ["GRAFT_CURATION_FIXTURE"]
+    outd = os.environ["GRAFT_CURATION_OUT"]
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
+    from gtfs_conflation_pipeline_ray.pipelines.curation import run_curation
+
+    t0 = time.perf_counter()
+    metrics = run_curation(fixture, outd, seq_len=128, n_partitions=8)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"sec": round(dt, 3), **{k: int(v) for k, v in
+                                              metrics.items()}}))
+    ray.shutdown()
+
+
+def run_curation_scaling() -> dict:
+    """Composed-pipeline scaling evidence (VERDICT r4 item 4): the
+    filter->dedup->pack curation pipeline end-to-end at GRAFT_SCALING_LO vs
+    GRAFT_SCALING_HI CPUs in fresh processes over the same fixture, PLUS a
+    mid-run SIGKILL + resume leg whose final metrics must equal the clean
+    run's (checkpoint-resume parity under violent death)."""
+    import shutil
+    import signal
+
+    n = int(os.environ.get("GRAFT_CURATION_N", "1000000"))
+    fix = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--curation-fixture"],
+        env=dict(os.environ, GRAFT_CURATION_N=str(n)),
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+
+    def leg(ncpu: int, outd: str) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CURATION_FIXTURE=fix, GRAFT_CURATION_OUT=outd)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--curation-child"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    n_lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):  # interleaved to filter shared-host drift
+        d = f"/tmp/graft_curation_out_lo_{len(runs_lo)}"
+        shutil.rmtree(d, ignore_errors=True)
+        runs_lo.append(leg(n_lo, d))
+        d = f"/tmp/graft_curation_out_hi_{len(runs_hi)}"
+        shutil.rmtree(d, ignore_errors=True)
+        runs_hi.append(leg(n_hi, d))
+    t_lo = min(r["sec"] for r in runs_lo)
+    t_hi = min(r["sec"] for r in runs_hi)
+
+    # ---- kill + resume parity ------------------------------------------
+    kill_dir = "/tmp/graft_curation_out_kill"
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n_hi),
+               GRAFT_CURATION_FIXTURE=fix, GRAFT_CURATION_OUT=kill_dir)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--curation-child"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(max(2.0, 0.5 * t_hi))
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    resumed = leg(n_hi, kill_dir)
+    clean = runs_hi[-1]
+    parity = all(resumed[k] == clean[k] for k in
+                 ("filtered_rows", "deduped_rows", "sequence_rows"))
+    skipped = (resumed.get("filter_parts_skipped", 0)
+               + resumed.get("dedup_skipped", 0)
+               + resumed.get("pack_skipped", 0))
+
+    factor = n_hi / n_lo
+    return {
+        "metric": "curation_scaling_efficiency",
+        "docs": n,
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": round(n / t_lo, 1),
+        "docs_per_sec_hi": round(n / t_hi, 1),
+        "curation_scaling_efficiency": round((t_lo / t_hi) / factor, 3),
+        "runs_lo": [r["sec"] for r in runs_lo],
+        "runs_hi": [r["sec"] for r in runs_hi],
+        "reps": reps,
+        "resume_parity": parity,
+        "resume_parts_skipped": int(skipped),
+        "resume_sec": resumed["sec"],
+        "filtered_rows": clean["filtered_rows"],
+        "deduped_rows": clean["deduped_rows"],
+        "sequence_rows": clean["sequence_rows"],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-curation" in sys.argv:
+        print(json.dumps(run_curation_scaling()))
+    elif "--curation-fixture" in sys.argv:
+        print(_ensure_curation_fixture(
+            int(os.environ.get("GRAFT_CURATION_N", "1000000"))))
+    elif "--curation-child" in sys.argv:
+        run_curation_child()
     else:
         print(json.dumps(run_bench()))

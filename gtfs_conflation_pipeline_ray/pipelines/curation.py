@@ -24,6 +24,8 @@ rises with the input; nothing here materializes the corpus."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -42,33 +44,44 @@ def run_curation(sf_dir: str, out_dir: str, *, seq_len: int = 128,
     """Run the three curation stages under ``out_dir``; returns metrics
     (per-stage row counts + skipped flags, deterministic given inputs)."""
     lineage = {"sf_dir": sf_dir, "seq_len": seq_len,
-               "n_partitions": n_partitions}
+               "n_partitions": n_partitions, "layout": "file-sharded"}
     metrics: dict = {}
 
-    # --- stage A: quality + language filter, doc-bucket partitioned ----
+    # --- stage A: quality + language filter, INPUT-FILE sharded --------
+    # Each checkpoint partition owns a strided subset of the input parquet
+    # files (the resumable-output contract: one output dir per input
+    # shard), so the corpus is read exactly ONCE across partitions — not
+    # n_partitions times through an id-hash filter. A single-file input
+    # degenerates to one working partition; at 100 TB the file list is the
+    # shard list.
+    import glob as _glob
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    files = (sorted(_glob.glob(f"{doc_path}/*.parquet"))
+             if os.path.isdir(doc_path) else [doc_path])
     ck_a = StageCheckpoint(f"{out_dir}/filtered", "filter", lineage)
     kept_total = 0
     skipped_a = 0
     for part in range(n_partitions):
         def _write(tmp_dir: str, part=part) -> int:
-            docs = _read_docs(sf_dir)
+            sel = files[part::n_partitions]
+            if not sel:
+                return 0
 
             def _keep(batch: pa.Table) -> pa.Table:
-                ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                sub = batch.filter(pa.array(ids % n_partitions == part))
-                if sub.num_rows == 0:
-                    return sub
+                if batch.num_rows == 0:
+                    return batch
                 from ..functions import text as tx
 
-                texts = sub["text"].to_pylist()
+                texts = batch["text"].to_pylist()
                 c = tx.quality_counts(texts)
                 langs = np.array(list(tx.lang_id(texts)), dtype=object)
                 nc = np.maximum(c["n_chars"], 1)
                 ok = ((c["n_alpha"] * 2 >= nc) & (c["n_chars"] >= 64)
                       & (langs == "en"))
-                return sub.filter(pa.array(ok))
+                return batch.filter(pa.array(ok))
 
+            docs = ray.data.read_parquet(sel, columns=["doc_id", "text"])
             kept = docs.map_batches(_keep, batch_format="pyarrow",
                                     batch_size=4096).materialize()
             kept.write_parquet(tmp_dir)
@@ -87,23 +100,29 @@ def run_curation(sf_dir: str, out_dir: str, *, seq_len: int = 128,
         kept = ray.data.read_parquet(f"{out_dir}/filtered")
         hashed = textops.content_hash(kept)
         groups = dedup.exact_dedup_groups(hashed, "text_hash", "doc_id")
-        keep_ids = set(groups.to_pandas()["keep_doc_id"].astype(np.int64))
+        # id sets travel as SORTED int64 arrays behind ONE ray.put each:
+        # the per-batch membership test is a vectorized np.isin (binary
+        # search), not a Python loop — and workers share the object-store
+        # copy instead of re-pickling a Python set per task.
+        keep_ref = ray.put(np.sort(groups.to_pandas()["keep_doc_id"]
+                                   .to_numpy().astype(np.int64)))
 
         def _only_keepers(batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            return batch.filter(pa.array([int(i) in keep_ids for i in ids]))
+            return batch.filter(pa.array(np.isin(ids, ray.get(keep_ref))))
 
         uniq = kept.map_batches(_only_keepers, batch_format="pyarrow",
                                 batch_size=4096).materialize()
         sigs = dedup.minhash_signatures(uniq)
         pairs = dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
-        drop = set(pairs.to_pandas()["doc_b"].astype(np.int64))
+        drop_ref = ray.put(np.sort(pairs.to_pandas()["doc_b"]
+                                   .to_numpy().astype(np.int64)))
 
         def _drop_neardups(batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            return batch.filter(pa.array([int(i) not in drop for i in ids]))
+            return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
 
         final = uniq.map_batches(_drop_neardups, batch_format="pyarrow",
                                  batch_size=4096).materialize()
