@@ -24,11 +24,29 @@ from ..stages.relational import partial_groupby_sum
 from ..functions.numeric import cents
 
 
+def _auto_blocks(path: str) -> int | None:
+    """Block-count override for FEW-FILE inputs: Ray's default splits a
+    single parquet file into 2x-CPU tiny blocks, and every extra block
+    multiplies downstream scheduling + combine partials (measured at sf0.1:
+    64 blocks -> 3.6s, 32 -> 2.1s for the polygon probe). One block per CPU
+    is the sweet spot; when the input already has >= CPU-count files (the
+    100 TB case) the default per-file layout is right, so return None."""
+    import glob
+    import os
+
+    n_files = (len(glob.glob(f"{path}/*.parquet"))
+               if os.path.isdir(path) else 1)
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    return cpus if n_files < cpus else None
+
+
 def read_points(sf_dir: str):
     """lineitem → derived probe points (column-pruned read, vectorized derive)."""
+    path = f"{sf_dir}/lineitem.parquet"
     ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        path,
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+        override_num_blocks=_auto_blocks(path),
     )
     return ds.map_batches(td.points_batch, batch_format="pyarrow", batch_size=8192)
 

@@ -101,12 +101,7 @@ def q_point_in_polygon(sf_dir: str):
     over per-tile hexagons. ≙ the reference's geopoly_contains_point probe
     (``ConflationMapDAO/generators.js:9-47``) — the rect joins cover only the
     bbox half of that semantics."""
-    from ..sources import testdata as _td
-
-    pts = _rp(sf_dir, "lineitem",
-              ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-               "l_quantity"]).map_batches(
-        _td.points_batch, batch_format="pyarrow", batch_size=8192)
+    pts = conflation.read_points(sf_dir)  # auto-blocked few-file read
     return spatial.point_in_polygon_counts(
         pts, conflation.tiles_ref(sf_dir), "px", "py")
 
