@@ -33,6 +33,35 @@ def _rp(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _image_fixture_synth(batch: pa.Table) -> pa.Table:
+    """THE shared image fixture of the media query suite (31 queries): per
+    doc_id, a (12..24)x(16..40) RGB image with a horizontal dequant-exact
+    gradient on R, a vertical one on G, and a constant B; formats cycle
+    bmp/png/jpeg(QJPG stand-in) by doc_id%3. Every image_* oracle replays
+    this closed form (see q_image_decode_features)."""
+    from ..functions import codecs
+
+    fmts3 = ["bmp", "png", "jpeg"]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs, fmts = [], []
+    for i in ids:
+        w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
+        grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
+        vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
+        img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
+        img[:, :, 2] = (i * 3) % 200
+        fmt = fmts3[int(i % 3)]
+        blobs.append(codecs.encode(img, fmt))
+        fmts.append(fmt)
+    return pa.table({
+        "image_id": ids,
+        "bytes": pa.array(blobs, type=pa.binary()),
+        "fmt": pa.array(fmts, type=pa.string()),
+    })
+
+
 def _nrows(sf_dir: str, table: str) -> int:
     """Row count from parquet FOOTER metadata only (no data scan) — sizes the
     grouped-combine bucket count to the data, not the CPU count."""
@@ -6596,29 +6625,8 @@ def q_image_edge_energy(sf_dir: str):
     from ..functions import codecs
 
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_edge_energy(synth, batch_size=512)
 
 
@@ -7077,32 +7085,9 @@ def q_image_block_stats(sf_dir: str):  # exact oracle (separable fixture)
     ``mean_r`` depends only on the block column (sum of 4 dequantized
     j-values // 4), ``mean_g`` only on the block row, ``mean_b`` is the
     dequantized constant."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_block_stats(synth, bw=4, bh=6, batch_size=512)
 
 
@@ -7260,32 +7245,9 @@ def q_image_histogram(sf_dir: str):  # exact oracle (separable fixture)
     separable oracle counts bin hits along the varying axis and multiplies
     by the constant axis length (dequant applied inside the bin map for
     the jpeg third of the images)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_histogram(synth, batch_size=512)
 
 
@@ -9864,32 +9826,9 @@ def q_image_components(sf_dir: str):  # exact oracle (column-parity closed form)
     run-merge union-find (pytest fuzzes it against BFS on random 2D
     masks). The oracle replays the per-column R value — jpeg dequant
     included — and counts odd-column islands."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_components(synth, batch_size=512)
 
 
@@ -10096,32 +10035,9 @@ def q_image_morphology(sf_dir: str):  # exact oracle (column-parity closed form)
     replays the per-column R value — jpeg dequant included — and collapses
     the full-height structure: eroded = (h−2)·|cols whose 3-col window is
     all-odd|, dilated = h·|cols with ≥1 odd in-bounds neighbor col|."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_morphology(synth, batch_size=512)
 
 
@@ -10283,32 +10199,9 @@ def q_image_otsu(sf_dir: str):  # exact oracle (column-histogram replay)
     comparison); the oracle replays the column-constant R values (jpeg
     dequant included) and scores every candidate split with the identical
     floor-quantized cross-multiplied variance."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_otsu(synth, batch_size=512)
 
 
@@ -10544,32 +10437,9 @@ def q_image_integral_rects(sf_dir: str):  # exact oracle (axis-separable replay)
     fixture, so the oracle replays one axis per probe (jpeg dequant
     included) and multiplies by the rect's other extent; the kernel is the
     general SAT (pytest vs brute-force rect sums)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_integral_rects(synth, batch_size=512)
 
 
@@ -10741,32 +10611,9 @@ def q_image_equalize(sf_dir: str):  # exact oracle (h cancels in the floor)
     column-constant R values — cdf counts share the factor h with n, which
     cancels exactly inside the floor division, so the per-column replay is
     bit-exact (eq_sum then scales back by h)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_equalize(synth, batch_size=512)
 
 
@@ -10951,32 +10798,9 @@ def q_image_wht_energy(sf_dir: str):  # exact oracle (1D collapse per axis)
     G row-driven, so in the oracle only the u=0 (resp. v=0) transform line
     survives (all other Hadamard rows sum to zero) and each side collapses
     to an 8-point 1D transform replayed with bit_count signs."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_wht_energy(synth, batch_size=512)
 
 
@@ -11243,32 +11067,9 @@ def q_image_laplacian_noise(sf_dir: str):  # exact oracle (1D stencil replay)
     responses over interior pixels, on both fixture axes (R column-driven,
     G row-driven — each collapses the 2D stencil to a 1D second
     difference in the oracle; the kernel stays the general 2D stencil)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_laplacian(synth, batch_size=512)
 
 
@@ -11400,32 +11201,9 @@ def q_image_palette(sf_dir: str):  # exact oracle (factorized color counts)
     column × G by row, B constant), so the oracle cross-joins per-value
     column and row multiplicities; the kernel is the general pixel-multiset
     profile."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = (np.uint8((i * 11) % 200) + vgrad[:, None])
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_palette(synth, batch_size=512)
 
 
@@ -12087,32 +11865,9 @@ def q_image_downscale_stats(sf_dir: str):  # exact oracle (separable replay)
     2×2 block mean collapses to a pair floor-mean along one axis and the
     (j'+1)(r'+1)-weighted sum factorizes; the kernel is the general 2-D
     block mean."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_downscale_stats(synth, batch_size=512)
 
 
@@ -12177,32 +11932,9 @@ def q_image_rle_profile(sf_dir: str):  # exact oracle (1-D LAG replay)
     identical, so the oracle is h × a 1-D LAG change count (and w × for
     the row-driven G, h × 1 for the constant B); the kernel is the
     general 2-D neighbor-change count."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_rle_profile(synth, batch_size=512)
 
 
@@ -12267,32 +11999,9 @@ def q_image_grad_orientation(sf_dir: str):  # exact oracle (1-D x 1-D octants)
     G and B cancel in the difference) and dy only on the row, so the
     oracle is a cross join of two 1-D difference grids; the kernel is the
     general 2-D tree."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_grad_orientation(synth, batch_size=512)
 
 
@@ -12365,32 +12074,9 @@ def q_image_bayer_dither(sf_dir: str):  # exact oracle (residue-class counts)
     oracle collapses the tiled threshold into residue-class row/column
     counts ((h + 3 − m) // 4 rows have y % 4 = m) instead of an h×w join;
     the kernel is the general 2-D compare."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_bayer_dither(synth, batch_size=512)
 
 
@@ -12634,32 +12320,9 @@ def q_image_seam_energy(sf_dir: str):  # exact oracle (list-DP recursive CTE)
     cancels R/B), so the oracle carries the whole DP row as a LIST through
     a recursive CTE (the same vector-in-CTE device as `path_dijkstra`);
     the kernel is the general 2-D DP."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_seam_energy(synth, batch_size=512)
 
 
@@ -12997,32 +12660,9 @@ def q_image_upscale_stats(sf_dir: str):  # exact oracle (1-D LEAD collapse)
     `image_downscale_stats`' box pyramid. On the factorized fixture every
     output row (R) / column (G) is identical, so the oracle collapses to
     1-D grids with LEAD midpoints."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_upscale_stats(synth, batch_size=512)
 
 
@@ -13094,32 +12734,9 @@ def q_image_median_filter(sf_dir: str):  # exact oracle (1-D median-of-3)
     multiset is {prev×3, cur×3, next×3} and the 5th order statistic is the
     1-D median-of-3 (x+y+z − GREATEST − LEAST); the kernel is the general
     2-D filter (pytest drives it with unstructured random images)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_median_filter(synth, batch_size=512)
 
 
@@ -13273,32 +12890,9 @@ def q_image_glcm_texture(sf_dir: str):  # exact oracle (1-D pair collapse)
     fixture each co-occurrence pair repeats exactly h (resp. w) times, so
     the oracle is a 1-D LEAD pair count; the kernel is the general 2-D
     bincount (pytest drives random images)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_glcm_texture(synth, batch_size=512)
 
 
@@ -13521,32 +13115,9 @@ def q_image_hough_lines(sf_dir: str):  # exact oracle (1-D×1-D edge product)
     product of 1-D gradient grids and the oracle is a cross join × the
     angle VALUES table; ρ is offset positive so floor and trunc division
     agree."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_hough_lines(synth, batch_size=512)
 
 
@@ -13628,32 +13199,9 @@ def q_image_affine_sample(sf_dir: str):  # exact oracle (grid enumeration)
     the identical offset-positive floor divide + border clamp, and
     evaluates the fixture's closed-form pixel value at the warped source
     coordinate (no separability needed — the warp mixes axes)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_affine_sample(synth, batch_size=512)
 
 
@@ -13969,32 +13517,9 @@ def q_image_fast_corners(sf_dir: str):  # exact oracle (1-D×1-D ring test)
     each ring delta is a column-delta + row-delta, so the oracle is a
     1-D×1-D cross join with eight CASE terms; a position checksum
     Σ(31j+17i) pins the corner LOCATIONS, not just the count."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_fast_corners(synth, batch_size=512)
 
 
@@ -14462,32 +13987,9 @@ def q_image_feather_blend(sf_dir: str):  # exact oracle (1-D mirror join)
     (only a column weight can pin the ramp's direction). On the fixture
     R blends f(j) against f(w−1−j) — a 1-D self-join; G and B are mirror-
     invariant and must pass through EXACTLY (the floor of 1024·g/1024)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_feather_blend(synth, batch_size=512)
 
 
@@ -14545,32 +14047,9 @@ def q_image_radial_profile(sf_dir: str):  # exact oracle (ring bucketing)
     vignetting / lens-falloff / border screen of image curation. The
     oracle buckets the 1-D×1-D fixture grids by GREATEST of the two
     axis distances; the kernel is a general 2-D bincount."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_radial_profile(synth, batch_size=512)
 
 
@@ -14719,32 +14198,9 @@ def q_image_kuwahara(sf_dir: str):  # exact oracle (1-D window argmin)
     bottom row windows for G, flat B → NW tie), so the oracle is 1-D
     ROWS-window sums + the same ≤ tie rule; the kernel is the general
     2-D integral-image argmin."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_kuwahara(synth, batch_size=512)
 
 
@@ -16853,32 +16309,9 @@ def q_image_thinning_step(sf_dir: str):  # exact oracle (stripe closed form)
     B/A/c1/c2 on the three row classes; the Σ(31j+17i) checksum gets
     closed-form row weights. The kernel is the general 2-D rule (pytest
     fuzzes it against a per-pixel brute force)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_thinning_step(synth, batch_size=512)
 
 
@@ -17044,32 +16477,9 @@ def q_image_nms_edges(sf_dir: str):  # exact oracle (local-max product)
     into 1-px edge chains. On the factorized fixture m = A(j) + B(i),
     so along-axis comparisons cancel the other axis and the oracle is a
     1-D×1-D cross join of local-max flags + the axis-dominance CASE."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_nms_edges(synth, batch_size=512)
 
 
@@ -17598,32 +17008,9 @@ def q_image_colorfulness(sf_dir: str):  # exact oracle (opponent moments)
     the fixture rg mixes a column and a row grid so the oracle is the
     product-sum identity Σ(a+b)² = hΣa² + wΣb² + 2ΣaΣb over 1-D
     grids."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_colorfulness(synth, batch_size=512)
 
 
@@ -17948,32 +17335,9 @@ def q_image_template_match(sf_dir: str):  # exact oracle (separable SSD)
     2ΣA·ΣB with 1-D window residuals A (columns vs ta_k) and B (rows vs
     tb_k); the oracle enumerates the small (x,k) × (y,k) grids and
     picks the ROW_NUMBER argmin."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_template_match(synth, batch_size=512)
 
 
@@ -18903,32 +18267,9 @@ def q_image_rlsa_smear(sf_dir: str):  # exact oracle (1-D gap test)
     fill. On the full-height R-parity stripe fixture every row is
     identical, so the oracle is a 1-D nearest-one gap test (next1 −
     prev1 ≤ 5) × h with closed-form row weights for the fill checksum."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_rlsa_smear(synth, batch_size=512)
 
 
@@ -19150,32 +18491,9 @@ def q_image_skew_detect(sf_dir: str):  # exact oracle (sheared profile)
     shifted-bucket GROUP BY; vertical stripes are axis-aligned so s = 0
     wins, but the oracle replays ALL candidates and takes the argmax.
     Emits (image_id, best_s, energy)."""
-    from ..functions import codecs
-
     docs = _rp(sf_dir, "documents", ["doc_id"])
-    fmts3 = ["bmp", "png", "jpeg"]
 
-    def _synth(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs, fmts = [], []
-        for i in ids:
-            w, h = int(16 + (i % 4) * 8), int(12 + (i % 3) * 6)
-            grad = ((np.arange(w, dtype=np.int64) * 55) // (w - 1)).astype(np.uint8)
-            vgrad = ((np.arange(h, dtype=np.int64) * 41) // (h - 1)).astype(np.uint8)
-            img = np.empty((h, w, 3), dtype=np.uint8)
-            img[:, :, 0] = np.uint8((i * 7) % 200) + grad[None, :]
-            img[:, :, 1] = np.uint8((i * 11) % 200) + vgrad[:, None]
-            img[:, :, 2] = (i * 3) % 200
-            fmt = fmts3[int(i % 3)]
-            blobs.append(codecs.encode(img, fmt))
-            fmts.append(fmt)
-        return pa.table({
-            "image_id": ids,
-            "bytes": pa.array(blobs, type=pa.binary()),
-            "fmt": pa.array(fmts, type=pa.string()),
-        })
-
-    synth = docs.map_batches(_synth, batch_format="pyarrow", batch_size=512)
+    synth = docs.map_batches(_image_fixture_synth, batch_format="pyarrow", batch_size=512)
     return mstage.image_skew_detect(synth, batch_size=512)
 
 
