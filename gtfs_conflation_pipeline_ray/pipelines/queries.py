@@ -62,6 +62,17 @@ def _image_fixture_synth(batch: pa.Table) -> pa.Table:
     })
 
 
+# the shared image-fixture CTE every gradient-image oracle starts from
+# (dims + per-channel base colors of _image_fixture_synth)
+_SQL_IM3 = """im AS (
+  SELECT doc_id AS image_id,
+         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
+         doc_id % 3 AS fi,
+         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
+         (doc_id * 3) % 200 AS bb
+  FROM documents
+)"""
+
 def _nrows(sf_dir: str, table: str) -> int:
     """Row count from parquet FOOTER metadata only (no data scan) — sizes the
     grouped-combine bucket count to the data, not the CPU count."""
@@ -6680,14 +6691,7 @@ FROM im i JOIN rdiff r USING (image_id) JOIN gdiff g USING (image_id)
 # QJPG 6-bit dequant: q = v // 4; d(v) = q*4 + q//16  (== (q<<2)|(q>>4) since
 # q>>4 < 4 occupies exactly the low 2 zero bits). fmt index 2 = jpeg.
 SQL_IMAGE_DECODE_FEATURES = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rsum AS (
   -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as float64 —
   -- the Ray side is int64, so an un-cast sum hash-mismatches on the driver
@@ -7092,14 +7096,7 @@ def q_image_block_stats(sf_dir: str):  # exact oracle (separable fixture)
 
 
 SQL_IMAGE_BLOCK_STATS = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rb AS (
   SELECT image_id, j // 4 AS bx,
          CAST(SUM(CASE WHEN fi = 2
@@ -7252,14 +7249,7 @@ def q_image_histogram(sf_dir: str):  # exact oracle (separable fixture)
 
 
 SQL_IMAGE_HISTOGRAM = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rh AS (
   SELECT image_id, 0 AS channel, v // 32 AS bin,
          CAST(MIN(h) * COUNT(*) AS BIGINT) AS n
@@ -7655,14 +7645,7 @@ def q_image_roundtrip_psnr(sf_dir: str):  # exact oracle (quantizer closed form)
 # dq(v) = 4*(v//4) + (v//4)//16 — the QJPG decode of the 6-bit quantized v;
 # lossless rows (fi < 2) are zero-error by construction.
 SQL_IMAGE_ROUNDTRIP_PSNR = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 im2 AS (
   SELECT *,
          bg - ((bg // 4) * 4 + (bg // 4) // 16) AS eg,
@@ -11208,14 +11191,7 @@ def q_image_palette(sf_dir: str):  # exact oracle (factorized color counts)
 
 
 SQL_IMAGE_PALETTE = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rv AS (
   SELECT image_id, v, COUNT(*) AS c FROM (
     SELECT image_id,
@@ -12081,14 +12057,7 @@ def q_image_bayer_dither(sf_dir: str):  # exact oracle (residue-class counts)
 
 
 SQL_IMAGE_BAYER_DITHER = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 bayer(m, k, t) AS (VALUES
   (0,0,0),(0,1,8),(0,2,2),(0,3,10),
   (1,0,12),(1,1,4),(1,2,14),(1,3,6),
@@ -12667,14 +12636,7 @@ def q_image_upscale_stats(sf_dir: str):  # exact oracle (1-D LEAD collapse)
 
 
 SQL_IMAGE_UPSCALE_STATS = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j, h,
          CASE WHEN fi = 2
@@ -12741,14 +12703,7 @@ def q_image_median_filter(sf_dir: str):  # exact oracle (1-D median-of-3)
 
 
 SQL_IMAGE_MEDIAN_FILTER = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j, w,
          CASE WHEN fi = 2
@@ -13994,14 +13949,7 @@ def q_image_feather_blend(sf_dir: str):  # exact oracle (1-D mirror join)
 
 
 SQL_IMAGE_FEATHER_BLEND = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j, w,
          CASE WHEN fi = 2
@@ -14054,14 +14002,7 @@ def q_image_radial_profile(sf_dir: str):  # exact oracle (ring bucketing)
 
 
 SQL_IMAGE_RADIAL_PROFILE = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j, w,
          CASE WHEN fi = 2
@@ -14205,14 +14146,7 @@ def q_image_kuwahara(sf_dir: str):  # exact oracle (1-D window argmin)
 
 
 SQL_IMAGE_KUWAHARA = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j, w,
          CASE WHEN fi = 2
@@ -17015,14 +16949,7 @@ def q_image_colorfulness(sf_dir: str):  # exact oracle (opponent moments)
 
 
 SQL_IMAGE_COLORFULNESS = """
-WITH im AS (
-  SELECT doc_id AS image_id,
-         16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h,
-         doc_id % 3 AS fi,
-         (doc_id * 7) % 200 AS br, (doc_id * 11) % 200 AS bg,
-         (doc_id * 3) % 200 AS bb
-  FROM documents
-),
+WITH """ + _SQL_IM3 + """,
 rq AS (
   SELECT image_id, j,
          CASE WHEN fi = 2
