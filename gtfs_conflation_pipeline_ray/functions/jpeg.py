@@ -76,14 +76,21 @@ QUANT_CHROMA = np.array([
 ], dtype=np.int64)
 
 
+_QT_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """Annex-K tables scaled by the widely-published IJG quality formula."""
+    """Annex-K tables scaled by the widely-published IJG quality formula.
+    Memoized — encoders call this per image."""
+    if quality in _QT_CACHE:
+        return _QT_CACHE[quality]
     quality = min(100, max(1, int(quality)))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     out = []
     for base in (QUANT_LUMA, QUANT_CHROMA):
         q = (base * scale + 50) // 100
         out.append(np.clip(q, 1, 255).astype(np.int64))
+    _QT_CACHE[quality] = (out[0], out[1])
     return out[0], out[1]
 
 
@@ -373,6 +380,13 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
+_STD_DC_CODES = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+_STD_AC_CODES = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+_HUFF_CACHE: dict = {}  # decoder tables keyed by raw (BITS, HUFFVAL)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -524,10 +538,8 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
     sos += b"\x00\x3f\x00"
     out += _marker(0xDA, sos)
 
-    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_codes = _STD_DC_CODES
+    ac_codes = _STD_AC_CODES
 
     wr = _BitWriter()
     mcus_x = -(-w // (8 * hmax))
@@ -602,7 +614,11 @@ def decode(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1: p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17: p + 17 + n])
-                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                key = (tuple(bits), tuple(vals))
+                dec = _HUFF_CACHE.get(key)
+                if dec is None:
+                    dec = _HUFF_CACHE[key] = _HuffDecoder(bits, vals)
+                huff[(cls, tid)] = dec
                 p += 17 + n
         elif tag == 0xC0:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
