@@ -34,10 +34,19 @@ def _auto_blocks(path: str) -> int | None:
     import glob
     import os
 
-    n_files = (len(glob.glob(f"{path}/*.parquet"))
-               if os.path.isdir(path) else 1)
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        n_files = len(glob.glob(f"{path}/*.parquet"))
+    else:
+        n_files = 1
     cpus = int(ray.cluster_resources().get("CPU", 32))
-    return cpus if n_files < cpus else None
+    if n_files >= cpus:
+        return None
+    if n_files == 1:  # footer-only row count caps blocks for tiny tables
+        nrows = pq.ParquetFile(path).metadata.num_rows
+        return max(1, min(cpus, nrows))
+    return cpus
 
 
 def read_points(sf_dir: str):

@@ -115,7 +115,16 @@ def run_curation(sf_dir: str, out_dir: str, *, seq_len: int = 128,
         uniq = kept.map_batches(_only_keepers, batch_format="pyarrow",
                                 batch_size=4096).materialize()
         sigs = dedup.minhash_signatures(uniq)
-        pairs = dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
+        # size-based plan: the ride-along verify tiles full signatures
+        # through the band shuffle (8 KB/doc x 16 bands — 44 GB of spill at
+        # 3M docs); past ~200k docs switch to the join-based plan, which
+        # moves packed signatures twice total. Bit-identical results.
+        n_uniq = int(len(ray.get(keep_ref)))
+        if n_uniq > 200_000:
+            pairs = dedup.lsh_verified_pairs_joined(sigs,
+                                                    jaccard_threshold=0.5)
+        else:
+            pairs = dedup.lsh_verified_pairs(sigs, jaccard_threshold=0.5)
         drop_ref = ray.put(np.sort(pairs.to_pandas()["doc_b"]
                                    .to_numpy().astype(np.int64)))
 

@@ -30,7 +30,16 @@ from . import conflation
 # ---------------------------------------------------------------------------
 
 def _rp(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with the few-file block-count override
+    (``conflation._auto_blocks``): Ray's default splits a single file into
+    2x-CPU tiny blocks and each extra block multiplies downstream
+    scheduling + combine partials (measured: polygon probe 3.6s -> 2.1s,
+    pagerank 8.9s -> 7.5s at sf0.1). No-op for many-file inputs."""
+    from .conflation import _auto_blocks
+
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=_auto_blocks(path))
 
 
 def _image_fixture_synth(batch: pa.Table) -> pa.Table:
