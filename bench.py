@@ -368,7 +368,7 @@ def run_curation_child() -> None:
     t0 = time.perf_counter()
     metrics = run_curation(fixture, outd, seq_len=128, n_partitions=8)
     dt = time.perf_counter() - t0
-    print(json.dumps({"sec": round(dt, 3), **{k: int(v) for k, v in
+    print(json.dumps({"sec": round(dt, 3), **{k: (float(v) if isinstance(v, float) else int(v)) for k, v in
                                               metrics.items()}}))
     ray.shutdown()
 

@@ -240,7 +240,8 @@ def lsh_verified_pairs(sig_ds, id_col: str = "doc_id", num_perm: int = 64,
 def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
                               num_perm: int = 64, bands: int = 16,
                               jaccard_threshold: float = 0.5,
-                              band_member_cap: int = 256):
+                              band_member_cap: int = 256,
+                              est_rows: int | None = None):
     """Result-identical to :func:`lsh_verified_pairs`, restructured for
     corpus scale: the ride-along plan tiles the FULL signature through the
     band explosion (num_perm x 8 bytes x bands ~= 8 KB/doc with defaults —
@@ -257,6 +258,12 @@ def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
 
     rows_per_band = num_perm // bands
     sig_cols = [f"mh{j}" for j in range(num_perm)]
+
+    # the signature Dataset fans out to BOTH the band explosion and the
+    # packed side-table; without pinning, each branch re-executes the
+    # (expensive) shingle+minhash lineage — materialize once (signatures
+    # are ~0.5% of corpus bytes: 8*num_perm per doc)
+    sig_ds = sig_ds.materialize()
 
     def _pack(batch: pa.Table) -> pa.Table:
         sig = np.stack(
@@ -326,8 +333,12 @@ def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
         return pd.DataFrame({"doc_a": np.concatenate(a_out),
                              "doc_b": np.concatenate(b_out)})
 
-    pairs = distinct(bucketed_groups(exploded, ["band_id", "band_hash"],
-                                     _cand), ["doc_a", "doc_b"])
+    # NO separate distinct barrier: a pair found in several bands repeats,
+    # but all copies share doc_a and therefore the same join-1 bucket —
+    # join 1's merge dedups them there (one groupby fewer in the plan)
+    pairs = bucketed_groups(exploded, ["band_id", "band_hash"], _cand,
+                            est_rows=(est_rows * bands
+                                      if est_rows else None))
 
     def _attach(side_key: str, sig_out: str):
         """One bucketed co-group: pair rows pick up `sig_out` bytes from the
@@ -355,7 +366,7 @@ def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
 
         def _merge(g: pd.DataFrame) -> pd.DataFrame:
             s = g[g["side"] == 0]
-            p = g[g["side"] == 1]
+            p = g[g["side"] == 1].drop_duplicates(["doc_a", "doc_b"])
             if len(p) == 0 or len(s) == 0:
                 return pd.DataFrame({"doc_a": np.array([], np.int64),
                                      "doc_b": np.array([], np.int64),
@@ -373,7 +384,7 @@ def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
                              batch_size=8192)
           .union(pairs.map_batches(tag_pairs, batch_format="pyarrow",
                                    batch_size=8192)))
-    j1 = bucketed_groups(u1, ["_k"], merge)
+    j1 = bucketed_groups(u1, ["_k"], merge, est_rows=est_rows)
     # rotate: carry sig_a forward in the generic "sig" slot semantics
     def _shift(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
@@ -386,7 +397,7 @@ def lsh_verified_pairs_joined(sig_ds, id_col: str = "doc_id",
                              batch_size=8192)
           .union(j1p.map_batches(tag_pairs2, batch_format="pyarrow",
                                  batch_size=8192)))
-    j2 = bucketed_groups(u2, ["_k"], merge2)
+    j2 = bucketed_groups(u2, ["_k"], merge2, est_rows=est_rows)
 
     def _verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
