@@ -32,11 +32,21 @@ SCALE = 1_000_000
 
 
 def pagerank(edges, n_iters: int = 3, src_col: str = "src",
-             dst_col: str = "dst", n_parts: int = 8):
+             dst_col: str = "dst", n_parts: int = 8,
+             broadcast_nodes_cap: int = 5_000_000):
     """``edges``: directed (src, dst) int64 Dataset (parallel edges allowed —
     they weight the walk, matching the SQL mirror which keeps duplicates).
     Returns (node, rank_q) for every node that appears as a src or dst;
-    rank_q is the int64 fixed-point rank after ``n_iters`` iterations."""
+    rank_q is the int64 fixed-point rank after ``n_iters`` iterations.
+
+    Size-based plan selection (repo convention): when the node space fits
+    the driver (``<= broadcast_nodes_cap`` rows of 4 int64 vectors), each
+    iteration broadcasts the share vector and runs ONE bucketed combine
+    over the distributed edge set — no per-iteration hash joins (which
+    cost ~1s fixed each at small scale and dominated this operator's
+    wall). Beyond the cap, the original join plan runs: ranks stay a
+    Dataset and every step is a distributed join + combine. Both plans
+    are bit-identical (same integer update rule)."""
     from .relational import bucketed_groups, partial_groupby_sum
 
     def _ident(t: pa.Table) -> pa.Table:
@@ -94,6 +104,47 @@ def pagerank(edges, n_iters: int = 3, src_col: str = "src",
     ranks = ranks.map_batches(_init, batch_format="pyarrow",
                               batch_size=65536).materialize()
     base = 15 * SCALE // 100
+
+    if ranks.count() <= broadcast_nodes_cap:
+        import ray
+
+        rdf = ranks.to_pandas()
+        order = np.argsort(rdf["node"].to_numpy(), kind="stable")
+        nodes_v = rdf["node"].to_numpy().astype(np.int64)[order]
+        deg_v = rdf["deg"].to_numpy().astype(np.int64)[order]
+        rank_v = rdf["rank_q"].to_numpy().astype(np.int64)[order]
+        share_v = rdf["share"].to_numpy().astype(np.int64)[order]
+        for _ in range(n_iters):
+            share_ref = ray.put(share_v)
+            nodes_ref = ray.put(nodes_v)
+
+            def _contrib(t: pa.Table, share_ref=share_ref,
+                         nodes_ref=nodes_ref) -> pa.Table:
+                sv = ray.get(share_ref)
+                nv = ray.get(nodes_ref)
+                s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table({
+                    "node": t[dst_col],
+                    "in_share": w * sv[np.searchsorted(nv, s)],
+                })
+
+            insum = partial_groupby_sum(
+                edges.map_batches(_contrib, batch_format="pyarrow",
+                                  batch_size=65536),
+                ["node"], ["in_share"], n_buckets=n_parts,
+            ).map_batches(_ident, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+            s_in = np.zeros(len(nodes_v), dtype=np.int64)
+            ii = np.searchsorted(nodes_v,
+                                 insum["node"].to_numpy().astype(np.int64))
+            s_in[ii] = insum["in_share"].to_numpy().astype(np.int64)
+            rank_v = base + 17 * s_in // 20
+            share_v = np.where(deg_v > 0,
+                               rank_v // np.maximum(deg_v, 1), 0)
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"node": nodes_v, "rank_q": rank_v}))
 
     def _upd(t: pa.Table) -> pa.Table:
         n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -122,3 +122,22 @@ def test_kcore_peel_everything_dies(ray_session):
         "supp_b": np.array([2, 3, 4], dtype=np.int64)}))
     got = kcore_peel(edges, k=10, rounds=3).to_pandas()
     assert len(got) == 0
+
+
+def test_pagerank_broadcast_plan_matches_join_plan():
+    """Size-gated broadcast-iteration plan must equal the distributed
+    join plan bit-for-bit (same integer update rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gtfs_conflation_pipeline_ray.stages import graphrank
+
+    rng = np.random.default_rng(7)
+    e = pa.table({"src": rng.integers(0, 150, 2000).astype(np.int64),
+                  "dst": rng.integers(0, 150, 2000).astype(np.int64)})
+    fast = (graphrank.pagerank(rd.from_arrow(e)).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    join = (graphrank.pagerank(rd.from_arrow(e), broadcast_nodes_cap=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert fast.equals(join)
