@@ -1974,6 +1974,21 @@ def q_ann_join_sharded(sf_dir: str):  # exact oracle (shares ann_ivf's routing)
     return out.map_batches(_sim_q4, batch_format="pyarrow")
 
 
+def q_ann_join_pq_sharded(sf_dir: str):  # exact oracle (shares ann_ivfpq's SQL)
+    """CODES-NOT-VECTORS two-sided vector join (``ann.sharded_adc_join``):
+    the sharded-join routing/salting skeleton with IVF-PQ scoring — corpus
+    rows cross the exchange as (list, id, one packed int64 PQ code), 24
+    bytes/row instead of the embedding; groups score by integer ADC. The
+    LAION-scale shape: shuffling 1-2% of the corpus bytes. Bit-identical
+    to ``ann_ivfpq`` (same codebooks/routing/ties), so SQL_ANN_IVFPQ is
+    the exact oracle; ``list_shards=2`` exercises hot-list salting."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 8")
+    return ann.sharded_adc_join(queries, emb, _pq_cents_ref(sf_dir), k=5,
+                                n_centroids=64, nprobe=8, list_shards=2)
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -19636,7 +19651,6 @@ QUERIES = {
     "trip_traversals": q_trip_traversals,
     "trip_seg_traffic": q_trip_seg_traffic,
     "season_pivot_json": q_season_pivot_json,
-    "doc_langid": q_doc_langid,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_phash_neardup": q_doc_phash_neardup,
     "events_approx_users": q_events_approx_users,
@@ -19666,7 +19680,9 @@ QUERIES = {
     "image_jfif_decode": q_image_jfif_decode,
     "image_jfif_roundtrip": q_image_jfif_roundtrip,
     "ann_join_sharded": q_ann_join_sharded,
+    "ann_join_pq_sharded": q_ann_join_pq_sharded,
     # ---- tail: exact-oracle-backed, outside the 50-entry driver window ----
+    "doc_langid": q_doc_langid,
     "doc_containment": q_doc_containment,
     "shape_stats": q_shape_stats,
     "path_sequentiality": q_path_sequentiality,
@@ -20016,6 +20032,7 @@ ORACLE_SQL = {
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "ann_join_sharded": SQL_ANN_IVF,
+    "ann_join_pq_sharded": SQL_ANN_IVFPQ,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "shape_frechet": SQL_SHAPE_FRECHET,
     "shape_rotfrechet": SQL_SHAPE_ROTFRECHET,

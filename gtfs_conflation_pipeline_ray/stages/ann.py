@@ -1005,3 +1005,133 @@ def sharded_cosine_join(queries, corpus, k: int = 5, id_col: str = "vec_id",
     local = tagged.groupby("list_key").map_groups(_score,
                                                   batch_format="pandas")
     return _merge_topk(local, k)
+
+
+def sharded_adc_join(queries, corpus, pq_cents_ref, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_centroids: int = 64, nprobe: int = 8, m: int = 8,
+                     list_shards: int = 1, exclude_self: bool = True):
+    """CODES-NOT-VECTORS two-sided join — :func:`sharded_cosine_join`'s
+    routing/salting skeleton with :func:`ivfpq_topk`'s scoring: corpus rows
+    cross the exchange as (list_key, id, ONE packed int64 PQ code) — 24
+    bytes/row instead of the full embedding — and groups score by ADC
+    (m table lookups per candidate). At LAION scale this is the difference
+    between shuffling the corpus' bytes and shuffling 1-2% of them; the
+    query side still replicates nprobe x list_shards times but ships its
+    fixed-point vector (needed to build the per-query LUTs in-group).
+
+    Bit-identical to ``ivfpq_topk`` run with the same codebooks (same
+    integer routing, codes, ADC and tie rules), so the two share an exact
+    SQL oracle; parity asserted in pytest. Returns
+    (query_id, vec_id, adc, adc_rank)."""
+    import pandas as pd
+    import ray as _ray
+
+    from .relational import group_topk
+
+    shifts = 4 * np.arange(m, dtype=np.int64)
+
+    def _corpus_tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty_qv = pa.array([], type=pa.list_(pa.int64()))
+        if len(ids) == 0:
+            return pa.table({"list_key": np.array([], np.int64),
+                             "rid": np.array([], np.int64),
+                             "side": np.array([], np.int64),
+                             "code": np.array([], np.int64),
+                             "qv": empty_qv})
+        cents_pq = np.asarray(_ray.get(pq_cents_ref), dtype=np.int64)
+        xq = quantize_fixed(_batch_matrix(batch, vec_col))
+        coarse = sign_planes(n_centroids, cents_pq.shape[1])
+        assign = np.argmax(xq @ coarse.T, axis=1)
+        codes = _pq_codes_matrix(xq, cents_pq, m)
+        packed = (codes << shifts[None, :]).sum(axis=1)
+        if list_shards > 1:
+            shard = (ids * 2654435761 % 4294967296) % list_shards
+        else:
+            shard = np.zeros_like(ids)
+        return pa.table({"list_key": assign * list_shards + shard,
+                         "rid": ids,
+                         "side": np.zeros(len(ids), dtype=np.int64),
+                         "code": packed,
+                         "qv": pa.array([[]] * len(ids),
+                                        type=pa.list_(pa.int64()))})
+
+    def _query_tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"list_key": np.array([], np.int64),
+                             "rid": np.array([], np.int64),
+                             "side": np.array([], np.int64),
+                             "code": np.array([], np.int64),
+                             "qv": pa.array([], type=pa.list_(pa.int64()))})
+        cents_pq = np.asarray(_ray.get(pq_cents_ref), dtype=np.int64)
+        xq = quantize_fixed(_batch_matrix(batch, vec_col))
+        coarse = sign_planes(n_centroids, cents_pq.shape[1])
+        qdots = xq @ coarse.T
+        probe = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+        keys = (probe[:, :, None] * list_shards
+                + np.arange(list_shards)[None, None, :]).reshape(len(ids), -1)
+        rep = keys.shape[1]
+        take = np.repeat(np.arange(len(ids)), rep)
+        return pa.table({"list_key": keys.reshape(-1).astype(np.int64),
+                         "rid": np.repeat(ids, rep),
+                         "side": np.ones(len(ids) * rep, dtype=np.int64),
+                         "code": np.zeros(len(ids) * rep, dtype=np.int64),
+                         "qv": pa.array(list(xq[take].astype(np.int64)),
+                                        type=pa.list_(pa.int64()))})
+
+    tagged = (corpus.map_batches(_corpus_tag, batch_format="pyarrow",
+                                 batch_size=4096)
+              .union(queries.map_batches(_query_tag, batch_format="pyarrow",
+                                         batch_size=4096)))
+
+    ar = np.arange(m)
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        qs, cs = g[side == 1], g[side == 0]
+        empty = pd.DataFrame({"query_id": np.array([], np.int64),
+                              "vec_id": np.array([], np.int64),
+                              "adc": np.array([], np.int64)})
+        if len(qs) == 0 or len(cs) == 0:
+            return empty
+        cents_pq = np.asarray(_ray.get(pq_cents_ref), dtype=np.int64)
+        dim = cents_pq.shape[1]
+        sub = dim // m
+        cid = cs["rid"].to_numpy().astype(np.int64)
+        packed = cs["code"].to_numpy().astype(np.int64)
+        codes = (packed[:, None] >> shifts[None, :]) & 15
+        qid = qs["rid"].to_numpy().astype(np.int64)
+        qm = np.stack(qs["qv"].to_numpy()).astype(np.int64)
+        # per-query (m, K) LUTs — same integer expression as ivfpq_topk
+        luts = np.empty((len(qid), m, cents_pq.shape[0]), dtype=np.int64)
+        for j in range(m):
+            qsub = qm[:, j * sub:(j + 1) * sub]
+            csub = cents_pq[:, j * sub:(j + 1) * sub]
+            luts[:, j, :] = (np.einsum("ij,ij->i", qsub, qsub)[:, None]
+                             + np.einsum("ij,ij->i", csub, csub)[None, :]
+                             - 2 * (qsub @ csub.T))
+        out_q, out_v, out_a = [], [], []
+        for qi in range(len(qid)):
+            cand = np.arange(len(cid))
+            if exclude_self:
+                cand = cand[cid != qid[qi]]
+            if len(cand) == 0:
+                continue
+            adc = luts[qi, ar, codes[cand]].sum(axis=1)
+            kk = min(k, len(cand))
+            top = np.lexsort((cid[cand], adc))[:kk]
+            out_q.append(np.full(kk, qid[qi], dtype=np.int64))
+            out_v.append(cid[cand][top])
+            out_a.append(adc[top])
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "adc": np.concatenate(out_a)})
+
+    local = tagged.groupby("list_key").map_groups(_score,
+                                                  batch_format="pandas")
+    return group_topk(local, ["query_id"], [("adc", True), ("vec_id", True)],
+                      k, rank_col="adc_rank")

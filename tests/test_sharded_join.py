@@ -91,3 +91,28 @@ def test_disjoint_query_side():
         got = (out[out.query_id == qid].sort_values("sim_rank")["vec_id"]
                .to_numpy())
         assert (got == want).all()
+
+
+def test_adc_join_matches_ivfpq_broadcast_path():
+    """sharded_adc_join (codes-not-vectors exchange) must equal ivfpq_topk
+    (broadcast query side) bit-for-bit given the same codebooks."""
+    tab = _corpus(n=300, d=16, seed=21)
+    rng = np.random.default_rng(5)
+    cents = ann.quantize_fixed(rng.normal(size=(16, 16)))
+    cref = ray.put(cents)
+    qtab = pa.table({"vec_id": tab["vec_id"].slice(0, 6),
+                     "embedding": tab["embedding"].slice(0, 6)})
+    ref = ann.ivfpq_topk(rd.from_arrow(tab), cref, ray.put(qtab), k=5,
+                         n_centroids=8, nprobe=3).to_pandas()
+    got = ann.sharded_adc_join(rd.from_arrow(tab.slice(0, 6)),
+                               rd.from_arrow(tab), cref, k=5,
+                               n_centroids=8, nprobe=3,
+                               list_shards=2).to_pandas()
+
+    def c(df):
+        return (df.sort_values(["query_id", "adc_rank"])
+                .reset_index(drop=True)[["query_id", "vec_id",
+                                         "adc_rank", "adc"]])
+
+    assert len(ref) > 0
+    assert c(ref).equals(c(got))
