@@ -217,3 +217,83 @@ def test_golden_stream_regenerates_bit_exactly():
     blob = open(os.path.join(GOLDEN, "jfif_golden.jpg"), "rb").read()
     assert jpeg.encode(img, quality=88, subsampling="420",
                        restart_interval=4) == blob
+
+
+def test_decode_422_stream():
+    """The decoder accepts any sampling factors in {1,2}; the encoder only
+    emits 4:4:4/4:2:0, so build a 4:2:2 (luma 2x1) DC-only stream by hand
+    from the codec's own primitives and check the closed-form decode."""
+    import struct
+
+    ql, qc = jpeg.quality_tables(88)
+    h, w = 8, 32  # 2 MCUs of 16x8
+    out = bytearray(b"\xff\xd8")
+
+    def marker(tag, payload):
+        return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+    out += marker(0xDB, b"\x00" + bytes(ql[jpeg.ZIGZAG].astype(np.uint8)))
+    out += marker(0xDB, b"\x01" + bytes(qc[jpeg.ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += struct.pack(">BBB", 1, (2 << 4) | 1, 0)  # luma 2x1 -> 4:2:2
+    sof += struct.pack(">BBB", 2, (1 << 4) | 1, 1)
+    sof += struct.pack(">BBB", 3, (1 << 4) | 1, 1)
+    out += marker(0xC0, sof)
+    for cls, tid, bits, vals in [
+        (0, 0, jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS),
+        (1, 0, jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS),
+        (0, 1, jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS),
+        (1, 1, jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS),
+    ]:
+        out += marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                      + bytes(vals))
+    out += marker(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+                  + b"\x00\x3f\x00")
+
+    # DC-only blocks: luma values per 8x8 block, neutral chroma
+    gray_vals = [40, 90, 160, 230]  # 4 luma blocks across 2 MCUs
+    dc_l = [0, 0]  # quantized DC per component class: track per comp
+    wr = jpeg._BitWriter()
+    dcl = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    acl = jpeg._canonical_codes(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    dcc = jpeg._canonical_codes(jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS)
+    acc = jpeg._canonical_codes(jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS)
+
+    def put_dc_only(wr, dcq_diff, dc_codes, ac_codes):
+        size = abs(dcq_diff).bit_length()
+        code, ln = dc_codes[size]
+        wr.put(code, ln)
+        if size:
+            wr.put(dcq_diff if dcq_diff >= 0 else dcq_diff + (1 << size) - 1,
+                   size)
+        code, ln = ac_codes[0x00]  # EOB
+        wr.put(code, ln)
+
+    def dcq_of(v, q00):
+        f00 = ((v - 128) * jpeg.DC_GAIN_FWD + (1 << 23)) >> 24
+        s = 1 if f00 >= 0 else -1
+        return s * ((2 * abs(f00) + q00) // (2 * q00))
+
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    bi = 0
+    for mcu in range(2):
+        for _ in range(2):  # two luma blocks per MCU (2x1)
+            q = dcq_of(gray_vals[bi], int(ql[0]))
+            put_dc_only(wr, q - preds["y"], dcl, acl)
+            preds["y"] = q
+            bi += 1
+        for ch in ("cb", "cr"):
+            q = dcq_of(128, int(qc[0]))
+            put_dc_only(wr, q - preds[ch], dcc, acc)
+            preds[ch] = q
+    wr.align()
+    out += wr.out + b"\xff\xd9"
+
+    got = jpeg.decode(bytes(out))
+    assert got.shape == (8, 32, 3)
+    for bi, v in enumerate(gray_vals):
+        q = dcq_of(v, int(ql[0]))
+        pix = min(255, max(0, ((q * int(ql[0]) * jpeg.DC_GAIN_INV
+                                + (1 << 23)) >> 24) + 128))
+        block = got[:, bi * 8:(bi + 1) * 8, :]
+        assert (block == pix).all(), (bi, v, pix, block[0, 0])
