@@ -147,9 +147,14 @@ class _Validator:
                 if img.shape != (hs[i], ws[i], 3):
                     raise ValueError(f"dims {img.shape} != ({hs[i]},{ws[i]},3)")
                 if fmts[i] not in codecs.LOSSLESS:
-                    rt = codecs.decode(codecs.encode(img, fmts[i]), fmts[i])
+                    if fmts[i] == "jfif":  # real JPEG: archival-quality RT
+                        rt = codecs.decode(
+                            codecs.encode_jfif(img, quality=100), "jfif")
+                    else:
+                        rt = codecs.decode(codecs.encode(img, fmts[i]),
+                                           fmts[i])
                     if codecs.psnr(img, rt) < 40.0:
-                        raise ValueError("stub-lossy round trip below 40dB")
+                        raise ValueError("lossy round trip below 40dB")
                 errs.append("")
             except Exception as e:  # poison-row quarantine, not job abort
                 ok[i] = False

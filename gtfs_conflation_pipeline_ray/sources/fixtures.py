@@ -71,11 +71,15 @@ def _edge_step(n_total: int) -> int:
 
 
 def images_table_range(lo: int, hi: int, n_total: int, seed: int = SEED,
-                       with_bytes: bool = True) -> pa.Table:
+                       with_bytes: bool = True,
+                       jfif_every: int | None = None) -> pa.Table:
     """Rows [lo, hi) of the fixture — shard-stable: every per-row value
     (coords, sizes, caption, pixels) depends only on the row index and seed,
     so any sharding produces identical content (deterministic ids, SURVEY
-    §7.6-1)."""
+    §7.6-1). ``jfif_every``: every that-many-th row carries a REAL baseline
+    JPEG payload (fmt='jfif', quality 100 — PSNR ~50 dB on this content, so
+    the >=40 dB lossy invariant holds) instead of the fmt cycle; None keeps
+    the historical bmp/png/QJPG mix (bench continuity)."""
     x, y = image_coords(n_total, seed)
     x, y = x[lo:hi], y[lo:hi]
     ph = morton_encode(x.astype(np.uint64), y.astype(np.uint64)).view(np.int64).copy()
@@ -98,9 +102,15 @@ def images_table_range(lo: int, hi: int, n_total: int, seed: int = SEED,
         if i % step == 0:
             ws[j], hs[j] = 1, 1
             caps[j] = ""
+        if jfif_every and i % jfif_every == 0 and ws[j] > 1:
+            fmts[j] = "jfif"
         if with_bytes:
             rng = np.random.default_rng(seed + 1000 + i)  # per-row seed => shard-stable
-            blobs.append(codecs.encode(_synth_image(rng, int(ws[j]), int(hs[j])), str(fmts[j])))
+            img = _synth_image(rng, int(ws[j]), int(hs[j]))
+            if fmts[j] == "jfif":
+                blobs.append(codecs.encode_jfif(img, quality=100))
+            else:
+                blobs.append(codecs.encode(img, str(fmts[j])))
     return pa.table(
         {
             "image_id": pa.array(ids, type=pa.string()),
@@ -114,8 +124,9 @@ def images_table_range(lo: int, hi: int, n_total: int, seed: int = SEED,
     )
 
 
-def images_table(n: int, seed: int = SEED, with_bytes: bool = True) -> pa.Table:
-    return images_table_range(0, n, n, seed, with_bytes)
+def images_table(n: int, seed: int = SEED, with_bytes: bool = True,
+                 jfif_every: int | None = None) -> pa.Table:
+    return images_table_range(0, n, n, seed, with_bytes, jfif_every)
 
 
 def ref_tiles_table(n_tiles: int, seed: int = SEED) -> pa.Table:
@@ -289,17 +300,19 @@ def gtfs_feed_zip(path: str, n_shapes: int = 40, pts_per_shape: int = 60,
 def _write_shard(args) -> str:
     import pyarrow.parquet as pq
 
-    out_dir, s, lo, hi, n_images, seed = args
+    out_dir, s, lo, hi, n_images, seed, jfif_every = args
     path = f"{out_dir}/images/part-{s:05d}.parquet"
     # small row groups: row-group-granular work units for shard-local stages
     # and effective min/max pruning for phash-range partition reads
-    pq.write_table(images_table_range(lo, hi, n_images, seed), path,
+    pq.write_table(images_table_range(lo, hi, n_images, seed,
+                                      jfif_every=jfif_every), path,
                    row_group_size=4096)
     return path
 
 
 def write_fixture(out_dir: str, n_images: int, n_tiles: int, seed: int = SEED,
-                  rows_per_file: int = 25000, parallel: bool = True) -> None:
+                  rows_per_file: int = 25000, parallel: bool = True,
+                  jfif_every: int | None = None) -> None:
     """Materialize the fixture as a multi-file parquet dataset (one file per
     row-range shard, so reads parallelize like a real multi-shard table).
     Shards generate in parallel processes — per-row seeding makes every shard
@@ -308,7 +321,8 @@ def write_fixture(out_dir: str, n_images: int, n_tiles: int, seed: int = SEED,
 
     os.makedirs(f"{out_dir}/images", exist_ok=True)
     jobs = [
-        (out_dir, s, lo, min(lo + rows_per_file, n_images), n_images, seed)
+        (out_dir, s, lo, min(lo + rows_per_file, n_images), n_images, seed,
+         jfif_every)
         for s, lo in enumerate(range(0, n_images, rows_per_file))
     ]
     if parallel and len(jobs) > 1:
