@@ -419,37 +419,68 @@ def _quantize(coefs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return np.where(coefs >= 0, mag, -mag).astype(np.int64)
 
 
-def _encode_block_coefs(wr: _BitWriter, zz: np.ndarray, pred: int,
-                        dc_codes: dict, ac_codes: dict) -> int:
-    """Huffman-encode one zigzag-ordered quantized block; returns new DC."""
+def _encode_block_coefs(out: bytearray, acc: int, nbits: int,
+                        zz: np.ndarray, pred: int,
+                        dc_codes: dict, ac_codes: dict):
+    """Huffman-encode one zigzag-ordered quantized block straight into
+    ``out`` (0xFF00 stuffing inline). Bit state is threaded through as
+    plain ints — the per-symbol ``_BitWriter.put`` calls were ~45% of
+    encode time at quality 100. Returns (dc, acc, nbits)."""
+    out_append = out.append
     dc = int(zz[0])
     diff = dc - pred
-    size = int(abs(diff)).bit_length()
+    size = abs(diff).bit_length()
     code, ln = dc_codes[size]
-    wr.put(code, ln)
+    acc = (acc << ln) | code
+    nbits += ln
     if size:
-        wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        acc = (acc << size) | (diff if diff >= 0 else diff + (1 << size) - 1)
+        nbits += size
+    while nbits >= 8:
+        b = (acc >> (nbits - 8)) & 0xFF
+        out_append(b)
+        if b == 0xFF:
+            out_append(0)
+        nbits -= 8
+    acc &= (1 << nbits) - 1
     run = 0
-    nz = np.flatnonzero(zz[1:])  # AC indices (0-based within 1..63)
+    nz = np.flatnonzero(zz[1:])
     last = nz[-1] + 1 if len(nz) else 0
-    for k in range(1, last + 1):
-        v = int(zz[k])
+    for v in zz[1:last + 1].tolist():
         if v == 0:
             run += 1
             continue
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
-            wr.put(code, ln)
+            acc = (acc << ln) | code
+            nbits += ln
             run -= 16
-        size = int(abs(v)).bit_length()
+        size = abs(v).bit_length()
         code, ln = ac_codes[(run << 4) | size]
-        wr.put(code, ln)
-        wr.put(v if v >= 0 else v + (1 << size) - 1, size)
+        acc = (acc << ln) | code
+        nbits += ln
+        acc = (acc << size) | (v if v >= 0 else v + (1 << size) - 1)
+        nbits += size
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out_append(b)
+            if b == 0xFF:
+                out_append(0)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
         run = 0
     if last < 63:
         code, ln = ac_codes[0x00]  # EOB
-        wr.put(code, ln)
-    return dc
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out_append(b)
+            if b == 0xFF:
+                out_append(0)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    return dc, acc, nbits
 
 
 def _marker(tag: int, payload: bytes) -> bytes:
@@ -541,7 +572,9 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
     dc_codes = _STD_DC_CODES
     ac_codes = _STD_AC_CODES
 
-    wr = _BitWriter()
+    scan = bytearray()
+    acc = 0
+    nbits = 0
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     preds = [0] * len(comps)
@@ -551,8 +584,16 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
         for mx in range(mcus_x):
             if restart_interval and mcu_index and \
                     mcu_index % restart_interval == 0:
-                wr.align()
-                wr.out += bytes([0xFF, 0xD0 + rst])
+                if nbits:  # align with 1-bits (spec fill)
+                    pad = 8 - nbits
+                    acc = (acc << pad) | ((1 << pad) - 1)
+                    b = acc & 0xFF
+                    scan.append(b)
+                    if b == 0xFF:
+                        scan.append(0)
+                    acc = 0
+                    nbits = 0
+                scan += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
                 preds = [0] * len(comps)
             for ci, (cid, hs, vs, qt) in enumerate(comps):
@@ -560,12 +601,18 @@ def encode(img: np.ndarray, quality: int = 90, subsampling: str = "444",
                 for by in range(vs):
                     for bx in range(hs):
                         bi = (my * vs + by) * bw_ + (mx * hs + bx)
-                        preds[ci] = _encode_block_coefs(
-                            wr, comp_zz[ci][bi], preds[ci],
+                        preds[ci], acc, nbits = _encode_block_coefs(
+                            scan, acc, nbits, comp_zz[ci][bi], preds[ci],
                             dc_codes[qt], ac_codes[qt])
             mcu_index += 1
-    wr.align()
-    out += wr.out
+    if nbits:  # final align
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        b = acc & 0xFF
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0)
+    out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -663,34 +710,134 @@ def _decode_scan(buf: bytes, pos: int, frame, scan_tabs, qtabs, huff,
         comp_zz.append(np.zeros((bh * bw_, 64), dtype=np.int32))
         comp_bdims.append((bh, bw_))
 
-    rd = _BitReader(buf, pos)
+    # --- inlined entropy decode -------------------------------------
+    # The per-symbol work below runs 4-60x per 8x8 block; with the
+    # object-oriented bit reader each symbol cost ~6 Python calls
+    # (fill/peek/drop/receive/extend/decode), which dominated the decode
+    # profile (27.6ms for a 128x64 q100 image, ~70% call dispatch). Bit
+    # state lives in locals, the huffman fast path is one 9-bit LUT probe,
+    # and only the (byte-rate, not symbol-rate) refill stays a function.
+    data = buf
+    L = len(data)
+    i = pos
+    acc = 0
+    nb = 0
+    marker = None
+
+    def fill_to(need: int) -> None:
+        nonlocal acc, nb, i, marker
+        while nb < need:
+            if marker is None and i < L:
+                b = data[i]
+                if b != 0xFF:
+                    i += 1
+                    acc = (acc << 8) | b
+                    nb += 8
+                    continue
+                nxt = data[i + 1] if i + 1 < L else 0xD9
+                if nxt == 0x00:
+                    i += 2
+                    acc = (acc << 8) | 0xFF
+                    nb += 8
+                    continue
+                marker = nxt  # real marker: record, consume, stop here
+                i += 2
+            acc = (acc << 8) | 0xFF  # pad past segment end
+            nb += 8
+
+    comp_tabs = []
+    for cid, hs, vs, qt in comps:
+        dcd = huff[(0, scan_tabs[cid][0])]
+        acd = huff[(1, scan_tabs[cid][1])]
+        comp_tabs.append((
+            (dcd.lut_sym, dcd.lut_len, dcd.mincode, dcd.maxcode,
+             dcd.valptr, dcd.vals),
+            (acd.lut_sym, acd.lut_len, acd.mincode, acd.maxcode,
+             acd.valptr, acd.vals),
+        ))
+
     preds = [0] * len(comps)
     n_mcus = mcus_x * mcus_y
     for mcu_index in range(n_mcus):
         if restart_interval and mcu_index and \
                 mcu_index % restart_interval == 0:
-            rd.restart()
+            acc = 0
+            nb = 0
+            if marker is None:
+                while (i + 1 < L and data[i] == 0xFF
+                       and data[i + 1] == 0xFF):
+                    i += 1  # fill bytes
+                if i + 1 < L and data[i] == 0xFF:
+                    marker = data[i + 1]
+                    i += 2
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                raise ValueError(f"expected RSTn marker, got {marker!r}")
+            marker = None
             preds = [0] * len(comps)
         my, mx = divmod(mcu_index, mcus_x)
         for ci, (cid, hs, vs, qt) in enumerate(comps):
-            dc_tbl = huff[(0, scan_tabs[cid][0])]
-            ac_tbl = huff[(1, scan_tabs[cid][1])]
+            (d_lsym, d_llen, d_min, d_max, d_vptr, d_vals), \
+                (a_lsym, a_llen, a_min, a_max, a_vptr, a_vals) \
+                = comp_tabs[ci]
             bw_ = comp_bdims[ci][1]
             zz_arr = comp_zz[ci]
             for by in range(vs):
                 for bx in range(hs):
                     bi = (my * vs + by) * bw_ + (mx * hs + bx)
                     row = zz_arr[bi]
-                    size = rd.decode_huff(dc_tbl)
-                    diff = _extend(rd.receive(size), size)
-                    preds[ci] += diff
+                    # ---- DC ----
+                    if nb < 16:
+                        fill_to(16)
+                    idx = (acc >> (nb - 9)) & 511
+                    size = d_lsym[idx]
+                    if size >= 0:
+                        nb -= d_llen[idx]
+                    else:
+                        code16 = (acc >> (nb - 16)) & 0xFFFF
+                        for ln in range(10, 17):
+                            c = code16 >> (16 - ln)
+                            if d_max[ln] >= 0 and c <= d_max[ln]:
+                                nb -= ln
+                                size = d_vals[d_vptr[ln] + c - d_min[ln]]
+                                break
+                        else:
+                            raise ValueError("invalid huffman code in scan")
+                    acc &= (1 << nb) - 1
+                    if size:
+                        if nb < size:
+                            fill_to(size)
+                        v = (acc >> (nb - size)) & ((1 << size) - 1)
+                        nb -= size
+                        acc &= (1 << nb) - 1
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        preds[ci] += v
                     row[0] = preds[ci]
+                    # ---- AC ----
                     k = 1
                     while k < 64:
-                        sym = rd.decode_huff(ac_tbl)
-                        if sym == 0x00:  # EOB
+                        if nb < 16:
+                            fill_to(16)
+                        idx = (acc >> (nb - 9)) & 511
+                        sym = a_lsym[idx]
+                        if sym >= 0:
+                            nb -= a_llen[idx]
+                        else:
+                            code16 = (acc >> (nb - 16)) & 0xFFFF
+                            for ln in range(10, 17):
+                                c = code16 >> (16 - ln)
+                                if a_max[ln] >= 0 and c <= a_max[ln]:
+                                    nb -= ln
+                                    sym = a_vals[a_vptr[ln] + c - a_min[ln]]
+                                    break
+                            else:
+                                raise ValueError(
+                                    "invalid huffman code in scan")
+                        acc &= (1 << nb) - 1
+                        if sym == 0:  # EOB
                             break
-                        run, size = sym >> 4, sym & 15
+                        run = sym >> 4
+                        size = sym & 15
                         if size == 0:
                             if run != 15:
                                 raise ValueError("bad AC symbol")
@@ -699,7 +846,14 @@ def _decode_scan(buf: bytes, pos: int, frame, scan_tabs, qtabs, huff,
                         k += run
                         if k > 63:
                             raise ValueError("AC run overflows block")
-                        row[k] = _extend(rd.receive(size), size)
+                        if nb < size:
+                            fill_to(size)
+                        v = (acc >> (nb - size)) & ((1 << size) - 1)
+                        nb -= size
+                        acc &= (1 << nb) - 1
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        row[k] = v
                         k += 1
 
     # dequantize + IDCT per component (vectorized), assemble planes
