@@ -747,8 +747,16 @@ def _decode_scan(buf: bytes, pos: int, frame, scan_tabs, qtabs, huff,
 
     comp_tabs = []
     for cid, hs, vs, qt in comps:
-        dcd = huff[(0, scan_tabs[cid][0])]
-        acd = huff[(1, scan_tabs[cid][1])]
+        if cid not in scan_tabs:
+            raise ValueError(f"scan omits frame component {cid}")
+        dc_key = (0, scan_tabs[cid][0])
+        ac_key = (1, scan_tabs[cid][1])
+        if dc_key not in huff or ac_key not in huff:
+            raise ValueError(f"missing huffman table for component {cid}")
+        if qt not in qtabs:
+            raise ValueError(f"missing quant table {qt}")
+        dcd = huff[dc_key]
+        acd = huff[ac_key]
         comp_tabs.append((
             (dcd.lut_sym, dcd.lut_len, dcd.mincode, dcd.maxcode,
              dcd.valptr, dcd.vals),
